@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Exposes the engine's declared query surface (SURVEY.md section 2):
+``entry`` runs the flagship REF-pipeline batch analog; ``queries`` /
+``oracle_sql`` expose every implemented operator with its DuckDB oracle.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from nomad_event_streamer_spark.functions import classify_state
+from nomad_event_streamer_spark.plans import all_oracles, all_queries
+from nomad_event_streamer_spark.tables import events
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference pipeline's batch analog
+    (app.rb:106-278) on the events table —
+
+    allowlist filter (app.rb:175-179) -> JSON payload extraction
+    (app.rb:130-135) -> latest-per-key dedup (app.rb:157-167) ->
+    state classification (app.rb:195-209) -> delivery counts by outcome
+    (app.rb:211-267).
+    """
+    ev = events(spark, SF0001)
+    allowed = ev.where(
+        F.col("event_type").isin("click", "purchase", "error", "signup")
+    )
+    parsed = allowed.withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = parsed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    classified = latest.withColumn(
+        "state", classify_state(F.col("event_type"), F.col("value"))
+    )
+    return classified.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md section 2."""
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every hash-checkable query; float-heavy
+    and streaming-only ops are intentionally absent (rows-only check)."""
+    return all_oracles()

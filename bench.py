@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (all columns computed,
+nothing collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from nomad_event_streamer_spark.plans import all_queries
+from nomad_event_streamer_spark.session import get_spark
+
+HEADLINE = [
+    "q_scan_project",
+    "q_agg_groupby",
+    "q_count_distinct",
+    "q_agg_rollup",
+    "q_dedup_latest",
+    "q_window_rank",
+    "q_window_runsum",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_range",
+    "q_topk",
+    "q_explode_tokens",
+    "q_time_bucket",
+    "q_case_when_state",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_ngram_jaccard",
+    "q_simhash",
+    "q_text_stats",
+    "q_sim_topk",
+    "q_sim_ann",
+    "q_multimodal_decode",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(master=f"local[{cpus}]")
+    queries = all_queries()
+
+    # Warm the JVM/codegen paths so per-query numbers measure the plan,
+    # not first-run class loading.
+    force(queries["q_scan_project"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

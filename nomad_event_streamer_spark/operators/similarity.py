@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two strategies:
+
+- ``cosine_topk``: brute-force exact top-k.  The query set is broadcast,
+  so the big side streams once with no shuffle; per-pair math is pure
+  Column arithmetic (``zip_with`` + ``aggregate`` fold — JVM codegen, no
+  Python).  Right for small query sets over huge corpora.
+- ``hyperplane_buckets`` (LSH): sign-of-dot-product against D
+  deterministic hyperplanes -> one bucket id per vector; ANN search then
+  joins query buckets to candidate buckets and only scores within-bucket
+  pairs.  This is the 100 TB path: the self-join is on the bucket key,
+  never all-pairs.
+
+Hyperplanes are derived deterministically from md5 (no RNG — reruns and
+oracle replays see identical planes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _dot(a, b):
+    """Exact-order fold: sum of elementwise products in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` (small) is broadcast; candidates never shuffle.  Returns
+    (query_id, neighbor_id, cosine) with a deterministic row set (ties
+    broken by neighbor id)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """+-1 hyperplanes seeded from md5(plane, dim-index) — stable across
+    runs, machines, and engines."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_buckets(
+    vecs: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bit p = sign(v . plane_p).
+
+    Bucket computation is per-row Column arithmetic — at scale this is a
+    single scan producing a (id, bucket) index to join ANN probes
+    against."""
+    planes = _deterministic_planes(num_planes, dim)
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(F.col(vec_col), plane_col) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + bit.cast("long") * (2**p)
+    return vecs.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def ann_topk_bucketed(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates.
+
+    At 100 TB the bucket equi-join replaces the cross join: shuffle keys
+    are bucket ids, candidate lists are bucket-sized."""
+    from pyspark.sql import Window
+
+    b = hyperplane_buckets(vecs, num_planes, dim, id_col, vec_col)
+    cand = vecs.join(b, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "bucket",
+    )
+    qb = queries.join(b, id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    scored = (
+        cand.join(F.broadcast(qb), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )

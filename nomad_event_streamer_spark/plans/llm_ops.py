@@ -1,0 +1,349 @@
+"""Declared LLM-data-pipeline queries (SURVEY.md 2.12 + build contract):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search, text analysis, multimodal plumbing.
+
+The md5-based oracles replay the *exact* hash computations in DuckDB, so
+these ship with full value-hash checks, not just rows-only — except the
+float-heavy cosine ops, which are rows-only by the SURVEY float policy.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup, multimodal, similarity, text
+from ..tables import ORACLE_ROUND2, ORACLE_ROUND4, load, round2, round4
+from .registry import query
+
+# Shared oracle CTE: distinct 3-token shingles per document (list slicing
+# is 1-based inclusive in DuckDB; range(1, len-1) yields starts 1..len-2).
+_SHINGLE_CTE = """
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 1, 1))]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+"""
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest: one shuffle on the hash, keep the
+    smallest id per group.  At 100 TB the digest (32 bytes) shuffles, not
+    the documents."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=_SHINGLE_CTE
+    + """
+    , sig AS (
+        SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: shingle -> 16 min-wise hashes ->
+    8 bands x 2 rows -> same-bucket join.  The band join is the scale
+    path — candidate generation cost is bucket-sized, never all-pairs."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, rows_per_band=2)
+    return dedup.lsh_candidate_pairs(bands)
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=_SHINGLE_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard
+    FROM (
+        SELECT doc_a, doc_b,
+               (floor((CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        ORDER BY CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni) DESC, doc_a, doc_b
+        LIMIT 50
+    )
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard: top-50 most-similar pairs (deterministic
+    tiebreak doc_a, doc_b).  Pairs come from a shared-shingle equi-join,
+    so only pairs with overlap are ever scored."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3)
+    pairs = dedup.jaccard_pairs(sh)
+    return (
+        pairs.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(50)
+        .select("doc_a", "doc_b", round4(F.col("jaccard")).alias("jaccard"))
+    )
+
+
+@query(
+    "q_simhash",
+    oracle="""
+    WITH pb AS (
+        SELECT doc_id, md5(tok) AS h, p, b
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        CROSS JOIN (SELECT unnest(range(1, 9)) AS p)
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+    ),
+    votes AS (
+        SELECT doc_id, p, b,
+               sum(2 * (CAST(floor((instr('0123456789abcdef', substring(h, p, 1)) - 1)
+                                   / power(2, b)) AS BIGINT) % 2) - 1) AS s
+        FROM pb GROUP BY doc_id, p, b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN CAST(power(2, (8 - p) * 4 + b) AS BIGINT)
+                    ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (token-majority-vote over md5 bits);
+    near-dup docs land on close fingerprints (hamming)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, hex_chars=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           sum(n_chars) AS sum_chars,
+           (floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0) AS avg_chars,
+           (floor((CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0) AS avg_toks
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics by language (EXT, SURVEY.md 2.12)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("sum_chars"),
+        round2(F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        round2(
+            F.sum(F.size(F.split("text", " ")).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_toks"),
+    )
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({in_list})))"
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, predicted_lang,
+           CAST(predicted_lang = lang AS INT) AS is_match
+    FROM (
+        SELECT doc_id, lang,
+               CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS predicted_lang
+        FROM (
+            SELECT doc_id, lang,
+                   {_marker_sql(text.LANG_MARKERS["de"])} AS s_de,
+                   {_marker_sql(text.LANG_MARKERS["en"])} AS s_en,
+                   {_marker_sql(text.LANG_MARKERS["es"])} AS s_es,
+                   {_marker_sql(text.LANG_MARKERS["fr"])} AS s_fr,
+                   {_marker_sql(text.LANG_MARKERS["zh"])} AS s_zh
+            FROM documents
+        )
+    )
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language ID: per-language marker-token evidence ->
+    argmax with alphabetic tie-break.  Pure array filter counts — no
+    explode, no shuffle (EXT)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = text.lang_scores(docs)
+    return scored.select(
+        "doc_id",
+        "lang",
+        text.predict_lang().alias("predicted_lang"),
+        (text.predict_lang() == F.col("lang")).cast("int").alias("is_match"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           (floor((CAST(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the')))
+                      AS DOUBLE) / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0) AS stop_ratio,
+           (floor((least(1.0, len(string_split(text, ' ')) / 100.0)
+                 * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the')))
+                               AS DOUBLE) / len(string_split(text, ' ')))) * 10000.0 + 0.5) / 10000.0) AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features: token count, stopword ratio, composite
+    score (EXT)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.quality_features(docs).select(
+        "doc_id", "n_tok", "stop_ratio", "quality"
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_words_re,
+           length(text) AS n_chars_len
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split, distinct tokens, regex word
+    count, char count (EXT)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.token_counts(docs).select(
+        "doc_id", "n_ws", "n_uniq", "n_words_re", "n_chars_len"
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp,
+           substring(md5(text), 1, 8) AS fp_short,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp_sorted
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: raw digest + order-insensitive
+    bag-of-words digest (EXT)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.fingerprints(docs).select("doc_id", "fp", "fp_short", "fp_sorted")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (float-heavy -> rows-only per SURVEY float policy)
+# ---------------------------------------------------------------------------
+
+
+@query("q_sim_topk")  # rows-only: cosine ranking is float-order sensitive
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 20 vectors as queries;
+    query side broadcast, candidate side never shuffles."""
+    vecs = load(spark, sf_dir, "embeddings")
+    queries = vecs.where(F.col("vec_id") < 20)
+    return similarity.cosine_topk(vecs, queries, k=5)
+
+
+@query("q_sim_ann")  # rows-only: LSH bucketing + float scoring
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant: hyperplane-LSH buckets, then score only same-bucket
+    candidates — the 100 TB path (bucket equi-join, not cross join)."""
+    vecs = load(spark, sf_dir, "embeddings")
+    queries = vecs.where(F.col("vec_id") < 20)
+    return similarity.ann_topk_bucketed(vecs, queries, k=5, num_planes=6)
+
+
+@query(
+    "q_embed_norm",
+    oracle="""
+    SELECT label, count(*) AS n, min(len(embedding)) AS min_dim,
+           max(len(embedding)) AS max_dim
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table integrity profile: per-label counts + dimension
+    bounds — the multimodal array<float> column scanned and aggregated
+    without ever leaving the JVM."""
+    vecs = load(spark, sf_dir, "embeddings")
+    return vecs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode path: text bytes as the opaque payload,
+    Arrow-batched mapInPandas extracting byte-level features.  The
+    pandas-side computation is exact, so the oracle verifies the whole
+    binary+UDF pipeline end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    binary_df = multimodal.with_binary_payload(docs)
+    return multimodal.decode_features(binary_df)

@@ -1,0 +1,75 @@
+"""SparkSession construction and runtime configuration.
+
+Design notes for 100 TB posture (SURVEY.md section 4.3):
+
+- AQE on: runtime broadcast-join conversion, skew-join splitting, and
+  shuffle-partition coalescing replace any hand-tuned physical planning.
+- Arrow on: every pandas-UDF exchange is columnar-batched.
+- ``spark.sql.legacy.parquet.nanosAsLong``: the driver testdata's
+  ``events.ts`` column is parquet TIMESTAMP(NANOS), which Spark 4 refuses
+  by default.  Reading it as a ns-epoch long matches the reference's own
+  time model (ns-epoch ints built in ``app.rb:10-23`` and compared in
+  ``app.rb:154-167``); conversion to usec timestamps is explicit at the
+  query layer (``tables.ts_us_expr``).
+
+All confs here are *runtime-settable* so they work both on sessions we
+build and on sessions handed to us by the verification driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and necessary) to set on an already-running session.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # testdata events.ts is parquet TIMESTAMP(NANOS): read as ns-epoch long
+    # (mirrors the reference's ns-epoch time model, app.rb:10-23).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic session timezone so timestamp<->epoch conversions match
+    # the DuckDB oracle regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+# Confs that must be set before the JVM/session starts.
+BUILD_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to any session (ours or the driver's).
+
+    Every declared query calls this first, so correctness does not depend
+    on who constructed the SparkSession.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # conf may be static on some builds; never fatal
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "nomad-event-streamer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard confs."""
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    confs = dict(BUILD_CONFS)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    for key, value in confs.items():
+        builder = builder.config(key, value)
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return ensure_runtime_confs(builder.getOrCreate())

@@ -1,0 +1,102 @@
+"""Testdata table loaders and canonical column expressions.
+
+Tables (TESTDATA.md / FIXTURES.md section B): region nation customer
+supplier part orders lineitem events documents embeddings — one parquet
+per table under ``{sf_dir}/{name}.parquet``.
+
+Time handling: ``events.ts`` is parquet TIMESTAMP(NANOS) read as a ns-epoch
+long (see session.RUNTIME_CONFS).  The engine's canonical derived columns:
+
+- ``ts_us``  : bigint usec epoch = ``ts div 1000`` (truncation — matches
+  DuckDB's ns->usec truncation exactly; verified on the testdata).
+- ``ts_t``   : TimestampType at usec precision, for date_trunc/windows.
+
+All declared query outputs emit *bigint epochs or formatted strings* rather
+than raw timestamps, so the driver's value-hash never depends on an
+engine-specific timestamp serialization.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import ensure_runtime_confs
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+def ts_us():
+    """usec-epoch long from the ns-epoch long (floor division == DuckDB
+    epoch_us truncation)."""
+    return F.expr("ts div 1000")
+
+
+def ts_t():
+    """usec-precision timestamp from the ns-epoch long."""
+    return F.timestamp_micros(F.expr("ts div 1000"))
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; applies runtime confs first so the ns
+    parquet type and UTC session TZ are always in effect."""
+    ensure_runtime_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with canonical derived time columns ``ts_us`` / ``ts_t``."""
+    return load(spark, sf_dir, "events").withColumns(
+        {"ts_us": ts_us(), "ts_t": ts_t()}
+    )
+
+
+def round2(col):
+    """Portable 2dp rounding: floor(x*100 + 0.5)/100 — every step is an
+    IEEE op on identical doubles, so Spark and DuckDB agree bit-for-bit.
+    (Spark's round() rounds the double's *shortest decimal repr* via
+    BigDecimal.valueOf while DuckDB rounds the exact binary value; the two
+    diverge at half boundaries, e.g. a product whose shortest repr ends in
+    "...5".  This helper sidesteps the engine difference entirely.)"""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
+
+def round4(col):
+    """Portable 4dp rounding (see round2)."""
+    return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
+ORACLE_ROUND2 = "(floor(({x}) * 100.0 + 0.5) / 100.0)"
+ORACLE_ROUND4 = "(floor(({x}) * 10000.0 + 0.5) / 10000.0)"
+
+
+def dec_sum(col: str, alias: str):
+    """Exact money sum: cast to DECIMAL(18,2) pre-sum so the aggregate is
+    order-insensitive and bit-identical to the DuckDB oracle, then emit as
+    double.  (Float policy, SURVEY.md section 2 preamble.)"""
+    return F.round(F.sum(F.col(col).cast("decimal(18,2)")).cast("double"), 2).alias(alias)
+
+
+def dec_avg(col: str, alias: str):
+    """Exact-sum average: decimal sum -> double -> / count -> portable
+    round2.  Both engines divide the same two exact values and the
+    floor-based rounding is pure IEEE, so the result is bit-identical."""
+    return round2(
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double") / F.count(F.col(col))
+    ).alias(alias)
+
+
+ORACLE_DEC_SUM = "round(CAST(sum(CAST({col} AS DECIMAL(18,2))) AS DOUBLE), 2)"
+ORACLE_DEC_AVG = ORACLE_ROUND2.format(
+    x="CAST(sum(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / count({col})"
+)
