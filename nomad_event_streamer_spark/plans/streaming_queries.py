@@ -59,6 +59,25 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     return df.sparkSession.table(name)
 
 
+@query("q_stream_nomad_pipeline")  # rows-only: input is a generated stream
+def q_stream_nomad_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full REF pipeline (app.rb:106-278) as a bounded streaming run:
+    synthetic NDJSON -> parse -> explode*3 -> filters -> watermark dedup ->
+    classification, counted by outcome.  Rows-only: the input is the
+    deterministic synthetic Nomad stream, not an oracle table."""
+    from ..sources.synthetic import sample_stream
+    from ..streaming.runner import build_stream
+
+    ensure_runtime_confs(spark)
+    input_dir = tempfile.mkdtemp(prefix="nes_nomad_in_")
+    with open(os.path.join(input_dir, "stream.ndjson"), "w") as f:
+        f.write("\n".join(sample_stream(12)) + "\n")
+    lines = spark.readStream.text(input_dir)
+    deduped = build_stream(lines)
+    counted = _run_to_memory(deduped, "append")
+    return counted.groupBy("state").agg(F.count(F.lit(1)).alias("n"))
+
+
 @query(
     "q_stream_agg",
     oracle="""

@@ -1,0 +1,132 @@
+"""Webhook sinks: Discord / Slack payload shaping + foreachBatch fan-out.
+
+The reference POSTs one webhook per event, sequentially, no retry
+(at-most-once; app.rb:229-234,258-262).  Here payload shaping is a pure
+projection (so it runs distributed) and delivery is a ``foreachBatch``
+that fans out each micro-batch to every destination — checkpointed, so
+the pipeline upgrades to at-least-once with idempotent keys
+(raft_index, task_identifier, event_type, event_time_ns).
+
+Actual HTTP POSTing is injectable: the default "transport" appends to a
+parquet directory (the test/dev stand-in); a real deployment passes a
+requests-based sender into ``webhook_foreach_batch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Discord embed colors (app.rb:215-221): decimal red/green.
+DISCORD_COLOR_FAILURE = 15158332
+DISCORD_COLOR_SUCCESS = 3066993
+# Slack attachment colors (app.rb:243-249): hex strings.
+SLACK_COLOR_FAILURE = "#e74c3c"
+SLACK_COLOR_SUCCESS = "#2ecc71"
+
+
+def _discord_color() -> Column:
+    return (
+        F.when(F.col("state") == "failure", F.lit(DISCORD_COLOR_FAILURE))
+        .when(F.col("state") == "success", F.lit(DISCORD_COLOR_SUCCESS))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def _slack_color() -> Column:
+    return (
+        F.when(F.col("state") == "failure", F.lit(SLACK_COLOR_FAILURE))
+        .when(F.col("state") == "success", F.lit(SLACK_COLOR_SUCCESS))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def _description() -> Column:
+    """Markdown body: **subject** + display message + details JSON
+    (app.rb:181-189)."""
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("**"), F.col("subject"), F.lit("**")),
+        F.col("display_message"),
+        F.col("details_json"),
+    )
+
+
+def discord_payload(classified: DataFrame) -> DataFrame:
+    """POST body per event: {content, embeds: [{description, color}]}
+    (app.rb:213-237)."""
+    return classified.select(
+        "raft_index",
+        "task_identifier",
+        "event_type",
+        "event_time_ns",
+        F.to_json(
+            F.struct(
+                F.col("subject").alias("content"),
+                F.array(
+                    F.struct(
+                        _description().alias("description"),
+                        _discord_color().alias("color"),
+                    )
+                ).alias("embeds"),
+            )
+        ).alias("payload"),
+    )
+
+
+def slack_payload(classified: DataFrame) -> DataFrame:
+    """POST body per event: {attachments: [{mrkdwn_in, text, pretext,
+    color}]} with the '**' -> '*' bold rewrite (app.rb:239-265)."""
+    slack_text = F.regexp_replace(_description(), r"\*\*", "*")
+    return classified.select(
+        "raft_index",
+        "task_identifier",
+        "event_type",
+        "event_time_ns",
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.array(F.lit("text"), F.lit("pretext")).alias("mrkdwn_in"),
+                        slack_text.alias("text"),
+                        F.col("subject").alias("pretext"),
+                        _slack_color().alias("color"),
+                    )
+                ).alias("attachments"),
+            )
+        ).alias("payload"),
+    )
+
+
+def parquet_transport(dest_dir: str) -> Callable[[DataFrame, str], None]:
+    """Default delivery: append payloads to a parquet dir per destination
+    (stand-in for the HTTP POST; swap for a requests-based sender in
+    production)."""
+
+    def send(payloads: DataFrame, destination: str) -> None:
+        payloads.withColumn("destination", F.lit(destination)).write.mode(
+            "append"
+        ).parquet(f"{dest_dir}/{destination}")
+
+    return send
+
+
+def webhook_foreach_batch(
+    transport: Callable[[DataFrame, str], None],
+    destinations: tuple[str, ...] = ("discord", "slack"),
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body: shape + deliver each micro-batch to every
+    destination (app.rb:211,236,264 fan-out), preserving per-key order
+    within a batch via sortWithinPartitions on the delivery key."""
+    shapers = {"discord": discord_payload, "slack": slack_payload}
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        for dest in destinations:
+            payloads = shapers[dest](batch).repartition(
+                F.col("task_identifier")
+            ).sortWithinPartitions("raft_index", "event_time_ns")
+            transport(payloads, dest)
+
+    return process
