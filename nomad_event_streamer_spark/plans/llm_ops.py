@@ -68,8 +68,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: shingle -> 16 min-wise hashes ->
-    8 bands x 2 rows -> same-bucket join.  The band join is the scale
-    path — candidate generation cost is bucket-sized, never all-pairs."""
+    8 bands x 2 rows -> bucket group-and-expand.  Candidate generation
+    cost is bucket-sized, never all-pairs, and the signature lineage is
+    computed exactly once (no self-join)."""
     docs = load(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, n=3)
     sig = dedup.minhash_signatures(sh, num_hashes=16)
@@ -104,8 +105,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak doc_a, doc_b).  Pairs come from a shared-shingle equi-join,
     so only pairs with overlap are ever scored."""
     docs = load(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, n=3)
-    pairs = dedup.jaccard_pairs(sh)
+    pairs = dedup.jaccard_pairs(docs, n=3)
     return (
         pairs.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(50)

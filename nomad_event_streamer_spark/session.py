@@ -18,6 +18,10 @@ build and on sessions handed to us by the verification driver.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+
 from pyspark.sql import SparkSession
 
 # Confs that are safe (and necessary) to set on an already-running session.
@@ -42,6 +46,39 @@ BUILD_CONFS: dict[str, str] = {
 }
 
 
+# SparkContext application ids the package zip has been shipped to.
+_SHIPPED_APPS: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF closures pickle functions from this package *by reference*
+    (cloudpickle's rule for importable modules), so workers must be able
+    to ``import nomad_event_streamer_spark`` themselves.  On a real
+    cluster the driver's checkout is never on executor paths; even in
+    local mode the worker's cwd can differ from the repo.  Shipping a
+    zip via ``addPyFile`` covers both — workers prepend it to sys.path.
+    """
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"nes_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED_APPS.add(sc.applicationId)
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to any session (ours or the driver's).
 
@@ -53,6 +90,10 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # conf may be static on some builds; never fatal
             pass
+    try:
+        ship_package(spark)
+    except Exception:  # never let shipping break a pure-Column query
+        pass
     return spark
 
 
