@@ -13,7 +13,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import dedup, multimodal, similarity, text
-from ..tables import ORACLE_ROUND2, ORACLE_ROUND4, load, round2, round4
+from ..tables import (
+    ORACLE_ROUND2,
+    ORACLE_ROUND4,
+    load,
+    rebalance_for_cpu,
+    round2,
+    round4,
+)
 from .registry import query
 
 # Shared oracle CTE: distinct 3-token shingles per document (list slicing
@@ -47,34 +54,47 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_minhash",
-    oracle=_SHINGLE_CTE
-    + """
-    , sig AS (
-        SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
-        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+def _minhash_oracle(num_hashes: int = 16) -> str:
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {dedup.MINHASH_P} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {dedup.MINHASH_P}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
         GROUP BY doc_id, seed
     ),
     bands AS (
         SELECT doc_id, seed // 2 AS band,
-               md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bucket
         FROM sig GROUP BY doc_id, seed // 2
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    """,
-)
+    """
+    )
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle(16))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: shingle -> 16 min-wise hashes ->
     8 bands x 2 rows -> bucket group-and-expand.  Candidate generation
     cost is bucket-sized, never all-pairs, and the signature lineage is
     computed exactly once (no self-join)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     sh = dedup.shingles(docs, n=3)
     sig = dedup.minhash_signatures(sh, num_hashes=16)
-    bands = dedup.lsh_bands(sig, rows_per_band=2)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
     return dedup.lsh_candidate_pairs(bands)
 
 
@@ -104,7 +124,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard: top-50 most-similar pairs (deterministic
     tiebreak doc_a, doc_b).  Pairs come from a shared-shingle equi-join,
     so only pairs with overlap are ever scored."""
-    docs = load(spark, sf_dir, "documents")
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     pairs = dedup.jaccard_pairs(docs, n=3)
     return (
         pairs.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
@@ -137,7 +157,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (token-majority-vote over md5 bits);
     near-dup docs land on close fingerprints (hamming)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     return dedup.simhash(docs, hex_chars=8)
 
 
@@ -290,7 +310,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first 20 vectors as queries;
     query side broadcast, candidate side never shuffles."""
-    vecs = load(spark, sf_dir, "embeddings")
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
     queries = vecs.where(F.col("vec_id") < 20)
     return similarity.cosine_topk(vecs, queries, k=5)
 
@@ -299,7 +319,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant: hyperplane-LSH buckets, then score only same-bucket
     candidates — the 100 TB path (bucket equi-join, not cross join)."""
-    vecs = load(spark, sf_dir, "embeddings")
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
     queries = vecs.where(F.col("vec_id") < 20)
     return similarity.ann_topk_bucketed(vecs, queries, k=5, num_planes=6)
 
@@ -344,6 +364,6 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas extracting byte-level features.  The
     pandas-side computation is exact, so the oracle verifies the whole
     binary+UDF pipeline end-to-end."""
-    docs = load(spark, sf_dir, "documents")
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     binary_df = multimodal.with_binary_payload(docs)
     return multimodal.decode_features(binary_df)
