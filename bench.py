@@ -41,6 +41,12 @@ HEADLINE = [
     "q_sim_topk",
     "q_sim_ann",
     "q_multimodal_decode",
+    "q_sessionize",
+    "q_tfidf_top3",
+    "q_minhash_est",
+    "q_dedup_embed",
+    "q_join_agg_topk",
+    "q_star_join",
 ]
 
 
@@ -55,9 +61,15 @@ def main() -> None:
     spark = get_spark(master=f"local[{cpus}]")
     queries = all_queries()
 
-    # Warm the JVM/codegen paths so per-query numbers measure the plan,
-    # not first-run class loading.
+    # Warm the JVM/codegen paths and the executor Python worker pool so
+    # per-query numbers measure the plan, not first-run class loading or
+    # worker spawn.
     force(queries["q_scan_project"](spark, sf_dir))
+    force(
+        spark.range(spark.sparkContext.defaultParallelism * 2)
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .mapInPandas(lambda it: it, "id long")
+    )
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -9,6 +9,7 @@ from .registry import ORACLES, QUERIES, query  # noqa: F401
 # Import for side effect: each module registers its queries.
 from . import relational  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 

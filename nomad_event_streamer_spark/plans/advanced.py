@@ -1,0 +1,510 @@
+"""Advanced declared queries: sessionization, grouping sets, percentiles,
+string aggregation, time-series gap-fill, histograms, pivot, TF-IDF,
+minhash-similarity estimation, and TPC-H-shaped join aggregates.
+
+These extend SURVEY.md section 2's inventory beyond the reference's own
+surface (the reference is a single-stream processor; SURVEY.md section 0)
+with the relational + LLM-pipeline operators the build contract mandates.
+Same hash-match discipline as plans/relational.py: exact integer/decimal
+arithmetic wherever a ranking or selection depends on it, portable
+floor-rounding on emitted doubles, unique tiebreak keys on every LIMIT.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators import dedup, similarity
+from ..tables import (
+    ORACLE_ROUND2,
+    ORACLE_ROUND4,
+    events,
+    load,
+    rebalance_for_cpu,
+    round2,
+    round4,
+)
+from .registry import query
+
+SESSION_GAP_US = 2 * 3600 * 1_000_000  # 2 hours
+HOUR_US = 3600 * 1_000_000
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    s AS (
+        SELECT user_id, event_id, ts_us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts_us) AS session_start_us,
+           max(ts_us) - min(ts_us) AS duration_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts after a
+    >2h silence per user.  lag -> boundary flag -> running sum = session
+    id -> per-session aggregate.  Two window passes + one aggregation,
+    all sharing the user_id partitioning (one shuffle at scale).  The
+    streaming analog is ``F.session_window`` (SURVEY.md 2.9)."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = g.withColumn("session_id", F.sum("is_new").over(ws))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube, SURVEY.md 2.4)
+    with grouping_id disambiguation of the NULL super-aggregate rows.
+    One Expand + one aggregation — Spark expands the sets map-side, so
+    the shuffle still carries partial aggregates."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price"
+        )
+    )
+
+
+@query(
+    "q_percentile_disc",
+    oracle="""
+    SELECT event_type,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+           count(value) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (actual data values — no interpolation, so
+    the result is float-exact across engines).  Spark computes these as
+    a single sort-based aggregate per group."""
+    ev = events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+        F.count("value").alias("n"),
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg) per group.  collect_list +
+    array_sort + array_join gives a deterministic concatenation; the
+    dimension join broadcasts."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "names"
+            ),
+        )
+    )
+
+
+@query(
+    "q_gapfill_hours",
+    oracle=f"""
+    WITH c AS (
+        SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    r AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM c),
+    h AS (SELECT unnest(generate_series(lo, hi, {HOUR_US})) AS hour_us FROM r)
+    SELECT h.hour_us, coalesce(c.n_events, 0) AS n_events
+    FROM h LEFT JOIN c ON h.hour_us = c.hour_us
+    """,
+)
+def q_gapfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: dense hourly buckets over the observed range
+    with zero counts for silent hours.  The hour spine is generated from
+    a single-row min/max aggregate (``sequence`` + explode) — no
+    driver-side collect; the spine join broadcasts the small side."""
+    ev = events(spark, sf_dir)
+    hour = (F.col("ts_us") - F.col("ts_us") % HOUR_US).alias("hour_us")
+    counts = ev.groupBy(hour).agg(F.count(F.lit(1)).alias("n_events"))
+    spine = (
+        counts.agg(
+            F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi")
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(HOUR_US))
+            ).alias("hour_us")
+        )
+    )
+    return spine.join(counts, "hour_us", "left").select(
+        "hour_us", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+
+
+@query(
+    "q_histogram",
+    oracle=f"""
+    SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           {ORACLE_ROUND2.format(x="min(l_extendedprice)")} AS lo,
+           {ORACLE_ROUND2.format(x="max(l_extendedprice)")} AS hi
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: integer bucketing is exact IEEE division +
+    floor, identical in both engines; one hash aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / 5000.0).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        round2(F.min("l_extendedprice")).alias("lo"),
+        round2(F.max("l_extendedprice")).alias("hi"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user counts per event type.  Explicit
+    pivot values keep the plan a single pass (no distinct-values job)."""
+    ev = events(spark, sf_dir)
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+@query(
+    "q_tfidf_top3",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    dfc AS (SELECT tok, count(*) AS dfn FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS nd FROM documents),
+    ranked AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, dfc.dfn, n.nd,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, dfc.dfn ASC, tf.tok ASC)
+                   AS rn
+        FROM tf JOIN dfc ON tf.tok = dfc.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf,
+           {ORACLE_ROUND4.format(x="tf * ln(CAST(nd AS DOUBLE) / dfn)")} AS tfidf
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.  The top-3 SELECTION ranks on
+    exact integers (tf desc, doc-frequency asc, token asc) so no float
+    comparison ever decides membership; ln() appears only in the emitted
+    score.  Plan: token hash-agg -> df hash-agg -> broadcast doc count ->
+    ranking window on doc_id."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfn"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("dfn").asc(), F.col("tok").asc()
+    )
+    ranked = (
+        tf.join(dfc, "tok")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+    return ranked.select(
+        "doc_id",
+        "tok",
+        "tf",
+        round4(
+            F.col("tf") * F.log(F.col("nd").cast("double") / F.col("dfn"))
+        ).alias("tfidf"),
+    )
+
+
+def _minhash_est_oracle(num_hashes: int = 16) -> str:
+    from .llm_ops import _SHINGLE_CTE
+
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {dedup.MINHASH_P} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {dedup.MINHASH_P}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS n_match,
+           CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+               / {num_hashes} AS jaccard_est
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+    GROUP BY p.doc_a, p.doc_b
+    """
+    )
+
+
+@query("q_minhash_est", oracle=_minhash_est_oracle(16))
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard estimation from minhash signatures: for every LSH candidate
+    pair, the fraction of matching signature components.  Integer-exact
+    (count / 16 is a dyadic rational — bit-identical as double).
+
+    Plan: the wide signature rides through the bucket group-and-expand
+    (dedup.minhash_est_pairs) — signature lineage computed once, zero
+    pair<->signature joins."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    return dedup.minhash_est_pairs(sig, num_hashes=16, rows_per_band=2)
+
+
+@query("q_dedup_embed")  # rows-only: float cosine decides membership
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via OR-amplified hyperplane LSH
+    (6 tables x 4 planes), exact-cosine verified at 0.35.  The scale path:
+    per-table bucket joins generate candidates, never all-pairs."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    return similarity.near_dup_pairs(
+        vecs, threshold=0.35, num_tables=6, num_planes=4
+    )
+
+
+@query(
+    "q_join_agg_topk",
+    oracle=f"""
+    SELECT l_orderkey,
+           {ORACLE_ROUND2.format(
+               x="CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+                 "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+           )} AS revenue,
+           epoch_us(o_orderdate) AS o_date_us
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join -> revenue aggregate -> top-10.
+    Revenue sums DECIMAL products (order-insensitive, bit-exact), emitted
+    through portable round2.  Catalyst/AQE picks broadcast for customer;
+    the topk is TakeOrderedAndProject (no global sort)."""
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round2(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            # NTZ -> TZ cast is wall-clock under the UTC session TZ, so
+            # this equals DuckDB's epoch_us on the naive timestamp.
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_date_us"
+            ),
+        )
+    )
+
+
+@query(
+    "q_star_join",
+    oracle=f"""
+    SELECT n_name,
+           count(*) AS n_lineitems,
+           {ORACLE_ROUND2.format(
+               x="CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+                 "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+           )} AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join over two broadcast dims + fact chain,
+    revenue per nation.  region/nation broadcast explicitly; AQE converts
+    customer when it fits.  The only large shuffle is lineitem->orders."""
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            round2(rev).alias("revenue"),
+        )
+    )
