@@ -10,6 +10,7 @@ from .registry import ORACLES, QUERIES, query  # noqa: F401
 from . import relational  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
+from . import extras  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 
