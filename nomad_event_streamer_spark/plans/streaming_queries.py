@@ -96,6 +96,153 @@ def q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_window",
+    oracle="""
+    SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation (``F.window(ts, '1 hour')``,
+    complete mode).  Epoch-aligned 1h windows equal the batch
+    ``date_trunc``-style bucketing exactly, so a full oracle applies."""
+    stream = _stream_events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    agg = stream.groupBy(F.window("ts_t", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"), "n"
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT ws AS window_start_us, count(*) AS n
+    FROM (
+        SELECT unnest([
+            epoch_us(ts) - epoch_us(ts) % 1800000000,
+            epoch_us(ts) - epoch_us(ts) % 1800000000 - 1800000000
+        ]) AS ws
+        FROM events
+    )
+    GROUP BY ws
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation (1h window / 30m slide):
+    every event lands in exactly two epoch-aligned windows, which the
+    oracle replays by exploding both candidate starts."""
+    stream = _stream_events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    agg = stream.groupBy(
+        F.window("ts_t", "1 hour", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"), "n"
+    )
+
+
+@query(
+    "q_stream_session_window",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            >= 7200000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+    ),
+    s AS (
+        SELECT user_id, ts_us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g
+    )
+    SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (``F.session_window(ts, '2 hours')``) per user —
+    the native streaming form of q_sessionize.  A session closes when the
+    next event is >= the gap after the previous one (the window end is
+    exclusive), which the gaps-and-islands oracle mirrors with >=.
+    Session start equals the first event's timestamp, so the mapping to
+    the batch formulation is exact."""
+    stream = _stream_events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    agg = stream.groupBy(
+        F.session_window("ts_t", "2 hours"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+    )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT e.event_type, count(*) AS n,
+           max(d.rank_hint) AS rank_hint
+    FROM events e
+    JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 3))
+         AS d(event_type, rank_hint)
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (SURVEY.md 2.3): the unbounded side joins
+    a small static dimension per micro-batch; the dim broadcasts, so the
+    stream never shuffles for the join."""
+    stream = _stream_events(spark, sf_dir)
+    dim = stream.sparkSession.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3)],
+        "event_type string, rank_hint int",
+    )
+    joined = stream.join(F.broadcast(dim), "event_type")
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank_hint").alias("rank_hint")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@query("q_stream_late_data")  # rows-only: drop set depends on arrival order
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append-mode windowed aggregation: late rows beyond the
+    10-minute watermark are dropped and finalized windows emit exactly
+    once (the streaming upgrade of the REF staleness filter,
+    app.rb:162-167).  Rows-only: which rows count as late depends on
+    micro-batch arrival order, which no batch oracle can replay."""
+    stream = _stream_events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    agg = (
+        stream.withWatermark("ts_t", "10 minutes")
+        .groupBy(F.window("ts_t", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"), "n"
+    )
+
+
+@query(
     "q_stream_dedup_state",
     oracle="""
     SELECT user_id, count(*) AS n_events, max(epoch_us(ts)) AS max_ts_us
