@@ -320,3 +320,167 @@ def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
         )
     )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one Expand + one
+    aggregation (completes the rollup/grouping-sets family)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders")
+    )
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           count(*) FILTER (WHERE value > 50.0) AS n_high,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                      FILTER (WHERE event_type = 'purchase') AS DOUBLE), 2)
+               AS purchase_sum
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregates: count_if + conditional decimal
+    sum — one pass, one shuffle of partials."""
+    ev = events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.count_if(F.col("value") > 50.0).alias("n_high"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                )
+            ).cast("double"),
+            2,
+        ).alias("purchase_sum"),
+    )
+
+
+@query(
+    "q_collect_set",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+               AS types,
+           len(list_distinct(list(event_type))) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set aggregation (collect_set), order-normalized via
+    array_sort so the concatenation is deterministic."""
+    ev = events(spark, sf_dir)
+    cs = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(cs, ",").alias("types"),
+        F.size(cs).alias("n_types"),
+    )
+
+
+@query(
+    "q_null_funcs",
+    oracle="""
+    SELECT event_id,
+           nullif(event_type, 'click') AS nn,
+           coalesce(nullif(event_type, 'click'), 'suppressed') AS co,
+           CASE WHEN nullif(event_type, 'click') IS NOT NULL
+                THEN 'present' ELSE 'absent' END AS presence
+    FROM events
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: nullif / coalesce / nvl2-style presence
+    (the reference's dig-returns-nil tolerance, app.rb:64,137, as
+    explicit three-valued logic)."""
+    ev = events(spark, sf_dir)
+    nn = F.nullif(F.col("event_type"), F.lit("click"))
+    return ev.select(
+        "event_id",
+        nn.alias("nn"),
+        F.coalesce(nn, F.lit("suppressed")).alias("co"),
+        F.when(nn.isNotNull(), "present").otherwise("absent").alias("presence"),
+    )
+
+
+@query(
+    "q_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS b_and,
+           event_id | 4096 AS b_or,
+           xor(event_id, 255) AS b_xor,
+           event_id << 2 AS b_shl,
+           event_id >> 3 AS b_shr
+    FROM events
+    """,
+)
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family — exact integer ops, trivially
+    cross-engine."""
+    ev = events(spark, sf_dir)
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("b_and"),
+        e.bitwiseOR(F.lit(4096)).alias("b_or"),
+        e.bitwiseXOR(F.lit(255)).alias("b_xor"),
+        F.shiftleft(e, 2).alias("b_shl"),
+        F.shiftright(e, 3).alias("b_shr"),
+    )
+
+
+@query(
+    "q_skew_join_salted",
+    oracle="""
+    SELECT e.event_id, e.user_id, d.n_user
+    FROM events e
+    JOIN (SELECT user_id, count(*) AS n_user FROM events GROUP BY user_id) d
+      ON e.user_id = d.user_id
+    """,
+)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: the fact side adds a deterministic salt
+    (event_id mod 8), the (small) per-key aggregate side replicates
+    across all 8 salts, and the join key becomes (user_id, salt) — a hot
+    user's rows now spread over 8 reducers instead of one.  The oracle is
+    the UNSALTED join: salting is physical-only, results are identical.
+    (AQE's skew-join split handles this automatically for sort-merge
+    joins; explicit salting is the portable form for aggregate-heavy
+    pipelines where the skew survives into the shuffle.)"""
+    ev = events(spark, sf_dir)
+    n_salts = 8
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user"))
+    dim_salted = dim.select(
+        "user_id",
+        "n_user",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
+    )
+    fact_salted = ev.select(
+        "event_id", "user_id", (F.col("event_id") % n_salts).alias("salt")
+    )
+    return fact_salted.join(dim_salted, ["user_id", "salt"]).select(
+        "event_id", "user_id", "n_user"
+    )
