@@ -136,29 +136,28 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_simhash",
     oracle="""
-    WITH pb AS (
-        SELECT doc_id, md5(tok) AS h, p, b
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-        CROSS JOIN (SELECT unnest(range(1, 9)) AS p)
-        CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+    WITH hv AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS v
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
     ),
     votes AS (
-        SELECT doc_id, p, b,
-               sum(2 * (CAST(floor((instr('0123456789abcdef', substring(h, p, 1)) - 1)
-                                   / power(2, b)) AS BIGINT) % 2) - 1) AS s
-        FROM pb GROUP BY doc_id, p, b
+        SELECT doc_id, k, sum(2 * ((v >> k) & 1) - 1) AS s
+        FROM hv CROSS JOIN (SELECT unnest(range(0, 32)) AS k)
+        GROUP BY doc_id, k
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(power(2, (8 - p) * 4 + b) AS BIGINT)
+           sum(CASE WHEN s > 0 THEN CAST(power(2, k) AS BIGINT)
                     ELSE 0 END) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (token-majority-vote over md5 bits);
-    near-dup docs land on close fingerprints (hamming)."""
+    """32-bit SimHash fingerprints (token-majority-vote over md5-prefix
+    bits); near-dup docs land on close fingerprints (hamming)."""
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
-    return dedup.simhash(docs, hex_chars=8)
+    return dedup.simhash(docs, num_bits=32)
 
 
 # ---------------------------------------------------------------------------
