@@ -484,3 +484,210 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_salted.join(dim_salted, ["user_id", "salt"]).select(
         "event_id", "user_id", "n_user"
     )
+
+
+@query(
+    "q_stats_moments",
+    oracle="""
+    SELECT event_type, n,
+           (floor((CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) END) * 10000.0 + 0.5) / 10000.0) AS var_v,
+           (floor((CASE WHEN n > 1 THEN sqrt((sxx - sx * sx / n) / (n - 1)) END) * 10000.0 + 0.5) / 10000.0) AS std_v,
+           (floor(((n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 10000.0 + 0.5) / 10000.0) AS corr_vk
+    FROM (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2))
+                        * CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(value AS DECIMAL(18,2))
+                        * CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM events
+        WHERE value IS NOT NULL AND CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+        GROUP BY event_type
+    )
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance / stddev / correlation) derived
+    from DECIMAL-EXACT raw moments instead of the built-in var_samp/corr
+    (whose float accumulation is partition-order-dependent): the five
+    sums are order-insensitive decimals, so both engines derive the same
+    doubles from the same exact values.  One shuffle of partial sums."""
+    from ..tables import round4 as _round4
+
+    ev = events(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    k = F.get_json_object("props", "$.k").cast("bigint").cast("decimal(18,2)")
+    base = (
+        ev.where(
+            F.col("value").isNotNull()
+            & F.get_json_object("props", "$.k").cast("bigint").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).cast("double").alias("sx"),
+            F.sum(v * v).cast("double").alias("sxx"),
+            F.sum(k).cast("double").alias("sy"),
+            F.sum(k * k).cast("double").alias("syy"),
+            F.sum(v * k).cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    var_v = F.when(
+        F.col("n") > 1,
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1),
+    )
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return base.select(
+        "event_type",
+        "n",
+        _round4(var_v).alias("var_v"),
+        _round4(F.sqrt(var_v)).alias("std_v"),
+        _round4(corr).alias("corr_vk"),
+    )
+
+
+@query(
+    "q_string_pad",
+    oracle="""
+    SELECT c_custkey,
+           lpad(c_name, 25, '*') AS padded_l,
+           rpad(c_name, 25, '.') AS padded_r,
+           translate(c_name, '#0', '-x') AS translated,
+           levenshtein(c_name, 'Customer#000000001') AS lev,
+           split_part(c_name, '#', 2) AS name_num,
+           reverse(c_name) AS rev,
+           repeat(substring(c_name, 1, 2), 2) AS rep
+    FROM customer
+    """,
+)
+def q_string_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth: pad / translate / levenshtein /
+    split_part / reverse / repeat (completes SURVEY.md 2.8's string
+    family beyond the REF's concat/replace/regex)."""
+    cust = load(spark, sf_dir, "customer")
+    c = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.lpad(c, 25, "*").alias("padded_l"),
+        F.rpad(c, 25, ".").alias("padded_r"),
+        F.translate(c, "#0", "-x").alias("translated"),
+        F.levenshtein(c, F.lit("Customer#000000001")).alias("lev"),
+        F.split_part(c, F.lit("#"), F.lit(2)).alias("name_num"),
+        F.reverse(c).alias("rev"),
+        F.repeat(F.substring(c, 1, 2), 2).alias("rep"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(list_intersect(a, b))), ',')
+               AS inter,
+           array_to_string(list_sort(list_distinct(
+               list_filter(a, x -> NOT list_contains(b, x)))), ',') AS exc,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',')
+               AS uni,
+           list_contains(a, 'the') AS has_the,
+           len(a) AS n_a
+    FROM (
+        SELECT doc_id,
+               string_split(text, ' ')[1:5] AS a,
+               string_split(text, ' ')[3:7] AS b
+        FROM documents
+    )
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth: intersect / except / union / contains /
+    slice — results order-normalized (sorted, distinct) because Spark
+    preserves left-argument order while DuckDB does not."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    a = F.slice(toks, 1, 5)
+    b = F.slice(toks, 3, 5)
+    base = docs.select("doc_id", a.alias("a"), b.alias("b"))
+    def joined(col):
+        # empty list -> NULL: DuckDB's array_to_string emits NULL for an
+        # empty list where Spark emits ''; nullif aligns the two.
+        return F.nullif(F.array_join(F.array_sort(col), ","), F.lit(""))
+
+    return base.select(
+        "doc_id",
+        joined(F.array_intersect("a", "b")).alias("inter"),
+        joined(F.array_except("a", "b")).alias("exc"),
+        joined(F.array_union("a", "b")).alias("uni"),
+        F.array_contains("a", "the").alias("has_the"),
+        F.size("a").alias("n_a"),
+    )
+
+
+@query(
+    "q_webhook_payload",
+    oracle="""
+    SELECT event_id,
+           subject,
+           '**' || subject || '**' || chr(10) || 'k=' || k AS description,
+           CASE WHEN state = 'failure' THEN 15158332
+                WHEN state = 'success' THEN 3066993 END AS discord_color,
+           CASE WHEN state = 'failure' THEN '#e74c3c'
+                WHEN state = 'success' THEN '#2ecc71' END AS slack_color,
+           replace('**' || subject || '**' || chr(10) || 'k=' || k,
+                   '**', '*') AS slack_text
+    FROM (
+        SELECT event_id,
+               'user-' || user_id || ': ' || event_type AS subject,
+               CAST(props->>'$.k' AS BIGINT) AS k,
+               CASE WHEN event_type = 'error' THEN 'failure'
+                    WHEN event_type = 'purchase' THEN
+                         CASE WHEN value >= 50.0 THEN 'success'
+                              ELSE 'failure' END
+               END AS state
+        FROM events
+    )
+    WHERE state IS NOT NULL
+    """,
+)
+def q_webhook_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REF's webhook payload shaping as a declared batch query
+    (app.rb:183-189,213-265): markdown subject/description build, Discord
+    decimal colors, Slack hex colors, and the Slack '**'->'*' bold
+    rewrite — every string op exact, fully oracled."""
+    from ..functions import classify_state
+
+    ev = events(spark, sf_dir)
+    classified = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("user-"), F.col("user_id"), F.lit(": "), F.col("event_type")
+        ).alias("subject"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        classify_state(F.col("event_type"), F.col("value")).alias("state"),
+    ).where(F.col("state").isNotNull())
+    description = F.concat(
+        F.lit("**"),
+        F.col("subject"),
+        F.lit("**\n"),
+        F.lit("k="),
+        F.col("k"),
+    )
+    return classified.select(
+        "event_id",
+        "subject",
+        description.alias("description"),
+        F.when(F.col("state") == "failure", F.lit(15158332))
+        .when(F.col("state") == "success", F.lit(3066993))
+        .alias("discord_color"),
+        F.when(F.col("state") == "failure", F.lit("#e74c3c"))
+        .when(F.col("state") == "success", F.lit("#2ecc71"))
+        .alias("slack_color"),
+        F.regexp_replace(description, r"\*\*", "*").alias("slack_text"),
+    )
