@@ -691,3 +691,143 @@ def q_webhook_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slack_color"),
         F.regexp_replace(description, r"\*\*", "*").alias("slack_text"),
     )
+
+
+@query(
+    "q_sql_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+               AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2)
+               AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) through the spark.sql SURFACE — the
+    engine's SQL front end over a registered temp view, proving the same
+    declared semantics are reachable by SQL text, not just the DataFrame
+    API.  Decimal-exact sums throughout."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS sum_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS sum_base_price,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                   AS sum_disc_price,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                              * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                   AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
+          GROUP BY c_nationkey) c
+    FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+                     GROUP BY s_nationkey) s
+      ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations with customers but no suppliers (and
+    vice versa) survive with NULLs on the absent side — completes the
+    join-type family (SURVEY.md 2.3)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(
+        supp, cust["c_nationkey"] == supp["s_nationkey"], "full_outer"
+    ).select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT user_id, event_type FROM events WHERE value > 30.0
+    INTERSECT ALL
+    SELECT user_id, event_type FROM events WHERE value < 70.0
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiplicity-preserving, unlike q_intersect's
+    distinct semantics)."""
+    ev = events(spark, sf_dir)
+    hi = ev.where(F.col("value") > 30.0).select("user_id", "event_type")
+    lo = ev.where(F.col("value") < 70.0).select("user_id", "event_type")
+    return hi.intersectAll(lo)
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT user_id, event_type FROM events WHERE value > 30.0
+    EXCEPT ALL
+    SELECT user_id, event_type FROM events WHERE value > 70.0
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference — each duplicate subtracts once)."""
+    ev = events(spark, sf_dir)
+    a = ev.where(F.col("value") > 30.0).select("user_id", "event_type")
+    b = ev.where(F.col("value") > 70.0).select("user_id", "event_type")
+    return a.exceptAll(b)
+
+
+@query(
+    "q_argmax",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, event_id) AS last_type,
+           arg_min(event_type, event_id) AS first_type,
+           max(event_id) AS max_eid
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregates (max_by/min_by) keyed on the UNIQUE
+    event_id, so the selected row is deterministic — the single-pass
+    alternative to the row_number()=1 pattern of q_dedup_latest."""
+    ev = events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max("event_id").alias("max_eid"),
+    )
