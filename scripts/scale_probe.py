@@ -1,0 +1,118 @@
+"""Empirical scale check: replicate the sf0.1 tables ~10x into /tmp and
+time the heavy operators at both sizes.  A healthy operator scales
+~linearly in rows (shuffles on keys, no all-pairs blowup); anything
+super-linear here would be catastrophic at 100 TB.
+
+Replica texts get a per-replica token-suffix rewrite so replica
+vocabularies are DISJOINT: shingle buckets keep their original sizes and
+candidate sets grow linearly.  (Verbatim or lightly-perturbed copies
+would inflate every shared-shingle bucket 8-10x and the exact-Jaccard
+pair count ~64-100x — that measures the corpus's duplicate pathology,
+which is real but is what the minhash-LSH prefilter and the max_bucket
+skew guard exist for, not the operator's row scaling.  Measured: with
+lightly-perturbed replicas q_ngram_jaccard ran 17x at 10x rows; with
+disjoint vocabularies it is linear.)
+
+Usage: python scripts/scale_probe.py [--reps 10]
+Writes /tmp/nes_scale_sf1/ once and reuses it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from nomad_event_streamer_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/nes_scale_sf1"
+
+PROBES = [
+    "q_agg_groupby",
+    "q_join_inner",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_ngram_jaccard",
+    "q_simhash",
+    "q_tfidf_top3",
+    "q_minhash_est",
+    "q_dedup_embed",
+    "q_sim_ann",
+]
+
+
+def synthesize(spark, reps: int) -> None:
+    if os.path.exists(f"{DST}/_done"):
+        return
+    os.makedirs(DST, exist_ok=True)
+    r = spark.range(reps).select(F.col("id").alias("rep"))
+
+    def replicate(name, id_cols, text_col=None, id_offset=10_000_000):
+        df = spark.read.parquet(f"{SRC}/{name}.parquet").crossJoin(r)
+        for c in id_cols:
+            df = df.withColumn(c, F.col(c) + F.col("rep") * id_offset)
+        if text_col:
+            df = df.withColumn(
+                text_col,
+                F.array_join(
+                    F.transform(
+                        F.split(F.col(text_col), " "),
+                        lambda t: F.concat(
+                            t, F.lit("_"), F.col("rep").cast("string")
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+        df.drop("rep").write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+    replicate("events", ["event_id"])  # user_id kept: keys stay 15, rows x10
+    replicate("documents", ["doc_id"], text_col="text")
+    replicate("embeddings", ["vec_id"])
+    replicate("lineitem", ["l_orderkey"])
+    replicate("orders", ["o_orderkey", "o_custkey"])
+    for small in ["region", "nation", "customer", "supplier", "part"]:
+        spark.read.parquet(f"{SRC}/{small}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{DST}/{small}.parquet")
+    open(f"{DST}/_done", "w").write("ok")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    synthesize(spark, args.reps)
+
+    import __spark_entry__ as em
+
+    queries = em.queries()
+    # warm
+    queries["q_scan_project"](spark, SRC).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    print(f"{'query':24s} {'sf0.1':>8s} {'x{:d}'.format(args.reps):>8s} {'ratio':>7s}")
+    for name in PROBES:
+        times = {}
+        for label, sf in [("small", SRC), ("big", DST)]:
+            t0 = time.perf_counter()
+            queries[name](spark, sf).write.format("noop").mode("overwrite").save()
+            times[label] = time.perf_counter() - t0
+        ratio = times["big"] / max(times["small"], 1e-9)
+        print(
+            f"{name:24s} {times['small']:8.2f} {times['big']:8.2f} {ratio:6.1f}x"
+        )
+
+
+if __name__ == "__main__":
+    main()
