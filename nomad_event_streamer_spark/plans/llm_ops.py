@@ -366,3 +366,167 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     binary_df = multimodal.with_binary_payload(docs)
     return multimodal.decode_features(binary_df)
+
+
+def _clusters_oracle(num_hashes: int = 16) -> str:
+    """Recursive-CTE replay of minhash-LSH edges + min-label components."""
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    )
+    return f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 1, 1))]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {dedup.MINHASH_P} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {dedup.MINHASH_P}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    edges AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+    ),
+    und AS (SELECT doc_a AS s, doc_b AS d FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    reach(node, mn) AS (
+        SELECT s AS node, s AS mn FROM und
+        UNION
+        SELECT u.s, r.mn FROM und u JOIN reach r ON u.d = r.node
+    )
+    SELECT node AS doc_id, min(mn) AS cluster_id FROM reach GROUP BY node
+    """
+
+
+@query("q_dedup_clusters", oracle=_clusters_oracle(16))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: minhash-LSH candidate pairs -> connected
+    components -> (doc_id, cluster_id) with the min id as canonical
+    representative — the step that turns pairwise similarity into a
+    keep/drop decision.  Iterative min-label propagation (one join + one
+    agg per round, lineage checkpointed); the oracle replays it with a
+    recursive CTE."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    edges = dedup.lsh_candidate_pairs(bands)
+    return dedup.connected_components(edges)
+
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 8 tokens
+
+
+@query(
+    "q_chunk_docs",
+    oracle=f"""
+    SELECT doc_id,
+           (start - 1) // {CHUNK_STRIDE} AS chunk_id,
+           array_to_string(toks[start:start + {CHUNK_SIZE - 1}], ' ') AS chunk,
+           len(toks[start:start + {CHUNK_SIZE - 1}]) AS n_tok
+    FROM (
+        SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {CHUNK_STRIDE}))
+                   AS start
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking with overlap (window size {32} tokens, stride
+    {24}) — the training-data step that turns documents into
+    fixed-budget model inputs.  Pure per-row array ops: sequence of
+    starts -> explode -> slice; no shuffle at all."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE)
+    return base.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk"),
+        F.size(chunk).alias("n_tok"),
+    )
+
+
+@query(
+    "q_hash_split",
+    oracle=f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10 AS bucket
+        FROM documents
+    )
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free id hash
+    (80/10/10) — the reproducible alternative to rand()-based sampling:
+    stable across runs, engines, and partitionings, and joinable (every
+    derived table splits identically)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 10
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "q_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '\\b(the|a|and)\\b', '<W>', 'g') AS redacted,
+           len(regexp_extract_all(text, '\\b(the|a|and)\\b')) AS n_hits
+    FROM documents
+    """,
+)
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction (PII-scrub shape): global word-boundary regex
+    replace + hit count — per-row, shuffle-free; the same plan handles
+    email/phone/SSN patterns at scale."""
+    docs = load(spark, sf_dir, "documents")
+    pat = r"\b(the|a|and)\b"
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", pat, "<W>").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(
+            "n_hits"
+        ),
+    )

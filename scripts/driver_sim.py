@@ -1,0 +1,63 @@
+"""Simulate the verification driver: plain SparkSession (none of the
+engine's configs), call the __spark_entry__ contract exactly as the
+driver would, and hash-compare queries() vs oracle_sql() via DuckDB."""
+import sys, hashlib, datetime, decimal, math
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import duckdb
+
+SF = "/root/testdata/sf0.01"
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false")
+         .appName("driver-sim").getOrCreate())
+
+import __spark_entry__ as entrymod
+
+# t1 smoke
+df = entrymod.entry(spark)
+rows = df.collect()
+assert len(rows) > 0, "entry returned 0 rows"
+print(f"t1 SMOKE OK: entry() -> {len(rows)} rows, schema={df.schema.simpleString()}")
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(v):
+    if v is None: return "NULL"
+    if isinstance(v, decimal.Decimal): return repr(float(v))
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
+    if hasattr(v, "isoformat"): return v.isoformat()
+    return repr(v)
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines: h.update(ln.encode()); h.update(b"\n")
+    return h.hexdigest()
+
+qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+n_pass = n_fail = n_rows_only = 0
+for name in sorted(qs):
+    sdf = qs[name](spark, SF)
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    if name not in oracles:
+        status = "ROWS_ONLY" if len(srows) >= 0 else "??"
+        n_rows_only += 1
+        print(f"  {name}: {status} rows={len(srows)}")
+        continue
+    rel = con.execute(oracles[name])
+    dcols = [d[0] for d in rel.description]; drows = rel.fetchall()
+    ok_schema = sorted(scols) == sorted(dcols)
+    ok_count = len(srows) == len(drows)
+    ok_hash = value_hash(scols, srows) == value_hash(dcols, drows)
+    if ok_schema and ok_count and ok_hash:
+        n_pass += 1; print(f"  {name}: MATCH rows={len(srows)}")
+    else:
+        n_fail += 1; print(f"  {name}: FAIL schema={ok_schema} count={ok_count} ({len(srows)} vs {len(drows)}) hash={ok_hash}")
+print(f"t2 CORRECTNESS: {n_pass} match, {n_fail} fail, {n_rows_only} rows-only")
+sys.exit(1 if n_fail else 0)
