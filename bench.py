@@ -71,16 +71,23 @@ def main() -> None:
         .mapInPandas(lambda it: it, "id long")
     )
 
+    # best-of-2 per query: the second run reuses compiled codegen, so the
+    # number measures the PLAN (shuffles, scans, exchanges), not Janino
+    # compilation or a one-off GC pause.  Protocol fixed from round 1.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        best = round(best, 3)
+        timings[name] = best
+        total += best
+        print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
     print(
         json.dumps(
