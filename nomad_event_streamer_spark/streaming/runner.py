@@ -23,6 +23,23 @@ from .pipeline import task_event_pipeline
 from .sinks import parquet_transport, webhook_foreach_batch
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession) -> SparkSession:
+    """Switch stateful operators to the RocksDB state store — the
+    large-key-space posture (SURVEY.md 4.3): state lives off-heap /
+    on-disk per executor instead of in the JVM heap, so per-key dedup
+    state survives key cardinalities that would OOM the default HDFS-
+    backed in-memory provider.  Applies to queries STARTED after the
+    call; verified working in tests/test_streaming_rocksdb.py."""
+    ensure_runtime_confs(spark)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    return spark
+
+
 def read_ndjson_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     """NDJSON file stream (the fixture-replay source; swap for the
     nomad_events DataSource in live deployments)."""
