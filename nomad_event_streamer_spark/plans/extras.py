@@ -831,3 +831,69 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", "event_id").alias("first_type"),
         F.max("event_id").alias("max_eid"),
     )
+
+
+@query(
+    "q_date_breadth",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           quarter(CAST(o_orderdate AS DATE)) AS q,
+           isodow(CAST(o_orderdate AS DATE)) AS iso_dow,
+           weekofyear(CAST(o_orderdate AS DATE)) AS iso_week,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+                AS VARCHAR) AS next_month,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def q_date_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function breadth: last_day / quarter / ISO day-of-week /
+    ISO week / add_months / datediff.  Conventions verified aligned:
+    Spark weekday+1 == DuckDB isodow, both weekofyear are ISO, both
+    month-adds clamp to month end.  Dates emit as strings so the hash
+    never depends on an engine's date serialization."""
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.last_day(d).cast("string").alias("month_end"),
+        F.quarter(d).alias("q"),
+        (F.weekday(d) + 1).alias("iso_dow"),
+        F.weekofyear(d).alias("iso_week"),
+        F.add_months(d, 1).cast("string").alias("next_month"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@query(
+    "q_percentile_cont",
+    oracle="""
+    SELECT event_type,
+           (floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0)
+               AS p50,
+           (floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0)
+               AS p90
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (continuous) percentiles: both engines compute
+    (1-f)*lo + f*hi over the same sorted doubles — the standard
+    PERCENTILE_CONT definition; portable-rounded on emit."""
+    from ..tables import round4 as _round4
+
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        _round4(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)")
+        ).alias("p50"),
+        _round4(
+            F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)")
+        ).alias("p90"),
+    )
