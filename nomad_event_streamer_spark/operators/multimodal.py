@@ -61,6 +61,49 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def frame_sample(
+    binary_df: DataFrame,
+    frame_size: int = 64,
+    stride: int = 128,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling over an opaque binary payload: one fixed-size slice
+    every ``stride`` bytes (the video-keyframe access pattern), each
+    fingerprinted.  Pure per-row Column ops on the BINARY column —
+    explode of byte offsets + substring + md5; a real codec would replace
+    the fingerprint with a decode inside mapInPandas (see
+    decode_features), the slicing/batching plumbing is identical."""
+    n_frames = F.ceil(F.length(payload_col) / F.lit(stride))
+    base = binary_df.select(
+        "doc_id",
+        F.col(payload_col),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_frames, F.lit(1)) - 1)
+        ).alias("frame_id"),
+    )
+    frame = F.expr(f"substring({payload_col}, frame_id * {stride} + 1, {frame_size})")
+    return base.select(
+        "doc_id",
+        "frame_id",
+        F.md5(frame).alias("frame_fp"),
+        F.length(frame).alias("frame_len"),
+    )
+
+
+def resize_payload(
+    binary_df: DataFrame, size: int = 256, payload_col: str = "payload"
+) -> DataFrame:
+    """Resize-to-budget stub: truncate the payload to ``size`` bytes and
+    fingerprint the result (a real image resize runs in mapInPandas; the
+    byte-level contract — bounded output size per row — is the same)."""
+    resized = F.expr(f"substring({payload_col}, 1, {size})")
+    return binary_df.select(
+        "doc_id",
+        F.length(resized).alias("thumb_len"),
+        F.md5(resized).alias("thumb_fp"),
+    )
+
+
 def decode_features(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (doc_id, payload) batches."""
 

@@ -530,3 +530,33 @@ def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits"
         ),
     )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT doc_id, k AS frame_id,
+           md5(substring(text, k * 128 + 1, 64)) AS frame_fp,
+           length(substring(text, k * 128 + 1, 64)) AS frame_len,
+           md5(substring(text, 1, 256)) AS thumb_fp
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, greatest((length(text) + 127) // 128, 1))) AS k
+        FROM documents
+    )
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + resize over the opaque BINARY payload: fixed-size
+    slices every 128 bytes, fingerprinted, plus a truncate-to-256 thumb
+    fingerprint.  The payload is ASCII text bytes here, so the DuckDB
+    oracle replays the byte slicing with string substring — verifying the
+    binary plumbing end-to-end (a real codec swaps the md5 for a decode
+    inside mapInPandas; see operators/multimodal.py)."""
+    docs = load(spark, sf_dir, "documents")
+    binary_df = multimodal.with_binary_payload(docs)
+    frames = multimodal.frame_sample(binary_df, frame_size=64, stride=128)
+    thumbs = multimodal.resize_payload(binary_df, size=256).select(
+        "doc_id", "thumb_fp"
+    )
+    return frames.join(thumbs, "doc_id")
