@@ -897,3 +897,76 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)")
         ).alias("p90"),
     )
+
+
+@query(
+    "q_like_family",
+    oracle="""
+    SELECT p_partkey,
+           p_name LIKE '%green%' AS has_green,
+           p_type ILIKE 'standard%' AS is_standard_ci,
+           starts_with(p_brand, 'Brand#1') AS brand1,
+           contains(p_name, 'ol') AS has_ol,
+           ends_with(p_type, 'STEEL') AS steel
+    FROM part
+    """,
+)
+def q_like_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-predicate family: LIKE / case-insensitive ILIKE /
+    prefix / substring / suffix predicates."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_name").like("%green%").alias("has_green"),
+        F.col("p_type").ilike("standard%").alias("is_standard_ci"),
+        F.startswith(F.col("p_brand"), F.lit("Brand#1")).alias("brand1"),
+        F.contains(F.col("p_name"), F.lit("ol")).alias("has_ol"),
+        F.endswith(F.col("p_type"), F.lit("STEEL")).alias("steel"),
+    )
+
+
+@query(
+    "q_count_distinct_multi",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT (user_id, epoch_us(ts) // 86400000000))
+               AS active_user_days,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact count-distinct (the active-user-days shape):
+    distinct over a composite key inside a grouped aggregation."""
+    ev = events(spark, sf_dir)
+    day = F.expr("ts_us div 86400000000")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct(F.col("user_id"), day).alias("active_user_days"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "q_window_global",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (ORDER BY epoch_us(ts), event_id) AS global_seq,
+           rank() OVER (ORDER BY value DESC, event_id) AS value_rank
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def q_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitionless (global) windows: a single total ordering over the
+    whole input.  At scale this is the one window shape that CANNOT
+    parallelize (all rows to one task) — declared for completeness; the
+    per-key variants are the production path."""
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    w1 = Window.orderBy("ts_us", "event_id")
+    w2 = Window.orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "event_id",
+        F.row_number().over(w1).alias("global_seq"),
+        F.rank().over(w2).alias("value_rank"),
+    )
