@@ -508,3 +508,57 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             round2(rev).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               max(event_id) AS click_id,
+               arg_max(event_id, event_id) AS click_id2
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, epoch_us(ts)
+    ),
+    purchases AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           c.click_id AS asof_event_id,
+           c.ts_us AS asof_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY.md 2.11 custom operator, built as a composition
+    of DataFrame ops): each purchase picks up the user's most recent
+    click at-or-before it.  One shuffle on the key, no join node — a
+    tagged union + last-non-null running window (operators/asof.py);
+    the oracle is DuckDB's NATIVE ASOF JOIN, pinning the semantics to a
+    reference implementation."""
+    from ..operators.asof import asof_join
+
+    ev = events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("event_id"), F.col("ts_us").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts_us",
+        right_value="click_ts",
+        right_id="event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "asof_event_id",
+        F.col("asof_click_ts"),
+    )
