@@ -269,3 +269,80 @@ def ann_topk_bucketed(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_topk(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    num_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition vectors into cells around deterministic
+    centroids, probe only the ``num_probe`` nearest cells per query.
+
+    Centroids are the ``num_cells`` corpus vectors with the smallest
+    ``md5(id)`` — content-free, reproducible, no trained state (a
+    k-means refinement would slot in here; the cell-assignment /
+    probe-routing plumbing is what matters at scale).  Assignment and
+    probing are one numpy pandas UDF each; scoring joins only within
+    probed cells — never all-pairs."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, LongType
+
+    spark = vecs.sparkSession
+    centroid_rows = (
+        vecs.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", id_col)
+        .limit(num_cells)
+        .collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in centroid_rows]
+    )
+    cnorm = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0
+    centroids_n = centroids / cnorm
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def nearest_cells(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ centroids_n.T  # (n, cells)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :num_probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    cand = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        nearest_cells(F.col(vec_col)).getItem(0).alias("cell"),
+    )
+    qprobe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        cand.join(F.broadcast(qprobe), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_batch(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )

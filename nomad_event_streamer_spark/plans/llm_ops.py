@@ -560,3 +560,97 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "thumb_fp"
     )
     return frames.join(thumbs, "doc_id")
+
+
+@query("q_sim_ivf")  # rows-only: float cell-routing + cosine ranking
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-variant ANN: vectors partition into cells around deterministic
+    (hash-selected) centroids; each query probes its 2 nearest cells and
+    scores only those members — the inverted-file layout where the cell
+    id is the shuffle/storage key at scale."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < 20)
+    return similarity.ivf_topk(vecs, queries, k=5, num_cells=16, num_probe=2)
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    WHERE rn <= ceil(0.2 * n)
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 20% sample with EXACT per-stratum fractions: rank each
+    stratum by a content-free id hash and keep the top ceil(0.2*n) —
+    deterministic across runs/engines/partitionings (rand()-based
+    sampling is neither exact nor reproducible cross-engine)."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .where(F.col("rn") <= F.ceil(0.2 * F.col("n")))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "q_vocab_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    cnt AS (SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
+            FROM toks GROUP BY tok)
+    SELECT tok, n, df,
+           (floor((CAST(n AS DOUBLE) / n_total) * 10000.0 + 0.5) / 10000.0)
+               AS frac
+    FROM cnt, tot
+    ORDER BY n DESC, tok
+    LIMIT 100
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 tokens by corpus frequency with
+    document frequency and corpus-coverage fraction — the tokenizer-prep
+    aggregation.  Two hash aggregations + a broadcast single-row total;
+    the LIMIT ranks on exact integers with a token tiebreak."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(100)
+        .select(
+            "tok",
+            "n",
+            "df",
+            round4(F.col("n").cast("double") / F.col("n_total")).alias("frac"),
+        )
+    )
