@@ -970,3 +970,72 @@ def q_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w1).alias("global_seq"),
         F.rank().over(w2).alias("value_rank"),
     )
+
+
+@query(
+    "q_try_funcs",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(event_type AS BIGINT) AS bad_cast,
+           TRY_CAST(props->>'$.k' AS BIGINT) AS good_cast,
+           CASE WHEN (event_id % 10) = 0 THEN NULL
+                ELSE CAST(value AS DOUBLE) / (event_id % 10) END AS safe_div
+    FROM events
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant evaluation: try_cast + try_divide return NULL where
+    ANSI mode would raise — the engine-level form of the parser's
+    drop-bad-lines tolerance (lib/ndjson.rb:26-34).  Division by zero
+    yields NULL on both sides (the DuckDB oracle spells it with CASE)."""
+    ev = events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_cast"),
+        F.expr(
+            "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+        ).alias("good_cast"),
+        F.try_divide(F.col("value"), F.col("event_id") % 10).alias("safe_div"),
+    )
+
+
+@query(
+    "q_struct_json",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(
+               uid := user_id,
+               etype := event_type,
+               ts_us := epoch_us(ts))) AS payload,
+           json_extract_string(
+               to_json(struct_pack(uid := user_id, etype := event_type)),
+               '$.etype') AS roundtrip
+    FROM events
+    """,
+)
+def q_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + JSON serialization + re-extraction: the
+    sink-payload-building shape (app.rb:213-237 builds nested JSON
+    bodies).  Field order and compact formatting agree across engines;
+    struct fields are non-null so the engines' null-field policies never
+    differ."""
+    ev = events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("uid"),
+                F.col("event_type").alias("etype"),
+                F.col("ts_us"),
+            )
+        ).alias("payload"),
+        F.get_json_object(
+            F.to_json(
+                F.struct(
+                    F.col("user_id").alias("uid"),
+                    F.col("event_type").alias("etype"),
+                )
+            ),
+            "$.etype",
+        ).alias("roundtrip"),
+    )
