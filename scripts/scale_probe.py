@@ -45,6 +45,11 @@ PROBES = [
     "q_minhash_est",
     "q_dedup_embed",
     "q_sim_ann",
+    "q_asof_join",
+    "q_dedup_clusters",
+    "q_vocab_topk",
+    "q_chunk_docs",
+    "q_stratified_sample",
 ]
 
 
