@@ -1039,3 +1039,27 @@ def q_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             "$.etype",
         ).alias("roundtrip"),
     )
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+    SELECT doc_id, tok
+    FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(f) = 0 THEN [NULL] ELSE f END) AS tok
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t = 'the') AS f
+            FROM documents
+        )
+    )
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with an EMPTY array survive as a NULL row
+    (plain explode drops them) — the outer-lateral semantics; the oracle
+    spells it with an explicit [NULL] substitution."""
+    docs = load(spark, sf_dir, "documents")
+    f = F.filter(F.split("text", " "), lambda t: t == "the")
+    return docs.select("doc_id", F.explode_outer(f).alias("tok"))
