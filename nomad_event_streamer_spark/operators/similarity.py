@@ -151,10 +151,11 @@ def near_dup_pairs(
     each; a pair is a candidate if it collides in ANY table (recall
     amplification), then exact cosine filters at ``threshold``.
 
-    Scale shape: candidates come from per-table bucket equi-joins (never
-    all-pairs); the id-pair set is deduped ACROSS tables before scoring so
-    each surviving pair is scored exactly once; vectors are re-attached by
-    two hash joins on the id."""
+    Scale shape: vectors shuffle once per TABLE into their buckets; each
+    bucket scores all its pairs in one blockwise BLAS matmul
+    (applyInPandas); pairs colliding in several tables collapse via a
+    final max() aggregation — never all-pairs, never a per-candidate
+    vector re-join."""
     import numpy as _np
     from pyspark.sql.types import ArrayType, LongType
 

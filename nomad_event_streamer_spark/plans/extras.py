@@ -1063,3 +1063,33 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     f = F.filter(F.split("text", " "), lambda t: t == "the")
     return docs.select("doc_id", F.explode_outer(f).alias("tok"))
+
+
+@query(
+    "q_map_transform",
+    oracle="""
+    SELECT event_id,
+           'k=' || CAST(2 * CAST(props->>'$.k' AS BIGINT) AS VARCHAR)
+               AS doubled_entries,
+           CAST(props->>'$.k' AS BIGINT) % 7 AS k_mod
+    FROM events
+    """,
+)
+def q_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map value transformation + serialization — the reference's
+    ``details.transform_values { ... }.to_json`` (app.rb:189).  Entries
+    are emitted as a SORTED key=value concatenation, which removes the
+    map-iteration-order difference that usually forces map ops to
+    rows-only checks."""
+    ev = events(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    doubled = F.transform_values(m, lambda _k, v: v * 2)
+    entries = F.transform(
+        F.array_sort(F.map_entries(doubled)),
+        lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+    )
+    return ev.select(
+        "event_id",
+        F.array_join(entries, ",").alias("doubled_entries"),
+        (m.getItem("k") % 7).alias("k_mod"),
+    )
