@@ -654,3 +654,42 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.col("n").cast("double") / F.col("n_total")).alias("frac"),
         )
     )
+
+
+# GPT2-style pre-tokenizer shape, lookahead-free so Java regex and RE2
+# agree: letter runs / digit runs / non-alphanumeric runs, each with an
+# optional leading space.
+BPE_PIECE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@query(
+    "q_bpe_pretokenize",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_PIECE}')) AS n_pieces,
+           len(regexp_extract_all(text, ' ?[a-z]+')) AS n_alpha,
+           len(regexp_extract_all(text, ' ?[0-9]+')) AS n_digit,
+           md5(array_to_string(regexp_extract_all(text, '{BPE_PIECE}'), '|'))
+               AS pieces_fp
+    FROM documents
+    """,
+)
+def q_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape, minus
+    lookaheads so both engines' regex dialects agree): space-prefixed
+    letter/digit/other runs.  Emits piece counts and an md5 fingerprint
+    of the full piece sequence — the fingerprint proves the SEGMENTATION
+    itself matches across engines, not just the counts."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    pieces = F.regexp_extract_all("text", F.lit(BPE_PIECE), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.regexp_extract_all("text", F.lit(" ?[a-z]+"), F.lit(0))).alias(
+            "n_alpha"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(" ?[0-9]+"), F.lit(0))).alias(
+            "n_digit"
+        ),
+        F.md5(F.array_join(pieces, "|")).alias("pieces_fp"),
+    )

@@ -265,3 +265,60 @@ def q_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("max_ts_us").alias("max_ts_us")
     )
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases joined to the same user's
+    clicks within the preceding hour, both sides watermarked (the
+    watermark + range condition bound the join STATE — without them the
+    engine would buffer both streams forever).  Replayed to completion
+    the result equals the batch range join exactly, so a full oracle
+    applies."""
+    stream = _stream_events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts_t").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_t").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
