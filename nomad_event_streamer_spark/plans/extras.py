@@ -1093,3 +1093,86 @@ def q_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(entries, ",").alias("doubled_entries"),
         (m.getItem("k") % 7).alias("k_mod"),
     )
+
+
+@query(
+    "q_sql_tpch_q6",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24.0
+    """,
+)
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) through spark.sql: the
+    all-predicates-pushed single-scan aggregate — every filter lands in
+    the parquet reader, the aggregation is one partial+final pair."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v6")
+    return spark.sql(
+        """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS revenue,
+               count(*) AS n_rows
+        FROM lineitem_v6
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24.0
+        """
+    )
+
+
+@query(
+    "q_sql_tpch_q18",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+               AS o_price,
+           sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN (
+        SELECT l_orderkey,
+               round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DECIMAL(18,2)) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ) big ON big.l_orderkey = o_orderkey
+    """,
+)
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-quantity orders) through spark.sql: a
+    HAVING-filtered aggregate subquery joined back to its dimensions —
+    the decimal HAVING threshold is exact, so membership can't flip."""
+    for name, view in [
+        ("customer", "customer_v18"),
+        ("orders", "orders_v18"),
+        ("lineitem", "lineitem_v18"),
+    ]:
+        load(spark, sf_dir, name).createOrReplaceTempView(view)
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey,
+               round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+                   AS o_price,
+               sum_qty
+        FROM customer_v18
+        JOIN orders_v18 ON c_custkey = o_custkey
+        JOIN (
+            SELECT l_orderkey,
+                   round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                              AS DECIMAL(18,2)) AS DOUBLE), 2) AS sum_qty
+            FROM lineitem_v18
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        ) big ON big.l_orderkey = o_orderkey
+        """
+    )
