@@ -693,3 +693,96 @@ def q_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(F.array_join(pieces, "|")).alias("pieces_fp"),
     )
+
+
+@query(
+    "q_ngram_freq",
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT shingle, count(*) AS df
+    FROM sh
+    GROUP BY shingle
+    ORDER BY df DESC, shingle
+    LIMIT 50
+    """,
+)
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 trigram document frequencies — the n-gram LM / contamination-
+    check aggregation; one hash count over the shingle explode with an
+    exact-integer LIMIT ranking."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(50)
+    )
+
+
+@query(
+    "q_cooccurrence_pmi",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    cnt AS (SELECT tok, count(*) AS c FROM dt GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_ab
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, c_ab,
+           {ORACLE_ROUND4.format(
+               x="ln((CAST(c_ab AS DOUBLE) * n_docs) / (ca.c * cb.c))"
+           )} AS pmi
+    FROM pairs
+    JOIN cnt ca ON ca.tok = tok_a
+    JOIN cnt cb ON cb.tok = tok_b
+    CROSS JOIN nd
+    ORDER BY c_ab DESC, tok_a, tok_b
+    LIMIT 100
+    """,
+)
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence with pointwise mutual
+    information — the embedding-training / collocation statistic.  The
+    top-100 SELECTION ranks on exact integers (c_ab, tokens); ln appears
+    only in the emitted PMI.  Plan: distinct (doc, token) explode ->
+    same-doc pair join -> count; unigram counts broadcast back."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    nd = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    cnt = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    a = dt.select("doc_id", F.col("tok").alias("tok_a")).hint("shuffle_hash")
+    b = dt.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = cnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
+        .limit(100)
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            round4(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n_docs"))
+                    / (F.col("ca") * F.col("cb"))
+                )
+            ).alias("pmi"),
+        )
+    )
