@@ -1176,3 +1176,95 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) big ON big.l_orderkey = o_orderkey
         """
     )
+
+
+@query(
+    "q_data_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col, count(*) AS n, count(l_quantity) AS n_nonnull,
+           count(DISTINCT l_quantity) AS n_distinct,
+           round(CAST(min(l_quantity) AS DOUBLE), 2) AS min_v,
+           round(CAST(max(l_quantity) AS DOUBLE), 2) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(l_discount),
+           count(DISTINCT l_discount),
+           round(CAST(min(l_discount) AS DOUBLE), 2),
+           round(CAST(max(l_discount) AS DOUBLE), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*), count(l_tax), count(DISTINCT l_tax),
+           round(CAST(min(l_tax) AS DOUBLE), 2),
+           round(CAST(max(l_tax) AS DOUBLE), 2)
+    FROM lineitem
+    """,
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ingest-QA op): per-column row/non-null/
+    distinct counts and bounds, long-form.  ONE scan computes every
+    column's aggregates (the oracle's UNION ALL reads the table three
+    times; at 100 TB the single-pass shape is the point)."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            agg_fn
+            for c in ["l_quantity", "l_discount", "l_tax"]
+            for agg_fn in [
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.round(F.min(c).cast("double"), 2).alias(f"mn_{c}"),
+                F.round(F.max(c).cast("double"), 2).alias(f"mx_{c}"),
+            ]
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n").alias("n"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_v"),
+                F.col(f"mx_{c}").alias("max_v"),
+            )
+            for c in ["l_quantity", "l_discount", "l_tax"]
+        ]
+    )
+    return agg.select(F.explode(rows).alias("p")).select("p.*")
+
+
+@query(
+    "q_outlier_iqr",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+    """,
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier detection (the data-cleaning filter): per-group
+    quartiles via percentile_disc (ACTUAL data values — exact), fences
+    from identical IEEE arithmetic, so outlier membership is
+    deterministic cross-engine.  Quartiles broadcast back to the scan."""
+    ev = events(spark, sf_dir)
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .where(
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr)
+        )
+        .select("event_id", "event_type", "value")
+    )
