@@ -786,3 +786,83 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+def _dedup_decision_oracle() -> str:
+    # reuse the recursive-CTE cluster oracle, then left-join every doc:
+    # docs outside any cluster are their own canonical representative.
+    inner = _clusters_oracle(16).strip()
+    return f"""
+    WITH clusters AS ({inner})
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS canonical_id,
+           CAST(coalesce(c.cluster_id, d.doc_id) = d.doc_id AS INT) AS keep
+    FROM documents d
+    LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    """
+
+
+@query("q_dedup_decision", oracle=_dedup_decision_oracle())
+def q_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup VERDICT — what a production pipeline actually
+    writes: every document mapped to its canonical representative (the
+    min id of its near-dup cluster; singletons map to themselves) with a
+    keep/drop flag.  Composition: minhash-LSH -> connected components ->
+    left join back to the corpus."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    edges = dedup.lsh_candidate_pairs(bands)
+    clusters = dedup.connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("canonical_id"),
+            (F.coalesce("cluster_id", "doc_id") == F.col("doc_id"))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+@query(
+    "q_quality_funnel",
+    oracle="""
+    SELECT reason, count(*) AS n_docs
+    FROM (
+        SELECT CASE
+            WHEN len(string_split(text, ' ')) < 20 THEN 'too_short'
+            WHEN CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t IN ('a', 'the'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) > 0.2 THEN 'stopword_heavy'
+            WHEN n_chars > 600 THEN 'too_long'
+            ELSE 'pass' END AS reason
+        FROM documents
+    )
+    GROUP BY reason
+    """,
+)
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: every document classified by its FIRST
+    failing rule (short / stopword-heavy / long / pass) with per-reason
+    counts — the rejection-statistics view every corpus-cleaning run
+    reports.  Rule order is the CASE order, identical in both engines;
+    the stopword ratio compares exact integer-derived doubles."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin("a", "the"))).cast("double")
+        / F.size(toks)
+    )
+    reason = (
+        F.when(F.size(toks) < 20, "too_short")
+        .when(stop_ratio > 0.2, "stopword_heavy")
+        .when(F.col("n_chars") > 600, "too_long")
+        .otherwise("pass")
+    )
+    return docs.select(reason.alias("reason")).groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
