@@ -866,3 +866,32 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(reason.alias("reason")).groupBy("reason").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "q_dataset_shuffle",
+    oracle="""
+    SELECT doc_id, shuffle_pos
+    FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS shuffle_pos
+        FROM documents
+    )
+    WHERE shuffle_pos <= 100
+    """,
+)
+def q_dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset shuffling for training-order assignment:
+    global position = rank in id-hash order — reproducible across runs,
+    engines, and partitionings (rand()-based shuffles are none of
+    those), and resumable (position is a pure function of the id)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", F.row_number().over(w).alias("shuffle_pos"))
+        .where(F.col("shuffle_pos") <= 100)
+    )
