@@ -11,6 +11,7 @@ from . import relational  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 
