@@ -895,3 +895,106 @@ def q_dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.row_number().over(w).alias("shuffle_pos"))
         .where(F.col("shuffle_pos") <= 100)
     )
+
+
+@query(
+    "q_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM toks GROUP BY doc_id, tok
+    ),
+    uni_doc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               {ORACLE_ROUND4.format(
+                   x="CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)"
+               )} AS distinct_ratio,
+               {ORACLE_ROUND4.format(
+                   x="CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)"
+               )} AS top_token_frac
+        FROM uni GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id, bigram, count(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest([l[i] || ' ' || l[i+1]
+                           FOR i IN range(1, greatest(len(l), 1))]) AS bigram
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        ) GROUP BY doc_id, bigram
+    ),
+    bi_doc AS (
+        SELECT doc_id,
+               {ORACLE_ROUND4.format(
+                   x="CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)"
+               )} AS top_bigram_frac
+        FROM bi GROUP BY doc_id
+    )
+    SELECT u.doc_id, u.n_tokens, u.distinct_ratio, u.top_token_frac,
+           coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM uni_doc u LEFT JOIN bi_doc b ON u.doc_id = b.doc_id
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, public): token count, distinct-token ratio, top-unigram
+    fraction, top-bigram fraction.  High top-n-gram fractions flag the
+    degenerate repeated-text documents an LLM-data pipeline drops.
+
+    Scale shape: both n-gram explosions aggregate on (doc_id, gram) with
+    map-side partial aggregation, then reduce to one row per doc — the
+    heavy (doc_id, gram) shuffle is the unavoidable one, and the doc-level
+    join is co-partitioned on doc_id.  No driver-side loops, no UDFs.
+    (Reference has no text analytics; EXT row, SURVEY.md §2.12.)"""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    uni = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            round4(
+                F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")
+            ).alias("distinct_ratio"),
+            round4(
+                F.max("c").cast("double") / F.sum("c").cast("double")
+            ).alias("top_token_frac"),
+        )
+    )
+    arr = docs.select("doc_id", F.split(F.col("text"), " ").alias("l"))
+    bigrams = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(l, 1, greatest(size(l) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', l[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    bi = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            round4(
+                F.max("c").cast("double") / F.sum("c").cast("double")
+            ).alias("top_bigram_frac")
+        )
+    )
+    return uni.join(bi, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "top_token_frac",
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+    )
