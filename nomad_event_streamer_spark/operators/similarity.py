@@ -272,22 +272,94 @@ def ann_topk_bucketed(
     )
 
 
+def kmeans_refine(
+    vecs: DataFrame,
+    init_centroids: "np.ndarray",
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Lloyd iterations over spherical k-means, distributed and
+    deterministic: each round assigns every vector to its nearest
+    centroid (one Arrow-batched pandas UDF, no shuffle), computes the
+    per-cell mean via ``applyInPandas`` (one shuffle keyed on cell),
+    and collects only the ``(cells, dim)`` centroid matrix to the
+    driver — the classic small-state iterative-refinement pattern
+    (driver holds KB, executors hold TB).  Determinism: stable argmin
+    tie-break on cell index and an id-sorted in-group sum, so results
+    are independent of partitioning.  Empty cells keep their previous
+    centroid."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    centroids = init_centroids.astype(np.float64)
+    num_cells, _dim = centroids.shape
+    out_schema = StructType(
+        [
+            StructField("cell", LongType()),
+            StructField("mean_vec", ArrayType(DoubleType())),
+        ]
+    )
+    for _ in range(max(iters, 0)):
+        cn = np.linalg.norm(centroids, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        cnorm = centroids / cn
+
+        @F.pandas_udf(LongType())
+        def assign(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (m / norms) @ cnorm.T
+            return pd.Series(np.argmax(sims, axis=1).astype(np.int64))
+
+        def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col)
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            return pd.DataFrame(
+                {
+                    "cell": [int(pdf["cell"].iloc[0])],
+                    "mean_vec": [m.mean(axis=0).tolist()],
+                }
+            )
+
+        rows = (
+            vecs.select(
+                F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cell")
+            )
+            .groupBy("cell")
+            .applyInPandas(cell_mean, out_schema)
+            .collect()
+        )
+        nxt = centroids.copy()
+        for r in rows:
+            nxt[r["cell"]] = np.asarray(r["mean_vec"], dtype=np.float64)
+        centroids = nxt
+    return centroids
+
+
 def ivf_topk(
     vecs: DataFrame,
     queries: DataFrame,
     k: int = 5,
     num_cells: int = 16,
     num_probe: int = 2,
+    refine_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: partition vectors into cells around deterministic
+    """IVF-style ANN: partition vectors into cells around k-means
     centroids, probe only the ``num_probe`` nearest cells per query.
 
-    Centroids are the ``num_cells`` corpus vectors with the smallest
-    ``md5(id)`` — content-free, reproducible, no trained state (a
-    k-means refinement would slot in here; the cell-assignment /
-    probe-routing plumbing is what matters at scale).  Assignment and
+    Centroid seeds are the ``num_cells`` corpus vectors with the
+    smallest ``md5(id)`` (content-free, reproducible), then refined by
+    ``refine_iters`` distributed Lloyd rounds (``kmeans_refine``) —
+    deterministic given the data, no random state.  Assignment and
     probing are one numpy pandas UDF each; scoring joins only within
     probed cells — never all-pairs."""
     from pyspark.sql import Window
@@ -307,6 +379,10 @@ def ivf_topk(
     centroids = np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in centroid_rows]
     )
+    if refine_iters > 0:
+        centroids = kmeans_refine(
+            vecs, centroids, iters=refine_iters, id_col=id_col, vec_col=vec_col
+        )
     cnorm = np.linalg.norm(centroids, axis=1, keepdims=True)
     cnorm[cnorm == 0] = 1.0
     centroids_n = centroids / cnorm
