@@ -1,0 +1,191 @@
+"""Byte-pair-encoding tokenizer: distributed training + encoding.
+
+Public algorithm (Sennrich, Haddow & Birch, "Neural Machine Translation of
+Rare Words with Subword Units", ACL 2016).  The reference stream processor
+has no tokenizer (``app.rb`` has no text analytics at all); this is EXT
+LLM-pipeline surface (SURVEY.md §2.12).
+
+Scale shape — the part that matters at 100 TB:
+
+- Training never iterates over the corpus.  One corpus-sized shuffle
+  distills it to a **word-frequency table** (distinct word → count); every
+  Lloyd-style merge round then runs over that table, which is orders of
+  magnitude smaller and shrinks further as merges fuse symbols.
+- Each round is: adjacent-pair explode → map-side-combined sum → a
+  ``limit(1)`` collect of ONE row (the argmax pair) → an Arrow-batched
+  rewrite of the symbol arrays.  Driver state is just the merge list.
+- Lineage is cut with ``localCheckpoint`` every few rounds so the plan
+  doesn't grow linearly with merge count.
+- Ties on pair count break lexicographically — results are a pure
+  function of the data, independent of partitioning.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+END = "</w>"
+_CHECKPOINT_EVERY = 5
+
+
+def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus → (word, cnt): the single corpus-sized aggregation."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _merge_udf(left: str, right: str):
+    """Arrow-batched rewrite fusing one (left, right) pair in-place.
+    Factory scope pins the pair values per training round."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def apply_merge(s: pd.Series) -> pd.Series:
+        out = []
+        for syms in s:
+            res = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    return apply_merge
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 30,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merge rules from a document corpus.
+
+    Returns the ordered merge list (highest-frequency pair first).  Stops
+    early when the best pair's corpus frequency drops below
+    ``min_pair_count``."""
+    work = _word_freq(docs, text_col).select(
+        F.concat(
+            F.split(F.col("w"), ""), F.array(F.lit(END))
+        ).alias("syms"),
+        "cnt",
+    )
+    work = work.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for i in range(num_merges):
+        pairs = (
+            work.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1),"
+                        " (x, i) -> struct(x AS l, syms[i + 1] AS r))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = (
+            pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        )
+        if not top or top[0]["c"] < min_pair_count:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        work = work.select(
+            _merge_udf(left, right)(F.col("syms")).alias("syms"), "cnt"
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            work = work.localCheckpoint(eager=True)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE encode of one word: repeatedly fuse the lowest-rank
+    adjacent pair (standard algorithm; public, e.g. the GPT-2 release)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best = None
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        # fuse every occurrence of this exact pair left-to-right
+        pair = (syms[best], syms[best + 1])
+        res = []
+        i = 0
+        while i < len(syms):
+            if (
+                i < len(syms) - 1
+                and (syms[i], syms[i + 1]) == pair
+            ):
+                res.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize every document with a learned merge list.
+
+    One Arrow-batched pandas UDF; a per-batch word→tokens memo collapses
+    the Zipf head, so each distinct word in a batch is encoded once.  The
+    merge table ships in the closure (KBs) — the broadcast-dim pattern."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").split(" "):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    got = _encode_word(w, ranks)
+                    memo[w] = got
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    return docs.withColumn(out_col, encode(F.col(text_col)))
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token count — the budgeting number an LLM-data
+    pipeline actually reports."""
+
+    encoded = bpe_encode(docs, merges, text_col=text_col)
+    return encoded.withColumn(
+        "n_bpe_tokens", F.size(F.col("bpe_tokens")).cast(IntegerType())
+    )

@@ -998,3 +998,34 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_frac"
         ),
     )
+
+
+@query("q_bpe_train")
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich ACL 2016) over the corpus:
+    returns the learned merge table (rank, left, right).  Rows-only by
+    necessity — the algorithm is an iterative argmax refinement (driver
+    holds the KB-sized merge list, executors hold the corpus), not
+    expressible as one SQL query.  Determinism: lexicographic pair
+    tie-break, so the table is a pure function of the data."""
+    from ..operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, num_merges=20, min_pair_count=2)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, left string, right string",
+    )
+
+
+@query("q_bpe_token_count")
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 20 BPE merges, then greedy-encode every document and report
+    its token count — the budget number a training-data pipeline emits.
+    Encoding is one Arrow-batched UDF with a per-batch word memo; the
+    merge table rides the closure (broadcast-dim pattern)."""
+    from ..operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, num_merges=20, min_pair_count=2)
+    return bpe.bpe_token_counts(docs, merges).select("doc_id", "n_bpe_tokens")
