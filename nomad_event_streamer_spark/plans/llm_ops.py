@@ -1029,3 +1029,19 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     merges = bpe.bpe_train(docs, num_merges=20, min_pair_count=2)
     return bpe.bpe_token_counts(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
+@query("q_dedup_clusters_star", oracle=_clusters_oracle(16))
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup clustering as q_dedup_clusters, but the component
+    step runs the large-star/small-star algorithm (Kiveris et al. SoCC
+    2014): O(log² n) rounds regardless of graph diameter — the scale
+    path when candidate graphs chain deeply instead of clustering
+    shallowly.  Identical output contract, so it shares the recursive-CTE
+    oracle with the label-propagation variant."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    edges = dedup.lsh_candidate_pairs(bands)
+    return dedup.connected_components_star(edges)
