@@ -70,3 +70,48 @@ def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         _changelog_dir(spark, sf_dir)
     )
     return latest_snapshot(changes)
+
+
+@query(
+    "q_partitioned_sink_prune",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'error')
+    GROUP BY event_type
+    """,
+)
+def q_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet SINK + partition-pruned read-back:
+    events written once with ``partitionBy(event_type)``, then re-read
+    with a partition-key filter — the scan's PartitionFilters prunes 3 of
+    5 directories before any IO (at 100 TB, the difference between
+    reading 2 partitions and reading the table).  The aggregate matches
+    the oracle computed on the original table, proving the sink
+    round-trips losslessly."""
+    import os
+
+    from ..tables import load
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_evpart_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out).where(
+        F.col("event_type").isin("click", "error")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
