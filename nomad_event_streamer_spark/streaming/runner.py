@@ -78,3 +78,37 @@ def start_webhook_query(
     else:
         writer = writer.trigger(processingTime="5 seconds")
     return writer.start()
+
+
+def start_webhook_query_v2(
+    deduped: DataFrame,
+    checkpoint_dir: str,
+    output_dir: str,
+    ledger_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Effectively-once variant: per-batch overwrite transport + a
+    delivery ledger keyed on batch id, so checkpoint-recovery replays
+    neither duplicate files nor re-POST delivered batches.  (The
+    reference is at-most-once — app.rb:229-234 — this strictly
+    strengthens it.)"""
+    from .sinks import (
+        batch_overwrite_transport,
+        effectively_once,
+        webhook_foreach_batch_v2,
+    )
+
+    body = effectively_once(
+        webhook_foreach_batch_v2(batch_overwrite_transport(output_dir)),
+        ledger_dir,
+    )
+    writer = (
+        deduped.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()

@@ -130,3 +130,67 @@ def webhook_foreach_batch(
             transport(payloads, dest)
 
     return process
+
+
+def batch_overwrite_transport(dest_dir: str) -> Callable[[DataFrame, str, int], None]:
+    """Replay-safe delivery: each micro-batch lands in its own
+    ``batch_id=<n>`` directory with overwrite semantics, so redelivering
+    a batch (recovery replay) rewrites the same files instead of
+    appending duplicates — idempotent per (destination, batch_id)."""
+
+    def send(payloads: DataFrame, destination: str, batch_id: int) -> None:
+        payloads.withColumn("destination", F.lit(destination)).write.mode(
+            "overwrite"
+        ).parquet(f"{dest_dir}/{destination}/batch_id={batch_id}")
+
+    return send
+
+
+def effectively_once(
+    process: Callable[[DataFrame, int], None], ledger_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """Upgrade an at-least-once ``foreachBatch`` body to effectively-once
+    delivery: a per-batch ledger marker (written AFTER the body
+    completes) short-circuits replayed batch ids on recovery.
+
+    The marker write is not atomic with delivery, so the body must be
+    idempotent per batch id for the composition to be exactly-once —
+    pair with ``batch_overwrite_transport`` (same-path overwrite) or an
+    HTTP receiver that dedupes on (batch_id, event key).  This exceeds
+    the reference's delivery contract (at-most-once, fire-and-forget
+    POST, app.rb:229-234,258-262).  ``foreachBatch`` runs on the driver;
+    in a cluster deployment the ledger dir lives on shared storage
+    (object store / DBFS), exactly like the checkpoint dir."""
+    import os
+
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def wrapped(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        process(batch, batch_id)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("ok")
+
+    return wrapped
+
+
+def webhook_foreach_batch_v2(
+    transport: Callable[[DataFrame, str, int], None],
+    destinations: tuple[str, ...] = ("discord", "slack"),
+) -> Callable[[DataFrame, int], None]:
+    """Like ``webhook_foreach_batch`` but the transport also receives the
+    batch id, enabling per-batch idempotent delivery paths."""
+    shapers = {"discord": discord_payload, "slack": slack_payload}
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        for dest in destinations:
+            payloads = (
+                shapers[dest](batch)
+                .repartition(F.col("task_identifier"))
+                .sortWithinPartitions("raft_index", "event_time_ns")
+            )
+            transport(payloads, dest, batch_id)
+
+    return process
