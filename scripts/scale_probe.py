@@ -50,6 +50,11 @@ PROBES = [
     "q_vocab_topk",
     "q_chunk_docs",
     "q_stratified_sample",
+    "q_dedup_clusters_star",
+    "q_repetition_signals",
+    "q_bpe_train",
+    "q_tpch_q10_returns",
+    "q_tpch_q19_disjunctive",
 ]
 
 
