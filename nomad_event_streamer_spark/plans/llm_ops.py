@@ -1045,3 +1045,45 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
     edges = dedup.lsh_candidate_pairs(bands)
     return dedup.connected_components_star(edges)
+
+
+@query(
+    "q_embed_dim_stats",
+    oracle=f"""
+    SELECT z.dim AS dim,
+           {ORACLE_ROUND4.format(
+               x="CAST(sum(CAST(CAST(z.x AS DOUBLE) AS DECIMAL(20,10))) "
+                 "AS DOUBLE) / count(*)"
+           )} AS mean_x,
+           min(CAST(z.x AS DOUBLE)) AS min_x,
+           max(CAST(z.x AS DOUBLE)) AS max_x,
+           count(*) AS n
+    FROM (
+        SELECT unnest([{{'dim': i, 'x': embedding[i]}}
+                       FOR i IN range(1, len(embedding) + 1)]) AS z
+        FROM embeddings
+    )
+    GROUP BY z.dim
+    """,
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (mean/min/max per vector slot) —
+    the feature-store sanity check that catches dead or exploding
+    dimensions before training.  posexplode fans each vector into
+    (dim, x) rows; the aggregate is map-side combinable on the 64 dim
+    keys.  Mean uses the exact-decimal-sum pattern (order-insensitive,
+    DuckDB-identical); min/max are raw float→double widenings (exact in
+    both engines)."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    return x.groupBy("dim").agg(
+        round4(
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_x"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.count(F.lit(1)).alias("n"),
+    )
