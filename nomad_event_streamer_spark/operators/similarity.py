@@ -423,3 +423,104 @@ def ivf_topk(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def gram_matrix(
+    vecs: DataFrame, vec_col: str = "embedding"
+) -> "np.ndarray":
+    """Distributed Gram matrix Σ xᵀx over an embedding column.
+
+    Each Arrow batch reduces to ONE partial (dim × dim) matrix inside a
+    ``mapInPandas`` (matmul in numpy, so the corpus never leaves the
+    executors un-aggregated); partials are exploded to (i, j, v) rows
+    and summed in a map-side-combinable aggregation.  The driver
+    receives dim² doubles — KB of state regardless of corpus size, the
+    sketch pattern that makes covariance/PCA feasible at 100 TB.
+
+    Note: the cross-partition float-sum order is engine-scheduled, so
+    the result is deterministic only to float tolerance — callers that
+    need bit-stability must quantize (the PCA below rounds loadings)."""
+    from pyspark.sql.types import ArrayType, DoubleType as _D, StructField, StructType
+
+    schema = StructType([StructField("flat", ArrayType(_D()))])
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({"flat": [(m.T @ m).ravel().tolist()]})
+
+    parts = vecs.select(vec_col).mapInPandas(partial_gram, schema)
+    summed = (
+        parts.select(F.posexplode("flat").alias("ij", "v"))
+        .groupBy("ij")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    if not summed:
+        return np.zeros((0, 0))
+    n2 = max(r["ij"] for r in summed) + 1
+    dim = int(round(n2 ** 0.5))
+    g = np.zeros(n2)
+    for r in summed:
+        g[r["ij"]] = r["v"]
+    return g.reshape(dim, dim)
+
+
+def pca_top_component(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 50,
+) -> DataFrame:
+    """Top principal direction of the (uncentered-then-centered)
+    embedding distribution via the Gram-matrix sketch + driver-side
+    power iteration.
+
+    Distributed part: one pass for the mean (exact enough at double),
+    one pass for Σxᵀx; covariance C = G/n − μμᵀ is assembled on the
+    driver (dim² doubles).  Power iteration on a 64×64 matrix is
+    microseconds — the executors did the data-sized work.  Sign is
+    canonicalized (first max-|loading| entry positive) and loadings are
+    rounded so the output is stable to float tolerance.
+
+    Caveat (standard perturbation theory): on a near-isotropic spectrum
+    the top eigenVECTOR is ill-conditioned — loadings wobble with float
+    summation order — while the top eigenVALUE (also emitted, via the
+    Rayleigh quotient) stays stable.  Consumers profiling real embedding
+    distributions (which are strongly anisotropic) get both."""
+    spark = vecs.sparkSession
+    n = vecs.count()
+    if n == 0:
+        return spark.createDataFrame([], "dim int, loading double")
+    g = gram_matrix(vecs, vec_col)
+    mu = np.asarray(
+        vecs.select(
+            F.posexplode(vec_col).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+        .orderBy("i")
+        .select("s")
+        .collect()
+    ).ravel() / n
+    cov = g / n - np.outer(mu, mu)
+    v = np.ones(cov.shape[0]) / np.sqrt(cov.shape[0])
+    for _ in range(iters):
+        v = cov @ v
+        nv = np.linalg.norm(v)
+        if nv == 0:
+            break
+        v = v / nv
+    # canonical sign: entry with max |loading| is positive
+    k = int(np.argmax(np.abs(v)))
+    if v[k] < 0:
+        v = -v
+    eigval = float(v @ cov @ v)  # Rayleigh quotient
+    rows = [
+        (i + 1, round(float(x), 6), round(eigval, 6))
+        for i, x in enumerate(v)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, top_eigenvalue double"
+    )

@@ -1087,3 +1087,16 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x").alias("max_x"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query("q_pca_gram")
+def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud via the
+    Gram-matrix sketch (one mapInPandas matmul per Arrow batch →
+    (i,j,v) partial-sum shuffle → dim² doubles on the driver) + power
+    iteration.  Rows-only: eigenvector loadings are float-order
+    sensitive on near-isotropic synthetic data (the emitted
+    top_eigenvalue is the stable summary; see operator docstring)."""
+    from ..operators.similarity import pca_top_component
+
+    return pca_top_component(load(spark, sf_dir, "embeddings"))
