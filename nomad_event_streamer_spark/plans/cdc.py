@@ -115,3 +115,72 @@ def q_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
         ).alias("sum_value"),
     )
+
+
+@query(
+    "q_scd2_merge",
+    oracle="""
+    WITH upd AS (
+        SELECT o_custkey,
+               arg_max(o_totalprice, o_orderkey) AS new_bal
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_acctbal AS acctbal,
+           'current' AS version, TRUE AS is_current
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM upd)
+    UNION ALL
+    SELECT c_custkey, c_acctbal AS acctbal,
+           'superseded' AS version, FALSE AS is_current
+    FROM customer JOIN upd ON o_custkey = c_custkey
+    UNION ALL
+    SELECT c_custkey, new_bal AS acctbal,
+           'current' AS version, TRUE AS is_current
+    FROM customer JOIN upd ON o_custkey = c_custkey
+    """,
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 MERGE emulated without a table format: updates
+    (latest order total per customer, arg_max on the unique orderkey —
+    deterministic) close out the matched dimension rows (kept as
+    'superseded' history) and insert fresh 'current' versions;
+    unmatched rows pass through untouched via LEFT ANTI.  This is the
+    anti-join + union + keyed-window pattern Delta's MERGE INTO
+    compiles to; the update aggregation and both joins shuffle on the
+    customer key only, and AQE broadcasts the (small) update side.
+    Values pass through unchanged — exact hash-compare."""
+    from ..tables import load
+
+    base = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    upd = (
+        load(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .groupBy("o_custkey")
+        .agg(F.max_by("o_totalprice", "o_orderkey").alias("new_bal"))
+    )
+    unchanged = base.join(
+        upd, base["c_custkey"] == upd["o_custkey"], "left_anti"
+    ).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("current").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    matched = base.join(upd, base["c_custkey"] == upd["o_custkey"])
+    closed = matched.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("superseded").alias("version"),
+        F.lit(False).alias("is_current"),
+    )
+    fresh = matched.select(
+        "c_custkey",
+        F.col("new_bal").alias("acctbal"),
+        F.lit("current").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionAll(closed).unionAll(fresh)

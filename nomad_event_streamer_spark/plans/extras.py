@@ -1268,3 +1268,20 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", "value")
     )
+
+
+@query("q_approx_quantiles")
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (Greenwald-Khanna via
+    ``percentile_approx``) per returnflag group — the 100 TB path for
+    percentile dashboards where exact percentiles would need a full sort
+    per group.  Rows-only: DuckDB's approx_quantile is a t-digest, a
+    different sketch with different (both valid) answers.  Exact
+    counterparts are oracled in q_percentile_disc / q_percentile_cont."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_p50_p90_p99"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
