@@ -46,9 +46,7 @@ def _changelog_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@query(
-    "q_cdc_snapshot",
-    oracle="""
+CDC_SNAPSHOT_ORACLE = """
     SELECT user_id AS key,
            arg_max(value, event_id) AS val,
            max(event_id) AS last_seq
@@ -56,8 +54,10 @@ def _changelog_dir(spark: SparkSession, sf_dir: str) -> str:
     GROUP BY user_id
     HAVING arg_max(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END,
                    event_id) <> 'D'
-    """,
-)
+    """
+
+
+@query("q_cdc_snapshot", oracle=CDC_SNAPSHOT_ORACLE)
 def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-state snapshot over a CDC changelog read through the custom
     batch DataSource: one file = one InputPartition (parallel scan), then

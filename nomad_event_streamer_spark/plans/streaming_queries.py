@@ -322,3 +322,30 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
+
+
+from .cdc import CDC_SNAPSHOT_ORACLE
+
+
+@query("q_stream_cdc_snapshot", oracle=CDC_SNAPSHOT_ORACLE)
+def q_stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization: the same changelog the batch
+    q_cdc_snapshot reads, consumed as a bounded NDJSON file stream with a
+    complete-mode ``max_by`` aggregation maintaining latest state per key
+    — the stream view of a table.  Shares the batch query's oracle
+    (registered below) so the driver hash-proves batch/stream parity on
+    identical semantics."""
+    from ..sources.changelog import CHANGELOG_SCHEMA
+    from .cdc import _changelog_dir
+
+    ensure_runtime_confs(spark)
+    d = _changelog_dir(spark, sf_dir)
+    stream = spark.readStream.schema(CHANGELOG_SCHEMA).json(d)
+    agg = stream.groupBy("key").agg(
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("val", "seq").alias("val"),
+        F.max("seq").alias("last_seq"),
+    )
+    tbl = _run_to_memory(agg, "complete")
+    return tbl.where(F.col("last_op") != "D").select("key", "val", "last_seq")
+
