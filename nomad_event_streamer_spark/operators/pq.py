@@ -1,0 +1,218 @@
+"""Product-quantization ANN: compressed-domain similarity search.
+
+The third tier of the similarity-search scale path (after brute-force
+``cosine_topk`` and cell-probed ``ivf_topk``): vectors are compressed to
+``m`` one-byte codes (e.g. 64 float32 dims → 8 bytes, a 32× reduction),
+and queries score the *compressed* corpus through per-query lookup
+tables (asymmetric distance computation), never touching the original
+floats.  At 100 TB of embeddings this is the difference between scanning
+100 TB and scanning ~3 TB of codes that fit page-cache-resident.
+
+Scale posture:
+
+* **Training is sample-bounded** — codebooks are fit on a deterministic
+  ``md5``-ordered sample (the standard practice: FAISS trains PQ on
+  10⁵-10⁶ vectors regardless of corpus size), so driver work is O(sample
+  × iters), constant in corpus size.
+* **Encoding is embarrassingly parallel** — one Arrow-batched pandas UDF
+  over the corpus, no shuffle.
+* **Scoring scans codes once** — per-query distance tables (m × k
+  floats) broadcast inside a ``mapInPandas`` closure; each partition
+  emits only its local top-k per query, so the final exact-ranking
+  shuffle carries ≤ partitions × queries × k rows, not n × queries.
+
+No reference analog (the reference has no vector surface at all); this
+is EXT coverage for the training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def pq_train(
+    vecs: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Fit PQ codebooks: ``m`` subspaces × ``k`` centroids each.
+
+    Deterministic end to end: the training sample is the ``sample``
+    corpus rows with smallest ``md5(id)`` (content-free, reproducible),
+    seeds are the first ``k`` sample rows per subspace, and Lloyd
+    iterations use stable argmin ties.  Vectors are L2-normalized first
+    so code dot-products approximate cosine.  Returns an array of shape
+    ``(m, k, dim // m)``."""
+    rows = (
+        vecs.select(
+            F.col(vec_col), F.md5(F.col(id_col).cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(sample)
+        .collect()
+    )
+    data = _normalize(
+        np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    )
+    dim = data.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = data[:, s * dsub : (s + 1) * dsub]
+        cent = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent)
+    return np.stack(books)  # (m, k, dsub)
+
+
+def pq_encode(
+    vecs: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``m`` byte codes (argmin-L2 per subspace).
+
+    One pandas UDF pass, no shuffle; the closure ships the (m, k, dsub)
+    codebook array (a few KiB) to every worker."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    m, k, dsub = codebooks.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        mat = _normalize(np.stack(v.to_numpy()).astype(np.float64))
+        n = mat.shape[0]
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            # ||x - c||² = ||x||² - 2x·c + ||c||²; argmin needs only the
+            # last two terms.
+            cent = codebooks[s]
+            d2 = -2.0 * (sub @ cent.T) + (cent**2).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return vecs.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("pq_codes")
+    )
+
+
+def pq_topk(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ncodes: int = 16,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via asymmetric distance computation.
+
+    The query batch is collected (bounded — the serving batch, not the
+    corpus), its per-subspace dot-product tables broadcast in the
+    ``mapInPandas`` closure; each partition of the *encoded* corpus emits
+    its local top-k per query, and a final window ranks the ≤ partitions
+    × |queries| × k survivors exactly.  Output mirrors ``cosine_topk``:
+    (query_id, neighbor_id, approx cosine rounded to 6dp)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    books = pq_train(
+        vecs, m=m, k=ncodes, sample=sample, id_col=id_col, vec_col=vec_col
+    )
+    mm, kk, dsub = books.shape
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = _normalize(
+        np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    )
+    # tables[q, s, c] = q_sub · codebook[s][c]  →  approx cosine is the
+    # sum over subspaces of table lookups at the corpus row's codes.
+    tables = np.stack(
+        [qmat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(mm)],
+        axis=1,
+    )
+
+    encoded = pq_encode(vecs, books, id_col=id_col, vec_col=vec_col)
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("approx_cosine", DoubleType()),
+        ]
+    )
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["pq_codes"].to_numpy()).astype(np.int64)
+            n = len(ids)
+            # scores[n, q] = Σ_s tables[q, s, codes[n, s]]
+            scores = np.zeros((n, len(qids)))
+            for s in range(mm):
+                scores += tables[:, s, codes[:, s]].T  # (n, q)
+            parts = []
+            for qi, qid in enumerate(qids):
+                col = scores[:, qi]
+                mask = ids != qid
+                cids, cscores = ids[mask], col[mask]
+                top = min(k, len(cids))
+                if top == 0:
+                    continue
+                # stable partial selection: score desc, id asc tiebreak
+                order = np.lexsort((cids, -cscores))[:top]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cids[order],
+                            "approx_cosine": cscores[order],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    candidates = encoded.mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx_cosine", 6).alias("approx_cosine"),
+        )
+    )

@@ -12,6 +12,7 @@ from . import llm_ops  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import tpch2  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 

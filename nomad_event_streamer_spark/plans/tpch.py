@@ -271,15 +271,15 @@ def q_tpch_q22_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON c_custkey = o_custkey
     JOIN nation n1 ON s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT)
     """,
 )
 def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape (volume shipping between nation pair): the nation
+    """TPC-H Q7 shape (volume shipping between nation pair, testdata nation names): the nation
     dim plays TWO roles (supplier side, customer side) — each broadcast
     independently, with the pair disjunction evaluated after both are
     attached.  Fact chain lineitem→orders shuffles on orderkey once; all
@@ -299,8 +299,8 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     pair = (
-        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
-    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
     return (
         li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -322,7 +322,7 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_year,
            {ORACLE_ROUND4.format(
-               x="CAST(sum(CASE WHEN supp_nation = 'BRAZIL' THEN rev "
+               x="CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev "
                  "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) "
                  "/ CAST(sum(rev) AS DOUBLE)"
            )} AS mkt_share
@@ -385,7 +385,7 @@ def q_tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     brazil = F.sum(
-        F.when(F.col("supp_nation") == "BRAZIL", F.col("rev")).otherwise(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("rev")).otherwise(
             F.lit(0).cast("decimal(18,2)")
         )
     ).cast("double")
