@@ -573,6 +573,20 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(vecs, queries, k=5, num_cells=16, num_probe=2)
 
 
+@query("q_sim_pq")  # rows-only: compressed-domain float scoring
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: corpus compressed to 16 one-byte codes
+    per vector (16× smaller than float32), queries score the compressed
+    codes via broadcast lookup tables with per-partition partial top-k —
+    the tier that makes 100 TB of embeddings scannable (operators/pq.py
+    docstring has the full scale argument)."""
+    from ..operators import pq
+
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < 20)
+    return pq.pq_topk(vecs, queries, k=5, m=16, ncodes=32)
+
+
 @query(
     "q_stratified_sample",
     oracle="""

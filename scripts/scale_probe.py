@@ -55,6 +55,10 @@ PROBES = [
     "q_bpe_train",
     "q_tpch_q10_returns",
     "q_tpch_q19_disjunctive",
+    "q_tpch_q2_mincost",
+    "q_tpch_q13_custdist",
+    "q_tpch_q21_waiting",
+    "q_sim_pq",
 ]
 
 
