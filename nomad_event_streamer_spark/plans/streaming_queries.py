@@ -42,6 +42,30 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
 
 
+def _run_to_memory_drain(df: DataFrame, output_mode: str) -> DataFrame:
+    """Like ``_run_to_memory`` but drains a custom Python streaming
+    source to exhaustion.  ``availableNow`` snapshots only the FIRST
+    prefetched batch of a ``SimpleDataSourceStreamReader`` (one ``read()``
+    call), so a throttled source would stop after one budget's worth;
+    ``processAllAvailable`` keeps planning micro-batches until the
+    source's offset stops advancing — the whole capture."""
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    checkpoint = os.path.join(tempfile.mkdtemp(prefix="nes_ckpt_"), "cp")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     """Run a bounded streaming query into a memory sink; returns the sink
     table as a DataFrame."""
@@ -349,3 +373,42 @@ def q_stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = _run_to_memory(agg, "complete")
     return tbl.where(F.col("last_op") != "D").select("key", "val", "last_seq")
 
+
+
+@query(
+    "q_stream_replay_throttled",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           count(*) AS n_ops, max(event_id) AS max_seq
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_replay_throttled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limited replay through the custom ``replay_ndjson`` streaming
+    DataSource (``sources/replay.py``): the captured changelog is re-fed
+    in deterministic 2000-line micro-batches — the load-test /
+    backfill-through-the-streaming-path primitive — and the replayed
+    stream's complete-mode aggregate hash-matches the batch view of the
+    same capture (oracled directly on ``events``, which the capture
+    derives from)."""
+    from ..sources.changelog import CHANGELOG_SCHEMA
+    from ..sources.replay import ReplayDataSource
+    from .cdc import _changelog_dir
+
+    ensure_runtime_confs(spark)
+    d = _changelog_dir(spark, sf_dir)
+    spark.dataSource.register(ReplayDataSource)
+    raw = (
+        spark.readStream.format("replay_ndjson")
+        .option("path", d)
+        .option("lines_per_batch", "2000")
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json("value", CHANGELOG_SCHEMA).alias("r")
+    ).select("r.*")
+    agg = parsed.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_ops"), F.max("seq").alias("max_seq")
+    )
+    return _run_to_memory_drain(agg, "complete")

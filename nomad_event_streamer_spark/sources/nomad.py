@@ -44,6 +44,27 @@ from .ndjson import NDJSONBuffer
 SCHEMA = StructType([StructField("value", StringType())])
 
 
+def _register_by_value() -> None:
+    """Same location-independence fix as sources.replay: the streaming
+    planner subprocess can't import this package unless the driver ran
+    from the repo root, so embed this module (and the ndjson framing
+    module it closes over) in the pickle by value."""
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        from . import ndjson as _ndjson
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        cloudpickle.register_pickle_by_value(_ndjson)
+    except Exception:  # best-effort: in-repo launches work regardless
+        pass
+
+
+_register_by_value()
+
+
 class NomadBootstrapError(RuntimeError):
     """Raised when /v1/agent/self lacks stats.raft.last_log_index — the
     reference aborts in this case (app.rb:66-69)."""
