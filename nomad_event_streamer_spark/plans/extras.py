@@ -1285,3 +1285,37 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+    SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path: ``try_parse_json`` to the binary VARIANT
+    encoding once, then typed ``try_variant_get`` extraction — the
+    parse-once/extract-many model for semi-structured columns (vs
+    re-tokenizing JSON text per path as ``get_json_object`` does).
+    Malformed rows become NULL variants, never errors.  At 100 TB the
+    win is storage+CPU: VARIANT's binary form is columnar-shreddable
+    and each extraction is a field lookup, not a string scan."""
+    ev = events(spark, sf_dir)
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

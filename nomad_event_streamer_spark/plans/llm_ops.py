@@ -1114,3 +1114,164 @@ def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pca_top_component
 
     return pca_top_component(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                      len(string_split(text, ' ')) AS n_tok
+               FROM documents),
+         g AS (SELECT *, CAST(concat('0x', substring(h, 1, 1)) AS BIGINT)
+                         AS grp FROM d),
+         c AS (SELECT *, sum(n_tok) OVER (PARTITION BY grp ORDER BY h, doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum_in
+               FROM g),
+         t AS (SELECT grp, sum(n_tok) AS tot FROM g GROUP BY 1),
+         o AS (SELECT grp, coalesce(sum(tot) OVER (ORDER BY grp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off FROM t)
+    SELECT (off + cum_in - n_tok) // 256 AS bin,
+           count(*) AS n_docs, sum(n_tok) AS sum_tokens
+    FROM c JOIN o USING (grp)
+    GROUP BY 1
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: documents in deterministic
+    hash-shuffled order are laid head-to-tail and cut into fixed
+    256-token bins (a doc's bin = its start offset ÷ budget).  The
+    global running offset is a DISTRIBUTED prefix sum — per-group
+    (first hash nibble, 16 groups) window cumsums plus a 16-row group
+    offset table broadcast back — so no single-partition global window
+    ever materializes; at 100 TB each group's window sorts ~1/16 of the
+    corpus and the cross-group coupling is 16 numbers.  Integer token
+    counts end-to-end → exact cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("long").alias("grp"),
+    )
+    from pyspark.sql import Window
+
+    w_in = (
+        Window.partitionBy("grp")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum_in", F.sum("n_tok").over(w_in))
+    totals = base.groupBy("grp").agg(F.sum("n_tok").alias("tot"))
+    w_off = (
+        Window.orderBy("grp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "grp", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        cum.join(F.broadcast(offsets), "grp")
+        .select(
+            F.expr("(off + cum_in - n_tok) div 256").alias("bin"), "n_tok"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+    )
+
+
+@query(
+    "q_contamination",
+    oracle=_SHINGLE_CTE
+    + """
+    , split AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10 AS bucket
+        FROM documents
+    ),
+    train_sh AS (
+        SELECT DISTINCT shingle
+        FROM sh JOIN split USING (doc_id) WHERE bucket < 8
+    ),
+    eval_sh AS (
+        SELECT doc_id, shingle
+        FROM sh JOIN split USING (doc_id) WHERE bucket >= 8
+    )
+    SELECT doc_id, count(*) AS n_shared
+    FROM eval_sh JOIN train_sh USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: for every held-out document (the
+    80/10/10 hash split of q_hash_split), how many of its distinct
+    3-token shingles also occur anywhere in the train split.  One
+    shingle-keyed hash join — the train side collapses to DISTINCT
+    shingles first (map-side combinable), so the join carries the
+    shingle vocabulary, not the corpus; eval is 20% of docs.  The
+    standard pre-training hygiene gate (eval-set leakage detection)."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 10
+    )
+    tagged = docs.select("doc_id", "text", bucket.alias("bucket"))
+    sh = dedup.shingles(tagged, n=3)
+    split = tagged.select("doc_id", "bucket")
+    train_sh = (
+        sh.join(split.where(F.col("bucket") < 8), "doc_id")
+        .select("shingle")
+        .distinct()
+    )
+    eval_sh = sh.join(split.where(F.col("bucket") >= 8), "doc_id").select(
+        "doc_id", "shingle"
+    )
+    return (
+        eval_sh.join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@query(
+    "q_udtf_bigrams",
+    oracle="""
+    SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] AS bigram
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+         LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+    """,
+)
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) coverage: a lateral-joined
+    arrow-optimized UDTF emitting positional bigrams per document — the
+    one-row-to-many-rows shape where a table function beats
+    explode-of-precomputed-array (no intermediate array materialized per
+    row; rows stream out of the generator through Arrow batches).  Scale:
+    row-local, shuffle-free, embarrassingly parallel."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, bigram: string", useArrow=True)
+    class Bigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i + 1, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("nes_bigrams", Bigrams)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("nes_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.bigram
+        FROM nes_udtf_docs d, LATERAL nes_bigrams(d.text) t
+        """
+    )

@@ -412,3 +412,42 @@ def q_stream_replay_throttled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ops"), F.max("seq").alias("max_seq")
     )
     return _run_to_memory_drain(agg, "complete")
+
+
+@query(
+    "q_statestore_read",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store introspection (Spark 4 ``statestore`` batch format):
+    run a streaming aggregation to completion, then read its CHECKPOINT
+    STATE back as a DataFrame — the operational debugging path for
+    stateful pipelines (inspect live aggregation state without touching
+    the query).  The state contents hash-match the batch GROUP BY,
+    proving the checkpoint faithfully encodes the aggregate."""
+    ensure_runtime_confs(spark)
+    stream = _stream_events(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="nes_ss_ckpt_"), "cp")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    # the value struct's field name is the aggregation buffer's internal
+    # attribute name (varies: "n" or "count") — extract positionally
+    value_field = state.schema["value"].dataType.fieldNames()[0]
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value").getField(value_field).alias("n"),
+    )
