@@ -72,6 +72,25 @@ def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_snapshot(changes)
 
 
+def _evpart_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events written once as Hive-partitioned parquet (by event_type)."""
+    import os
+
+    from ..tables import load
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_evpart_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+    return out
+
+
 @query(
     "q_partitioned_sink_prune",
     oracle="""
@@ -92,21 +111,7 @@ def q_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading 2 partitions and reading the table).  The aggregate matches
     the oracle computed on the original table, proving the sink
     round-trips losslessly."""
-    import os
-
-    from ..tables import load
-
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/spark_graft_evpart_{tag}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        (
-            load(spark, sf_dir, "events")
-            .select("event_id", "user_id", "event_type", "value")
-            .write.mode("overwrite")
-            .partitionBy("event_type")
-            .parquet(out)
-        )
-    back = spark.read.parquet(out).where(
+    back = spark.read.parquet(_evpart_dir(spark, sf_dir)).where(
         F.col("event_type").isin("click", "error")
     )
     return back.groupBy("event_type").agg(
@@ -184,3 +189,49 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return unchanged.unionAll(closed).unionAll(fresh)
+
+
+@query(
+    "q_dpp_prune",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n
+    FROM events e JOIN ranked r
+      ON e.event_type = r.event_type AND r.rn <= 2
+    GROUP BY e.event_type
+    """,
+)
+def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the Hive-partitioned fact is joined to
+    a dim whose filter (top-2 event types by count) exists only at RUN
+    time — no static predicate can ever reach the fact scan, yet the plan
+    shows ``dynamicpruningexpression(event_type IN dynamicpruning#N)`` in
+    PartitionFilters (verified on this plan): Spark executes the dim
+    side first and prunes fact partitions with its result, reusing the
+    join's broadcast.  At 100 TB this is the only mechanism that saves
+    the fact scan when the pruning set is data-dependent."""
+    from pyspark.sql import Window
+
+    from ..tables import load
+
+    fact = spark.read.parquet(_evpart_dir(spark, sf_dir))
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_dim"))
+    )
+    w = Window.orderBy(F.col("n_dim").desc(), "event_type")
+    dim = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("event_type")
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
