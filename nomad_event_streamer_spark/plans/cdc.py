@@ -235,3 +235,90 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query("q_custom_sink_roundtrip", oracle=CDC_SNAPSHOT_ORACLE)
+def q_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom DataSource WRITE path: the events-derived changelog is
+    written through ``ChangelogWriter`` (executor-side temp files →
+    driver-side atomic rename commit + ``_SUCCESS``, the
+    FileOutputCommitter two-phase protocol) and read back through the
+    partition-per-file reader; the snapshot hash-matches the same oracle
+    as the batch and streaming CDC queries — a third independent proof,
+    now covering the writer half of the ``pyspark.sql.datasource`` API."""
+    import os as _os
+
+    from ..tables import events as _events
+
+    spark.dataSource.register(ChangelogDataSource)
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_customsink_{tag}"
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        ev = _events(spark, sf_dir)
+        (
+            ev.select(
+                F.col("user_id").alias("key"),
+                F.col("event_id").alias("seq"),
+                F.when(F.col("event_type") == "error", "D")
+                .otherwise("U")
+                .alias("op"),
+                F.col("value").alias("val"),
+            )
+            .repartition(8)
+            .write.format("changelog")
+            .mode("append")
+            .save(out)
+        )
+    changes = spark.read.format("changelog").load(out)
+    return latest_snapshot(changes)
+
+
+@query(
+    "q_range_sorted_sink",
+    oracle="""
+    SELECT count(*) AS n,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+                 2) AS sum_price,
+           min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def q_range_sorted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered parquet layout: ``repartitionByRange`` +
+    ``sortWithinPartitions`` on the key before writing, so each output
+    file covers a disjoint key range and rows are sorted inside — parquet
+    row-group min/max stats then let a key-range scan skip whole files
+    and row groups (the zone-map/Z-order-lite pattern; at 100 TB a
+    BETWEEN on the cluster key reads a handful of files instead of the
+    table).  The read-back aggregate matches the unclustered oracle,
+    proving the layout transform is lossless."""
+    import os as _os
+
+    from ..tables import load
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_lirange_{tag}"
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .repartitionByRange(8, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out).where(
+        F.col("l_orderkey").between(1000, 2000)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("sum_price"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )

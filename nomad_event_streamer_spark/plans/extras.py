@@ -1319,3 +1319,36 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "q_join_hint_smj",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_bal
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_hint_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy override: ``hint("merge")`` forces a sort-merge join
+    where the planner (and AQE) would otherwise broadcast the nation dim —
+    the control surface for cases where the human knows better (e.g. the
+    'small' side is small only pre-explosion, or executor memory is
+    committed elsewhere).  Result is strategy-invariant and matches the
+    plain-join oracle; the physical plan (SortMergeJoin vs
+    BroadcastHashJoin) is the only thing that changes."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").hint("merge")
+    return (
+        cust.join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("sum_bal"),
+        )
+    )

@@ -565,12 +565,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_sim_ivf")  # rows-only: float cell-routing + cosine ranking
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-variant ANN: vectors partition into cells around deterministic
-    (hash-selected) centroids; each query probes its 2 nearest cells and
+    (hash-selected) centroids; each query probes its 3 nearest cells and
     scores only those members — the inverted-file layout where the cell
-    id is the shuffle/storage key at scale."""
+    id is the shuffle/storage key at scale.  Measured recall@5 vs exact
+    cosine: 0.38/0.47/0.58 at probe 2/3/4 of 16 cells (recall tracks the
+    corpus fraction probed; SCALE.md has the curve)."""
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
     queries = vecs.where(F.col("vec_id") < 20)
-    return similarity.ivf_topk(vecs, queries, k=5, num_cells=16, num_probe=2)
+    return similarity.ivf_topk(vecs, queries, k=5, num_cells=16, num_probe=3)
 
 
 @query("q_sim_pq")  # rows-only: compressed-domain float scoring
@@ -1275,3 +1277,4 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nes_udtf_docs d, LATERAL nes_bigrams(d.text) t
         """
     )
+

@@ -18,6 +18,7 @@ build and on sessions handed to us by the verification driver.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -64,17 +65,34 @@ def ship_package(spark: SparkSession) -> None:
     if sc.applicationId in _SHIPPED_APPS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # Collect source files deterministically and CONTENT-ADDRESS the zip:
+    # a pid-keyed name collides with stale zips from recycled pids (a /tmp
+    # full of old sessions' zips shipped a package missing newer modules —
+    # observed as worker-side ModuleNotFoundError), and a fixed name races
+    # concurrent drivers.  Keying by (path, mtime, size) of every member
+    # makes the cache self-invalidating; os.replace keeps creation atomic
+    # so a concurrent reader never sees a half-written archive.
+    members = []
+    digest = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for fname in sorted(files):
+            if fname.endswith(".py"):
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                st = os.stat(full)
+                digest.update(
+                    f"{rel}:{st.st_mtime_ns}:{st.st_size}".encode()
+                )
+                members.append((full, rel))
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"nes_spark_pkg_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"nes_spark_pkg_{digest.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fname in files:
-                    if fname.endswith(".py"):
-                        full = os.path.join(root, fname)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full, rel in members:
+                zf.write(full, rel)
+        os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     _SHIPPED_APPS.add(sc.applicationId)
 

@@ -23,7 +23,13 @@ import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -78,9 +84,69 @@ class ChangelogReader(DataSourceReader):
                 )
 
 
+class _CommitMessage(WriterCommitMessage):
+    def __init__(self, tmp_path: str, final_path: str, rows: int) -> None:
+        self.tmp_path = tmp_path
+        self.final_path = final_path
+        self.rows = rows
+
+
+class ChangelogWriter(DataSourceWriter):
+    """The write half of the custom-format contract: each task writes its
+    partition to a TEMPORARY file and returns a commit message; only the
+    driver's ``commit()`` renames temporaries into place and drops the
+    ``_SUCCESS`` marker — readers (which skip dot/underscore files) never
+    observe a torn write, and ``abort()`` leaves no partial output.  This
+    is the two-phase task-commit protocol of Hadoop's FileOutputCommitter
+    (algorithm 2: task-direct rename), scaled down to NDJSON."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("changelog sink requires a path option")
+        self._dir = path
+
+    def write(self, iterator) -> "_CommitMessage":
+        import uuid as _uuid
+
+        os.makedirs(self._dir, exist_ok=True)
+        stem = f"part-{_uuid.uuid4().hex}.ndjson"
+        tmp = os.path.join(self._dir, f".{stem}.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        {
+                            "key": row.key,
+                            "seq": row.seq,
+                            "op": row.op,
+                            "val": row.val,
+                        },
+                        separators=(",", ":"),
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _CommitMessage(tmp, os.path.join(self._dir, stem), n)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp_path, m.final_path)
+        with open(os.path.join(self._dir, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class ChangelogDataSource(DataSource):
     """Register with ``spark.dataSource.register(ChangelogDataSource)``;
-    read with ``spark.read.format("changelog").load(dir)``."""
+    read with ``spark.read.format("changelog").load(dir)``, write with
+    ``df.write.format("changelog").mode("append").save(dir)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -91,6 +157,9 @@ class ChangelogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ChangelogReader:
         return ChangelogReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> ChangelogWriter:
+        return ChangelogWriter(self.options)
 
 
 def latest_snapshot(changes: DataFrame) -> DataFrame:

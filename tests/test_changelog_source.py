@@ -55,3 +55,32 @@ def test_snapshot_semantics(spark, changelog_dir):
 def test_missing_path_option():
     with pytest.raises(ValueError):
         ChangelogReader({})
+
+
+def test_writer_roundtrip_and_atomicity(spark, tmp_path):
+    import os
+
+    from pyspark.sql import Row
+
+    spark.dataSource.register(ChangelogDataSource)
+    rows = [
+        Row(key=1, seq=10, op="U", val=1.5),
+        Row(key=1, seq=11, op="U", val=2.5),
+        Row(key=2, seq=12, op="D", val=None),
+    ]
+    df = spark.createDataFrame(rows, "key long, seq long, op string, val double")
+    out = str(tmp_path / "sink")
+    df.repartition(2).write.format("changelog").mode("append").save(out)
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not any(n.endswith(".tmp") for n in names)  # commit renamed all
+    back = spark.read.format("changelog").load(out)
+    got = sorted(map(tuple, back.collect()))
+    assert got == sorted((r.key, r.seq, r.op, r.val) for r in rows)
+
+
+def test_writer_requires_path():
+    from nomad_event_streamer_spark.sources.changelog import ChangelogWriter
+
+    with pytest.raises(ValueError):
+        ChangelogWriter({})
