@@ -1,0 +1,132 @@
+"""Iterative graph algorithms: fixed-point PageRank.
+
+PageRank is the canonical iterative-join workload: each round is
+``ranks ⨝ edges → groupBy(dst) → sum``, repeated until convergence.  Two
+Spark-specific design points:
+
+* **Lineage must be cut per round.**  Ten rounds of join+agg stacked
+  into one lazy plan re-executes the whole prefix on every action and
+  blows the optimizer up; we ``localCheckpoint(eager=True)`` the rank
+  vector each round (the Pregel/GraphX practice) so round i+1 reads a
+  materialized O(|V|) table, not a 10-deep plan.  The static
+  ``edges ⨝ out-weight`` table is checkpointed once and reused — at
+  100 TB the edge table is the big thing and it never re-shuffles after
+  the first hash-partition on ``src``.
+* **Arithmetic is fixed-point integer**, not float: ranks are BIGINT
+  units of 1e-9 (1.0 == 1_000_000_000 units), per-edge contributions
+  are ``(units * w) div ow`` and damping is ``(85 * s) div 100`` — all
+  exact integer ops, so the result is bit-identical regardless of
+  partitioning, summation order, or engine.  That makes an ITERATIVE
+  algorithm value-hash oracle-able in DuckDB (the oracle unrolls the
+  same 10 rounds as chained CTEs), where float PageRank would drift.
+  Magnitudes: units ≤ 1e9, weights ≤ ~1e5 ⇒ products ≤ 1e14 ≪ 2^63.
+
+Dangling mass (nodes with no out-edges) is dropped, not redistributed —
+the common simplification; documented so the oracle matches by
+construction.  No reference analog; EXT coverage (graph centrality over
+relationship graphs is a standard corpus-curation signal, e.g. harmonic
+/ PageRank filters in web-crawl pipelines like C4/RefinedWeb).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+TOTAL_UNITS = 1_000_000_000
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 10,
+    damp_pct: int = 85,
+) -> DataFrame:
+    """Fixed-point PageRank over ``nodes(node)`` and weighted directed
+    ``edges(src, dst, w)``; returns ``(node, units, rank)`` after
+    ``iters`` synchronous rounds.
+
+    ``units`` is the exact BIGINT fixed-point rank; ``rank`` is the
+    single-division double view (units / 1e9).
+    """
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank needs a non-empty node set")
+    init = TOTAL_UNITS // n
+    base = ((100 - damp_pct) * TOTAL_UNITS) // (100 * n)
+
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = (
+        edges.join(outw, "src")
+        .select("src", "dst", "w", "ow")
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select(
+        "node", F.lit(init).cast("long").alias("units")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                F.col("dst"), F.expr("units * w div ow").alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{damp_pct} * coalesce(s, 0L) div 100"
+                    )
+                ).cast("long").alias("units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        "units",
+        (F.col("units").cast("double") / F.lit(float(TOTAL_UNITS))).alias(
+            "rank"
+        ),
+    )
+
+
+def pagerank_oracle_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    iters: int = 10,
+    damp_pct: int = 85,
+) -> str:
+    """Unroll the identical fixed-point rounds as chained DuckDB CTEs —
+    the oracle half of the bit-exactness claim."""
+    base = (
+        f"(({100 - damp_pct}::BIGINT * {TOTAL_UNITS}) "
+        f"// (100 * (SELECT count(*) FROM nodes)))"
+    )
+    parts = [
+        f"WITH nodes AS ({nodes_sql})",
+        f"edges AS ({edges_sql})",
+        "e AS (SELECT src, dst, w, ow FROM edges JOIN "
+        "(SELECT src, sum(w) AS ow FROM edges GROUP BY src) USING (src))",
+        f"pr0 AS (SELECT node, {TOTAL_UNITS}::BIGINT // "
+        "(SELECT count(*) FROM nodes) AS units FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"pr{i} AS (SELECT n.node, {base} + "
+            f"({damp_pct} * COALESCE(c.s, 0)) // 100 AS units "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.dst, sum((p.units * e.w) // e.ow) AS s "
+            f"FROM e JOIN pr{i - 1} p ON p.node = e.src GROUP BY e.dst"
+            ") c ON c.dst = n.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, units, CAST(units AS DOUBLE) / {TOTAL_UNITS}.0 "
+        f"AS rank FROM pr{iters}"
+    )

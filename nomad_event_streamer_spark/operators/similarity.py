@@ -343,29 +343,18 @@ def kmeans_refine(
     return centroids
 
 
-def ivf_topk(
+def coarse_centroids(
     vecs: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    num_cells: int = 16,
-    num_probe: int = 2,
+    num_cells: int,
     refine_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-style ANN: partition vectors into cells around k-means
-    centroids, probe only the ``num_probe`` nearest cells per query.
-
-    Centroid seeds are the ``num_cells`` corpus vectors with the
-    smallest ``md5(id)`` (content-free, reproducible), then refined by
-    ``refine_iters`` distributed Lloyd rounds (``kmeans_refine``) —
-    deterministic given the data, no random state.  Assignment and
-    probing are one numpy pandas UDF each; scoring joins only within
-    probed cells — never all-pairs."""
-    from pyspark.sql import Window
-    from pyspark.sql.types import ArrayType, LongType
-
-    spark = vecs.sparkSession
+) -> "np.ndarray":
+    """L2-normalized coarse-quantizer centroids: seeds are the
+    ``num_cells`` corpus vectors with smallest ``md5(id)`` (content-free,
+    reproducible), refined by ``refine_iters`` distributed Lloyd rounds
+    (``kmeans_refine``) — deterministic given the data, no random state.
+    Shared by ``ivf_topk`` and the IVF+PQ combo (``pq.ivfpq_topk``)."""
     centroid_rows = (
         vecs.select(
             F.col(id_col),
@@ -385,7 +374,30 @@ def ivf_topk(
         )
     cnorm = np.linalg.norm(centroids, axis=1, keepdims=True)
     cnorm[cnorm == 0] = 1.0
-    centroids_n = centroids / cnorm
+    return centroids / cnorm
+
+
+def ivf_topk(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    num_probe: int = 2,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition vectors into cells around k-means
+    centroids (``coarse_centroids``), probe only the ``num_probe``
+    nearest cells per query.  Assignment and probing are one numpy
+    pandas UDF each; scoring joins only within probed cells — never
+    all-pairs."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, LongType
+
+    centroids_n = coarse_centroids(
+        vecs, num_cells, refine_iters, id_col=id_col, vec_col=vec_col
+    )
 
     @F.pandas_udf(ArrayType(LongType()))
     def nearest_cells(v: pd.Series) -> pd.Series:

@@ -1,0 +1,118 @@
+"""Frequency sketches: distributed Misra-Gries heavy hitters.
+
+The scale problem: "which items occur in more than phi of a 100 TB
+stream?" A plain ``GROUP BY item HAVING count > phi*N`` shuffles EVERY
+distinct item — at 1e9+ distinct keys that is the dominant shuffle and
+the hash-aggregate spills.  The sketch route is the classic two-phase
+exact algorithm:
+
+1. **Candidate generation** — each partition maintains a Misra-Gries
+   summary of at most ``k`` counters (bounded memory regardless of key
+   cardinality).  Per-partition summaries merge by counter addition
+   followed by subtracting the (k+1)-th largest count and dropping
+   non-positive counters (the mergeable-summaries construction of
+   Agarwal, Cormode, Huang, Phillips, Wei, Yi, PODS'12) — so the union
+   of all partitions is itself an MG summary with total undercount
+   ≤ N/(k+1).  Any item with true frequency > N/(k+1) therefore
+   survives: **no false negatives** whenever ``phi >= 1/(k+1)``.
+2. **Exact verification** — the ≤ k-per-partition candidate set is tiny,
+   so it broadcasts; a broadcast LEFT SEMI join filters the stream to
+   candidate rows only (non-candidates never shuffle), and an exact
+   count + HAVING produces the exact heavy-hitter set with exact counts.
+
+Two passes over the data, O(k) memory per task, one shuffle carrying
+only candidate-key rows — against one full-cardinality shuffle for the
+naive plan.  Output is exact, so the DuckDB oracle is the plain
+GROUP BY/HAVING.
+
+No reference analog (the reference streams events, it never aggregates
+frequencies); EXT coverage for the training-data-pipeline mandate
+(heavy hitters = stopword/boilerplate discovery over token streams).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def misra_gries_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ ``k`` rows ``(item, est)``
+    per input partition, where ``est`` undercounts the partition-local
+    frequency by at most (partition rows)/(k+1).
+
+    Arrow-batched: each batch folds in via ``value_counts`` (vectorized)
+    followed by one sorted-subtract compaction — O(batch + k log k), not
+    O(rows) dict churn per element.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                # Mergeable-summaries compaction: subtract the (k+1)-th
+                # largest count from every counter, keep strictly
+                # positive — the result is an MG summary of everything
+                # folded so far, with ≤ k counters.
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: c - sub for i, c in counters.items() if c > sub
+                }
+        yield pd.DataFrame(
+            {"item": list(counters), "est": list(counters.values())},
+            columns=["item", "est"],
+        )
+
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        summarize, "item string, est long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, phi: float, k: int
+) -> DataFrame:
+    """Exact items with frequency > ``phi`` of all rows, found via the
+    sketch-then-verify plan above.  Requires ``phi >= 1/(k+1)`` so the
+    candidate set provably contains every true heavy hitter.
+
+    Returns ``(item, cnt, frac)`` with exact counts; ``frac`` is the
+    single-division double cnt/N (cross-engine deterministic).
+    """
+    if phi * (k + 1) < 1.0:
+        raise ValueError(
+            f"phi={phi} needs k >= {1.0 / phi - 1:.0f} counters for the "
+            "no-false-negative guarantee"
+        )
+    candidates = (
+        misra_gries_summaries(df, col, k)
+        .groupBy("item")
+        .agg(F.sum("est").alias("est"))
+        .select(F.col("item").alias("_hh_cand"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        df.select(F.col(col).cast("string").alias("_hh_item"))
+        .join(
+            F.broadcast(candidates),
+            F.col("_hh_item") == F.col("_hh_cand"),
+            "left_semi",
+        )
+        .groupBy("_hh_item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.lit(phi) * F.col("_total"))
+        .select(
+            F.col("_hh_item").alias("item"),
+            F.col("cnt"),
+            (
+                F.col("cnt").cast("double") / F.col("_total").cast("double")
+            ).alias("frac"),
+        )
+    )

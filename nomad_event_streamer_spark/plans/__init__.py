@@ -15,6 +15,8 @@ from . import tpch  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
+from . import sketch_queries  # noqa: E402,F401
+from . import graph_queries  # noqa: E402,F401
 
 
 def all_queries():

@@ -1,0 +1,66 @@
+"""Declared iterative-graph queries (SURVEY.md 2.12): PageRank over the
+nation-level trade graph.
+
+Fixed-point integer arithmetic (operators/graph.py) makes the iterative
+result bit-exact across engines, so this ships with a full value-hash
+oracle — the DuckDB side unrolls the same ten rounds as chained CTEs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import graph
+from ..tables import load
+from .registry import query
+
+_NODES_SQL = "SELECT n_name AS node FROM nation"
+_EDGES_SQL = """
+    SELECT sn.n_name AS src, cn.n_name AS dst, count(*) AS w
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_pagerank",
+    oracle=graph.pagerank_oracle_sql(_NODES_SQL, _EDGES_SQL, iters=10),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 synchronous rounds, damping 0.85) over the directed
+    supplier-nation → customer-nation trade graph, edge weight = lineitem
+    count.  Rank arithmetic is fixed-point BIGINT (units of 1e-9), so the
+    oracle's unrolled CTE chain hash-matches exactly — an iterative
+    algorithm under the full value-hash gate, not rows-only.  Scale: the
+    per-round shuffle is rank-vector-sized (|V|), the edge table
+    hash-partitions once and is reused; rounds are lineage-cut via
+    localCheckpoint (Pregel practice)."""
+    nation = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    nodes = nation.select(F.col("n_name").alias("node"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("src")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return graph.pagerank(nodes, edges, iters=10)

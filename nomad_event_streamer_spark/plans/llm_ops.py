@@ -589,6 +589,22 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk(vecs, queries, k=5, m=16, ncodes=32)
 
 
+@query("q_sim_ivfpq")  # rows-only: float cell-routing + ADC scoring
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ combined ANN (FAISS IVFx,PQy layout, non-residual): coarse
+    cells cut the corpus fraction scanned (probe/cells), PQ codes cut
+    bytes per row (~16×) — the two levers compound, so each query ADC-
+    scans a few compressed partitions instead of 100 TB of floats
+    (operators/pq.py ``ivfpq_topk`` docstring has the layout argument)."""
+    from ..operators import pq
+
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < 20)
+    return pq.ivfpq_topk(
+        vecs, queries, k=5, num_cells=16, num_probe=3, m=16, ncodes=32
+    )
+
+
 @query(
     "q_stratified_sample",
     oracle="""

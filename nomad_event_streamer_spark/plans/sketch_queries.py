@@ -1,0 +1,40 @@
+"""Declared sketch/summary queries (SURVEY.md 2.12): frequency sketches
+whose sketch-then-verify plans produce EXACT output — so they ship with
+full DuckDB value-hash oracles despite being sketch-powered.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import sketch
+from ..tables import load, rebalance_for_cpu
+from .registry import query
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT tok AS item, count(*) AS cnt,
+           CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM toks)
+                                           AS DOUBLE) AS frac
+    FROM toks
+    GROUP BY tok
+    HAVING count(*) > 0.0335 * (SELECT count(*) FROM toks)
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the token stream via distributed Misra-Gries
+    sketch-then-verify (operators/sketch.py): per-partition MG summaries
+    (k=30 counters, bounded memory at any key cardinality) merge into a
+    no-false-negative candidate set for phi=3.35%; a broadcast semi-join
+    + exact count yields EXACT results — hence the plain GROUP BY/HAVING
+    oracle.  At 100 TB this shuffles only candidate-key rows instead of
+    the full distinct-key aggregate."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    return sketch.heavy_hitters(toks, "tok", phi=0.0335, k=30)

@@ -59,3 +59,27 @@ def test_pq_topk_deterministic(spark, sf_dir):
     a = sorted(map(tuple, pq.pq_topk(vecs, queries, k=5).collect()))
     b = sorted(map(tuple, pq.pq_topk(vecs, queries, k=5).collect()))
     assert a == b
+
+
+def test_ivfpq_topk_shape_recall_determinism(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(vecs, queries, k=5).collect()
+    approx = pq.ivfpq_topk(
+        vecs, queries, k=5, num_cells=16, num_probe=3, m=16, ncodes=32
+    ).collect()
+    assert len(approx) == 20 * 5
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1 for r in approx if r.neighbor_id in exact_sets.get(r.query_id, set())
+    )
+    recall = hits / len(approx)
+    n = vecs.count()
+    assert recall > 10 * (5.0 / (n - 1)), recall  # far above random
+    assert recall >= 0.2, recall  # compounded IVF x PQ loss, see SCALE.md
+    again = pq.ivfpq_topk(
+        vecs, queries, k=5, num_cells=16, num_probe=3, m=16, ncodes=32
+    ).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
