@@ -116,3 +116,43 @@ def heavy_hitters(
             ).alias("frac"),
         )
     )
+
+
+def hash_bucket_prefilter(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m: int = 4096,
+    seeds: tuple[int, ...] = (41, 97),
+) -> DataFrame:
+    """Runtime-filter (bloom-style) join pruning, composed from relational
+    primitives: the build side's keys collapse to ≤ ``m`` DISTINCT hash
+    buckets per seed (a fixed-size summary regardless of build
+    cardinality — the property that makes this a *bloom* filter rather
+    than a broadcast of the key set), each bucket set broadcasts, and the
+    probe side is LEFT SEMI pre-filtered before the real join.  With k
+    seeds a probe row survives only if ALL k of its bucket hashes collide
+    with build rows — false positives fall ~(fill ratio)^k, false
+    negatives are impossible, so the downstream exact join is unchanged
+    (layout/strategy-invariant results; the oracle is the plain join).
+
+    This is what Spark's own runtime row-level filters
+    (``spark.sql.optimizer.runtime.bloomFilter``) inject for selective
+    shuffle joins; composing it manually keeps it visible, tunable, and
+    usable where the injected rule declines (thresholds, DSv2 sources).
+    At 100 TB the win is shuffling only pre-filtered probe rows."""
+    pruned = probe
+    for seed in seeds:
+        buckets = build.select(
+            F.pmod(
+                F.xxhash64(F.col(build_key), F.lit(seed)), F.lit(m)
+            ).alias("_bkt")
+        ).distinct()
+        pruned = pruned.join(
+            F.broadcast(buckets),
+            F.pmod(F.xxhash64(F.col(probe_key), F.lit(seed)), F.lit(m))
+            == F.col("_bkt"),
+            "left_semi",
+        )
+    return pruned

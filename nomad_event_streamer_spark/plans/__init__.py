@@ -17,6 +17,7 @@ from . import cdc  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import sketch_queries  # noqa: E402,F401
 from . import graph_queries  # noqa: E402,F401
+from . import storage_queries  # noqa: E402,F401
 
 
 def all_queries():

@@ -10,6 +10,7 @@ decimal-exact / portable-round patterns from tables.py.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -1352,3 +1353,38 @@ def q_join_hint_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_bal"),
         )
     )
+
+
+@query(
+    "q_pandas_udaf",
+    oracle="""
+    SELECT event_type, median(value) AS med_value, count(value) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface): per-group exact
+    median via an Arrow-batched vectorized aggregate — the escape hatch
+    for aggregations Catalyst lacks.  Median is an order statistic, so
+    the float result is selection-exact (identical across engines; the
+    even-count case is one (a+b)/2 op, same IEEE result in DuckDB and
+    numpy) — which is what lets a Python UDAF pass the value-hash gate.
+    Scale: grouped-agg UDFs get full map-side Arrow batching but NO
+    partial aggregation — every group's values shuffle to one task, so
+    keep it to aggregates that genuinely need the whole group (order
+    statistics) and guard group cardinality/skew; everything expressible
+    as a monoid should stay in built-ins."""
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        median_udaf(F.col("value")).alias("med_value")
+    )
+    # grouped-agg UDFs cannot mix with built-in aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT) - the count rides a separate
+    # aggregate joined on the (tiny) group key.
+    n = ev.groupBy("event_type").agg(F.count(F.col("value")).alias("n"))
+    return med.join(n, "event_type")

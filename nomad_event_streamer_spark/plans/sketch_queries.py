@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import sketch
-from ..tables import load, rebalance_for_cpu
+from ..tables import events, load, rebalance_for_cpu
 from .registry import query
 
 
@@ -38,3 +38,30 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
     return sketch.heavy_hitters(toks, "tok", phi=0.0335, k=30)
+
+
+@query("q_hll_rollup")  # rows-only: HLL estimates have no SQL replica
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the pre-aggregated sketch table pattern):
+    per-(event_type, day) HLL sketches are built once (`hll_sketch_agg`),
+    then distinct-user counts for ANY grouping roll up by merging
+    sketches (`hll_union_agg`) — never re-touching the fact table.  At
+    100 TB this is how interactive distinct-count dashboards work: the
+    sketch table is aggregate-sized, merges are associative, and any
+    time/type slice is a sketch-merge away.  Estimates are
+    Spark-implementation-specific (Datasketches HLL), hence rows-only;
+    determinism within Spark is covered by the driver's repeat runs."""
+    ev = events(spark, sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts_t").alias("day"))
+        .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("hll"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("hll"), F.lit(False))
+            ).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

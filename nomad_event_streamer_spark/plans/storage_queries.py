@@ -1,0 +1,190 @@
+"""Declared storage-layout / maintenance queries (SURVEY.md 2.1/2.12
+EXT): Z-order clustering, runtime-filter join pruning, incremental
+aggregate maintenance.
+
+All three produce layout- or plan-invariant results, so each ships with
+a plain-SQL DuckDB oracle: the *optimization* is in the physical plan
+and file layout, which tests and `.explain` assert separately.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import sketch, zorder
+from ..tables import ORACLE_DEC_SUM, dec_sum, load
+from .registry import query
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+
+@query(
+    "q_zorder_sink",
+    oracle=f"""
+    SELECT count(*) AS n,
+           {ORACLE_DEC_SUM.format(col="l_extendedprice")} AS sum_price,
+           min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+           min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+    FROM lineitem
+    WHERE l_partkey BETWEEN 200 AND 400 AND l_suppkey BETWEEN 10 AND 40
+    """,
+)
+def q_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered parquet layout (operators/zorder.py): lineitem
+    rewritten clustered by the Morton code of (l_partkey, l_suppkey), so
+    every file covers a compact 2-D neighborhood and parquet footer
+    min/max stats skip files for predicates on EITHER dimension — the
+    Delta ``OPTIMIZE ZORDER BY`` layout.  The read-back two-dimensional
+    range aggregate matches the unclustered oracle (layout-invariant
+    results; per-file stats narrowing is asserted in tests)."""
+    out = f"/tmp/spark_graft_zorder_{_sf_tag(sf_dir)}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        zorder.write_zordered(
+            load(spark, sf_dir, "lineitem").select(
+                "l_partkey", "l_suppkey", "l_extendedprice"
+            ),
+            out,
+            "l_partkey",
+            "l_suppkey",
+            num_files=8,
+        )
+    back = spark.read.parquet(out).where(
+        F.col("l_partkey").between(200, 400)
+        & F.col("l_suppkey").between(10, 40)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("l_extendedprice", "sum_price"),
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_partkey").alias("max_pk"),
+        F.min("l_suppkey").alias("min_sk"),
+        F.max("l_suppkey").alias("max_sk"),
+    )
+
+
+@query(
+    "q_bloom_prune_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           {ORACLE_DEC_SUM.format(col="l_extendedprice")} AS sum_price
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join pruning (sketch.hash_bucket_prefilter): the
+    selective orders side collapses to ≤ m hash buckets per seed
+    (fixed-size summary, broadcastable at ANY build cardinality — unlike
+    the key set itself); lineitem is semi-join pre-filtered before the
+    exact shuffle join, so only probe rows that can match ever shuffle.
+    False negatives impossible ⇒ result equals the plain join oracle."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    build = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    pruned = sketch.hash_bucket_prefilter(
+        li, build, "l_orderkey", "o_orderkey", m=4096, seeds=(41, 97)
+    )
+    return (
+        pruned.join(
+            build.select("o_orderkey", "o_orderpriority"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
+@query(
+    "q_incremental_agg",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           {ORACLE_DEC_SUM.format(col="value")} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh):
+    partial aggregates over the FIRST 80% of events (by event_id high
+    watermark) are persisted as the stored MV; the query merges them
+    with partials over only the 20% delta — count and DECIMAL sum are
+    commutative monoids, so merged == full recompute (the oracle).  At
+    100 TB the refresh reads the delta + an aggregate-sized MV instead
+    of re-scanning the fact table; the decimal-typed stored sum keeps
+    the merge exact across checkpoints."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = ev.agg(F.expr("max(event_id) * 4 div 5")).collect()[0][0]
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_sum"),
+        )
+
+    mv_path = f"/tmp/spark_graft_incragg_{_sf_tag(sf_dir)}"
+    if not os.path.exists(os.path.join(mv_path, "_SUCCESS")):
+        partials(ev.where(F.col("event_id") <= cutoff)).write.mode(
+            "overwrite"
+        ).parquet(mv_path)
+    stored = spark.read.parquet(mv_path)
+    delta = partials(ev.where(F.col("event_id") > cutoff))
+    return (
+        stored.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("dec_sum").cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_compact_small_files",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           {ORACLE_DEC_SUM.format(col="value")} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the OPTIMIZE/bin-packing maintenance op):
+    a fragmented table (64 shards — what per-micro-batch streaming
+    writes or over-parallel jobs leave behind) is rewritten into 4
+    right-sized files.  Small files are a top-3 operational scale
+    problem: footer/open overhead per file, task-per-file scheduling,
+    and memory-starved row groups; compaction is coalesce-rewrite, NO
+    shuffle (coalesce merges co-located splits).  Both layouts are read
+    back and the aggregate matches the source oracle — compaction is
+    lossless."""
+    tag = _sf_tag(sf_dir)
+    frag = f"/tmp/spark_graft_frag_{tag}"
+    compact = f"/tmp/spark_graft_compact_{tag}"
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+    if not os.path.exists(os.path.join(compact, "_SUCCESS")):
+        spark.read.parquet(frag).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value", "sum_value"),
+    )

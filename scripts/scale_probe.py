@@ -59,6 +59,13 @@ PROBES = [
     "q_tpch_q13_custdist",
     "q_tpch_q21_waiting",
     "q_sim_pq",
+    "q_heavy_hitters",
+    "q_pagerank",
+    "q_sim_ivfpq",
+    "q_bloom_prune_join",
+    "q_incremental_agg",
+    "q_pandas_udaf",
+    "q_hll_rollup",
 ]
 
 
