@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..session import ensure_runtime_confs
 from ..streaming.dedup_state import summary_stream
+from ..tables import canonicalize_events_ts
 from .registry import query
 
 
@@ -39,7 +40,8 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader — streaming sources never infer)."""
     ensure_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
+    stream = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
+    return canonicalize_events_ts(stream)
 
 
 def _run_to_memory_drain(df: DataFrame, output_mode: str) -> DataFrame:

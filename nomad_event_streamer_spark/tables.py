@@ -4,8 +4,12 @@ Tables (TESTDATA.md / FIXTURES.md section B): region nation customer
 supplier part orders lineitem events documents embeddings — one parquet
 per table under ``{sf_dir}/{name}.parquet``.
 
-Time handling: ``events.ts`` is parquet TIMESTAMP(NANOS) read as a ns-epoch
-long (see session.RUNTIME_CONFS).  The engine's canonical derived columns:
+Time handling: the engine's canonical ``events.ts`` is a **ns-epoch long**
+(mirroring the reference's ns-epoch time model, app.rb:10-23).  The driver's
+parquet has shipped ``ts`` as either TIMESTAMP(NANOS) (read as a ns long via
+``spark.sql.legacy.parquet.nanosAsLong``) or TIMESTAMP(MICROS) (read as a
+timestamp); ``load`` normalizes both to the ns-long contract so every
+downstream expression is encoding-independent.  Derived columns:
 
 - ``ts_us``  : bigint usec epoch = ``ts div 1000`` (truncation — matches
   DuckDB's ns->usec truncation exactly; verified on the testdata).
@@ -47,11 +51,31 @@ def ts_t():
     return F.timestamp_micros(F.expr("ts div 1000"))
 
 
+def canonicalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to the canonical ns-epoch long, whatever the
+    parquet encoding delivered.
+
+    TIMESTAMP_NTZ casts through TIMESTAMP under the UTC session zone
+    (set in RUNTIME_CONFS), so the instant is preserved; ``unix_micros``
+    then yields the exact usec epoch and ``* 1000`` restores the ns
+    contract (zero sub-usec digits — lossless).  Pure column arithmetic:
+    stays in codegen, never blocks pushdown of comparisons on ts."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype is None or dtype == "bigint":
+        return df
+    return df.withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; applies runtime confs first so the ns
     parquet type and UTC session TZ are always in effect."""
     ensure_runtime_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = canonicalize_events_ts(df)
+    return df
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from nomad_event_streamer_spark.streaming.dedup_state import summary_stream
+from nomad_event_streamer_spark.tables import canonicalize_events_ts
 from nomad_event_streamer_spark.streaming.runner import (
     ROCKSDB_PROVIDER,
     use_rocksdb_state,
@@ -28,11 +29,9 @@ def _run_summary(spark, sf_dir):
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     d = tempfile.mkdtemp(prefix="nes_rocks_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(d)
-        .select("user_id", "event_id", F.expr("ts div 1000").alias("ts_us"))
-    )
+    stream = canonicalize_events_ts(
+        spark.readStream.schema(schema).parquet(d)
+    ).select("user_id", "event_id", F.expr("ts div 1000").alias("ts_us"))
     updates = summary_stream(stream.groupBy("user_id"))
     name = f"rocks_{uuid.uuid4().hex[:10]}"
     q = (
