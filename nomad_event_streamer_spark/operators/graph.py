@@ -127,6 +127,7 @@ def pagerank_oracle_sql(
         )
     return (
         ",\n".join(parts)
-        + f"\nSELECT node, units, CAST(units AS DOUBLE) / {TOTAL_UNITS}.0 "
+        + "\nSELECT node, CAST(units AS BIGINT) AS units, "
+        f"CAST(units AS DOUBLE) / {TOTAL_UNITS}.0 "
         f"AS rank FROM pr{iters}"
     )

@@ -1,0 +1,97 @@
+"""Distributed global ordering — total ranks without a single-task window.
+
+A partitionless ``Window.orderBy(...)`` funnels EVERY row through one
+task; at 100 TB that task never finishes.  The scalable equivalent is
+the classic distributed sort-rank (TeraSort-style):
+
+1. bucket rows by a *monotone* function of the leading sort key
+   (range buckets from ``approxQuantile`` boundaries, or a hash nibble
+   when the key IS a hash) — each bucket holds a contiguous slice of
+   the total order;
+2. rank within each bucket with an ordinary partitioned window
+   (parallel, one bucket per task set);
+3. cumulative-sum the 16..64 bucket counts into start offsets — a
+   driver-size table — and broadcast it back;
+4. global rank = bucket offset + in-bucket rank.
+
+Cross-bucket coupling is ``num_buckets`` numbers; every heavy stage is
+partition-parallel.  This is the same trick ``q_pack_sequences`` uses
+for its token prefix sum (plans/llm_ops.py), generalized.
+
+Reference parity: the reference pipeline (app.rb) has no global-order
+operator at all; this exists for the EXT LLM-pipeline surface
+(deterministic dataset shuffling, global sequence numbers).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["range_bucket", "global_row_number", "quantile_boundaries"]
+
+
+def range_bucket(col: Column, boundaries: list) -> Column:
+    """Monotone bucket id: number of boundaries strictly below ``col``.
+
+    Equal key values always land in the same bucket (ties use ``>``
+    consistently), so bucketing never splits a tie group across buckets
+    and the in-bucket tiebreak columns stay authoritative.
+    """
+    if not boundaries:
+        return F.lit(0)
+    return reduce(
+        lambda acc, b: acc + F.when(col > F.lit(b), 1).otherwise(0),
+        boundaries,
+        F.lit(0),
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_exprs: list[Column],
+    bucket: Column,
+    out_col: str,
+    bucket_desc: bool = False,
+) -> DataFrame:
+    """Append ``out_col`` = 1-based global row number of ``df`` under the
+    total order ``order_exprs``, computed with bucketed prefix sums.
+
+    ``bucket`` must be monotone w.r.t. the leading sort expression
+    (non-decreasing for an ascending leading key; pass
+    ``bucket_desc=True`` when the leading key is descending so offsets
+    accumulate from the high buckets down).  ``order_exprs`` must be a
+    total order (include a unique tiebreaker).
+    """
+    tagged = df.withColumn("__grp", bucket)
+    w_in = Window.partitionBy("__grp").orderBy(*order_exprs)
+    ranked = tagged.withColumn("__rn", F.row_number().over(w_in))
+
+    counts = tagged.groupBy("__grp").agg(F.count(F.lit(1)).alias("__cnt"))
+    grp_order = F.col("__grp").desc() if bucket_desc else F.col("__grp").asc()
+    # The offset window runs over <= num_buckets rows — driver-scale.
+    w_off = Window.orderBy(grp_order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__grp",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__grp")
+        .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__grp", "__rn", "__off")
+    )
+
+
+def quantile_boundaries(
+    df: DataFrame, col: str, num_buckets: int = 32
+) -> list:
+    """Range-bucket boundaries from approxQuantile (driver gets
+    ``num_buckets - 1`` scalars).  Boundary accuracy affects only load
+    balance, never rank correctness."""
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.stat.approxQuantile(col, probs, 0.001)
+    return sorted(set(bounds))

@@ -43,6 +43,88 @@ def cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
         return pd.Series(np.where(den > 0, num / den, 0.0))
 
 
+def quantize_vec(col, scale: int = 1_000_000):
+    """array<float> -> array<bigint>, component-wise round-half-up at
+    ``scale``.  floor(x*s + 0.5) is pure exact-IEEE double arithmetic —
+    bit-identical in any engine — unlike round(), whose half-boundary
+    behavior differs between Spark (shortest-repr decimal) and DuckDB
+    (binary)."""
+    return F.transform(
+        col,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def _int_dot(a, b):
+    """Integer dot product fold — order-INdependent (exact integer adds),
+    so any engine computes the identical value; stays < 2^53 for unit-ish
+    vectors at scale 1e6 × dim ≤ ~1e4."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk_quantized(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k over QUANTIZED cosine: vectors round to integer grids
+    (1/scale resolution), similarity = int-dot / (sqrt(int-norm²) ×
+    sqrt(int-norm²)).  Every step is either exact integer arithmetic or
+    a single correctly-rounded IEEE op, so the scores — and therefore
+    the top-k membership — are bit-identical across engines: this is
+    the fully value-hash-verifiable member of the similarity family
+    (float cosine ranking is summation-order sensitive; this isn't).
+
+    Same plan shape as ``cosine_topk``: queries broadcast, corpus
+    streams once, per-query window top-k.  Quantization also mirrors
+    the production int8-quantized serving layout (dot products on
+    integer codes, norms precomputable per row)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col), scale).alias("q_vec"),
+    )
+    c = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_vec(F.col(vec_col), scale).alias("c_vec"),
+    )
+    dot = _int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
+    den = F.sqrt(
+        _int_dot(F.col("q_vec"), F.col("q_vec")).cast("double")
+    ) * F.sqrt(_int_dot(F.col("c_vec"), F.col("c_vec")).cast("double"))
+    cos = F.when(den > 0, dot / den).otherwise(F.lit(0.0))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("qcos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            # half-up at 6dp via exact double ops (see quantize_vec)
+            (
+                F.floor(F.col("qcos") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            ).alias("qcos"),
+        )
+    )
+
+
 def _dot(a, b):
     """Exact-order fold: sum of elementwise products in double."""
     return F.aggregate(

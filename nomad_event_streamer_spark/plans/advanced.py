@@ -44,8 +44,8 @@ HOUR_US = 3600 * 1_000_000
     ),
     s AS (
         SELECT user_id, event_id, ts_us,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM g
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -363,7 +363,8 @@ def _minhash_est_oracle(num_hashes: int = 16) -> str:
                      AND a.doc_id < b.doc_id
     )
     SELECT p.doc_a, p.doc_b,
-           sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS n_match,
+           CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
            CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
                / {num_hashes} AS jaccard_est
     FROM pairs p

@@ -959,18 +959,34 @@ def q_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partitionless (global) windows: a single total ordering over the
-    whole input.  At scale this is the one window shape that CANNOT
-    parallelize (all rows to one task) — declared for completeness; the
-    per-key variants are the production path."""
+    """Global (partitionless-SEMANTICS) windows, computed scalably: both
+    total orders are bucketed prefix sums (operators/ranking) — range
+    buckets from approxQuantile boundaries, per-bucket parallel windows,
+    and a broadcast bucket-offset table — so no single-task window
+    appears in the plan.  ``rank() OVER (ORDER BY value DESC, event_id)``
+    has a unique tiebreaker, so it equals row_number under the same
+    order and the prefix-sum rank is exact."""
+    from ..operators import ranking
+
     ev = events(spark, sf_dir).where(F.col("value").isNotNull())
-    w1 = Window.orderBy("ts_us", "event_id")
-    w2 = Window.orderBy(F.col("value").desc(), "event_id")
-    return ev.select(
-        "event_id",
-        F.row_number().over(w1).alias("global_seq"),
-        F.rank().over(w2).alias("value_rank"),
+    ts_bounds = ranking.quantile_boundaries(ev, "ts_us", 32)
+    seq = ranking.global_row_number(
+        ev,
+        [F.col("ts_us").asc(), F.col("event_id").asc()],
+        ranking.range_bucket(F.col("ts_us"), ts_bounds),
+        "global_seq",
     )
+    val_bounds = ranking.quantile_boundaries(ev, "value", 32)
+    # Descending leading key: bucket is monotone in `value`, offsets
+    # accumulate from the high buckets down (bucket_desc=True).
+    ranked = ranking.global_row_number(
+        seq,
+        [F.col("value").desc(), F.col("event_id").asc()],
+        ranking.range_bucket(F.col("value"), val_bounds),
+        "value_rank",
+        bucket_desc=True,
+    )
+    return ranked.select("event_id", "global_seq", "value_rank")
 
 
 @query(

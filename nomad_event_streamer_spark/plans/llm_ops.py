@@ -148,8 +148,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, k
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(power(2, k) AS BIGINT)
-                    ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, k) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
@@ -171,7 +171,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*) AS n_docs,
            count(DISTINCT source) AS n_sources,
-           sum(n_chars) AS sum_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            (floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0) AS avg_chars,
            (floor((CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0) AS avg_toks
     FROM documents
@@ -312,6 +312,57 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
     queries = vecs.where(F.col("vec_id") < 20)
     return similarity.cosine_topk(vecs, queries, k=5)
+
+
+@query(
+    "q_sim_topk_int",
+    oracle="""
+    WITH qz AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id < 20
+    ),
+    cz AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CASE WHEN sqrt(list_dot_product(qv, qv))
+                         * sqrt(list_dot_product(cv, cv)) > 0
+                    THEN list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv)))
+                    ELSE 0.0 END AS qcos
+        FROM cz CROSS JOIN qz
+        WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, qcos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qcos DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id,
+           floor(qcos * 1000000.0 + 0.5) / 1000000.0 AS qcos
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_sim_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-exact cosine top-5: integer-grid vectors make the dot
+    products order-independent and the whole ranking bit-reproducible
+    across engines — the similarity-family member under the FULL
+    value-hash gate (VERDICT r01 item 8; the float variants stay
+    rows-only by declared policy).  Integer dot products are also the
+    int8-serving layout at 100 TB: codes shuffle, floats don't."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < 20)
+    return similarity.cosine_topk_quantized(vecs, queries, k=5)
 
 
 @query("q_sim_ann")  # rows-only: LSH bucketing + float scoring
@@ -918,14 +969,28 @@ def q_dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dataset shuffling for training-order assignment:
     global position = rank in id-hash order — reproducible across runs,
     engines, and partitionings (rand()-based shuffles are none of
-    those), and resumable (position is a pure function of the id)."""
-    from pyspark.sql import Window
+    those), and resumable (position is a pure function of the id).
+
+    Scale: the global rank is a bucketed prefix sum (operators/ranking),
+    NOT a partitionless window — the md5 first nibble is a monotone
+    16-way range bucket of the hash order, each bucket ranks ~1/16 of
+    the corpus in parallel, and the cross-bucket coupling is a 16-row
+    broadcast offset table."""
+    from ..operators import ranking
 
     docs = load(spark, sf_dir, "documents")
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    return (
-        docs.select("doc_id", F.row_number().over(w).alias("shuffle_pos"))
-        .where(F.col("shuffle_pos") <= 100)
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select("doc_id", h.alias("__h"))
+    # '0'..'9' < 'a'..'f' in both ASCII and the conv() value — monotone.
+    bucket = F.conv(F.substring("__h", 1, 1), 16, 10).cast("int")
+    ranked = ranking.global_row_number(
+        base,
+        [F.col("__h").asc(), F.col("doc_id").asc()],
+        bucket,
+        "shuffle_pos",
+    )
+    return ranked.where(F.col("shuffle_pos") <= 100).select(
+        "doc_id", "shuffle_pos"
     )
 
 
@@ -1149,8 +1214,8 @@ def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
          o AS (SELECT grp, coalesce(sum(tot) OVER (ORDER BY grp
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS off FROM t)
-    SELECT (off + cum_in - n_tok) // 256 AS bin,
-           count(*) AS n_docs, sum(n_tok) AS sum_tokens
+    SELECT CAST((off + cum_in - n_tok) // 256 AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
     FROM c JOIN o USING (grp)
     GROUP BY 1
     """,

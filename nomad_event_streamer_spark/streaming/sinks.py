@@ -113,6 +113,44 @@ def parquet_transport(dest_dir: str) -> Callable[[DataFrame, str], None]:
     return send
 
 
+def http_transport(
+    urls: dict[str, str], timeout: float = 10.0
+) -> Callable[[DataFrame, str], None]:
+    """Real HTTP delivery matching the reference's webhook semantics
+    (app.rb:229-234,258-262): one POST per event, JSON body, no retry —
+    a failed POST raises and fails the batch (compose with
+    ``effectively_once`` + an idempotent receiver for stronger
+    guarantees; the reference itself is fire-and-forget at-most-once).
+
+    Scale shape: POSTs run on the EXECUTORS via ``foreachPartition`` —
+    parallel across partitions, strictly sequential within one — and the
+    caller (``webhook_foreach_batch``) has already repartitioned by
+    ``task_identifier`` and sorted by (raft_index, event_time_ns), so
+    per-task event order matches the reference's sequential loop while
+    unrelated tasks deliver concurrently.  stdlib ``urllib`` only: no
+    extra deps on the workers."""
+
+    def send(payloads: DataFrame, destination: str) -> None:
+        url = urls[destination]
+
+        def post_partition(rows) -> None:
+            import urllib.request
+
+            for row in rows:
+                req = urllib.request.Request(
+                    url,
+                    data=row["payload"].encode("utf-8"),
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    resp.read()
+
+        payloads.foreachPartition(post_partition)
+
+    return send
+
+
 def webhook_foreach_batch(
     transport: Callable[[DataFrame, str], None],
     destinations: tuple[str, ...] = ("discord", "slack"),

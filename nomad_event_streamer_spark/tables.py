@@ -59,10 +59,25 @@ def canonicalize_events_ts(df: DataFrame) -> DataFrame:
     (set in RUNTIME_CONFS), so the instant is preserved; ``unix_micros``
     then yields the exact usec epoch and ``* 1000`` restores the ns
     contract (zero sub-usec digits — lossless).  Pure column arithmetic:
-    stays in codegen, never blocks pushdown of comparisons on ts."""
+    stays in codegen.  Pushdown caveat: on the bigint (nanosAsLong)
+    path ``ts`` is untouched and comparisons push to the parquet scan;
+    on the timestamp path the column is REPLACED by an expression, so
+    parquet predicate pushdown on the canonical ``ts`` is defeated
+    (only codegen/partition benefits remain) — filter on the raw
+    column first if scan pruning matters.
+
+    Accepts only the encodings the testdata contract can produce
+    (bigint nanos, timestamp, timestamp_ntz); anything else — e.g.
+    double seconds or strings from schema drift — raises instead of
+    silently casting to a wrong epoch."""
     dtype = dict(df.dtypes).get("ts")
     if dtype is None or dtype == "bigint":
         return df
+    if dtype not in ("timestamp", "timestamp_ntz"):
+        raise TypeError(
+            f"events.ts arrived as {dtype!r}; expected bigint (ns) or "
+            "timestamp[_ntz] — refusing to guess the epoch unit"
+        )
     return df.withColumn(
         "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
     )

@@ -1,7 +1,11 @@
 """Simulate the verification driver: plain SparkSession (none of the
 engine's configs), call the __spark_entry__ contract exactly as the
-driver would, and hash-compare queries() vs oracle_sql() via DuckDB."""
-import sys, hashlib, datetime, decimal, math
+driver would, and hash-compare queries() vs oracle_sql() via DuckDB.
+
+Usage: python scripts/driver_sim.py [output.json]
+With an output path, writes a machine-readable per-query result file
+(the DRIVER_SIM_r{N}.json artifact VERDICT r01 item 6 asks for)."""
+import json, sys, hashlib, datetime, decimal, math
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb
@@ -42,22 +46,36 @@ def value_hash(cols, rows):
 
 qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 n_pass = n_fail = n_rows_only = 0
+results = {}
 for name in sorted(qs):
     sdf = qs[name](spark, SF)
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
     if name not in oracles:
         status = "ROWS_ONLY" if len(srows) >= 0 else "??"
         n_rows_only += 1
+        results[name] = {"status": "rows_only", "rows": len(srows)}
         print(f"  {name}: {status} rows={len(srows)}")
         continue
-    rel = con.execute(oracles[name])
-    dcols = [d[0] for d in rel.description]; drows = rel.fetchall()
+    # Arrow fetch mirrors the real driver: HUGEINT -> decimal128 -> Decimal,
+    # so int64/HUGEINT oracle drift fails here instead of only in the driver.
+    tbl = con.execute(oracles[name]).fetch_arrow_table()
+    dcols = tbl.column_names
+    drows = list(zip(*[c.to_pylist() for c in tbl.columns])) if dcols else []
     ok_schema = sorted(scols) == sorted(dcols)
     ok_count = len(srows) == len(drows)
     ok_hash = value_hash(scols, srows) == value_hash(dcols, drows)
+    results[name] = {
+        "status": "match" if (ok_schema and ok_count and ok_hash) else "fail",
+        "rows": len(srows), "schema_match": ok_schema,
+        "count_match": ok_count, "hash_match": ok_hash,
+    }
     if ok_schema and ok_count and ok_hash:
         n_pass += 1; print(f"  {name}: MATCH rows={len(srows)}")
     else:
         n_fail += 1; print(f"  {name}: FAIL schema={ok_schema} count={ok_count} ({len(srows)} vs {len(drows)}) hash={ok_hash}")
 print(f"t2 CORRECTNESS: {n_pass} match, {n_fail} fail, {n_rows_only} rows-only")
+if len(sys.argv) > 1:
+    with open(sys.argv[1], "w", encoding="utf-8") as fh:
+        json.dump({"sf_dir": SF, "n_match": n_pass, "n_fail": n_fail,
+                   "n_rows_only": n_rows_only, "queries": results}, fh, indent=1)
 sys.exit(1 if n_fail else 0)

@@ -60,12 +60,25 @@ def normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def duckdb_fetch_arrow(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> tuple[list[str], list[tuple]]:
+    """Fetch an oracle result the way the verification driver does: via
+    Arrow.  This preserves the driver-visible types — DuckDB HUGEINT
+    arrives as decimal128(38,0) (→ Decimal cells), not Python int as
+    ``fetchall()`` would give — so type drift between an oracle and the
+    Spark result fails HERE, before the driver sees it."""
+    tbl = con.execute(sql).fetch_arrow_table()
+    cols = tbl.column_names
+    pycols = [c.to_pylist() for c in tbl.columns]
+    rows = list(zip(*pycols)) if cols else []
+    return cols, rows
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.execute(sql)
-    duck_cols = [d[0] for d in rel.description]
-    duck_rows = rel.fetchall()
+    duck_cols, duck_rows = duckdb_fetch_arrow(con, sql)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duckdb={sorted(duck_cols)}"

@@ -56,6 +56,43 @@ def test_jaccard_join_strategy_pinned(spark, sf_dir):
     assert "BroadcastHashJoin [shash" not in plan
 
 
+def _partitionless_window_specs(df) -> list[str]:
+    """Window nodes whose partition spec is empty — the single-task,
+    all-rows-to-one-executor shape that dies at scale.  Detected on the
+    OPTIMIZED logical plan, where `windowspecdefinition(<sort>, ...)`
+    with no leading partition columns is textually identifiable."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    out = []
+    for line in plan.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        spec = line.split("windowspecdefinition(", 1)[1]
+        # partition cols precede the first "ASC NULLS"/"DESC NULLS" sort
+        # token; an empty partition list starts straight at a sort item.
+        head = spec.split(",", 1)[0]
+        if " ASC" in head or " DESC" in head:
+            out.append(line.strip())
+    return out
+
+
+@pytest.mark.parametrize(
+    "name", ["q_dataset_shuffle", "q_window_global", "q_pack_sequences"]
+)
+def test_no_partitionless_window(spark, sf_dir, name):
+    """The global-order queries must use the bucketed prefix-sum — any
+    partitionless window over the driver-size (<=64-row) offset table is
+    fine, but none may touch the full-size input.  We assert the offset
+    window is the ONLY one: its frame is the distinctive
+    `unboundedpreceding$(), -1` offset-accumulation frame."""
+    df = QUERIES[name](spark, sf_dir)
+    bad = [
+        w
+        for w in _partitionless_window_specs(df)
+        if "-1" not in w  # offset windows end at (currentRow - 1)
+    ]
+    assert not bad, f"full-input partitionless window in {name}: {bad}"
+
+
 def test_asof_join_is_windowed_not_joined(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_asof_join")
     assert "Window" in plan

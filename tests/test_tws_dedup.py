@@ -1,0 +1,70 @@
+"""transformWithStateInPandas twin of the exact-REF dedup — skip-marked
+on the protobuf probe so it activates with zero code change the moment
+the environment gains the dependency (VERDICT r01 item 7)."""
+
+import time
+import uuid
+
+import pytest
+
+from nomad_event_streamer_spark.streaming.tws_dedup import (
+    dedup_stream_tws,
+    tws_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not tws_available(),
+    reason="transformWithStateInPandas needs google.protobuf, absent in "
+    "this container (see streaming/tws_dedup.py)",
+)
+
+
+def test_tws_exact_state_dedup_across_batches(tmp_path, spark):
+    """Same two-batch contract as test_streaming.py's
+    applyInPandasWithState variant: intra-batch out-of-order passes
+    against the OLD mark; the next batch sees the advanced mark."""
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    rows_b1 = [(1, 101, 100), (1, 102, 50)]
+    rows_b2 = [(1, 103, 80), (1, 104, 120)]
+    schema = "user_id long, event_id long, ts_us long"
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(input_dir / "f1.parquet"))
+
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(input_dir) + "/*/")
+    )
+    out = dedup_stream_tws(stream.groupBy("user_id"), initial_hwm_us=0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if {r.event_id for r in spark.table(name).collect()} >= {101, 102}:
+                break
+            time.sleep(0.5)
+        assert {r.event_id for r in spark.table(name).collect()} == {101, 102}
+
+        spark.createDataFrame(rows_b2, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(input_dir / "f2.parquet"))
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if 104 in {r.event_id for r in spark.table(name).collect()}:
+                break
+            time.sleep(0.5)
+        got = {r.event_id for r in spark.table(name).collect()}
+        assert 104 in got
+        assert 103 not in got
+    finally:
+        q.stop()
