@@ -131,3 +131,53 @@ def pagerank_oracle_sql(
         f"CAST(units AS DOUBLE) / {TOTAL_UNITS}.0 "
         f"AS rank FROM pr{iters}"
     )
+
+
+def triangles(und: DataFrame) -> DataFrame:
+    """Enumerate triangles of an undirected simple graph given as
+    canonical distinct edges ``(u, v)`` with ``u < v``.
+
+    Compact-forward / degree orientation (Latapy 2008): each edge points
+    from its lower-(degree, name) endpoint to the higher one — a total
+    order, so every triangle is produced exactly once as a wedge at its
+    lowest vertex closed by an oriented edge.  Out-degrees under this
+    orientation are O(sqrt(|E|)) on ANY graph, which bounds the wedge
+    join's fan-out on hub vertices — the difference between feasible and
+    quadratic at 1e11 edges.  All joins are equi-joins on vertex ids
+    (shuffle-partitioned by the join key); no floats anywhere, so the
+    triple set is engine-exact."""
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = und.join(
+        deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    o1 = oriented.select(
+        "s", F.col("t").alias("t1"), F.col("dt").alias("d1")
+    )
+    o2 = oriented.select(
+        "s", F.col("t").alias("t2"), F.col("dt").alias("d2")
+    )
+    wedges = o1.join(o2, "s").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2")))
+    )
+    closing = oriented.select(
+        F.col("s").alias("t1"), F.col("t").alias("t2")
+    )
+    tri = wedges.join(closing, ["t1", "t2"], "left_semi")
+    arr = F.sort_array(F.array("s", "t1", "t2"))
+    return tri.select(
+        arr[0].alias("a"), arr[1].alias("b"), arr[2].alias("c")
+    )

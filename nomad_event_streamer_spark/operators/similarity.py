@@ -562,6 +562,48 @@ def gram_matrix(
     return g.reshape(dim, dim)
 
 
+def gram_matrix_int(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Integer-exact Gram matrix over QUANTIZED embeddings — the
+    hash-verifiable sibling of ``gram_matrix``.
+
+    Same distributed shape (one partial dim×dim matmul per Arrow batch,
+    (i,j,v) map-side-combinable sum, dim² scalars out) but on integer
+    grids: ``floor(x·scale + 0.5)`` codes make every partial product and
+    every cross-partition sum exact integer arithmetic, so the result is
+    bit-identical regardless of partitioning, scheduling, or engine —
+    the property the float version explicitly lacks.  Choose ``scale``
+    so n·(scale·max|x|)² < 2^63 (scale 1e3, unit vectors: safe past
+    1e9 rows).  Returns (i, j, g) with 0-based indices."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = StructType([StructField("flat", ArrayType(LongType()))])
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            qm = np.floor(m * scale + 0.5).astype(np.int64)
+            yield pd.DataFrame({"flat": [(qm.T @ qm).ravel().tolist()]})
+
+    parts = vecs.select(vec_col).mapInPandas(partial_gram, schema)
+    return (
+        parts.select(F.posexplode("flat").alias("ij", "v"))
+        .groupBy("ij")
+        .agg(F.sum("v").alias("g"))
+        .select(
+            (F.col("ij") / F.lit(dim)).cast("long").alias("i"),
+            F.pmod("ij", F.lit(dim)).cast("long").alias("j"),
+            "g",
+        )
+    )
+
+
 def pca_top_component(
     vecs: DataFrame,
     vec_col: str = "embedding",

@@ -118,6 +118,84 @@ def heavy_hitters(
     )
 
 
+def hll_registers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog register table from relational primitives — the
+    integer-exact, cross-engine-verifiable sketch core.
+
+    Per (key, bucket): ``max_rho`` = max over values of the 1-based
+    position of the leftmost set bit in the hash remainder.  The hash is
+    the md5-prefix 60-bit integer (the repo's standard replayable hash),
+    ``bucket`` its low ``p`` bits, and rho is computed with pure integer
+    comparisons (count of powers of two ≤ w) — no float log2, so every
+    engine produces bit-identical registers.  The float HLL estimate is
+    a deterministic function of this table (alpha·m²/Σ2^-rho); keeping
+    the sketch in register form is also what makes it MERGEABLE: union
+    = element-wise max, so rollups over any key subset never re-touch
+    the fact table (same property Spark's native hll_union_agg exploits,
+    but with verifiable internals).
+
+    Scale: one hash aggregation keyed by (key, bucket) — cardinality
+    ≤ |keys|·2^p rows of three integers; partial max is map-side
+    combinable, so the shuffle carries register rows, not values.
+    """
+    m = 1 << p
+    w_width = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    tagged = df.select(
+        *key_cols,
+        F.pmod(h, F.lit(m)).alias("bucket"),
+        # h >= 0, so >> p == div by m with no float detour (60-bit h
+        # exceeds double's 53-bit mantissa — true int ops only)
+        F.shiftright(h, p).alias("_w"),
+    )
+    powers = F.array(*[F.lit(1 << k) for k in range(w_width)])
+    nbits = F.size(F.filter(powers, lambda pw: pw <= F.col("_w")))
+    rho = (F.lit(w_width) - nbits + F.lit(1)).cast("long")
+    return (
+        tagged.withColumn("_rho", rho)
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+
+
+def hll_registers_oracle_sql(
+    select_sql: str, key_cols: list[str], value_expr: str, p: int = 8
+) -> str:
+    """DuckDB replay of ``hll_registers`` over ``select_sql`` (which must
+    expose ``key_cols`` and ``value_expr``)."""
+    m = 1 << p
+    w_width = 60 - p
+    powers = ", ".join(str(1 << k) for k in range(w_width))
+    keys = ", ".join(key_cols)
+    return f"""
+    WITH src AS ({select_sql}),
+    hashed AS (
+        SELECT {keys},
+               CAST(concat('0x', substring(md5(CAST({value_expr} AS VARCHAR)),
+                                           1, 15)) AS BIGINT) AS h
+        FROM src
+    ),
+    split AS (
+        SELECT {keys}, h % {m} AS bucket, h >> {p} AS w FROM hashed
+    ),
+    rho AS (
+        SELECT {keys}, bucket,
+               {w_width} - len(list_filter([{powers}], pw -> pw <= w)) + 1
+                   AS rho
+        FROM split
+    )
+    SELECT {keys}, bucket, CAST(max(rho) AS BIGINT) AS max_rho
+    FROM rho GROUP BY {keys}, bucket
+    """
+
+
 def hash_bucket_prefilter(
     probe: DataFrame,
     build: DataFrame,

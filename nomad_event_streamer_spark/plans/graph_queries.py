@@ -64,3 +64,59 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return graph.pagerank(nodes, edges, iters=10)
+
+
+@query(
+    "q_triangles",
+    oracle=f"""
+    WITH raw AS ({_EDGES_SQL}),
+    e AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst
+    )
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the undirected trade graph via the
+    compact-forward algorithm: orient every edge from its lower-(degree,
+    name) endpoint to the higher one, join wedges on the middle vertex,
+    and close them against the oriented edge set.  Orientation bounds
+    each vertex's out-degree by O(sqrt(|E|)) on any graph, so the wedge
+    join never explodes on hubs — the property that makes triangle
+    counting feasible at 1e11 edges (naive a<b<c ordering puts every
+    hub's full neighborhood on one side).  Output is the canonical
+    (a, b, c) name-sorted triple set, so the oracle can use the naive
+    ordering: same set, different join order.  Integer/string-only
+    arithmetic — full value-hash oracle."""
+    nation = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("src")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("dst")
+    )
+    directed = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .select("src", "dst")
+    )
+    und = (
+        directed.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    return graph.triangles(und)

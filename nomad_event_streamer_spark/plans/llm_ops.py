@@ -696,6 +696,69 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mix_budget",
+    oracle="""
+    WITH d AS (
+        SELECT source, doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               len(string_split(text, ' ')) AS n_tok,
+               200 + 150 * (CAST(substring(source, 4) AS BIGINT) % 5)
+                   AS budget
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, n_tok, budget,
+               CAST(sum(n_tok) OVER (PARTITION BY source
+                                     ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tok
+        FROM d
+    )
+    SELECT source, doc_id, n_tok, cum_tok
+    FROM c WHERE cum_tok <= budget
+    """,
+)
+def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling under per-source token budgets — the
+    data-mixing step of a training pipeline: each source (domain) gets a
+    token budget from its mixture weight, documents are taken in
+    content-free id-hash order until the budget fills.  Deterministic
+    and resumable (selection is a pure function of ids + weights), and
+    exactly reproducible cross-engine — unlike rand()-weighted sampling.
+    Budgets here derive from the source name (weight class = source
+    index mod 5) to exercise heterogeneous weights.
+
+    Scale: one per-source window (partition-parallel, the mixture key
+    is the natural partitioner) + a pushable projection; no global
+    ordering anywhere.  Skewed domains can reuse the bucketed prefix
+    sum of operators/ranking if one source dwarfs the rest."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        (
+            F.lit(200)
+            + F.lit(150)
+            * F.pmod(F.substring("source", 4, 10).cast("long"), F.lit(5))
+        ).alias("budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .where(F.col("cum_tok") <= F.col("budget"))
+        .select("source", "doc_id", "n_tok", "cum_tok")
+    )
+
+
+@query(
     "q_vocab_topk",
     oracle="""
     WITH toks AS (
@@ -1200,6 +1263,38 @@ def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gram_int",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id, i, v[i + 1] AS x
+        FROM q CROSS JOIN range(0, 64) t(i)
+    )
+    SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS g
+    FROM u a JOIN u b USING (vec_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_gram_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Gram matrix (quantized Σxᵀx): the hash-verifiable
+    member of the covariance/PCA family — float Gram sums are
+    partition-order sensitive (q_pca_gram is rows-only for that
+    reason); integer grids make the whole reduction associative-exact.
+    Same 100 TB shape as the float version: per-batch numpy matmul
+    partials, map-side-combinable (i,j,v) sum, dim² scalars out."""
+    from ..operators.similarity import gram_matrix_int
+
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    return gram_matrix_int(vecs, dim=64, scale=1000)
+
+
+@query(
     "q_pack_sequences",
     oracle="""
     WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
@@ -1359,3 +1454,96 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
+
+
+_POW40 = ", ".join(str(1 << k) for k in range(40))
+
+
+@query(
+    "q_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    t AS (SELECT count(*) AS n FROM toks),
+    sc AS (
+        SELECT doc_id,
+               len(list_filter([{_POW40}], q -> q <= n))
+               - len(list_filter([{_POW40}], q -> q <= c)) AS s
+        FROM toks JOIN c USING (tok) CROSS JOIN t
+    )
+    SELECT doc_id, count(*) AS n_toks,
+           CAST(sum(s) AS BIGINT) AS surprisal_bits
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity filtering, integer form: per-token surprisal
+    ≈ log2(N/count) computed as bit_length(N) - bit_length(count) —
+    within 1 bit of the real log2 but pure integer comparisons, so the
+    scores (the CCNet-style quality signal: high total surprisal = rare
+    vocabulary = off-distribution text) are engine-exact and fully
+    hash-oracled, where a float log LM score would drift per libm.
+
+    Scale: the LM "model" is the token-count table (vocabulary-sized —
+    broadcast-able after pruning, else a shuffle join keyed by token);
+    bit_length is a 40-entry array filter in codegen, no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    powers = F.array(*[F.lit(1 << k) for k in range(40)])
+
+    def nbits(col):
+        return F.size(F.filter(powers, lambda p: p <= col))
+
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (nbits(F.col("n")) - nbits(F.col("c"))).alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("s").cast("long").alias("surprisal_bits"),
+    )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+    SELECT tok, doc_id // 64 AS block,
+           count(*) AS df_block,
+           list_sort(list(doc_id)) AS postings
+    FROM d
+    GROUP BY tok, doc_id // 64
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-sharded inverted index: postings for each token are split
+    into fixed doc-id blocks (64 ids per block) BEFORE aggregation, so a
+    stopword's posting list becomes many bounded rows instead of one
+    giant array — the skew guard that keeps collect_list viable at
+    corpus scale (single-row posting lists for 1e9-doc stopwords OOM any
+    engine; block-partitioned lists are the standard segment layout).
+    Postings are sorted within block → deterministic arrays, full hash
+    oracle."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    return (
+        d.groupBy("tok", (F.col("doc_id") / F.lit(64)).cast("long").alias("block"))
+        .agg(
+            F.count(F.lit(1)).alias("df_block"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .select("tok", "block", "df_block", "postings")
+    )

@@ -65,3 +65,35 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+_HLL_ORACLE = sketch.hll_registers_oracle_sql(
+    "SELECT event_type, user_id FROM events",
+    ["event_type"],
+    "user_id",
+    p=8,
+)
+
+
+@query("q_hll_registers", oracle=_HLL_ORACLE)
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with VERIFIABLE internals: the register table
+    (event_type, bucket, max_rho) is pure integer arithmetic
+    (operators/sketch.hll_registers), so unlike the Datasketches-backed
+    q_hll_rollup it carries a full cross-engine value-hash oracle.  The
+    query builds per-(event_type, day) registers first and merges them
+    by element-wise max — exercising the mergeability that makes sketch
+    rollups work at 100 TB (union = max, associative, fact table touched
+    once) — and the merged result equals the direct computation, which
+    is exactly what the oracle computes."""
+    ev = events(spark, sf_dir)
+    daily = sketch.hll_registers(
+        ev.withColumn("day", F.to_date("ts_t")),
+        ["event_type", "day"],
+        "user_id",
+        p=8,
+    )
+    return (
+        daily.groupBy("event_type", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
