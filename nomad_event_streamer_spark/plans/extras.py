@@ -1404,3 +1404,140 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate joined on the (tiny) group key.
     n = ev.groupBy("event_type").agg(F.count(F.col("value")).alias("n"))
     return med.join(n, "event_type")
+
+
+@query(
+    "q_quantile_hist",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bucket,
+               count(*) AS c
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket, c,
+               CAST(sum(c) OVER (ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_c
+        FROM b
+    ),
+    t AS (SELECT count(*) AS n FROM lineitem),
+    q AS (SELECT unnest([25, 50, 75, 90, 99]) AS qpct)
+    SELECT qpct, min(bucket) * 100 AS approx_value
+    FROM q CROSS JOIN t JOIN cum ON cum_c * 100 >= qpct * n
+    GROUP BY qpct
+    """,
+)
+def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic approximate quantiles via a fixed-width histogram
+    sketch: bucket counts (one hash aggregation, mergeable, bounded by
+    the VALUE DOMAIN not the corpus) → cumulative counts → the q-th
+    quantile is the first bucket whose cumulative share reaches q.
+    Pure integer arithmetic (`cum·100 ≥ q%·N`), so unlike
+    GK/t-digest sketches (q_approx_quantiles, rows-only) the estimate
+    is engine-exact and fully hash-oracled, with error bounded by the
+    bucket width.  The cumulative window runs over the bucket TABLE
+    (domain-bounded, ~thousands of rows), never the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.floor(F.col("l_extendedprice") / 100.0)
+        .cast("long")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = b.select("bucket", F.sum("c").over(w).cast("long").alias("cum_c"))
+    total = li.agg(F.count(F.lit(1)).alias("n"))
+    qdf = spark.createDataFrame([(25,), (50,), (75,), (90,), (99,)], "qpct long")
+    return (
+        F.broadcast(qdf)
+        .crossJoin(F.broadcast(total))
+        .join(cum, F.col("cum_c") * 100 >= F.col("qpct") * F.col("n"))
+        .groupBy("qpct")
+        .agg((F.min("bucket") * 100).alias("approx_value"))
+    )
+
+
+@query(
+    "q_quality_checks",
+    oracle="""
+    SELECT 'lineitem_orphans' AS check_name,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_null_priority',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderpriority IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_quantity < 0 OR l_quantity > 50) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_dup_pk',
+           CAST((SELECT count(*) FROM (
+                     SELECT o_orderkey FROM orders
+                     GROUP BY o_orderkey HAVING count(*) > 1))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer_dup_pk',
+           CAST((SELECT count(*) FROM (
+                     SELECT c_custkey FROM customer
+                     GROUP BY c_custkey HAVING count(*) > 1))
+                AS BIGINT)
+    """,
+)
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite data-quality checks (the dbt-test /
+    Great-Expectations pattern) as one engine query: referential
+    integrity (anti-join orphan count — the scalable form of NOT
+    EXISTS), null-rate, range, and primary-key-uniqueness violations,
+    each a count the pipeline can gate on.  Every check is a
+    shuffle-partial-aggregate or broadcast/shuffle anti-join — no
+    collects; violation counts are integers (full hash oracle)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+
+    def one(name: str, cnt_df) -> DataFrame:
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    orphans = (
+        li.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    null_prio = orders.where(F.col("o_orderpriority").isNull()).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    qty_range = li.where(
+        (F.col("l_quantity") < 0) | (F.col("l_quantity") > 50)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dup_o = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dup_c = (
+        cust.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        one("lineitem_orphans", orphans)
+        .unionAll(one("orders_null_priority", null_prio))
+        .unionAll(one("lineitem_qty_range", qty_range))
+        .unionAll(one("orders_dup_pk", dup_o))
+        .unionAll(one("customer_dup_pk", dup_c))
+    )

@@ -1263,6 +1263,29 @@ def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fuzzy_join",
+    oracle="""
+    WITH t AS (SELECT c_name FROM customer)
+    SELECT a.c_name AS s_a, b.c_name AS s_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM t a JOIN t b
+      ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance ≤ 1) string self-join over customer names
+    via deletion-neighborhood hashing (operators/dedup
+    .edit_distance_pairs): candidates come from an equi-join on
+    one-char-deletion variants — O(Σ len) rows — instead of the
+    quadratic all-pairs scan the DuckDB oracle runs.  The classic
+    approximate-string-join for near-identical records (entity
+    resolution / near-dup titles in corpus curation); integer distance,
+    full hash oracle."""
+    cust = rebalance_for_cpu(load(spark, sf_dir, "customer"))
+    return dedup.edit_distance_pairs(cust, "c_name", max_dist=1)
+
+
+@query(
     "q_gram_int",
     oracle="""
     WITH q AS (

@@ -135,3 +135,108 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge, "event_id long, user_id long, as_of_orderkey long"
         )
     )
+
+
+_HOUR_US = 3600 * 1_000_000
+
+
+@query(
+    "q_interpolate",
+    oracle=f"""
+    WITH obs AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS hour_us,
+               max(value) AS v
+        FROM events WHERE user_id < 50 AND value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    r AS (SELECT user_id, min(hour_us) AS lo, max(hour_us) AS hi
+          FROM obs GROUP BY 1),
+    spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, {_HOUR_US}))
+                   AS hour_us
+        FROM r
+    ),
+    j AS (
+        SELECT s.user_id, s.hour_us, o.v,
+               last_value(o.v IGNORE NULLS) OVER w_prev AS vp,
+               last_value(CASE WHEN o.v IS NOT NULL THEN s.hour_us END
+                          IGNORE NULLS) OVER w_prev AS tp,
+               first_value(o.v IGNORE NULLS) OVER w_next AS vn,
+               first_value(CASE WHEN o.v IS NOT NULL THEN s.hour_us END
+                           IGNORE NULLS) OVER w_next AS tn
+        FROM spine s LEFT JOIN obs o USING (user_id, hour_us)
+        WINDOW
+          w_prev AS (PARTITION BY s.user_id ORDER BY s.hour_us
+                     ROWS UNBOUNDED PRECEDING),
+          w_next AS (PARTITION BY s.user_id ORDER BY s.hour_us
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour_us,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE vp + (vn - vp) * (CAST(hour_us - tp AS DOUBLE)
+                                       / CAST(tn - tp AS DOUBLE))
+           END AS v_interp
+    FROM j
+    """,
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a dense per-user hourly spine: silent
+    hours get vp + (vn-vp)·Δt/T from the bracketing observations.  The
+    spine endpoints are each user's observed min/max hour, so every gap
+    is interior and bracketed.  Float policy: the interpolation is ONE
+    fixed expression tree of exact-integer-derived doubles (hour deltas
+    < 2^53) evaluated identically by both engines, and the per-hour
+    observation is max(value) (order-independent), so the result
+    hash-matches without rounding.
+
+    Scale: everything partitions by user_id (spine generation is a
+    per-user sequence — no driver collect; windows are per-user);
+    states the same shape ``q_gapfill_hours`` proves for counts."""
+    ev = events(spark, sf_dir).where(
+        (F.col("user_id") < 50) & F.col("value").isNotNull()
+    )
+    hour = (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us")
+    obs = ev.groupBy("user_id", hour).agg(F.max("value").alias("v"))
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(_HOUR_US))
+            ).alias("hour_us"),
+        )
+    )
+    j = spine.join(obs, ["user_id", "hour_us"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v").isNotNull(), F.col("hour_us"))
+    j = j.select(
+        "user_id",
+        "hour_us",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("vp"),
+        F.last(t_obs, ignorenulls=True).over(w_prev).alias("tp"),
+        F.first("v", ignorenulls=True).over(w_next).alias("vn"),
+        F.first(t_obs, ignorenulls=True).over(w_next).alias("tn"),
+    )
+    interp = F.col("vp") + (F.col("vn") - F.col("vp")) * (
+        (F.col("hour_us") - F.col("tp")).cast("double")
+        / (F.col("tn") - F.col("tp")).cast("double")
+    )
+    return j.select(
+        "user_id",
+        "hour_us",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(interp)
+        .alias("v_interp"),
+    )
