@@ -181,3 +181,57 @@ def triangles(und: DataFrame) -> DataFrame:
     return tri.select(
         arr[0].alias("a"), arr[1].alias("b"), arr[2].alias("c")
     )
+
+
+def bfs_hops(
+    nodes: DataFrame, edges: DataFrame, seeds: list[str], rounds: int
+) -> DataFrame:
+    """Bounded synchronous BFS: minimum hop distance (≤ ``rounds``) from
+    the seed set over directed ``edges(src, dst)``.  Returns
+    ``(node, hops)`` for reached nodes only.
+
+    Spark lacks recursive CTEs; the iterative-join loop with
+    per-round ``localCheckpoint`` lineage cuts (same discipline as
+    ``pagerank``) is the idiomatic replacement.  Each round shuffles a
+    frontier-join keyed by vertex id and a min-combine — both map-side
+    combinable; the edge table partitions once.  Distances are
+    integers, so the unrolled DuckDB oracle matches bit-for-bit."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    dist = (
+        nodes.where(F.col("node").isin(seeds))
+        .select("node", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(1, rounds + 1):
+        new = e.join(dist, e["src"] == dist["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("hops") + F.lit(1)).cast("long").alias("hops"),
+        )
+        dist = (
+            dist.unionAll(new)
+            .groupBy("node")
+            .agg(F.min("hops").cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def bfs_oracle_sql(
+    nodes_sql: str, edges_sql: str, seeds: list[str], rounds: int
+) -> str:
+    """Unroll the identical BFS rounds as chained DuckDB CTEs."""
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    parts = [
+        f"WITH nodes AS ({nodes_sql})",
+        f"edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "d0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM nodes "
+        f"WHERE node IN ({seed_list}))",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, CAST(min(hops) AS BIGINT) AS hops "
+            f"FROM (SELECT node, hops FROM d{i - 1} "
+            f"UNION ALL SELECT e.dst AS node, p.hops + 1 AS hops "
+            f"FROM edges e JOIN d{i - 1} p ON p.node = e.src) GROUP BY node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, hops FROM d{rounds}"

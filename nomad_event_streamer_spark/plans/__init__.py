@@ -19,6 +19,7 @@ from . import sketch_queries  # noqa: E402,F401
 from . import graph_queries  # noqa: E402,F401
 from . import storage_queries  # noqa: E402,F401
 from . import timeseries_queries  # noqa: E402,F401
+from . import analytics_queries  # noqa: E402,F401
 
 
 def all_queries():

@@ -1,0 +1,176 @@
+"""Event-analytics queries (SURVEY.md 2.12 EXT): funnel conversion,
+retention cohorts, and transition matrices over the events table — the
+product-analytics trio every clickstream warehouse runs.
+
+No reference analog (the reference forwards task events; it never
+aggregates user behavior); EXT coverage.  All three are integer-exact
+(timestamps, counts; the one float is a single division), so all carry
+full value-hash oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..tables import events
+from .registry import query
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+               FROM events),
+    s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(ts_us) AS t2
+           FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(ts_us) AS t3
+           FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1)
+    SELECT 1 AS stage, 'view' AS event_type,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): stage N
+    counts users whose earliest stage-N event strictly follows their
+    earliest stage-(N-1) completion — the sequencing semantics (not
+    mere co-occurrence) that funnel products implement.
+
+    Plan: three min-aggregations + two joins, ALL keyed by user_id, so
+    one hash partitioning serves the whole chain; per-stage outputs are
+    1-row counts.  At 100 TB the event scan is pruned to the three
+    funnel types before anything shuffles."""
+    ev = events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    ev = ev.where(F.col("event_type").isin("view", "click", "purchase"))
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+
+    def stage(n: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        stage(1, "view", s1)
+        .unionAll(stage(2, "click", s2))
+        .unionAll(stage(3, "purchase", s3))
+    )
+
+
+@query(
+    "q_retention",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id, epoch_us(ts) // {WEEK_US} AS week
+        FROM events GROUP BY 1, 2
+    ),
+    first AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY 1)
+    SELECT cohort, week - cohort AS week_offset,
+           count(*) AS n_users
+    FROM w JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-active week,
+    counted in each later week they return — the classic triangle
+    retention table.  Absolute integer week ids (epoch_us div week) keep
+    everything engine-exact.
+
+    Plan: (user, week) dedup + per-user min + one join, all partitioned
+    by user_id; the output is cohort×offset-sized (weeks², tiny)."""
+    ev = events(spark, sf_dir)
+    w = (
+        ev.select(
+            "user_id",
+            F.expr(f"ts_us div {WEEK_US}").alias("week"),
+        )
+        .distinct()
+    )
+    first = w.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        w.join(first, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id)
+                   AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag window → (prev, next) counts → row-normalized
+    probabilities.  The single int/int division is IEEE-exact, so the
+    probabilities hash-match despite being floats.
+
+    Plan: one user_id-partitioned window sort, one (prev,next) hash
+    aggregation (|types|² rows), a broadcast-sized row-total join."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    c = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+                "p"
+            ),
+        )
+    )

@@ -1541,3 +1541,39 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("orders_dup_pk", dup_o))
         .unionAll(one("customer_dup_pk", dup_c))
     )
+
+
+@query(
+    "q_window_misc",
+    oracle="""
+    SELECT event_id, user_id,
+           dense_rank() OVER w AS drank,
+           CAST(percent_rank() OVER w AS DOUBLE) AS prank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cdist,
+           nth_value(event_id, 2) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def q_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining ranking-window family in one pass: dense_rank,
+    percent_rank ((rank−1)/(n−1): one IEEE division of integers —
+    hash-exact), cume_dist, and nth_value with an explicit full frame.
+    All four specs share the user_id partitioning → one shuffle, one
+    sort."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.nth_value("event_id", 2).over(w_full).alias("second_event"),
+    )

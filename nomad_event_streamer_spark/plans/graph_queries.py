@@ -120,3 +120,40 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return graph.triangles(und)
+
+
+@query(
+    "q_bfs_reach",
+    oracle=graph.bfs_oracle_sql(
+        _NODES_SQL, _EDGES_SQL, seeds=["NATION_3", "NATION_17"], rounds=3
+    ),
+)
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round BFS reachability (3 hops from {NATION_3, NATION_17}) over
+    the directed trade graph — the recursive-CTE workload expressed as
+    Spark's iterative frontier join with per-round lineage cuts.
+    Integer hop distances ⇒ the unrolled-CTE oracle is a full value
+    hash, like q_pagerank.  Scale: each round shuffles a
+    frontier-vertex-sized join + min-combine; the edge table
+    hash-partitions once and is reused."""
+    nation = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nodes = nation.select(F.col("n_name").alias("node"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("src")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .select("src", "dst")
+    )
+    return graph.bfs_hops(nodes, edges, seeds=["NATION_3", "NATION_17"], rounds=3)

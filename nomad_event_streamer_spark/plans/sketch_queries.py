@@ -97,3 +97,60 @@ def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy("event_type", "bucket")
         .agg(F.max("max_rho").alias("max_rho"))
     )
+
+
+# alpha_256 * m^2 * 2^53 as one exact literal, shared verbatim by both
+# engines (alpha_m = 0.7213/(1 + 1.079/m), the standard HLL constant).
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_NUM = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53))
+
+
+@query(
+    "q_hll_estimate",
+    oracle=f"""
+    WITH reg AS ({sketch.hll_registers_oracle_sql(
+        "SELECT event_type, user_id FROM events",
+        ["event_type"],
+        "user_id",
+        p=_HLL_P,
+    )})
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_filled,
+           CAST(({_HLL_M} - count(*)) * {1 << 53}
+                + sum((1::BIGINT << 53) >> CAST(max_rho AS INTEGER))
+                AS BIGINT) AS denom_units,
+           {_HLL_NUM} / CAST(({_HLL_M} - count(*)) * {1 << 53}
+                + sum((1::BIGINT << 53) >> CAST(max_rho AS INTEGER))
+                AS DOUBLE) AS est_users
+    FROM reg GROUP BY event_type
+    """,
+)
+def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL cardinality ESTIMATE made engine-exact: the harmonic-mean
+    denominator Σ2^-rho is computed as exact integer units of 2^-53
+    (empty registers contribute 2^53 each, filled ones 2^(53-rho); 256
+    terms stay < 2^63), so the only float op is the single final
+    division by the shared alpha·m²·2^53 literal.  Contrast
+    q_approx_count_distinct / q_hll_rollup (rows-only: Datasketches
+    internals); this is the same estimator family with a full
+    cross-engine value-hash.  Deliberately NO small-range (linear
+    counting) correction: it needs ``ln``, whose rounding is not
+    IEEE-pinned across libms, and would break the hash gate.  At the
+    test cardinality (n≈150 ≪ m=256) raw HLL therefore overestimates —
+    expected and documented; production use at n ≳ 3m is in the
+    estimator's standard ±1.04/√m band, and ``n_filled`` (V = m −
+    n_filled) is emitted so a consumer can apply linear counting
+    downstream."""
+    ev = events(spark, sf_dir)
+    reg = sketch.hll_registers(ev, ["event_type"], "user_id", p=_HLL_P)
+    filled = F.count(F.lit(1))
+    denom = (F.lit(_HLL_M) - filled) * F.lit(1 << 53) + F.sum(
+        F.expr(f"shiftright({1 << 53}L, cast(max_rho AS INT))")
+    )
+    return reg.groupBy("event_type").agg(
+        filled.cast("long").alias("n_filled"),
+        denom.cast("long").alias("denom_units"),
+        (F.lit(float(_HLL_NUM)) / denom.cast("double")).alias("est_users"),
+    )
