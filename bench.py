@@ -47,6 +47,15 @@ HEADLINE = [
     "q_dedup_embed",
     "q_join_agg_topk",
     "q_star_join",
+    # round-2 headliners
+    "q_sim_topk_int",
+    "q_hll_registers",
+    "q_triangles",
+    "q_funnel",
+    "q_mix_budget",
+    "q_quantile_hist",
+    "q_dataset_shuffle",
+    "q_unigram_surprisal",
 ]
 
 

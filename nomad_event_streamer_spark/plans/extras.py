@@ -1577,3 +1577,115 @@ def q_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.nth_value("event_id", 2).over(w_full).alias("second_event"),
     )
+
+
+@query(
+    "q_corr",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS pc
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(CAST(sum(qc) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+               CAST(CAST(sum(pc) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+               CAST(CAST(sum(qc * qc) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(pc * pc) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+               CAST(CAST(sum(qc * pc) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+        FROM c GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0
+               AS cov_qty_price
+    FROM s
+    """,
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance per group, engine-exact:
+    values quantize to integer cents (exact), the five raw moments
+    accumulate as exact integer sums (order-independent; second moments
+    in DECIMAL(38,0) headroom), convert once to double (an
+    integer-to-double conversion is uniquely round-to-nearest in every
+    engine — unlike fractional decimal-to-double, which engines
+    implement with different internal roundings), and the closed-form
+    combination is a fixed IEEE expression tree.  Correlation is
+    invariant under the cents scaling; covariance divides it back out.
+    Contrast the streaming corr()/covar_samp() built-ins, whose
+    co-moment updates are float-order sensitive.  One partial-agg
+    shuffle, like any groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    qc = F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    pc = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    base = li.select(
+        "l_returnflag", qc.alias("qc"), pc.alias("pc")
+    )
+    dec = "decimal(38,0)"
+    s = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qc").cast(dec)).cast(dec).cast("double").alias("sx"),
+        F.sum(F.col("pc").cast(dec)).cast(dec).cast("double").alias("sy"),
+        F.sum((F.col("qc") * F.col("qc")).cast(dec))
+        .cast(dec)
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("pc") * F.col("pc")).cast(dec))
+        .cast(dec)
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("qc") * F.col("pc")).cast(dec))
+        .cast(dec)
+        .cast("double")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        nd * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        (num / den).alias("corr_qty_price"),
+        (
+            num / (nd * (F.col("n") - F.lit(1)).cast("double")) / F.lit(1e4)
+        ).alias("cov_qty_price"),
+    )
+
+
+@query(
+    "q_stack_inline",
+    oracle="""
+    SELECT o_orderkey, 'total' AS metric,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS val
+    FROM orders WHERE o_orderkey < 100
+    UNION ALL
+    SELECT o_orderkey, 'year', CAST(year(o_orderdate) AS BIGINT)
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def q_stack_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued-function breadth: ``stack`` (the SQL-surface
+    wide→long generator, the TVF cousin of unpivot) turns each order row
+    into (metric, value) pairs — integer cents / year so the oracle's
+    LATERAL VALUES replay hash-matches.  A generator is a pure
+    projection: no shuffle, stays in codegen."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    return orders.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'total', cast(floor(o_totalprice * 100.0D + 0.5D)"
+            " as bigint), 'year', cast(year(o_orderdate) as bigint))"
+        ).alias("metric", "val"),
+    )

@@ -1479,12 +1479,9 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-_POW40 = ", ".join(str(1 << k) for k in range(40))
-
-
 @query(
     "q_unigram_surprisal",
-    oracle=f"""
+    oracle="""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents
@@ -1493,8 +1490,7 @@ _POW40 = ", ".join(str(1 << k) for k in range(40))
     t AS (SELECT count(*) AS n FROM toks),
     sc AS (
         SELECT doc_id,
-               len(list_filter([{_POW40}], q -> q <= n))
-               - len(list_filter([{_POW40}], q -> q <= c)) AS s
+               length(bin(n)) - length(bin(c)) AS s
         FROM toks JOIN c USING (tok) CROSS JOIN t
     )
     SELECT doc_id, count(*) AS n_toks,
@@ -1512,17 +1508,17 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the LM "model" is the token-count table (vocabulary-sized —
     broadcast-able after pruning, else a shuffle join keyed by token);
-    bit_length is a 40-entry array filter in codegen, no UDF."""
+    bit_length is length(conv/bin) — native string rendering, no UDF,
+    no float log (counts ≥ 1, so no zero case)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = toks.agg(F.count(F.lit(1)).alias("n"))
-    powers = F.array(*[F.lit(1 << k) for k in range(40)])
 
     def nbits(col):
-        return F.size(F.filter(powers, lambda p: p <= col))
+        return F.length(F.conv(col, 10, 2))
 
     scored = (
         toks.join(counts, "tok")

@@ -66,16 +66,37 @@ PROBES = [
     "q_incremental_agg",
     "q_pandas_udaf",
     "q_hll_rollup",
+    # round-2 additions
+    "q_dataset_shuffle",
+    "q_window_global",
+    "q_sim_topk_int",
+    "q_gram_int",
+    "q_hll_registers",
+    "q_hll_estimate",
+    "q_triangles",
+    "q_bfs_reach",
+    "q_fuzzy_join",
+    "q_inverted_index",
+    "q_unigram_surprisal",
+    "q_mix_budget",
+    "q_quantile_hist",
+    "q_quality_checks",
+    "q_interpolate",
+    "q_funnel",
+    "q_retention",
+    "q_transitions",
 ]
 
 
 def synthesize(spark, reps: int) -> None:
-    if os.path.exists(f"{DST}/_done"):
+    # _done2: v2 layout (customer replicated with disjoint names so the
+    # fuzzy join and customer-side joins scale with the facts)
+    if os.path.exists(f"{DST}/_done2"):
         return
     os.makedirs(DST, exist_ok=True)
     r = spark.range(reps).select(F.col("id").alias("rep"))
 
-    def replicate(name, id_cols, text_col=None, id_offset=10_000_000):
+    def replicate(name, id_cols, text_col=None, name_col=None, id_offset=10_000_000):
         df = spark.read.parquet(f"{SRC}/{name}.parquet").crossJoin(r)
         for c in id_cols:
             df = df.withColumn(c, F.col(c) + F.col("rep") * id_offset)
@@ -92,6 +113,13 @@ def synthesize(spark, reps: int) -> None:
                     " ",
                 ),
             )
+        if name_col:
+            df = df.withColumn(
+                name_col,
+                F.concat(
+                    F.col(name_col), F.lit("_"), F.col("rep").cast("string")
+                ),
+            )
         df.drop("rep").write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
 
     replicate("events", ["event_id"])  # user_id kept: keys stay 15, rows x10
@@ -99,16 +127,22 @@ def synthesize(spark, reps: int) -> None:
     replicate("embeddings", ["vec_id"])
     replicate("lineitem", ["l_orderkey"])
     replicate("orders", ["o_orderkey", "o_custkey"])
-    for small in ["region", "nation", "customer", "supplier", "part"]:
+    replicate("customer", ["c_custkey"], name_col="c_name")
+    for small in ["region", "nation", "supplier", "part"]:
         spark.read.parquet(f"{SRC}/{small}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{DST}/{small}.parquet")
-    open(f"{DST}/_done", "w").write("ok")
+    open(f"{DST}/_done2", "w").write("ok")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: probe just these",
+    )
     args = ap.parse_args()
 
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -122,8 +156,11 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    probes = (
+        args.only.split(",") if args.only else PROBES
+    )
     print(f"{'query':24s} {'sf0.1':>8s} {'x{:d}'.format(args.reps):>8s} {'ratio':>7s}")
-    for name in PROBES:
+    for name in probes:
         times = {}
         for label, sf in [("small", SRC), ("big", DST)]:
             t0 = time.perf_counter()

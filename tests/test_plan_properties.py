@@ -93,6 +93,26 @@ def test_no_partitionless_window(spark, sf_dir, name):
     assert not bad, f"full-input partitionless window in {name}: {bad}"
 
 
+@pytest.mark.parametrize(
+    "name", ["q_triangles", "q_fuzzy_join", "q_funnel", "q_bfs_reach"]
+)
+def test_round2_ops_no_cartesian(spark, sf_dir, name):
+    """The round-2 pair-generating operators must stay equi-join shaped:
+    triangle wedges join on the middle vertex, fuzzy candidates on the
+    deletion variant, funnel stages on user_id, BFS frontiers on the
+    vertex — a CartesianProduct/BroadcastNestedLoop anywhere means the
+    bucketing degenerated to all-pairs."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_aggregates_partial(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_funnel")
+    # every stage min() is map-side combined before its exchange
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_asof_join_is_windowed_not_joined(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_asof_join")
     assert "Window" in plan
