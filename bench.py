@@ -56,6 +56,7 @@ HEADLINE = [
     "q_quantile_hist",
     "q_dataset_shuffle",
     "q_unigram_surprisal",
+    "q_curation_pipeline",
 ]
 
 

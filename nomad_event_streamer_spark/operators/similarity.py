@@ -219,6 +219,77 @@ def hyperplane_buckets(
     return vecs.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def ann_topk_int(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 6,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH ANN with FULLY integer bucketing and scoring — the
+    bucketed (100 TB-path) ANN under the complete value-hash gate, not
+    just the brute-force baseline (q_sim_topk_int).
+
+    ±1 hyperplanes make the sign test an integer sum of quantized
+    components (no float dot anywhere); the bucket id is the 6-bit sign
+    pattern; candidates come from a bucket equi-join (never all-pairs);
+    scoring is the quantized cosine of ``cosine_topk_quantized``.
+    Everything is integer arithmetic or single correctly-rounded IEEE
+    ops ⇒ engine-exact membership AND scores."""
+    from pyspark.sql import Window
+
+    planes = _deterministic_planes(num_planes, dim)
+
+    def bucket_of(vcol):
+        b = F.lit(0).cast("long")
+        for p, plane in enumerate(planes):
+            pl = F.array(*[F.lit(int(v)).cast("long") for v in plane])
+            d = F.aggregate(
+                F.zip_with(vcol, pl, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            b = b + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return b
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col), scale).alias("q_vec"),
+    ).withColumn("bucket", bucket_of(F.col("q_vec")))
+    c = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_vec(F.col(vec_col), scale).alias("c_vec"),
+    ).withColumn("bucket", bucket_of(F.col("c_vec")))
+
+    dot = _int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
+    den = F.sqrt(
+        _int_dot(F.col("q_vec"), F.col("q_vec")).cast("double")
+    ) * F.sqrt(_int_dot(F.col("c_vec"), F.col("c_vec")).cast("double"))
+    cos = F.when(den > 0, dot / den).otherwise(F.lit(0.0))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("qcos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.floor(F.col("qcos") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            ).alias("qcos"),
+        )
+    )
+
+
 def near_dup_pairs(
     vecs: DataFrame,
     threshold: float = 0.35,

@@ -1689,3 +1689,100 @@ def q_stack_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint), 'year', cast(year(o_orderdate) as bigint))"
         ).alias("metric", "val"),
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN e.value < q.p05 THEN q.p05
+                WHEN e.value > q.p95 THEN q.p95
+                ELSE e.value END AS value_w
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.value IS NOT NULL
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (tail clamping) per group — the outlier-robust
+    cleaning step for numeric features: values clamp to the exact
+    per-group 5th/95th percentile DATA values (percentile_disc, never
+    interpolated), so the output is deterministic cross-engine.  The
+    percentile table broadcasts back to the scan; one full pass."""
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    q = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY value)"
+        ).alias("p05"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY value)"
+        ).alias("p95"),
+    )
+    clamped = (
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .select("event_id", "event_type", clamped.alias("value_w"))
+    )
+
+
+@query(
+    "q_zscore",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               CAST(CAST(sum(v) AS DECIMAL(38,0)) AS DOUBLE) AS sv,
+               CAST(CAST(sum(v * v) AS DECIMAL(38,0)) AS DOUBLE) AS svv
+        FROM c GROUP BY 1
+    )
+    SELECT c.event_id, c.event_type,
+           (CAST(c.v AS DOUBLE) - sv / CAST(n AS DOUBLE))
+             / sqrt(svv / CAST(n AS DOUBLE)
+                    - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE)))
+               AS z
+    FROM c JOIN m USING (event_type)
+    """,
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (feature normalization): values
+    quantize to exact integer micros, the two moments accumulate as
+    exact integer sums, and mean/std/z are one fixed IEEE expression
+    tree — engine-exact like q_corr, where a float-accumulated
+    mean/stddev would drift with partition order.  Moment table
+    broadcasts back; one pass + one shuffle-free map."""
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    v = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    c = ev.select("event_id", "event_type", v.alias("v"))
+    dec = "decimal(38,0)"
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(dec)).cast(dec).cast("double").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast(dec))
+        .cast(dec)
+        .cast("double")
+        .alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sv") / nd
+    std = F.sqrt(F.col("svv") / nd - mean * mean)
+    return (
+        c.join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            ((F.col("v").cast("double") - mean) / std).alias("z"),
+        )
+    )

@@ -1566,3 +1566,287 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("tok", "block", "df_block", "postings")
     )
+
+
+def _curation_oracle(num_hashes: int = 8) -> str:
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    )
+    p = dedup.MINHASH_P
+    return f"""
+    WITH flt AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE n_chars BETWEEN 50 AND 600
+    ),
+    ex AS (SELECT min(doc_id) AS doc_id FROM flt GROUP BY md5(text)),
+    s1 AS (SELECT f.doc_id, f.lang, f.text FROM flt f JOIN ex USING (doc_id)),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(toks[i:i+2], ' ')
+             FOR i IN range(1, greatest(len(toks) - 1, 1))]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM s1)
+    ),
+    based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {p} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {p}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed))
+                   AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    mins AS (SELECT band, bucket, min(doc_id) AS mn
+             FROM bands GROUP BY 1, 2),
+    dropped AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands b JOIN mins m USING (band, bucket)
+        WHERE b.doc_id > m.mn
+    )
+    SELECT s1.doc_id, s1.lang,
+           CAST(len(string_split(s1.text, ' ')) AS BIGINT) AS n_tok
+    FROM s1
+    WHERE s1.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+@query("q_curation_pipeline", oracle=_curation_oracle())
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation pipeline END-TO-END as one declarative plan:
+    length filter → exact dedup (content digest, keep min id) → near-dup
+    drop (8-hash MinHash, 2-row LSH bands, drop any doc whose band
+    bucket contains a smaller id — the deterministic keep-first rule) →
+    token counting.  One DAG: Catalyst fuses the filter into the scan,
+    the digest dedup shuffles 16-byte hashes, the near-dup stage reuses
+    the single-groupBy signature plan of q_dedup_minhash, and the final
+    anti-join is bucket-candidate-sized.  Demonstrates that the
+    engine's curation stages COMPOSE — each is also oracled standalone
+    — and the whole chain still carries a full value-hash oracle."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    flt = docs.where(
+        (F.col("n_chars") >= 50) & (F.col("n_chars") <= 600)
+    ).select("doc_id", "lang", "text")
+    keep_exact = flt.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s1 = flt.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+    sh = dedup.shingles(s1, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    bands = dedup.lsh_bands(sig, num_hashes=8, rows_per_band=2)
+    mins = bands.groupBy("band", "bucket").agg(
+        F.min("doc_id").alias("mn")
+    )
+    dropped = (
+        bands.join(mins, ["band", "bucket"])
+        .where(F.col("doc_id") > F.col("mn"))
+        .select("doc_id")
+        .distinct()
+    )
+    kept = s1.join(dropped, "doc_id", "left_anti")
+    return kept.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+
+
+def _ann_int_oracle(num_planes: int = 6, dim: int = 64) -> str:
+    pl_rows = ", ".join(
+        f"({p}, {d}, {int(s)})"
+        for p, row in enumerate(
+            similarity._deterministic_planes(num_planes, dim)
+        )
+        for d, s in enumerate(row)
+    )
+    return f"""
+    WITH z AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT vec_id, i, v[i + 1] AS x
+        FROM z CROSS JOIN range(0, {dim}) t(i)
+    ),
+    pl(p, i, s) AS (SELECT * FROM (VALUES {pl_rows})),
+    dots AS (
+        SELECT vec_id, p, sum(s * x) AS d
+        FROM comp JOIN pl USING (i) GROUP BY 1, 2
+    ),
+    buck AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM dots GROUP BY 1
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buck q JOIN buck c USING (bucket)
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v)) > 0
+                    THEN list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v)))
+                    ELSE 0.0 END AS qcos
+        FROM cand
+        JOIN z a ON a.vec_id = cand.query_id
+        JOIN z b ON b.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, qcos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qcos DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id,
+           floor(qcos * 1000000.0 + 0.5) / 1000000.0 AS qcos
+    FROM ranked WHERE rn <= 5
+    """
+
+
+@query("q_sim_ann_int", oracle=_ann_int_oracle())
+def q_sim_ann_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN, end-to-end integer: ±1 planes turn the sign
+    test into integer sums of quantized components, buckets are the
+    6-bit sign pattern, candidates come from the bucket equi-join (the
+    scale path — never all-pairs), and scoring is the quantized exact
+    cosine.  The whole bucketed ANN pipeline — membership AND scores —
+    under the full cross-engine value-hash gate (the float twin
+    q_sim_ann stays rows-only by policy)."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < 20)
+    return similarity.ann_topk_int(vecs, queries, k=5, num_planes=6)
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    SELECT lang, source, count(*) AS n,
+           count(*) < 5 AS below_k
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier combinations: group sizes
+    per (lang, source) with a below-threshold flag — the privacy check a
+    release pipeline gates on (any TRUE row means those attribute
+    combinations re-identify fewer than k=5 documents).  One partial-agg
+    shuffle; quasi-identifier cardinality bounds the output."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) < 5).alias("below_k"),
+    )
+
+
+@query(
+    "q_bm25_lite",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl
+              FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+           WHERE tok IN ('spark', 'query', 'join') GROUP BY 1, 2),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               CAST(floor(
+                   (length(bin(n_docs)) - length(bin(df)))
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                               * CAST(n_docs AS DOUBLE)
+                               / CAST(sum_dl AS DOUBLE))))
+                   * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (tok)
+        CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(sum(s_micro) AS DOUBLE) / 1000000.0 AS bm25_score
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bm25_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document scoring for a fixed query ('spark query join'),
+    integerized for cross-engine exactness: the idf term uses the
+    bit-length approximation (bitlen(N) − bitlen(df) ≈ log2(N/df),
+    within 1 bit — same device as q_unigram_surprisal) instead of ln,
+    and the tf saturation term (k1=1.2, b=0.75) is a fixed IEEE
+    expression over exact integers.  Pairs with q_inverted_index: at
+    scale the tf table comes from the index, the df/stats tables are
+    broadcast-sized.
+
+    Each per-term score quantizes to integer micros BEFORE the per-doc
+    sum, so the final reduction is associative-exact integer addition —
+    the float-policy device that makes multi-term accumulation safe
+    under the hash gate (a raw double sum would be summation-order
+    sensitive)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin("spark", "query", "join"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    def nbits(col):
+        return F.length(F.conv(col, 10, 2))
+
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    s = (
+        (nbits(F.col("n_docs")) - nbits(F.col("df")))
+        * (tfd * F.lit(2.2))
+        / (
+            tfd
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75)
+                * (
+                    dld
+                    * F.col("n_docs").cast("double")
+                    / F.col("sum_dl").cast("double")
+                )
+            )
+        )
+    )
+    s_micro = F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_micro.alias("s_micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        (F.sum("s_micro").cast("double") / F.lit(1e6)).alias("bm25_score")
+    )

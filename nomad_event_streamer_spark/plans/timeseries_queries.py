@@ -240,3 +240,49 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(interp)
         .alias("v_interp"),
     )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+        SELECT user_id, event_id,
+               list_sort(list(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
+        FROM c
+    )
+    SELECT user_id, event_id,
+           win[(len(win) + 1) // 2] AS med_cents
+    FROM w
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median (lower median of the trailing 5 observations per
+    user) — the robust smoother for spike-laden series, an
+    order-statistic no running-aggregate trick computes.  Values
+    quantize to exact integer cents; the frame's values collect into a
+    sorted bounded array (≤5 elements — window-frame-bounded memory)
+    and the median is an index pick, so the result is engine-exact.
+
+    Scale: one user-partitioned window sort (shared with every other
+    per-user frame); the collected array is frame-sized, never
+    partition-sized."""
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    c = ev.select("user_id", "event_id", "ts_us", cents.alias("cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    win = F.sort_array(F.collect_list("cents").over(w))
+    med = F.element_at(win, ((F.size(win) + 1) / 2).cast("int"))
+    return c.select("user_id", "event_id", med.alias("med_cents"))
