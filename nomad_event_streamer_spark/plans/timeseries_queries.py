@@ -286,3 +286,79 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = F.sort_array(F.collect_list("cents").over(w))
     med = F.element_at(win, ((F.size(win) + 1) / 2).cast("int"))
     return c.select("user_id", "event_id", med.alias("med_cents"))
+
+
+@query(
+    "q_cusum",
+    oracle="""
+    WITH RECURSIVE c AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    seq AS (
+        SELECT user_id, event_id, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS rn,
+               first_value(cents) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) AS ref
+        FROM c
+    ),
+    cusum AS (
+        SELECT user_id, event_id, rn,
+               greatest(0, cents - ref - 100) AS s
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT seq.user_id, seq.event_id, seq.rn,
+               greatest(0, cusum.s + seq.cents - seq.ref - 100) AS s
+        FROM seq JOIN cusum
+          ON seq.user_id = cusum.user_id AND seq.rn = cusum.rn + 1
+    )
+    SELECT user_id, event_id, CAST(s AS BIGINT) AS cusum,
+           s > 1000 AS alarm
+    FROM cusum
+    """,
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per user (reference = the
+    user's first observation, drift k=100 cents, alarm h=1000): the
+    classic sequential statistic s_t = max(0, s_{t-1} + x_t − ref − k)
+    that no window frame expresses — implemented as an Arrow-batched
+    ``applyInPandas`` over user groups (numpy loop over each user's
+    ordered integer cents).  Integer state ⇒ engine-exact, and the
+    oracle replays the recursion as a DuckDB RECURSIVE CTE stepping on
+    row_number — a custom sequential operator under the FULL value-hash
+    gate.
+
+    Scale: state is one integer per user; groups process independently
+    (user_id partitioning, the same shuffle every per-user op shares);
+    the per-group loop is O(rows in group) with Arrow-batch transfer."""
+    import pandas as pd
+
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    c = ev.select("user_id", "event_id", "ts_us", cents.alias("cents"))
+
+    def cusum_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        ref = int(pdf["cents"].iloc[0])
+        s = 0
+        out = []
+        for x in pdf["cents"].astype("int64"):
+            s = max(0, s + int(x) - ref - 100)
+            out.append(s)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "cusum": out,
+                "alarm": [v > 1000 for v in out],
+            }
+        )
+
+    return c.groupBy("user_id").applyInPandas(
+        cusum_group,
+        "user_id long, event_id long, cusum long, alarm boolean",
+    )
