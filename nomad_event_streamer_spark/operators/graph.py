@@ -192,27 +192,31 @@ def bfs_hops(
 
     Spark lacks recursive CTEs; the iterative-join loop with
     per-round ``localCheckpoint`` lineage cuts (same discipline as
-    ``pagerank``) is the idiomatic replacement.  Each round shuffles a
-    frontier-join keyed by vertex id and a min-combine — both map-side
-    combinable; the edge table partitions once.  Distances are
-    integers, so the unrolled DuckDB oracle matches bit-for-bit."""
+    ``pagerank``) is the idiomatic replacement.  DELTA frontier: each
+    round joins edges against only the vertices discovered in the
+    PREVIOUS round (in unweighted BFS a settled vertex can never
+    improve), so total join work is O(|reached| × avg-degree) across
+    all rounds — not rounds × that, as a full-dist-set join would be.
+    Distances are integers, so the unrolled DuckDB oracle matches
+    bit-for-bit."""
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     dist = (
         nodes.where(F.col("node").isin(seeds))
         .select("node", F.lit(0).cast("long").alias("hops"))
         .localCheckpoint(eager=True)
     )
+    frontier = dist.select("node")
     for i in range(1, rounds + 1):
-        new = e.join(dist, e["src"] == dist["node"]).select(
-            F.col("dst").alias("node"),
-            (F.col("hops") + F.lit(1)).cast("long").alias("hops"),
+        reached = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
         )
-        dist = (
-            dist.unionAll(new)
-            .groupBy("node")
-            .agg(F.min("hops").cast("long").alias("hops"))
-            .localCheckpoint(eager=True)
-        )
+        new = reached.join(dist, "node", "left_anti").select(
+            "node", F.lit(i).cast("long").alias("hops")
+        ).localCheckpoint(eager=True)
+        dist = dist.unionAll(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
     return dist
 
 

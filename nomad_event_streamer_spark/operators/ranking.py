@@ -33,20 +33,31 @@ from pyspark.sql import functions as F
 __all__ = ["range_bucket", "global_row_number", "quantile_boundaries"]
 
 
-def range_bucket(col: Column, boundaries: list) -> Column:
+def range_bucket(
+    col: Column, boundaries: list, nan_last: bool = False
+) -> Column:
     """Monotone bucket id: number of boundaries strictly below ``col``.
 
     Equal key values always land in the same bucket (ties use ``>``
     consistently), so bucketing never splits a tie group across buckets
     and the in-bucket tiebreak columns stay authoritative.
+
+    Pass ``nan_last=True`` for float sort keys: Spark orders NaN as the
+    LARGEST double, but every ``NaN > b`` comparison is false, which
+    would drop NaN rows into bucket 0 and corrupt their global rank —
+    with the flag they route to the top bucket, matching the sort.
     """
     if not boundaries:
-        return F.lit(0)
-    return reduce(
-        lambda acc, b: acc + F.when(col > F.lit(b), 1).otherwise(0),
-        boundaries,
-        F.lit(0),
-    )
+        base = F.lit(0)
+    else:
+        base = reduce(
+            lambda acc, b: acc + F.when(col > F.lit(b), 1).otherwise(0),
+            boundaries,
+            F.lit(0),
+        )
+    if nan_last:
+        base = F.when(F.isnan(col), F.lit(len(boundaries))).otherwise(base)
+    return base
 
 
 def global_row_number(
@@ -91,7 +102,13 @@ def quantile_boundaries(
 ) -> list:
     """Range-bucket boundaries from approxQuantile (driver gets
     ``num_buckets - 1`` scalars).  Boundary accuracy affects only load
-    balance, never rank correctness."""
+    balance, never rank correctness.
+
+    NOTE: ``approxQuantile`` is an ACTION — callers pay one pass over
+    ``df`` at plan-construction time (the classic distributed-sort
+    sampling pass).  When the leading key is already a uniform hash,
+    prefer a fixed monotone bucket (see q_dataset_shuffle's md5-nibble)
+    and skip this pass entirely."""
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = df.stat.approxQuantile(col, probs, 0.001)
     return sorted(set(bounds))

@@ -68,6 +68,40 @@ def _int_dot(a, b):
     )
 
 
+def _quantized_score_topk(joined: DataFrame, k: int) -> DataFrame:
+    """Shared tail of the quantized-exact similarity family: score
+    (query_id, neighbor_id, q_vec, c_vec) candidate rows with the
+    integer-dot cosine, rank per query (score desc, id asc), keep top-k,
+    and half-up-round the score at 6dp.  One definition so the
+    brute-force (cosine_topk_quantized) and LSH (ann_topk_int) paths
+    can never drift in rounding, tie-break, or zero-norm handling."""
+    from pyspark.sql import Window
+
+    dot = _int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
+    den = F.sqrt(
+        _int_dot(F.col("q_vec"), F.col("q_vec")).cast("double")
+    ) * F.sqrt(_int_dot(F.col("c_vec"), F.col("c_vec")).cast("double"))
+    cos = F.when(den > 0, dot / den).otherwise(F.lit(0.0))
+    scored = joined.where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", cos.alias("qcos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            # half-up at 6dp via exact double ops (see quantize_vec)
+            (
+                F.floor(F.col("qcos") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            ).alias("qcos"),
+        )
+    )
+
+
 def cosine_topk_quantized(
     vecs: DataFrame,
     queries: DataFrame,
@@ -88,8 +122,6 @@ def cosine_topk_quantized(
     streams once, per-query window top-k.  Quantization also mirrors
     the production int8-quantized serving layout (dot products on
     integer codes, norms precomputable per row)."""
-    from pyspark.sql import Window
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         quantize_vec(F.col(vec_col), scale).alias("q_vec"),
@@ -98,31 +130,7 @@ def cosine_topk_quantized(
         F.col(id_col).alias("neighbor_id"),
         quantize_vec(F.col(vec_col), scale).alias("c_vec"),
     )
-    dot = _int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
-    den = F.sqrt(
-        _int_dot(F.col("q_vec"), F.col("q_vec")).cast("double")
-    ) * F.sqrt(_int_dot(F.col("c_vec"), F.col("c_vec")).cast("double"))
-    cos = F.when(den > 0, dot / den).otherwise(F.lit(0.0))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("qcos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("qcos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            # half-up at 6dp via exact double ops (see quantize_vec)
-            (
-                F.floor(F.col("qcos") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-            ).alias("qcos"),
-        )
-    )
+    return _quantized_score_topk(c.crossJoin(F.broadcast(q)), k)
 
 
 def _dot(a, b):
@@ -236,22 +244,18 @@ def ann_topk_int(
     ±1 hyperplanes make the sign test an integer sum of quantized
     components (no float dot anywhere); the bucket id is the 6-bit sign
     pattern; candidates come from a bucket equi-join (never all-pairs);
-    scoring is the quantized cosine of ``cosine_topk_quantized``.
-    Everything is integer arithmetic or single correctly-rounded IEEE
-    ops ⇒ engine-exact membership AND scores."""
-    from pyspark.sql import Window
-
+    scoring is the quantized cosine of ``cosine_topk_quantized``
+    (shared ``_quantized_score_topk`` tail — rounding/tie-break/zero
+    handling cannot drift between the two paths).  Everything is
+    integer arithmetic or single correctly-rounded IEEE ops ⇒
+    engine-exact membership AND scores."""
     planes = _deterministic_planes(num_planes, dim)
 
     def bucket_of(vcol):
         b = F.lit(0).cast("long")
         for p, plane in enumerate(planes):
             pl = F.array(*[F.lit(int(v)).cast("long") for v in plane])
-            d = F.aggregate(
-                F.zip_with(vcol, pl, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
+            d = _int_dot(vcol, pl)
             b = b + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
         return b
 
@@ -263,31 +267,7 @@ def ann_topk_int(
         F.col(id_col).alias("neighbor_id"),
         quantize_vec(F.col(vec_col), scale).alias("c_vec"),
     ).withColumn("bucket", bucket_of(F.col("c_vec")))
-
-    dot = _int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
-    den = F.sqrt(
-        _int_dot(F.col("q_vec"), F.col("q_vec")).cast("double")
-    ) * F.sqrt(_int_dot(F.col("c_vec"), F.col("c_vec")).cast("double"))
-    cos = F.when(den > 0, dot / den).otherwise(F.lit(0.0))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("qcos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("qcos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                F.floor(F.col("qcos") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-            ).alias("qcos"),
-        )
-    )
+    return _quantized_score_topk(c.join(F.broadcast(q), "bucket"), k)
 
 
 def near_dup_pairs(

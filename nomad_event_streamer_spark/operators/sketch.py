@@ -118,6 +118,19 @@ def heavy_hitters(
     )
 
 
+def int_bit_length(col):
+    """Bit length of a NON-NEGATIVE integer column (0 → 0), via the
+    engine's minimal binary string rendering — ``length(conv(x,10,2))``
+    in Spark, ``length(bin(x))`` in DuckDB, both unpadded, so the two
+    engines agree bit-for-bit.  ~10× faster than a powers-of-two array
+    filter (measured on hll_registers: 60 s → 3.3 s at the ×10 probe)
+    and exact where float log2 is not.  The zero case is explicit
+    because both engines render 0 as '0' (length 1, not 0)."""
+    return F.when(col == 0, F.lit(0)).otherwise(
+        F.length(F.conv(col, 10, 2))
+    )
+
+
 def hll_registers(
     df: DataFrame,
     key_cols: list[str],
@@ -155,14 +168,9 @@ def hll_registers(
         # exceeds double's 53-bit mantissa — true int ops only)
         F.shiftright(h, p).alias("_w"),
     )
-    # bit length via the engines' native minimal binary rendering
-    # (length(conv/bin)) — measured ~10x over a powers-array HOF filter,
-    # still integer-exact (both engines render '101'-style, no padding;
-    # w = 0 renders '0', handled explicitly).
-    nbits = F.when(F.col("_w") == 0, F.lit(0)).otherwise(
-        F.length(F.conv(F.col("_w"), 10, 2))
-    )
-    rho = (F.lit(w_width) - nbits + F.lit(1)).cast("long")
+    rho = (
+        F.lit(w_width) - int_bit_length(F.col("_w")) + F.lit(1)
+    ).cast("long")
     return (
         tagged.withColumn("_rho", rho)
         .groupBy(*key_cols, "bucket")

@@ -979,10 +979,12 @@ def q_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     val_bounds = ranking.quantile_boundaries(ev, "value", 32)
     # Descending leading key: bucket is monotone in `value`, offsets
     # accumulate from the high buckets down (bucket_desc=True).
+    # nan_last: Spark sorts NaN as the largest double — route any NaN
+    # to the top bucket so its rank matches the sort order.
     ranked = ranking.global_row_number(
         seq,
         [F.col("value").desc(), F.col("event_id").asc()],
-        ranking.range_bucket(F.col("value"), val_bounds),
+        ranking.range_bucket(F.col("value"), val_bounds, nan_last=True),
         "value_rank",
         bucket_desc=True,
     )

@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import dedup, multimodal, similarity, text
+from ..operators.sketch import int_bit_length
 from ..tables import (
     ORACLE_ROUND2,
     ORACLE_ROUND4,
@@ -1516,10 +1517,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = toks.agg(F.count(F.lit(1)).alias("n"))
-
-    def nbits(col):
-        return F.length(F.conv(col, 10, 2))
-
+    nbits = int_bit_length
     scored = (
         toks.join(counts, "tok")
         .crossJoin(F.broadcast(total))
@@ -1817,10 +1815,7 @@ def q_bm25_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-
-    def nbits(col):
-        return F.length(F.conv(col, 10, 2))
-
+    nbits = int_bit_length
     tfd = F.col("tf").cast("double")
     dld = F.col("dl").cast("double")
     s = (

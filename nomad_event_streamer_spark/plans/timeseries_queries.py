@@ -362,3 +362,82 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum_group,
         "user_id long, event_id long, cusum long, alarm boolean",
     )
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.user_id,
+               CAST(b.cents - a.cents AS DOUBLE)
+               / (CAST(b.ts_us - a.ts_us AS DOUBLE) / 3600000000.0)
+                   AS slope
+        FROM c a JOIN c b
+          ON a.user_id = b.user_id
+         AND (a.ts_us < b.ts_us
+              OR (a.ts_us = b.ts_us AND a.event_id < b.event_id))
+         AND a.ts_us <> b.ts_us
+    )
+    SELECT user_id,
+           count(*) AS n_pairs,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)
+               AS slope_cents_per_hour
+    FROM pairs GROUP BY user_id
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate per user: the median of all
+    pairwise slopes (cents/hour) — immune to outliers that wreck
+    least-squares.  Each slope is ONE IEEE division of exact integers
+    (deterministic), and the median is percentile_disc — an actual data
+    value, not an interpolation — so the whole estimator hash-matches.
+
+    Scale: pairs are quadratic IN THE GROUP (67 events → ~2.2k pairs
+    here) but linear across groups; at production the standard fix is
+    the repeated-median or a per-group hash sample cap before pairing —
+    group-bounded work either way, shuffled once on user_id."""
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    c = ev.select("user_id", "event_id", "ts_us", cents.alias("cents"))
+    a = c.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("ts_us").alias("ts_a"),
+        F.col("cents").alias("c_a"),
+    )
+    b = c.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("ts_us").alias("ts_b"),
+        F.col("cents").alias("c_b"),
+    )
+    pairs = a.join(b, "user_id").where(
+        (
+            (F.col("ts_a") < F.col("ts_b"))
+            | (
+                (F.col("ts_a") == F.col("ts_b"))
+                & (F.col("id_a") < F.col("id_b"))
+            )
+        )
+        & (F.col("ts_a") != F.col("ts_b"))
+    )
+    slope = (F.col("c_b") - F.col("c_a")).cast("double") / (
+        (F.col("ts_b") - F.col("ts_a")).cast("double") / F.lit(3.6e9)
+    )
+    return (
+        pairs.select("user_id", slope.alias("slope"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)"
+            ).alias("slope_cents_per_hour"),
+        )
+    )

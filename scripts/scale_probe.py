@@ -89,9 +89,10 @@ PROBES = [
 
 
 def synthesize(spark, reps: int) -> None:
-    # _done2: v2 layout (customer replicated with disjoint names so the
-    # fuzzy join and customer-side joins scale with the facts)
-    if os.path.exists(f"{DST}/_done2"):
+    # _done3: v3 layout (customer replicated; names get a doubled-digit
+    # suffix so cross-replica names sit at levenshtein 2, keeping the
+    # distance-1 fuzzy join free of synthesizer-injected pairs)
+    if os.path.exists(f"{DST}/_done3"):
         return
     os.makedirs(DST, exist_ok=True)
     r = spark.range(reps).select(F.col("id").alias("rep"))
@@ -114,10 +115,18 @@ def synthesize(spark, reps: int) -> None:
                 ),
             )
         if name_col:
+            # doubled rep digit: cross-replica names differ in TWO
+            # characters (levenshtein 2), so the distance-1 fuzzy join
+            # gains no synthesizer-injected cross-rep pairs — a single
+            # "_<rep>" suffix would sit at distance 1 and inflate the
+            # ×10 measurement quadratically.
             df = df.withColumn(
                 name_col,
                 F.concat(
-                    F.col(name_col), F.lit("_"), F.col("rep").cast("string")
+                    F.col(name_col),
+                    F.lit("_"),
+                    F.col("rep").cast("string"),
+                    F.col("rep").cast("string"),
                 ),
             )
         df.drop("rep").write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
@@ -132,7 +141,7 @@ def synthesize(spark, reps: int) -> None:
         spark.read.parquet(f"{SRC}/{small}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{DST}/{small}.parquet")
-    open(f"{DST}/_done2", "w").write("ok")
+    open(f"{DST}/_done3", "w").write("ok")
 
 
 def main() -> None:
