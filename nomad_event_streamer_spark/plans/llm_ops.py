@@ -1845,3 +1845,44 @@ def q_bm25_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         (F.sum("s_micro").cast("double") / F.lit(1e6)).alias("bm25_score")
     )
+
+
+@query(
+    "q_dedup_survivorship",
+    oracle="""
+    SELECT md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS h,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups,
+           max(n_chars) AS best_n_chars,
+           min(lang) AS lang,
+           list_sort(list(DISTINCT source)) AS sources
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record merge) for duplicate groups: beyond
+    picking a keeper id (q_dedup_exact), each group sharing an
+    opening-phrase fingerprint (first 5 tokens — the match key of a
+    record-linkage blocking pass)
+    merges per-column best values — max completeness, deterministic
+    attribute pick, the full provenance list — the entity-resolution
+    step that follows any dedup.  All merge rules are
+    order-independent aggregates (min/max/sorted set), so one hash
+    aggregation keyed by digest and a full value-hash oracle."""
+    docs = load(spark, sf_dir, "documents")
+    opening = F.md5(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
+    )
+    return (
+        docs.groupBy(opening.alias("h"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max("n_chars").alias("best_n_chars"),
+            F.min("lang").alias("lang"),
+            F.sort_array(F.collect_set("source")).alias("sources"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
