@@ -16,8 +16,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..tables import (
     ORACLE_ROUND2,
+    cents,
     events,
     load,
+    quantize_units,
     round2,
 )
 from .registry import query
@@ -1624,12 +1626,8 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-moment updates are float-order sensitive.  One partial-agg
     shuffle, like any groupBy."""
     li = load(spark, sf_dir, "lineitem")
-    qc = F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)).cast(
-        "long"
-    )
-    pc = F.floor(
-        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
-    ).cast("long")
+    qc = cents(F.col("l_quantity"))
+    pc = cents(F.col("l_extendedprice"))
     base = li.select(
         "l_returnflag", qc.alias("qc"), pc.alias("pc")
     )
@@ -1766,7 +1764,7 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/stddev would drift with partition order.  Moment table
     broadcasts back; one pass + one shuffle-free map."""
     ev = events(spark, sf_dir).where(F.col("value").isNotNull())
-    v = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    v = quantize_units(F.col("value"), 1e6)
     c = ev.select("event_id", "event_type", v.alias("v"))
     dec = "decimal(38,0)"
     m = c.groupBy("event_type").agg(
@@ -1787,4 +1785,55 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             ((F.col("v").cast("double") - mean) / std).alias("z"),
         )
+    )
+
+
+@query(
+    "q_ratio_to_report",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, user_id,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, cents,
+           CAST(cents AS DOUBLE)
+             / CAST(sum(cents) OVER (PARTITION BY event_type) AS DOUBLE)
+               AS share_of_type,
+           CAST(cents AS DOUBLE)
+             / CAST(sum(cents) OVER () AS DOUBLE) AS share_of_total
+    FROM c
+    """,
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (type, user) cell as a share of its type
+    and of the grand total — the percent-of-total window pattern every
+    BI layer needs.  Sums are exact integer cents (order-independent),
+    each share ONE IEEE division ⇒ hash-exact.  The grand-total
+    "window" aggregates a |types|×|users| table, not the fact table —
+    the pre-aggregate-then-window shape that keeps partitionless
+    windows off corpus-sized input (cf. operators/ranking for when the
+    windowed input IS corpus-sized)."""
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    c = ev.select(
+        "event_type", "user_id", cents(F.col("value")).alias("v")
+    ).groupBy(
+        "event_type", "user_id"
+    ).agg(F.sum("v").cast("long").alias("cents"))
+    w_type = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
+    return c.select(
+        "event_type",
+        "user_id",
+        "cents",
+        (
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w_type).cast("double")
+        ).alias("share_of_type"),
+        (
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w_all).cast("double")
+        ).alias("share_of_total"),
     )

@@ -18,6 +18,7 @@ from ..tables import (
     ORACLE_ROUND2,
     ORACLE_ROUND4,
     load,
+    quantize_units,
     rebalance_for_cpu,
     round2,
     round4,
@@ -1835,7 +1836,7 @@ def q_bm25_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    s_micro = F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long")
+    s_micro = quantize_units(s, 1e6)
     scored = (
         tf.join(dl, "doc_id")
         .join(F.broadcast(df_t), "tok")

@@ -13,7 +13,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..tables import events, load
+from ..tables import cents as cents_of, events, load
 from .registry import query
 
 _EWMA_TAPS = 16
@@ -53,7 +53,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts_us",
-        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        cents_of(F.col("value")).alias("cents"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     acc = F.lit(0).cast("long")
@@ -274,9 +274,7 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user frame); the collected array is frame-sized, never
     partition-sized."""
     ev = events(spark, sf_dir).where(F.col("value").isNotNull())
-    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
-        "long"
-    )
+    cents = cents_of(F.col("value"))
     c = ev.select("user_id", "event_id", "ts_us", cents.alias("cents"))
     w = (
         Window.partitionBy("user_id")
@@ -336,9 +334,7 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = events(spark, sf_dir).where(F.col("value").isNotNull())
-    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
-        "long"
-    )
+    cents = cents_of(F.col("value"))
     c = ev.select("user_id", "event_id", "ts_us", cents.alias("cents"))
 
     def cusum_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -402,9 +398,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repeated-median or a per-group hash sample cap before pairing —
     group-bounded work either way, shuffled once on user_id."""
     ev = events(spark, sf_dir).where(F.col("value").isNotNull())
-    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
-        "long"
-    )
+    cents = cents_of(F.col("value"))
     c = ev.select("user_id", "event_id", "ts_us", cents.alias("cents"))
     a = c.select(
         "user_id",

@@ -135,6 +135,22 @@ ORACLE_ROUND2 = "(floor(({x}) * 100.0 + 0.5) / 100.0)"
 ORACLE_ROUND4 = "(floor(({x}) * 10000.0 + 0.5) / 10000.0)"
 
 
+def quantize_units(col, scale: float = 100.0):
+    """Exact half-up integer quantization (floats → integer units at
+    1/scale resolution): ``floor(x*scale + 0.5)`` as BIGINT.  The float
+    policy's entry point for order-independent arithmetic — integer
+    sums/maxes/medians of the units are associative-exact, where any
+    double accumulation is summation-order sensitive.  Oracle side:
+    ``CAST(floor(x * <scale> + 0.5) AS BIGINT)``.  See round2 for why
+    floor-half-up and never round()."""
+    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+
+
+def cents(col):
+    """quantize_units at cents resolution — the money/value default."""
+    return quantize_units(col, 100.0)
+
+
 def dec_sum(col: str, alias: str):
     """Exact money sum: cast to DECIMAL(18,2) pre-sum so the aggregate is
     order-insensitive and bit-identical to the DuckDB oracle, then emit as
