@@ -174,3 +174,60 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // {WEEK_US} AS week,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    first AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY 1),
+    cell AS (
+        SELECT cohort, week - cohort AS week_offset,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM e JOIN first USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT cohort, week_offset, cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY week_offset
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cents
+    FROM cell
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue (integer cents) per
+    first-active-week cohort across week offsets — the lifetime-value
+    staple that pairs with q_retention's user counts.  The cumulative
+    window runs over the cohort×offset CELL table (weeks², tiny), never
+    the fact table; revenue sums are exact integer cents."""
+    from ..tables import cents as cents_of
+
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    e = ev.select(
+        "user_id",
+        F.expr(f"ts_us div {WEEK_US}").alias("week"),
+        cents_of(F.col("value")).alias("cents"),
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    cell = (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort", (F.col("week") - F.col("cohort")).alias("week_offset")
+        )
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort",
+        "week_offset",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )
