@@ -231,3 +231,63 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.sum("cents").over(w).cast("long").alias("cum_cents"),
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    tagged AS (
+        SELECT user_id, event_id, event_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER w_prev AS last_touch,
+               first_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                   OVER w_first AS first_touch
+        FROM e
+        WINDOW
+          w_prev AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          w_first AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT last_touch, first_touch, count(*) AS n_conversions
+    FROM tagged
+    WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase credits the user's LAST
+    preceding non-purchase touch (last-touch model) and the FIRST touch
+    of their history (first-touch model), counted jointly — the
+    conversion-credit matrix attribution tools produce.  Both lookups
+    are ignorenulls window picks over one shared user_id partitioning
+    (the same one-shuffle shape as q_interpolate's bracketing);
+    string/count output ⇒ full hash oracle."""
+    ev = events(spark, sf_dir)
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.select(
+        "event_type",
+        F.last(touch, ignorenulls=True).over(w_prev).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(w_prev).alias("first_touch"),
+    )
+    return (
+        tagged.where(
+            (F.col("event_type") == "purchase")
+            & F.col("last_touch").isNotNull()
+        )
+        .groupBy("last_touch", "first_touch")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
