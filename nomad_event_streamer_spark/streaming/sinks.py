@@ -117,34 +117,82 @@ def http_transport(
     urls: dict[str, str], timeout: float = 10.0
 ) -> Callable[[DataFrame, str], None]:
     """Real HTTP delivery matching the reference's webhook semantics
-    (app.rb:229-234,258-262): one POST per event, JSON body, no retry —
-    a failed POST raises and fails the batch (compose with
-    ``effectively_once`` + an idempotent receiver for stronger
-    guarantees; the reference itself is fire-and-forget at-most-once).
+    (app.rb:229-234,258-262): one POST per event, JSON body, no
+    application-level retry — a failed POST raises and fails the batch.
+
+    Delivery guarantee, stated precisely: at-MOST-once only while a Spark
+    task runs exactly once.  A mid-partition failure followed by a Spark
+    TASK RETRY re-POSTs every row of that partition that was already
+    delivered before the failure, and a stale keep-alive reconnect can
+    resend one in-flight request — so under retries delivery is
+    at-LEAST-once per row, and per-partition ordering restarts from the
+    first row on each attempt.  Receivers must be idempotent, or compose
+    with ``effectively_once`` (ledger skips redelivered batches) and/or
+    run the sink stage with ``spark.task.maxFailures=1`` to forbid task
+    retries outright.  (The reference itself is fire-and-forget.)
 
     Scale shape: POSTs run on the EXECUTORS via ``foreachPartition`` —
     parallel across partitions, strictly sequential within one — and the
     caller (``webhook_foreach_batch``) has already repartitioned by
     ``task_identifier`` and sorted by (raft_index, event_time_ns), so
     per-task event order matches the reference's sequential loop while
-    unrelated tasks deliver concurrently.  stdlib ``urllib`` only: no
-    extra deps on the workers."""
+    unrelated tasks deliver concurrently.  One ``http.client`` connection
+    per partition (keep-alive reuse on HTTP/1.1 servers, transparent
+    reopen on HTTP/1.0) instead of a fresh TCP+TLS handshake per row.
+    stdlib only: no extra deps on the workers."""
 
     def send(payloads: DataFrame, destination: str) -> None:
         url = urls[destination]
 
         def post_partition(rows) -> None:
-            import urllib.request
+            import http.client
+            from urllib.parse import urlsplit
 
-            for row in rows:
-                req = urllib.request.Request(
-                    url,
-                    data=row["payload"].encode("utf-8"),
-                    headers={"Content-Type": "application/json"},
-                    method="POST",
-                )
-                with urllib.request.urlopen(req, timeout=timeout) as resp:
+            parts = urlsplit(url)
+            conn_cls = (
+                http.client.HTTPSConnection
+                if parts.scheme == "https"
+                else http.client.HTTPConnection
+            )
+            path = parts.path or "/"
+            if parts.query:
+                path = f"{path}?{parts.query}"
+
+            def connect():
+                return conn_cls(parts.hostname, parts.port, timeout=timeout)
+
+            conn = connect()
+            try:
+                for row in rows:
+                    body = row["payload"].encode("utf-8")
+                    headers = {"Content-Type": "application/json"}
+                    try:
+                        conn.request("POST", path, body=body, headers=headers)
+                        resp = conn.getresponse()
+                    except (
+                        http.client.HTTPException,
+                        ConnectionError,
+                        BrokenPipeError,
+                    ):
+                        # Keep-alive went stale between requests: reopen and
+                        # resend this one request (the documented possible
+                        # duplicate).  Any failure here raises for real.
+                        conn.close()
+                        conn = connect()
+                        conn.request("POST", path, body=body, headers=headers)
+                        resp = conn.getresponse()
                     resp.read()
+                    if resp.status >= 400:
+                        raise RuntimeError(
+                            f"webhook POST to {url} failed: HTTP {resp.status}"
+                        )
+                    if resp.will_close:
+                        # HTTP/1.0 server (or Connection: close): the socket
+                        # is dead; reopen proactively for the next row.
+                        conn.close()
+                        conn = connect()
+            finally:
+                conn.close()
 
         payloads.foreachPartition(post_partition)
 

@@ -1,0 +1,449 @@
+"""Differential query fuzzing vs DuckDB (VERDICT r02 item #3).
+
+The 188 hand-written oracles could share blind spots with the queries they
+check (same author, same mental model).  This fuzzer generates seeded
+random filter / aggregate / join / window queries over ``events`` /
+``lineitem``(+``orders``) from a bounded grammar, renders each query BOTH
+as a PySpark DataFrame program (through the engine's own ``tables.load``
+path, on a plain driver-style SparkSession) and as DuckDB SQL, and
+hash-compares the results with the same normalization the verification
+driver uses.
+
+Float policy: every generated output expression is integer-exact
+(BIGINT atoms, half-up cent quantization, integer CASE/greatest/mod
+arithmetic), so a mismatch is an engine-semantics or loader bug, never
+float noise.  Magnitudes are bounded by construction (atom ``hi`` bounds,
+no atom*atom products) so Spark's ANSI overflow never fires.
+
+Usage: python scripts/fuzz_diff.py [n_seeds] [out.json]
+Exit code 0 iff every seed matches.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+from dataclasses import dataclass
+from typing import Callable
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# Dual-rendered expressions: one node -> (DuckDB SQL, PySpark Column)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Ex:
+    sql: str
+    col: Column
+    hi: float  # magnitude bound (abs), to keep sums within int64
+
+
+def _binop(a: Ex, b: Ex, op: str, hi: float) -> Ex:
+    return Ex(f"({a.sql} {op} {b.sql})", _COLOPS[op](a.col, b.col), hi)
+
+
+_COLOPS: dict[str, Callable[[Column, Column], Column]] = {
+    "+": lambda x, y: x + y,
+    "-": lambda x, y: x - y,
+    "*": lambda x, y: x * y,
+    "%": lambda x, y: x % y,
+}
+
+
+@dataclass
+class Pred:
+    sql: str
+    col: Column
+
+
+# Atom spec: name -> (duckdb sql, spark column factory, hi bound)
+# Spark side reads through tables.load, so events.ts is the canonical
+# ns-epoch LONG there while DuckDB sees TIMESTAMP — the two renderings
+# below are the engine-specific spellings of the SAME integer.
+def _events_atoms() -> dict[str, tuple[str, Callable[[], Column], float]]:
+    return {
+        "event_id": ("event_id", lambda: F.col("event_id"), 2e6),
+        "user_id": ("user_id", lambda: F.col("user_id"), 1e6),
+        "val_cents": (
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT)",
+            lambda: F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+            1e7,
+        ),
+        "tod_us": (
+            "(epoch_us(ts) % 86400000000)",
+            lambda: F.expr("(ts div 1000) % 86400000000"),
+            8.7e10,
+        ),
+    }
+
+
+def _lineitem_atoms() -> dict[str, tuple[str, Callable[[], Column], float]]:
+    return {
+        "l_orderkey": ("l_orderkey", lambda: F.col("l_orderkey"), 1e7),
+        "l_partkey": ("l_partkey", lambda: F.col("l_partkey"), 1e7),
+        "l_suppkey": ("l_suppkey", lambda: F.col("l_suppkey"), 1e6),
+        "l_linenumber": ("l_linenumber", lambda: F.col("l_linenumber"), 8),
+        "qty": (
+            "CAST(floor(l_quantity) AS BIGINT)",
+            lambda: F.floor(F.col("l_quantity")).cast("long"),
+            64,
+        ),
+        "price_cents": (
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)",
+            lambda: F.floor(
+                F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+            ).cast("long"),
+            2e7,
+        ),
+        "ship_year": (
+            "CAST(year(l_shipdate) AS BIGINT)",
+            lambda: F.year(F.col("l_shipdate")).cast("long"),
+            2200,
+        ),
+    }
+
+
+def _orders_atoms() -> dict[str, tuple[str, Callable[[], Column], float]]:
+    return {
+        "o_custkey": ("o_custkey", lambda: F.col("o_custkey"), 1e7),
+        "total_cents": (
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)",
+            lambda: F.floor(
+                F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+            ).cast("long"),
+            6e7,
+        ),
+        "order_year": (
+            "CAST(year(o_orderdate) AS BIGINT)",
+            lambda: F.year(F.col("o_orderdate")).cast("long"),
+            2200,
+        ),
+    }
+
+
+STR_ATOMS = {
+    "events": ["event_type"],
+    "lineitem": ["l_returnflag", "l_linestatus"],
+    "join": ["l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority"],
+}
+
+INT_ATOMS = {
+    "events": _events_atoms,
+    "lineitem": _lineitem_atoms,
+    "join": lambda: {**_lineitem_atoms(), **_orders_atoms()},
+}
+
+# Window order keys.  NOT unique: the synthetic lineitem has ~11.8k
+# duplicate (l_orderkey, l_linenumber) pairs at sf0.01, so every window
+# query ALSO appends the summed expression itself as the final ORDER BY
+# tiebreak — tied rows then carry identical increments, which makes the
+# running sum (and the rn/ws multiset) deterministic without needing a
+# unique key at all.  (Seed 0 of this fuzzer caught exactly that
+# order-dependence on its first run.)
+UNIQUE_KEYS = {
+    "events": ["event_id"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "join": ["l_orderkey", "l_linenumber"],
+}
+
+
+class Gen:
+    """One seeded random query: builds the AST once, renders twice."""
+
+    MAX_HI = 5e11  # keeps sum() over ~1e6 rows far from int64 edge
+
+    def __init__(self, seed: int, str_values: dict[str, list[str]]):
+        self.rng = random.Random(seed)
+        self.seed = seed
+        self.table = self.rng.choice(["events", "lineitem", "join"])
+        self.atoms = INT_ATOMS[self.table]()
+        self.str_values = str_values
+        self.shape = self.rng.choice(["project", "agg", "agg", "window"])
+
+    # -- expressions --------------------------------------------------------
+
+    def atom(self) -> Ex:
+        name = self.rng.choice(sorted(self.atoms))
+        sql, colf, hi = self.atoms[name]
+        return Ex(sql, colf(), hi)
+
+    def int_expr(self, depth: int = 0) -> Ex:
+        if depth >= 2 or self.rng.random() < 0.35:
+            return self.atom()
+        kind = self.rng.choice(["add", "sub", "mulc", "mod", "case", "minmax"])
+        a = self.int_expr(depth + 1)
+        if kind == "mulc":
+            c = self.rng.randint(2, 7)
+            out = _binop(a, Ex(str(c), F.lit(c), c), "*", a.hi * c)
+        elif kind == "mod":
+            c = self.rng.choice([7, 13, 64, 97, 1000])
+            out = _binop(a, Ex(str(c), F.lit(c), c), "%", c)
+        elif kind == "case":
+            p = self.pred(depth + 1)
+            b = self.int_expr(depth + 1)
+            out = Ex(
+                f"(CASE WHEN {p.sql} THEN {a.sql} ELSE {b.sql} END)",
+                F.when(p.col, a.col).otherwise(b.col),
+                max(a.hi, b.hi),
+            )
+        elif kind == "minmax":
+            b = self.int_expr(depth + 1)
+            fn = self.rng.choice(["greatest", "least"])
+            out = Ex(
+                f"{fn}({a.sql}, {b.sql})",
+                (F.greatest if fn == "greatest" else F.least)(a.col, b.col),
+                max(a.hi, b.hi),
+            )
+        else:
+            b = self.int_expr(depth + 1)
+            out = _binop(a, b, "+" if kind == "add" else "-", a.hi + b.hi)
+        return out if out.hi <= self.MAX_HI else self.atom()
+
+    def str_atom(self) -> str:
+        return self.rng.choice(STR_ATOMS[self.table])
+
+    def pred(self, depth: int = 0) -> Pred:
+        if depth < 2 and self.rng.random() < 0.3:
+            a, b = self.pred(depth + 1), self.pred(depth + 1)
+            op = self.rng.choice(["AND", "OR"])
+            col = (a.col & b.col) if op == "AND" else (a.col | b.col)
+            p = Pred(f"({a.sql} {op} {b.sql})", col)
+            if self.rng.random() < 0.2:
+                p = Pred(f"(NOT {p.sql})", ~p.col)
+            return p
+        if self.rng.random() < 0.4:
+            name = self.str_atom()
+            vals = self.str_values[name]
+            mode = self.rng.choice(["eq", "in", "like"])
+            if mode == "eq":
+                v = self.rng.choice(vals + ["zz-miss"])
+                return Pred(f"({name} = '{v}')", F.col(name) == v)
+            if mode == "in":
+                pick = self.rng.sample(vals, min(len(vals), self.rng.randint(1, 3)))
+                quoted = ", ".join(f"'{v}'" for v in pick)
+                return Pred(f"({name} IN ({quoted}))", F.col(name).isin(pick))
+            v = self.rng.choice(vals)[:1]
+            return Pred(f"({name} LIKE '{v}%')", F.col(name).like(f"{v}%"))
+        e = self.int_expr(depth + 1)
+        c = int(e.hi * self.rng.random())
+        if self.rng.random() < 0.25:
+            c2 = c + int(e.hi * self.rng.random() * 0.2)
+            return Pred(
+                f"({e.sql} BETWEEN {c} AND {c2})",
+                (e.col >= c) & (e.col <= c2),
+            )
+        op = self.rng.choice(["<", "<=", "=", ">=", ">", "<>"])
+        colops = {
+            "<": e.col < c, "<=": e.col <= c, "=": e.col == c,
+            ">=": e.col >= c, ">": e.col > c, "<>": e.col != c,
+        }
+        return Pred(f"({e.sql} {op} {c})", colops[op])
+
+    # -- table rendering ----------------------------------------------------
+
+    def _spark_base(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        from nomad_event_streamer_spark.tables import load
+
+        if self.table == "events":
+            return load(spark, sf_dir, "events")
+        if self.table == "lineitem":
+            return load(spark, sf_dir, "lineitem")
+        return load(spark, sf_dir, "lineitem").join(
+            load(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "inner",
+        )
+
+    def _sql_from(self) -> str:
+        if self.table == "join":
+            return "lineitem JOIN orders ON l_orderkey = o_orderkey"
+        return self.table
+
+    # -- query shapes -------------------------------------------------------
+
+    def build(self, spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+        where = self.pred()
+        base = self._spark_base(spark, sf_dir).where(where.col)
+        uniq = UNIQUE_KEYS[self.table]
+
+        if self.shape == "project":
+            exprs = [self.int_expr() for _ in range(self.rng.randint(1, 3))]
+            cols = [F.col(k) for k in uniq] + [
+                e.col.alias(f"c{i}") for i, e in enumerate(exprs)
+            ]
+            sels = list(uniq) + [
+                f"{e.sql} AS c{i}" for i, e in enumerate(exprs)
+            ]
+            sql = (
+                f"SELECT {', '.join(sels)} FROM {self._sql_from()} "
+                f"WHERE {where.sql}"
+            )
+            return base.select(*cols), sql
+
+        if self.shape == "window":
+            pk = self.atom()
+            k = self.rng.choice([7, 13, 64])
+            we = self.int_expr()
+            # order keys are non-unique (see UNIQUE_KEYS note): append the
+            # summed expression as the final tiebreak so tied rows have
+            # identical increments and the prefix sum is order-independent.
+            order_cols = [F.col(u).asc() for u in uniq] + [we.col.asc()]
+            order_sql = ", ".join(uniq + [we.sql])
+            w = (
+                Window.partitionBy(pk.col % k)
+                .orderBy(*order_cols)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            df = base.select(
+                *[F.col(u) for u in uniq],
+                (pk.col % k).alias("pk"),
+                F.row_number().over(
+                    Window.partitionBy(pk.col % k).orderBy(*order_cols)
+                ).alias("rn"),
+                F.sum(we.col).over(w).alias("ws"),
+            )
+            sql = (
+                f"SELECT {', '.join(uniq)}, ({pk.sql} % {k}) AS pk, "
+                f"row_number() OVER (PARTITION BY ({pk.sql} % {k}) "
+                f"ORDER BY {order_sql}) AS rn, "
+                f"CAST(sum({we.sql}) OVER (PARTITION BY ({pk.sql} % {k}) "
+                f"ORDER BY {order_sql} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                f"AS BIGINT) AS ws "
+                f"FROM {self._sql_from()} WHERE {where.sql}"
+            )
+            return df, sql
+
+        # agg (default, double-weighted)
+        n_keys = self.rng.randint(1, 2)
+        keys: list[tuple[str, Column, str]] = []  # (sql, col, alias)
+        for i in range(n_keys):
+            if self.rng.random() < 0.5:
+                name = self.str_atom()
+                keys.append((name, F.col(name), f"k{i}"))
+            else:
+                a = self.atom()
+                k = self.rng.choice([7, 13, 64, 97])
+                keys.append((f"({a.sql} % {k})", a.col % k, f"k{i}"))
+        s_expr = self.int_expr()
+        mn_expr = self.int_expr()
+        dist_name = self.rng.choice(sorted(self.atoms))
+        dist_sql, dist_colf, _ = self.atoms[dist_name]
+        aggs_spark = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s_expr.col).alias("s"),
+            F.min(mn_expr.col).alias("mn"),
+            F.max(mn_expr.col).alias("mx"),
+            F.countDistinct(dist_colf()).alias("cd"),
+        ]
+        key_cols = [c.alias(a) for _, c, a in keys]
+        df = base.groupBy(*key_cols).agg(*aggs_spark)
+        key_sel = ", ".join(f"{s} AS {a}" for s, _, a in keys)
+        group_by = ", ".join(s for s, _, _ in keys)
+        sql = (
+            f"SELECT {key_sel}, count(*) AS n, "
+            f"CAST(sum({s_expr.sql}) AS BIGINT) AS s, "
+            f"min({mn_expr.sql}) AS mn, max({mn_expr.sql}) AS mx, "
+            f"count(DISTINCT {dist_sql}) AS cd "
+            f"FROM {self._sql_from()} WHERE {where.sql} GROUP BY {group_by}"
+        )
+        return df, sql
+
+
+def str_value_pool(con) -> dict[str, list[str]]:
+    pool = {}
+    for table, names in (
+        ("events", ["event_type"]),
+        ("lineitem", ["l_returnflag", "l_linestatus"]),
+        ("orders", ["o_orderstatus", "o_orderpriority"]),
+    ):
+        for name in names:
+            pool[name] = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT DISTINCT {name} FROM {table} "
+                    f"WHERE {name} IS NOT NULL ORDER BY 1 LIMIT 20"
+                ).fetchall()
+            ]
+    return pool
+
+
+def run(n_seeds: int, out_path: str | None, sf_dir: str = SF) -> int:
+    from tests.oracle_compare import compare, duckdb_connection
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("fuzz-diff")
+        .getOrCreate()
+    )
+    con = duckdb_connection(sf_dir)
+    pool = str_value_pool(con)
+
+    results = {}
+    n_fail = 0
+    for seed in range(n_seeds):
+        gen = Gen(seed, pool)
+        try:
+            df, sql = gen.build(spark, sf_dir)
+            compare(df, con, sql)
+            results[seed] = {
+                "status": "match",
+                "table": gen.table,
+                "shape": gen.shape,
+            }
+        except AssertionError as exc:
+            n_fail += 1
+            results[seed] = {
+                "status": "MISMATCH",
+                "table": gen.table,
+                "shape": gen.shape,
+                "sql": sql,
+                "err": str(exc)[:500],
+            }
+            print(f"seed {seed}: MISMATCH {str(exc)[:200]}")
+        except Exception as exc:  # generation/engine error = a finding too
+            n_fail += 1
+            results[seed] = {
+                "status": "ERROR",
+                "table": gen.table,
+                "shape": gen.shape,
+                "err": f"{type(exc).__name__}: {str(exc)[:500]}",
+            }
+            print(f"seed {seed}: ERROR {type(exc).__name__}: {str(exc)[:200]}")
+        if (seed + 1) % 25 == 0:
+            print(f"  {seed + 1}/{n_seeds} seeds, {n_fail} failures")
+
+    summary = {
+        "n_seeds": n_seeds,
+        "n_fail": n_fail,
+        "sf_dir": sf_dir,
+        "by_shape": {
+            s: sum(1 for r in results.values() if r["shape"] == s)
+            for s in ("project", "agg", "window")
+        },
+        "results": results,
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1)
+    print(f"FUZZ DIFF: {n_seeds - n_fail}/{n_seeds} match, {n_fail} failures")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    out = sys.argv[2] if len(sys.argv) > 2 else None
+    sys.exit(run(n, out))

@@ -85,11 +85,12 @@ def test_no_partitionless_window(spark, sf_dir, name):
     window is the ONLY one: its frame is the distinctive
     `unboundedpreceding$(), -1` offset-accumulation frame."""
     df = QUERIES[name](spark, sf_dir)
-    bad = [
-        w
-        for w in _partitionless_window_specs(df)
-        if "-1" not in w  # offset windows end at (currentRow - 1)
-    ]
+    # The bucket-offset accumulation frame is exactly
+    # `specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)` — match
+    # the full signature, not a bare "-1" substring (a sort expression
+    # containing a -1 literal must NOT be exempted).
+    offset_frame = "specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)"
+    bad = [w for w in _partitionless_window_specs(df) if offset_frame not in w]
     assert not bad, f"full-input partitionless window in {name}: {bad}"
 
 
