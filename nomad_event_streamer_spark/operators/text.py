@@ -99,3 +99,80 @@ def fingerprints(docs: DataFrame) -> DataFrame:
             "fp_sorted": F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")),
         }
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    modulus: int = 64,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the dedup-storage / training-shard
+    boundary primitive): a cut point falls BEFORE position p whenever the
+    hash of the ``window``-byte context starting at p satisfies
+    ``h % modulus == 0`` — so boundaries move with the CONTENT, not the
+    offset, and an insertion near the head of a document only perturbs
+    the chunks it touches (the property fixed-size chunking lacks, and
+    the reason every dedup store chunks this way).  Expected chunk size
+    is ~``modulus`` bytes.
+
+    The boundary predicate is the md5 of the sliding window — not a
+    rolling gear hash, but the same content-determinism with a hash both
+    engines evaluate identically, which makes the whole operator
+    hash-oracle-able.  (A production gear hash drops in as a mapInPandas
+    batch fn without changing the chunk algebra below.)
+
+    Plan shape: explode window-start positions (O(total bytes) rows,
+    the irreducible cost of content-defined boundaries), filter to cut
+    points in codegen, then per-doc chunk lengths = first differences of
+    the cut-point sequence via a doc-partitioned window — no driver
+    state, no cross-doc dependency, embarrassingly parallel at corpus
+    scale."""
+    d = docs.select(
+        F.col(doc_col), "text", F.length("text").alias("L")
+    )
+    # candidate cut positions (2..L-window+1: a cut at 1 is vacuous)
+    pos = d.select(
+        doc_col,
+        "L",
+        "text",
+        F.explode(
+            F.expr(
+                f"CASE WHEN L >= {window} + 1 "
+                f"THEN sequence(2, L - {window} + 1) ELSE array() END"
+            )
+        ).alias("p"),
+    )
+    cuts = pos.where(
+        F.conv(
+            F.substring(F.md5(F.expr(f"substring(text, p, {window})")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % modulus
+        == 0
+    ).select(doc_col, "p")
+    # cut set = {1} ∪ boundaries ∪ {L+1}; chunk lens = first differences
+    bounds = (
+        d.select(doc_col, F.lit(1).alias("p"))
+        .unionByName(cuts)
+        .unionByName(d.select(doc_col, (F.col("L") + 1).alias("p")))
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(doc_col).orderBy("p")
+    lens = (
+        bounds.withColumn("nxt", F.lead("p").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(doc_col, (F.col("nxt") - F.col("p")).alias("clen"))
+    )
+    return (
+        lens.groupBy(doc_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.min("clen").alias("min_chunk"),
+            F.max("clen").alias("max_chunk"),
+            F.sum("clen").cast("long").alias("n_bytes"),
+        )
+    )

@@ -103,11 +103,24 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("dst")
     )
-    directed = (
+    # Carry only INTEGER nationkeys through the fact-table joins and
+    # attach names to the <=625-row distinct pair set at the end — the
+    # r02 plan shuffled name strings through every hop.  (An early
+    # per-hop distinct was measured and rejected: (l_orderkey,
+    # s_nationkey) is ~92% unique here, so the extra exchange cost more
+    # than the 8% row reduction saved; one distinct after the last join
+    # map-side-combines to the 625-pair ceiling anyway.)
+    nation_pair = (
         li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .select("l_orderkey", "s_nationkey")
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "s_nationkey")
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("s_nationkey", "c_nationkey")
+        .distinct()
+    )
+    directed = (
+        nation_pair.join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
         .select("src", "dst")
     )

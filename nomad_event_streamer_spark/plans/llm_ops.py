@@ -1927,3 +1927,206 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_dups") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: containment, simhash pair index, content-defined
+# chunking, split drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_containment",
+    oracle=_SHINGLE_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, ni AS shared,
+           CAST(floor(CAST(ni AS DOUBLE) / sa.n_sh * 1000.0 + 0.5)
+                AS BIGINT) AS cont_a_milli,
+           CAST(floor(CAST(ni AS DOUBLE) / sb.n_sh * 1000.0 + 0.5)
+                AS BIGINT) AS cont_b_milli
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ni >= 5
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram CONTAINMENT pairs (|A∩B|/|A|, both directions): the
+    asymmetric companion to q_ngram_jaccard — a short document quoted
+    inside a long one has near-zero Jaccard but containment ≈ 1, which
+    is why curation pipelines run both (Broder's resemblance vs
+    containment).  Shared-shingle equi-join, min-shared floor bounds the
+    output; milli-unit half-up ratios keep the full hash oracle."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    return dedup.containment_pairs(docs, n=3, min_shared=5)
+
+
+_SIMHASH_SIG_CTE = """
+    WITH hv AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS v
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+    ),
+    votes AS (
+        SELECT doc_id, k, sum(2 * ((v >> k) & 1) - 1) AS s
+        FROM hv CROSS JOIN (SELECT unnest(range(0, 32)) AS k)
+        GROUP BY doc_id, k
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, k) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "q_simhash_pairs",
+    oracle=_SIMHASH_SIG_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS within Hamming distance 3 via
+    pigeonhole block LSH (Manku et al.'s web-dedup index): 4 blocks of
+    the 32-bit fingerprint — d <= 3 forces at least one identical block —
+    so candidates are a (block, value) equi-join + exact popcount
+    confirm, never the quadratic scan the oracle replays.  Completes the
+    simhash family: q_simhash emits the fingerprints, this finds the
+    collisions."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(docs, num_bits=32, max_hamming=3)
+
+
+@query(
+    "q_chunk_cdc",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    pos AS (
+        SELECT doc_id, L, text, t.p AS p
+        FROM d CROSS JOIN range(2, 2001) t(p)
+        WHERE t.p <= L - 8 + 1
+    ),
+    cuts AS (
+        SELECT doc_id, p FROM pos
+        WHERE CAST(concat('0x', substring(md5(substring(text, p, 8)), 1, 4))
+                   AS BIGINT) % 64 = 0
+    ),
+    bounds AS (
+        SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, 1 AS p FROM d
+            UNION ALL SELECT doc_id, p FROM cuts
+            UNION ALL SELECT doc_id, L + 1 AS p FROM d
+        )
+    ),
+    lens AS (
+        SELECT doc_id,
+               lead(p) OVER (PARTITION BY doc_id ORDER BY p) - p AS clen
+        FROM bounds
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           min(clen) AS min_chunk,
+           max(clen) AS max_chunk,
+           CAST(sum(clen) AS BIGINT) AS n_bytes
+    FROM lens WHERE clen IS NOT NULL
+    GROUP BY doc_id
+    """,
+)
+def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking per document (operators/text.cdc_chunks):
+    boundaries where the 8-byte sliding-window hash ≡ 0 (mod 64), so cut
+    points move with content and an edit only perturbs its own chunks —
+    the dedup-store / incremental-training-shard boundary primitive that
+    fixed-size q_chunk_docs cannot provide.  O(bytes) boundary tests in
+    codegen, per-doc first-difference window, integer chunk stats, full
+    hash oracle."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    return text.cdc_chunks(docs, window=8, modulus=64)
+
+
+@query(
+    "q_drift_chi2",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id % 2 AS split, n_chars // 50 AS bucket
+        FROM documents
+    ),
+    c AS (SELECT bucket, split, count(*) AS obs FROM d GROUP BY 1, 2),
+    r AS (SELECT bucket, CAST(sum(obs) AS BIGINT) AS row_n FROM c GROUP BY 1),
+    t AS (SELECT split, CAST(sum(obs) AS BIGINT) AS col_n FROM c GROUP BY 1),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM c),
+    grid AS (
+        SELECT r.bucket, t.split, r.row_n, t.col_n, n.total,
+               coalesce(c.obs, 0) AS obs
+        FROM r CROSS JOIN t CROSS JOIN n
+        LEFT JOIN c ON c.bucket = r.bucket AND c.split = t.split
+    )
+    SELECT bucket, split, CAST(obs AS BIGINT) AS obs,
+           CAST(floor(
+               CAST((obs * total - row_n * col_n)
+                    * (obs * total - row_n * col_n) * 1000 AS DOUBLE)
+               / CAST(total * row_n * col_n AS DOUBLE) + 0.5
+           ) AS BIGINT) AS chi2_milli
+    FROM grid
+    """,
+)
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two dataset splits (train/eval, or
+    yesterday/today) as a chi-square homogeneity table over length
+    buckets: obs vs expected = row_total*col_total/N per (bucket, split)
+    cell, contribution (obs-exp)^2/exp emitted in half-up milli-units —
+    the drift monitor every production data pipeline runs before a
+    training batch ships.  Exactness: the numerator (obs*N - row*col)^2
+    * 1000 stays under 2^53 at oracle scale, so the single IEEE division
+    + floor is bit-identical cross-engine; the zero-cell rows a naive
+    count-join would drop are restored by the bucket x split grid
+    (chi-square needs them).  One count aggregation + three tiny
+    rollups; the grid join is broadcast-sized at any corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("doc_id") % 2).alias("split"),
+        F.expr("n_chars div 50").alias("bucket"),
+    )
+    c = d.groupBy("bucket", "split").agg(F.count(F.lit(1)).alias("obs"))
+    r = c.groupBy("bucket").agg(F.sum("obs").cast("long").alias("row_n"))
+    t = c.groupBy("split").agg(F.sum("obs").cast("long").alias("col_n"))
+    n = c.agg(F.sum("obs").cast("long").alias("total"))
+    grid = (
+        r.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(n))
+        .join(c, ["bucket", "split"], "left")
+        .select(
+            "bucket",
+            "split",
+            "row_n",
+            "col_n",
+            "total",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("long").alias("obs"),
+        )
+    )
+    dev = F.col("obs") * F.col("total") - F.col("row_n") * F.col("col_n")
+    return grid.select(
+        "bucket",
+        "split",
+        "obs",
+        F.floor(
+            (dev * dev * F.lit(1000)).cast("double")
+            / (F.col("total") * F.col("row_n") * F.col("col_n")).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("chi2_milli"),
+    )

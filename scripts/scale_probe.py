@@ -13,8 +13,11 @@ skew guard exist for, not the operator's row scaling.  Measured: with
 lightly-perturbed replicas q_ngram_jaccard ran 17x at 10x rows; with
 disjoint vocabularies it is linear.)
 
-Usage: python scripts/scale_probe.py [--reps 10]
-Writes /tmp/nes_scale_sf1/ once and reuses it.
+Usage: python scripts/scale_probe.py [--reps 10] [--only q_a,q_b]
+Writes /tmp/nes_scale_x{reps}/ once per replication factor and reuses it
+(--reps 30 gives the second decade for the ops whose ×10 ratio is above
+linear-in-rows, confirming the trend is output/round growth, not
+quadratic creep).
 """
 
 from __future__ import annotations
@@ -31,7 +34,12 @@ import pyspark.sql.functions as F  # noqa: E402
 from nomad_event_streamer_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/nes_scale_sf1"
+
+
+def dst_for(reps: int) -> str:
+    # reps=10 keeps the historical r01/r02 directory so the synthesized
+    # replica set (and its _done3 marker) is reused across rounds.
+    return "/tmp/nes_scale_sf1" if reps == 10 else f"/tmp/nes_scale_x{reps}"
 
 PROBES = [
     "q_agg_groupby",
@@ -85,6 +93,11 @@ PROBES = [
     "q_funnel",
     "q_retention",
     "q_transitions",
+    # round-3 additions
+    "q_containment",
+    "q_simhash_pairs",
+    "q_chunk_cdc",
+    "q_drift_chi2",
 ]
 
 
@@ -92,6 +105,7 @@ def synthesize(spark, reps: int) -> None:
     # _done3: v3 layout (customer replicated; names get a doubled-digit
     # suffix so cross-replica names sit at levenshtein 2, keeping the
     # distance-1 fuzzy join free of synthesizer-injected pairs)
+    DST = dst_for(reps)
     if os.path.exists(f"{DST}/_done3"):
         return
     os.makedirs(DST, exist_ok=True)
@@ -171,7 +185,7 @@ def main() -> None:
     print(f"{'query':24s} {'sf0.1':>8s} {'x{:d}'.format(args.reps):>8s} {'ratio':>7s}")
     for name in probes:
         times = {}
-        for label, sf in [("small", SRC), ("big", DST)]:
+        for label, sf in [("small", SRC), ("big", dst_for(args.reps))]:
             t0 = time.perf_counter()
             queries[name](spark, sf).write.format("noop").mode("overwrite").save()
             times[label] = time.perf_counter() - t0

@@ -1,0 +1,88 @@
+"""Property tests for the round-3 operators: content-defined chunking
+(edit locality — the property that justifies CDC over fixed windows),
+pigeonhole SimHash pairs (completeness vs brute force), and containment
+(the subset-duplicate case Jaccard misses)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from nomad_event_streamer_spark.operators.dedup import (
+    containment_pairs,
+    simhash,
+    simhash_pairs,
+)
+from nomad_event_streamer_spark.operators.text import cdc_chunks
+
+
+def test_cdc_chunks_partition_the_document(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = cdc_chunks(docs).join(
+        docs.select("doc_id", F.length("text").alias("L")), "doc_id"
+    )
+    # chunks tile the document exactly: sum of lengths == byte length
+    bad = out.where(F.col("n_bytes") != F.col("L")).count()
+    assert bad == 0
+    # expected chunk size ~ modulus: sane chunk counts, nothing degenerate
+    stats = out.agg(
+        F.sum("n_chunks").alias("nc"), F.sum("n_bytes").alias("nb")
+    ).collect()[0]
+    assert 0 < stats.nc
+    assert stats.nb / stats.nc > 8  # chunks are at least window-sized on avg
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """Insert one char near the head: every boundary AFTER the edit's
+    window horizon stays at the same content position, so the tail
+    chunks are unchanged — the defining CDC property (a fixed-size
+    chunker shifts every downstream boundary)."""
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    edited = "X" + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in cdc_chunks(df).collect()
+    }
+    # all chunks after the first differ only via the head chunk: chunk
+    # multisets agree except near the edit => n_chunks differs by at most
+    # 1 and max_chunk is identical (tail structure preserved)
+    assert abs(rows[1].n_chunks - rows[2].n_chunks) <= 1
+    assert rows[2].n_bytes == rows[1].n_bytes + 1
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(docs, num_bits=32, max_hamming=3).collect()
+    }
+    sigs = simhash(docs, num_bits=32).collect()
+    want = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1 :]:
+            h = bin(a.simhash ^ b.simhash).count("1")
+            if h <= 3:
+                lo, hi = sorted((a.doc_id, b.doc_id))
+                want.add((lo, hi, h))
+    assert got == want  # pigeonhole blocks are exact, not approximate
+
+
+def test_containment_catches_subset_duplicates(spark):
+    """A doc fully quoted inside a 5x longer one: Jaccard is small but
+    containment(a in b) == 1000 milli — the case this operator exists
+    for."""
+    quoted = "alpha beta gamma delta epsilon zeta eta theta"
+    container = ("lorem ipsum dolor sit amet " * 8) + quoted + (
+        " consectetur adipiscing elit sed do " * 8
+    )
+    df = spark.createDataFrame(
+        [(1, quoted), (2, container)], "doc_id long, text string"
+    )
+    rows = containment_pairs(df, n=3, min_shared=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.cont_a_milli == 1000  # A fully inside B
+    assert r.cont_b_milli < 300  # but B is NOT inside A

@@ -1,0 +1,154 @@
+"""End-to-end supervised streaming topology (VERDICT r02 item #8).
+
+The reference's process model (app.rb:80-117) is one process running:
+ingest loop + heartbeat-watchdog side thread (app.rb:87-104) + two
+webhook destinations (app.rb:211,236,264).  This test composes the
+engine's equivalents — throttled replay source, the full task-event
+pipeline with watermark dedup, the two-destination webhook fan-out sink,
+a second concurrent table sink, `awaitAnyTermination`, and the
+HeartbeatWatchdog listener + supervisor loop — then kills the stream
+mid-batch and asserts the watchdog-driven shutdown semantics match the
+reference's exit-1 path (app.rb:96-103).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pyspark.sql.functions as F
+
+from nomad_event_streamer_spark.sources.replay import ReplayDataSource
+from nomad_event_streamer_spark.sources.synthetic import sample_stream
+from nomad_event_streamer_spark.streaming.runner import (
+    build_stream,
+    start_webhook_query,
+)
+from nomad_event_streamer_spark.streaming.watchdog import (
+    HeartbeatWatchdog,
+    supervise,
+)
+
+
+def test_supervised_concurrent_topology_clean_exit(tmp_path, spark):
+    """Happy path: ingest + two concurrent sinks under a live supervisor
+    -> everything drains, the supervisor returns 0 (the reference's loop
+    simply never hits the exit-1 branch while heartbeats flow)."""
+    capture = tmp_path / "capture"
+    capture.mkdir()
+    lines = sample_stream(10)
+    (capture / "a.ndjson").write_text("\n".join(lines[:6]) + "\n")
+    (capture / "b.ndjson").write_text("\n".join(lines[6:]) + "\n")
+
+    wd = HeartbeatWatchdog(threshold_seconds=30.0)
+    spark.streams.addListener(wd)
+    try:
+        spark.dataSource.register(ReplayDataSource)
+        raw = (
+            spark.readStream.format("replay_ndjson")
+            .option("path", str(capture))
+            .option("lines_per_batch", "4")
+            .load()
+        )
+        classified = build_stream(raw)
+
+        hooks = tmp_path / "hooks"
+        q_hooks = start_webhook_query(
+            classified,
+            str(tmp_path / "ck_hooks"),
+            str(hooks),
+            available_now=False,
+        )
+        q_tbl = (
+            classified.selectExpr(
+                "task_identifier", "event_time_ns", "raft_index"
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "table"))
+            .option("checkpointLocation", str(tmp_path / "ck_tbl"))
+            .outputMode("append")
+            .start()
+        )
+
+        # supervisor loop runs CONCURRENTLY with the draining queries —
+        # heartbeats (progress/idle events) keep it from firing.
+        rc_box: dict[str, int] = {}
+
+        def run_supervisor():
+            rc_box["rc"] = supervise(spark, q_hooks, wd, poll_seconds=0.2)
+
+        sup = threading.Thread(target=run_supervisor)
+        sup.start()
+
+        # the reference blocks on its sinks concurrently; Spark's analog
+        spark.streams.resetTerminated()
+        assert q_hooks.isActive and q_tbl.isActive
+        assert not spark.streams.awaitAnyTermination(1)  # both still live
+
+        q_hooks.processAllAvailable()
+        q_tbl.processAllAvailable()
+        q_hooks.stop()
+        q_tbl.stop()
+        q_hooks.awaitTermination(60)
+        q_tbl.awaitTermination(60)
+        sup.join(timeout=30)
+        assert rc_box.get("rc") == 0, "clean drain must not trip the watchdog"
+
+        # both destinations received the same delivery set, in both
+        # payload shapes (app.rb:211-267 fan-out)
+        disc = spark.read.parquet(str(hooks / "discord"))
+        slk = spark.read.parquet(str(hooks / "slack"))
+        n_disc, n_slk = disc.count(), slk.count()
+        assert n_disc > 0 and n_disc == n_slk
+        assert disc.where(F.col("payload").contains("embeds")).count() == n_disc
+        assert (
+            slk.where(F.col("payload").contains("attachments")).count() == n_slk
+        )
+        tbl = spark.read.parquet(str(tmp_path / "table"))
+        assert tbl.count() == n_disc  # one delivery row per classified event
+    finally:
+        spark.streams.removeListener(wd)
+
+
+def test_watchdog_kills_stalled_stream_exit_1(tmp_path, spark):
+    """Kill-the-stream path: a micro-batch that stops heartbeating (the
+    analog of app.rb's readpartial hanging forever) must be detected by
+    the watchdog within the threshold and stopped, and the supervisor
+    must report the reference's exit-1 semantics (app.rb:96-103)."""
+    capture = tmp_path / "capture"
+    capture.mkdir()
+    (capture / "a.ndjson").write_text("\n".join(sample_stream(4)) + "\n")
+
+    wd = HeartbeatWatchdog(threshold_seconds=2.0)
+    spark.streams.addListener(wd)
+    try:
+        spark.dataSource.register(ReplayDataSource)
+        raw = (
+            spark.readStream.format("replay_ndjson")
+            .option("path", str(capture))
+            .option("lines_per_batch", "50")
+            .load()
+        )
+        classified = build_stream(raw)
+
+        def hang(batch, batch_id):
+            # the stalled-source condition: work started, no heartbeat
+            time.sleep(15)
+
+        q = (
+            classified.writeStream.foreachBatch(hang)
+            .option("checkpointLocation", str(tmp_path / "ck_stall"))
+            .outputMode("append")
+            .start()
+        )
+        t0 = time.monotonic()
+        rc = supervise(spark, q, wd, poll_seconds=0.2)
+        elapsed = time.monotonic() - t0
+        assert rc == 1, "watchdog must report the exit-1 path"
+        assert not q.isActive, "stalled query must be stopped"
+        # detection happened at ~threshold, not after the hang finished
+        # (stop() itself may wait out the in-flight batch, like the
+        # reference's exit killing the process mid-readpartial)
+        assert elapsed < 60
+    finally:
+        spark.streams.removeListener(wd)

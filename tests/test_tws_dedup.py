@@ -1,6 +1,12 @@
 """transformWithStateInPandas twin of the exact-REF dedup — skip-marked
 on the protobuf probe so it activates with zero code change the moment
-the environment gains the dependency (VERDICT r01 item 7)."""
+the environment gains the dependency (VERDICT r01 item 7).
+
+Round-3 re-check (VERDICT r02 item 4): `import google.protobuf` still
+fails and `pip download protobuf` cannot reach an index from this
+sandbox, so the gate remains environmental — the applyInPandasWithState
+implementation (streaming/dedup_state.py) stays the covering test for
+the semantics."""
 
 import time
 import uuid
