@@ -2130,3 +2130,130 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chi2_milli"),
     )
+
+
+@query(
+    "q_packing_efficiency",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, n_tok,
+               n_tok // 32 AS len_bin,
+               ((n_tok + 127) // 128) * 128 - n_tok AS waste
+        FROM d
+    )
+    SELECT len_bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(sum(waste) AS BIGINT) AS sum_pad,
+           CAST(floor(CAST(sum(n_tok) * 1000 AS DOUBLE)
+                      / CAST(sum(n_tok) + sum(waste) AS DOUBLE) + 0.5)
+                AS BIGINT) AS fill_milli
+    FROM w
+    GROUP BY len_bin
+    """,
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report for a 128-token training sequence
+    length: per document-length bin, token mass vs the padding a
+    one-doc-per-sequence loader would burn (waste = ceil(n/128)*128-n),
+    with the fill ratio in half-up milli-units — the measurement that
+    motivates sequence packing (q_pack_sequences is the remedy; this is
+    the diagnosis, always reported next to it in pipeline dashboards).
+    One narrow scan + one partial-agg shuffle; integers end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = d.select(
+        "n_tok",
+        F.expr("n_tok div 32").alias("len_bin"),
+        (
+            -(F.col("n_tok"))
+            + F.expr("((n_tok + 127) div 128) * 128")
+        ).alias("waste"),
+    )
+    return w.groupBy("len_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.sum("waste").cast("long").alias("sum_pad"),
+        F.floor(
+            (F.sum("n_tok") * F.lit(1000)).cast("double")
+            / (F.sum("n_tok") + F.sum("waste")).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("fill_milli"),
+    )
+
+
+@query(
+    "q_dup_spans",
+    oracle="""
+    WITH sp AS (
+        SELECT doc_id, unnest(list_distinct(
+            [md5(array_to_string(toks[i:i+6], ' '))
+             FOR i IN range(1, greatest(len(toks) - 5, 2))]
+        )) AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    df AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM sp GROUP BY h),
+    flags AS (
+        SELECT sp.doc_id, CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END AS dup
+        FROM sp JOIN df USING (h)
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(dup) AS BIGINT) AS n_dup_spans,
+           CAST(floor(CAST(sum(dup) * 1000 AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+               AS dup_milli
+    FROM flags
+    GROUP BY doc_id
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span statistics (ExactSubstr-dedup signal, Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"):
+    per document, how many of its distinct 7-token spans also occur in
+    some OTHER document — the cross-document boilerplate mass that
+    span-level dedup would remove, and the standard diagnostic before
+    paying for suffix-array dedup.  Plan: distinct span digests per doc
+    (one scan), span→doc-frequency aggregation (the same bounded
+    (span, count) shuffle as document frequency / q_ngram_freq), one
+    hash join back, per-doc aggregate.  No pair join anywhere — this
+    scales where the all-pairs formulations cannot.  Integer counts +
+    half-up milli ratio: full hash oracle."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 6, 1)),"
+                    " i -> md5(array_join(slice(split(text, ' '), i, 7), ' ')))"
+                )
+            )
+        ).alias("h"),
+    )
+    span_df = spans.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flags = spans.join(span_df, "h").select(
+        "doc_id", (F.col("n_docs") > 1).cast("long").alias("dup")
+    )
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("dup").cast("long").alias("n_dup_spans"),
+        F.floor(
+            (F.sum("dup") * F.lit(1000)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dup_milli"),
+    )

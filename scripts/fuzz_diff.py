@@ -169,7 +169,11 @@ class Gen:
         self.table = self.rng.choice(["events", "lineitem", "join"])
         self.atoms = INT_ATOMS[self.table]()
         self.str_values = str_values
-        self.shape = self.rng.choice(["project", "agg", "agg", "window"])
+        self.shape = self.rng.choice(
+            ["project", "agg", "agg", "window", "setop"]
+        )
+        # the join table exercises both inner and left outer semantics
+        self.join_type = self.rng.choice(["inner", "left"])
 
     # -- expressions --------------------------------------------------------
 
@@ -259,14 +263,31 @@ class Gen:
             return load(spark, sf_dir, "events")
         if self.table == "lineitem":
             return load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        if self._join_type() == "left":
+            # every lineitem matches an order in TPC-H shapes, so a left
+            # join only exercises null semantics if the right side is
+            # thinned first (deterministic orphan filter)
+            orders = orders.where(F.col("o_orderkey") % 3 != 0)
         return load(spark, sf_dir, "lineitem").join(
-            load(spark, sf_dir, "orders"),
+            orders,
             F.col("l_orderkey") == F.col("o_orderkey"),
-            "inner",
+            self._join_type(),
         )
+
+    def _join_type(self) -> str:
+        # NULL ordering defaults differ between the engines (Spark: NULLS
+        # FIRST asc; DuckDB: NULLS LAST), so window shapes stay inner.
+        return "inner" if self.shape == "window" else self.join_type
 
     def _sql_from(self) -> str:
         if self.table == "join":
+            if self._join_type() == "left":
+                return (
+                    "lineitem LEFT JOIN (SELECT * FROM orders "
+                    "WHERE o_orderkey % 3 <> 0) o "
+                    "ON l_orderkey = o_orderkey"
+                )
             return "lineitem JOIN orders ON l_orderkey = o_orderkey"
         return self.table
 
@@ -290,6 +311,28 @@ class Gen:
                 f"WHERE {where.sql}"
             )
             return base.select(*cols), sql
+
+        if self.shape == "setop":
+            exprs = [self.int_expr() for _ in range(self.rng.randint(1, 2))]
+            where2 = self.pred()
+            op = self.rng.choice(["union", "intersect", "except"])
+            cols = [e.col.alias(f"c{i}") for i, e in enumerate(exprs)]
+            sels = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(exprs))
+            base2 = self._spark_base(spark, sf_dir).where(where2.col)
+            d1, d2 = base.select(*cols), base2.select(*cols)
+            if op == "union":
+                df = d1.union(d2).distinct()
+            elif op == "intersect":
+                df = d1.intersect(d2)  # INTERSECT DISTINCT semantics
+            else:
+                df = d1.subtract(d2)  # EXCEPT DISTINCT semantics
+            kw = {"union": "UNION", "intersect": "INTERSECT", "except": "EXCEPT"}
+            sql = (
+                f"SELECT {sels} FROM {self._sql_from()} WHERE {where.sql} "
+                f"{kw[op]} "
+                f"SELECT {sels} FROM {self._sql_from()} WHERE {where2.sql}"
+            )
+            return df, sql
 
         if self.shape == "window":
             pk = self.atom()
@@ -432,7 +475,7 @@ def run(n_seeds: int, out_path: str | None, sf_dir: str = SF) -> int:
         "sf_dir": sf_dir,
         "by_shape": {
             s: sum(1 for r in results.values() if r["shape"] == s)
-            for s in ("project", "agg", "window")
+            for s in ("project", "agg", "window", "setop")
         },
         "results": results,
     }

@@ -98,6 +98,8 @@ PROBES = [
     "q_simhash_pairs",
     "q_chunk_cdc",
     "q_drift_chi2",
+    "q_packing_efficiency",
+    "q_dup_spans",
 ]
 
 

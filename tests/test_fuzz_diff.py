@@ -36,5 +36,5 @@ def test_fuzz_seed_matches(seed, spark, sf_dir, con, pool):
 
 
 def test_grammar_emits_every_shape(pool):
-    shapes = {fuzz_diff.Gen(s, pool).shape for s in range(40)}
-    assert shapes == {"project", "agg", "window"}
+    shapes = {fuzz_diff.Gen(s, pool).shape for s in range(60)}
+    assert shapes == {"project", "agg", "window", "setop"}
