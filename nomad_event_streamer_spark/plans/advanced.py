@@ -563,3 +563,78 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_event_id",
         F.col("asof_click_ts"),
     )
+
+
+def _embed_int_oracle(
+    threshold_milli: int = 350,
+    num_tables: int = 3,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> str:
+    import hashlib as _hashlib
+
+    pl_rows = ", ".join(
+        f"({t}, {p}, {d}, "
+        f"{1 if int(_hashlib.md5(f'{t}:{p}:{d}'.encode()).hexdigest()[:2], 16) % 2 == 0 else -1})"
+        for t in range(num_tables)
+        for p in range(num_planes)
+        for d in range(dim)
+    )
+    return f"""
+    WITH z AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT vec_id, i, v[i + 1] AS x
+        FROM z CROSS JOIN range(0, {dim}) t(i)
+    ),
+    pl(t, p, i, s) AS (SELECT * FROM (VALUES {pl_rows})),
+    dots AS (
+        SELECT vec_id, t, p, sum(s * x) AS d
+        FROM comp JOIN pl USING (i) GROUP BY 1, 2, 3
+    ),
+    buck AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buck a JOIN buck b USING (t, bucket)
+        WHERE a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               CAST(floor(
+                   CASE WHEN sqrt(list_dot_product(za.v, za.v))
+                             * sqrt(list_dot_product(zb.v, zb.v)) > 0
+                        THEN list_dot_product(za.v, zb.v)
+                             / (sqrt(list_dot_product(za.v, za.v))
+                                * sqrt(list_dot_product(zb.v, zb.v)))
+                        ELSE 0.0 END * 1000.0 + 0.5
+               ) AS BIGINT) AS cos_milli
+        FROM cand
+        JOIN z za ON za.vec_id = id_a
+        JOIN z zb ON zb.vec_id = id_b
+    )
+    SELECT id_a, id_b, cos_milli FROM scored
+    WHERE cos_milli >= {threshold_milli}
+    """
+
+
+@query("q_dedup_embed_int", oracle=_embed_int_oracle())
+def q_dedup_embed_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact embedding near-dup pairs (the hash-verifiable twin
+    of q_dedup_embed): OR-amplified multi-table hyperplane LSH with ±1
+    planes — bucket bits are signs of exact integer sums — then the
+    quantized cosine at threshold 0.350, half-up milli.  Bucket
+    candidate generation AND scores carry the full value-hash oracle,
+    extending the round-2 integer-twin device (q_sim_ann_int) from topk
+    search to pairwise dedup."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    return similarity.near_dup_pairs_int(vecs)

@@ -100,6 +100,7 @@ PROBES = [
     "q_drift_chi2",
     "q_packing_efficiency",
     "q_dup_spans",
+    "q_dedup_embed_int",
 ]
 
 
