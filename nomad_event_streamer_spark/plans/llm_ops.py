@@ -2257,3 +2257,37 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_milli"),
     )
+
+
+@query(
+    "q_l_diversity",
+    oracle="""
+    WITH g AS (
+        SELECT lang, source,
+               count(*) AS n,
+               count(DISTINCT n_chars // 100) AS l_sensitive
+        FROM documents
+        GROUP BY lang, source
+    )
+    SELECT lang, source, n, CAST(l_sensitive AS BIGINT) AS l_sensitive,
+           l_sensitive < 3 AS below_l
+    FROM g
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion k-anonymity (q_k_anonymity) is
+    not sufficient for: a quasi-identifier group can be large (k-safe)
+    while every member shares the same sensitive value, so the group
+    still leaks it.  Per (lang, source) group: distinct sensitive-value
+    count (length-bucket as the stand-in sensitive attribute) with a
+    below-l flag at l=3 — the Machanavajjhala et al. check release
+    pipelines run after k-anonymity.  One partial-agg shuffle with a
+    count-distinct; quasi-identifier cardinality bounds the output."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.expr("n_chars div 100")).cast("long").alias(
+            "l_sensitive"
+        ),
+        (F.countDistinct(F.expr("n_chars div 100")) < 3).alias("below_l"),
+    )

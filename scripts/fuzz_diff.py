@@ -338,6 +338,34 @@ class Gen:
             pk = self.atom()
             k = self.rng.choice([7, 13, 64])
             we = self.int_expr()
+            if self.rng.random() < 0.3:
+                # RANGE frame over a (non-unique) integer order key: the
+                # running sum includes the WHOLE peer group of the current
+                # value, so it is order-independent by construction — no
+                # tiebreak needed, and duplicate order values are exactly
+                # what it exercises.
+                ok = self.atom()
+                w = (
+                    Window.partitionBy(pk.col % k)
+                    .orderBy(ok.col.asc())
+                    .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                df = base.select(
+                    *[F.col(u) for u in uniq],
+                    (pk.col % k).alias("pk"),
+                    ok.col.alias("ok"),
+                    F.sum(we.col).over(w).alias("ws"),
+                )
+                sql = (
+                    f"SELECT {', '.join(uniq)}, ({pk.sql} % {k}) AS pk, "
+                    f"{ok.sql} AS ok, "
+                    f"CAST(sum({we.sql}) OVER (PARTITION BY ({pk.sql} % {k}) "
+                    f"ORDER BY {ok.sql} "
+                    f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                    f"AS BIGINT) AS ws "
+                    f"FROM {self._sql_from()} WHERE {where.sql}"
+                )
+                return df, sql
             # order keys are non-unique (see UNIQUE_KEYS note): append the
             # summed expression as the final tiebreak so tied rows have
             # identical increments and the prefix sum is order-independent.
