@@ -81,23 +81,29 @@ def main() -> None:
         .mapInPandas(lambda it: it, "id long")
     )
 
-    # best-of-2 per query: the second run reuses compiled codegen, so the
-    # number measures the PLAN (shuffles, scans, exchanges), not Janino
-    # compilation or a one-off GC pause.  Protocol fixed from round 1.
+    # median-of-3 per query (VERDICT r03 item #6): the first run pays
+    # Janino compilation, later runs reuse codegen, and this box shows
+    # ±20-30% GC/contention variance within a session — the median of
+    # three warm-path runs is stable enough that a >20% round-over-round
+    # move means a PLAN change, not noise.  (Was best-of-2 in r01-r03.)
+    runs_per_query = 3
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        best = None
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(runs_per_query):
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        best = round(best, 3)
-        timings[name] = best
-        total += best
-        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        med = round(sorted(runs)[len(runs) // 2], 3)
+        timings[name] = med
+        total += med
+        print(
+            f"# {name}: median {med:.3f}s "
+            f"(runs: {', '.join(f'{r:.3f}' for r in sorted(runs))})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -107,6 +113,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "stat": "median",
+                "runs_per_query": runs_per_query,
             }
         )
     )

@@ -23,72 +23,73 @@ from . import analytics_queries  # noqa: E402,F401
 
 
 # The verification driver records hard CORRECTNESS rows for only the FIRST
-# 50 queries in the order ``all_queries()`` yields them.  Rounds 1-2 left the
-# window on the early relational/LLM slugs (all driver-PASS in
-# CORRECTNESS_r02.json); round 3 rotates it onto the 50 highest-value oracled
-# queries that have only driver-sim evidence so far (VERDICT r02 item #1):
-# the TPC-H shapes, graph, event analytics, time-series, sketches, and the
-# hardest LLM-pipeline operators.  Every slug below is fully hash-oracled
-# (present in ORACLES) — no window slot is spent on a rows-only check.
+# 50 queries in the order ``all_queries()`` yields them.  Rounds 1-2 covered
+# the early relational/LLM slugs; round 3 covered TPC-H / graph / analytics /
+# time-series / sketches / hard LLM ops (48 PASS + the 2 array-output FAILs).
+# Round 4 rotates onto the next 50 never-driver-verified slugs (VERDICT r03
+# item #3) and KEEPS the two r03 FAILs in the window — a FAIL must be
+# re-proven at the real driver after the fix, not just in driver_sim.
+# Every slug below is fully hash-oracled (present in ORACLES) — no window
+# slot is spent on a rows-only check.  Cumulative driver-PASS target after
+# this window: >= 144/210 distinct slugs.
 DRIVER_WINDOW: list[str] = [
-    # TPC-H shapes (plans/tpch.py, tpch2.py, extras.py) — 20
-    "q_sql_tpch_q1",
-    "q_sql_tpch_q6",
-    "q_sql_tpch_q18",
-    "q_tpch_q2_mincost",
-    "q_tpch_q4_exists",
-    "q_tpch_q7_volume",
-    "q_tpch_q8_share",
-    "q_tpch_q9_profit",
-    "q_tpch_q10_returns",
-    "q_tpch_q11_stock",
-    "q_tpch_q12_latemode",
-    "q_tpch_q13_custdist",
-    "q_tpch_q14_promo",
-    "q_tpch_q15_topsupp",
-    "q_tpch_q16_partsupp",
-    "q_tpch_q17_smallqty",
-    "q_tpch_q19_disjunctive",
-    "q_tpch_q20_promo_supp",
-    "q_tpch_q21_waiting",
-    "q_tpch_q22_balance",
-    # graph (plans/graph_queries.py) — 3
-    "q_pagerank",
-    "q_triangles",
-    "q_bfs_reach",
-    # event analytics (plans/analytics_queries.py) — 5
-    "q_funnel",
-    "q_retention",
-    "q_transitions",
-    "q_cohort_ltv",
-    "q_attribution",
-    # time-series (plans/timeseries_queries.py) — 6
-    "q_ewma",
-    "q_cogroup_asof",
-    "q_interpolate",
-    "q_rolling_median",
-    "q_cusum",
-    "q_theil_sen",
-    # sketches (plans/sketch_queries.py) — 3
-    "q_heavy_hitters",
-    "q_hll_registers",
-    "q_hll_estimate",
-    # LLM-pipeline hard cases (plans/llm_ops.py) — 8
-    "q_curation_pipeline",
-    "q_pack_sequences",
+    # r03 FAILs, fixed this round (array outputs stringified) — 2
     "q_dedup_survivorship",
-    "q_fuzzy_join",
     "q_inverted_index",
-    "q_bm25_lite",
-    "q_unigram_surprisal",
-    "q_contamination",
-    # round-1 scale-killer rewrites + remaining window/join shapes — 4
-    "q_dataset_shuffle",
-    "q_window_global",
-    "q_sessionize",
-    "q_asof_join",
-    # ANN bucketed path, integer-exact twin (plans/llm_ops.py) — 1
-    "q_sim_ann_int",
+    # storage / CDC / sink family (plans/cdc.py, storage_queries.py) — 11
+    "q_cdc_snapshot",
+    "q_partitioned_sink_prune",
+    "q_scd2_merge",
+    "q_dpp_prune",
+    "q_custom_sink_roundtrip",
+    "q_range_sorted_sink",
+    "q_zorder_sink",
+    "q_bloom_prune_join",
+    "q_incremental_agg",
+    "q_compact_small_files",
+    "q_variant_extract",
+    # round-3 additions, never driver-seen (plans/llm_ops.py, advanced.py) — 6
+    "q_containment",
+    "q_simhash_pairs",
+    "q_chunk_cdc",
+    "q_drift_chi2",
+    "q_l_diversity",
+    "q_dedup_embed_int",
+    # set operations (plans/extras.py) — 3
+    "q_intersect_all",
+    "q_except_all",
+    "q_join_full",
+    # join shapes (plans/extras.py, advanced.py) — 3
+    "q_join_hint_smj",
+    "q_star_join",
+    "q_join_agg_topk",
+    # scalar-function families (plans/extras.py) — 16
+    "q_map_funcs",
+    "q_regex_extract",
+    "q_null_funcs",
+    "q_bitwise",
+    "q_stats_moments",
+    "q_string_pad",
+    "q_array_funcs",
+    "q_date_breadth",
+    "q_like_family",
+    "q_try_funcs",
+    "q_struct_json",
+    "q_explode_outer",
+    "q_map_transform",
+    "q_argmax",
+    "q_count_distinct_multi",
+    "q_percentile_cont",
+    # aggregation / window shapes (plans/advanced.py, extras.py) — 9
+    "q_grouping_sets",
+    "q_percentile_disc",
+    "q_string_agg",
+    "q_gapfill_hours",
+    "q_histogram",
+    "q_pivot_counts",
+    "q_cube",
+    "q_conditional_agg",
+    "q_collect_set",
 ]
 
 

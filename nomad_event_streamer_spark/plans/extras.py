@@ -1298,12 +1298,16 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile dashboards where exact percentiles would need a full sort
     per group.  Rows-only: DuckDB's approx_quantile is a t-digest, a
     different sketch with different (both valid) answers.  Exact
-    counterparts are oracled in q_percentile_disc / q_percentile_cont."""
+    counterparts are oracled in q_percentile_disc / q_percentile_cont.
+    The three quantiles are emitted as scalar columns (not
+    array<double>): the driver collects rows-only results too, and its
+    pandas canonicalizer throws on array cells."""
     li = load(spark, sf_dir, "lineitem")
+    qs = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "approx_p50_p90_p99"
-        ),
+        qs.getItem(0).alias("approx_p50"),
+        qs.getItem(1).alias("approx_p90"),
+        qs.getItem(2).alias("approx_p99"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -1579,7 +1579,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT tok, doc_id // 64 AS block,
            count(*) AS df_block,
-           list_sort(list(doc_id)) AS postings
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
     FROM d
     GROUP BY tok, doc_id // 64
     """,
@@ -1591,8 +1591,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     giant array — the skew guard that keeps collect_list viable at
     corpus scale (single-row posting lists for 1e9-doc stopwords OOM any
     engine; block-partitioned lists are the standard segment layout).
-    Postings are sorted within block → deterministic arrays, full hash
-    oracle."""
+    Postings are sorted within block then ','-joined to a string —
+    deterministic AND scalar-typed, so the driver's pandas
+    canonicalizer (sort_values over every column; throws on ndarray
+    cells) can hash the full result."""
     docs = load(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -1601,7 +1603,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("tok", F.expr("doc_id div 64").alias("block"))
         .agg(
             F.count(F.lit(1)).alias("df_block"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings"),
         )
         .select("tok", "block", "df_block", "postings")
     )
@@ -1896,7 +1900,7 @@ def q_bm25_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_dups,
            max(n_chars) AS best_n_chars,
            min(lang) AS lang,
-           list_sort(list(DISTINCT source)) AS sources
+           array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
     FROM documents
     GROUP BY 1
     HAVING count(*) > 1
@@ -1911,7 +1915,10 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute pick, the full provenance list — the entity-resolution
     step that follows any dedup.  All merge rules are
     order-independent aggregates (min/max/sorted set), so one hash
-    aggregation keyed by digest and a full value-hash oracle."""
+    aggregation keyed by digest and a full value-hash oracle.  The
+    provenance set is emitted as a ','-joined string (not array<string>)
+    so the driver's pandas canonicalizer — which sort_values every
+    output column and throws on ndarray cells — can hash it."""
     docs = load(spark, sf_dir, "documents")
     opening = F.md5(
         F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
@@ -1923,7 +1930,9 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dups"),
             F.max("n_chars").alias("best_n_chars"),
             F.min("lang").alias("lang"),
-            F.sort_array(F.collect_set("source")).alias("sources"),
+            F.array_join(
+                F.sort_array(F.collect_set("source")), ","
+            ).alias("sources"),
         )
         .where(F.col("n_dups") > 1)
     )
@@ -1940,9 +1949,13 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_SHINGLE_CTE
     + """
     , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cold AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100
+    ),
+    shc AS (SELECT sh.* FROM sh JOIN cold USING (shingle)),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, ni AS shared,
@@ -1962,9 +1975,14 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside a long one has near-zero Jaccard but containment ≈ 1, which
     is why curation pipelines run both (Broder's resemblance vs
     containment).  Shared-shingle equi-join, min-shared floor bounds the
-    output; milli-unit half-up ratios keep the full hash oracle."""
+    output; milli-unit half-up ratios keep the full hash oracle.  The
+    ``max_bucket=100`` hot-shingle cap (the same skew guard as
+    q_ngram_jaccard; see containment_pairs' docstring for the exact
+    drop/underestimate semantics) is replicated INSIDE the oracle CTE
+    (``cold``/``shc``: shingles in <= 100 docs survive; set sizes stay
+    full) so the hash gate holds under the cap."""
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
-    return dedup.containment_pairs(docs, n=3, min_shared=5)
+    return dedup.containment_pairs(docs, n=3, min_shared=5, max_bucket=100)
 
 
 _SIMHASH_SIG_CTE = """
@@ -2015,9 +2033,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
     pos AS (
-        SELECT doc_id, L, text, t.p AS p
-        FROM d CROSS JOIN range(2, 2001) t(p)
-        WHERE t.p <= L - 8 + 1
+        -- per-row unnest(range(...)) derives the candidate-cut upper
+        -- bound from each document's own length, so there is no silent
+        -- divergence from the Spark side's unbounded sequence() when a
+        -- document exceeds a fixed cap (ADVICE r03 item 1; the old form
+        -- enumerated a global range(2, 2001)).
+        SELECT doc_id, L, text,
+               unnest(range(2, greatest(L - 8 + 2, 2))) AS p
+        FROM d
     ),
     cuts AS (
         SELECT doc_id, p FROM pos
@@ -2089,9 +2112,15 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets: obs vs expected = row_total*col_total/N per (bucket, split)
     cell, contribution (obs-exp)^2/exp emitted in half-up milli-units —
     the drift monitor every production data pipeline runs before a
-    training batch ships.  Exactness: the numerator (obs*N - row*col)^2
-    * 1000 stays under 2^53 at oracle scale, so the single IEEE division
-    + floor is bit-identical cross-engine; the zero-cell rows a naive
+    training batch ships.  Exactness (ADVICE r03 item 2 — the real
+    invariant): the numerator (obs*N - row*col)^2 * 1000 is computed in
+    int64 on BOTH engines (headroom to ~9.2e18; worst-case deviation
+    N^2/4 at sf0.1 is ~3.9e16, which EXCEEDS 2^53), then both perform
+    the identical int64→double conversion before the single IEEE
+    division + floor — same rounding both sides, so the hash holds even
+    where the product is not double-exact.  If the corpus grew to
+    N ≳ 3e4 the int64 product itself could overflow; scale the milli
+    factor after the division at that point.  The zero-cell rows a naive
     count-join would drop are restored by the bucket x split grid
     (chi-square needs them).  One count aggregation + three tiny
     rollups; the grid join is broadcast-sized at any corpus scale."""

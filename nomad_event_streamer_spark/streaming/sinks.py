@@ -162,25 +162,49 @@ def http_transport(
                 return conn_cls(parts.hostname, parts.port, timeout=timeout)
 
             conn = connect()
+            reused = False  # has this connection already served a request?
             try:
                 for row in rows:
                     body = row["payload"].encode("utf-8")
                     headers = {"Content-Type": "application/json"}
+                    # Narrowed retry (ADVICE r03 item 3).  Two retryable
+                    # cases only:
+                    #   (a) the SEND itself failed — the server cannot have
+                    #       processed a complete request, so resending is
+                    #       duplicate-free;
+                    #   (b) RemoteDisconnected on a REUSED keep-alive
+                    #       connection — the classic idle-close race where
+                    #       the server shut the socket before reading (the
+                    #       same case urllib3 retries); this is the one
+                    #       documented possible-duplicate window.
+                    # A response failure on a FRESH connection raises for
+                    # real: that is a server actively rejecting the request,
+                    # which the old blanket retry used to mask.
                     try:
                         conn.request("POST", path, body=body, headers=headers)
-                        resp = conn.getresponse()
+                        sent = True
                     except (
                         http.client.HTTPException,
                         ConnectionError,
                         BrokenPipeError,
                     ):
-                        # Keep-alive went stale between requests: reopen and
-                        # resend this one request (the documented possible
-                        # duplicate).  Any failure here raises for real.
+                        sent = False  # case (a): safe resend below
+                    if sent:
+                        try:
+                            resp = conn.getresponse()
+                        except (
+                            http.client.RemoteDisconnected,
+                            ConnectionResetError,
+                        ):
+                            if not reused:
+                                raise  # fresh connection: a real rejection
+                            sent = False  # case (b): idle-close race
+                    if not sent:
                         conn.close()
                         conn = connect()
                         conn.request("POST", path, body=body, headers=headers)
                         resp = conn.getresponse()
+                        reused = False
                     resp.read()
                     if resp.status >= 400:
                         raise RuntimeError(
@@ -191,6 +215,9 @@ def http_transport(
                         # is dead; reopen proactively for the next row.
                         conn.close()
                         conn = connect()
+                        reused = False
+                    else:
+                        reused = True
             finally:
                 conn.close()
 

@@ -1,11 +1,13 @@
-"""Pins the driver correctness-window rotation (VERDICT r02 item #1).
+"""Pins the driver correctness-window rotation (VERDICT r02 item #1,
+r03 item #3).
 
 The verification driver records hard CORRECTNESS rows for only the first 50
-queries in ``all_queries()`` order.  Round 3 rotates that window onto the 50
-highest-value queries that previously had only driver-sim evidence; these
-assertions keep the rotation from silently regressing (e.g. a new module
-import reshuffling registration order, or a window slot landing on a
-rows-only query and wasting the hard signal).
+queries in ``all_queries()`` order.  Round 4 rotates that window onto the
+next 50 never-driver-verified slugs — keeping the two r03 FAILs in place so
+the fix is re-proven at the real driver; these assertions keep the rotation
+from silently regressing (e.g. a new module import reshuffling registration
+order, or a window slot landing on a rows-only query and wasting the hard
+signal).
 """
 
 from __future__ import annotations
@@ -42,15 +44,34 @@ def test_rotation_is_consistent_and_lossless():
 
 
 def test_window_targets_previously_unverified_queries():
-    # Round-2 driver-PASS slugs already have hard rows; re-spending window
-    # slots on them would be window-stuffing, not evidence-widening.
+    # Slugs with a cumulative driver-PASS row (any prior round) already have
+    # hard evidence; re-spending window slots on them would be
+    # window-stuffing, not evidence-widening.  The two r03 FAILs are the
+    # deliberate exception: a FAIL must be re-proven at the real driver
+    # after the fix (VERDICT r03 item #1), so they hold window slots even
+    # though their r03 rows exist.
     import json
     import pathlib
 
-    path = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r02.json"
-    if not path.exists():
-        return
-    r02 = json.loads(path.read_text())
-    already_pass = {k for k, v in r02.items() if v.get("hash_match")}
+    root = pathlib.Path(__file__).resolve().parents[1]
+    already_pass: set[str] = set()
+    for rnd in ("r01", "r02", "r03"):
+        path = root / f"CORRECTNESS_{rnd}.json"
+        if not path.exists():
+            continue
+        rows = json.loads(path.read_text())
+        already_pass |= {
+            k
+            for k, v in rows.items()
+            if v.get("hash_match")
+            and v.get("schema_match")
+            and v.get("rows_match", v.get("count_match", True))
+            and not v.get("err")
+        }
     overlap = [s for s in DRIVER_WINDOW if s in already_pass]
     assert not overlap, f"window re-verifies already-PASS slugs: {overlap}"
+
+
+def test_window_holds_the_r03_fails_for_reproof():
+    assert "q_dedup_survivorship" in DRIVER_WINDOW
+    assert "q_inverted_index" in DRIVER_WINDOW

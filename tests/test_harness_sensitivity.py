@@ -84,3 +84,37 @@ def test_compare_fails_on_int_float_type_drift(spark, sf_dir, con):
     )
     with pytest.raises(AssertionError):
         compare(drifted, con, BASE_SQL)
+
+
+def test_driver_canonicalize_throws_on_array_columns(spark, sf_dir):
+    """The r03 blind spot, pinned forever: a query emitting an
+    ``array<T>`` output column passed driver_sim's old repr()-hashing
+    but crashed the real driver's pandas canonicalizer
+    (TypeError: unhashable type: 'numpy.ndarray').  The shared
+    ``driver_canonicalize`` gate — the literal function
+    scripts/driver_sim.py runs on every query — must throw on the same
+    input the driver throws on (Arrow-fetched pandas with ndarray
+    cells), and pass on scalar-only frames."""
+    import pyspark.sql.functions as F
+
+    from .oracle_compare import driver_canonicalize
+
+    df = _spark_base(spark, sf_dir)
+    # Scalar-only frame: gate passes.
+    driver_canonicalize(df.limit(5).toPandas())
+    # Array-typed column fetched the way the driver fetches: gate throws.
+    arr = df.limit(5).withColumn("dups", F.array(F.col("n"), F.col("n")))
+    with pytest.raises((TypeError, ValueError)):
+        driver_canonicalize(arr.toPandas())
+
+
+def test_driver_sim_gate_is_the_shared_function():
+    """scripts/driver_sim.py must keep importing the canonicalization
+    gate from tests.oracle_compare — a fork would reopen the blind
+    spot where the proxy accepts what the driver rejects."""
+    import pathlib
+
+    src = pathlib.Path(__file__).resolve().parent.parent / "scripts" / "driver_sim.py"
+    text = src.read_text(encoding="utf-8")
+    assert "from tests.oracle_compare import driver_canonicalize" in text
+    assert "driver_canonicalize(sdf.toPandas())" in text

@@ -4,6 +4,7 @@ sf0.001 — the local mirror of the driver's t2 correctness gate."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import types as T
 
 from nomad_event_streamer_spark.plans import all_oracles, all_queries
 
@@ -11,6 +12,30 @@ from .oracle_compare import compare, duckdb_connection
 
 ORACLES = all_oracles()
 QUERIES = all_queries()
+
+
+def _assert_scalar_schema(name: str, df) -> None:
+    """No declared query may emit array/map/struct-typed output columns.
+
+    The verification driver canonicalizes every result through pandas
+    (Arrow fetch -> DataFrame -> sort_values over all columns); ndarray
+    cells from an ``array<T>`` column make that sort raise
+    ``TypeError: unhashable type: 'numpy.ndarray'`` and the driver
+    records a hard FAIL regardless of the values — exactly how
+    q_dedup_survivorship and q_inverted_index failed in r03.  Collection
+    outputs must be stringified (``array_join(sort_array(...), ',')``)
+    before leaving a declared query.  Applies to rows-only queries too:
+    the driver collects those as well."""
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output column(s) {bad} would crash the "
+        f"driver's pandas canonicalizer — stringify them "
+        f"(array_join/to_json) before returning"
+    )
 
 
 @pytest.fixture(scope="module")
@@ -23,11 +48,13 @@ def con(sf_dir):
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(name, spark, sf_dir, con):
     df = QUERIES[name](spark, sf_dir)
+    _assert_scalar_schema(name, df)
     compare(df, con, ORACLES[name])
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
+    _assert_scalar_schema(name, df)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0

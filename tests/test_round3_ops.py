@@ -86,3 +86,32 @@ def test_containment_catches_subset_duplicates(spark):
     assert (r.doc_a, r.doc_b) == (1, 2)
     assert r.cont_a_milli == 1000  # A fully inside B
     assert r.cont_b_milli < 300  # but B is NOT inside A
+
+
+def test_containment_max_bucket_drops_hot_shingles_only(spark):
+    """The hot-shingle skew cap (VERDICT r03 item #4): a boilerplate
+    shingle shared by more than ``max_bucket`` docs is excluded from the
+    self-join, so (a) a pair overlapping ONLY via boilerplate is an
+    explicit drop, (b) pairs with genuine overlap survive with the same
+    ``shared`` count minus hot shingles, and (c) |A| stays the FULL set
+    size — capped containment can only underestimate, never inflate."""
+    boiler = "common header line shared by every document"
+    uniq = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, boiler) for i in range(1, 9)]  # 8 docs: boilerplate only
+    rows += [(100, boiler + " " + uniq), (101, boiler + " " + uniq)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = containment_pairs(df, n=3, min_shared=1).collect()
+    capped = containment_pairs(df, n=3, min_shared=1, max_bucket=5).collect()
+
+    # Every boilerplate shingle lives in all 10 docs (> max_bucket=5), so
+    # capped candidates can only arise from the unique tail of 100/101.
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}
+    # Uncapped, the boilerplate creates all C(10,2)=45 pairs.
+    assert len(uncapped) == 45
+    (pair,) = capped
+    unc = {(r.doc_a, r.doc_b): r for r in uncapped}[(100, 101)]
+    # Genuine-overlap shared count shrinks by exactly the hot shingles...
+    assert pair.shared < unc.shared
+    # ...and |A| stays full-size: capped ratio underestimates the true one.
+    assert pair.cont_a_milli < unc.cont_a_milli

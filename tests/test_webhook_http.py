@@ -119,3 +119,38 @@ def test_http_failure_raises_and_fails_batch(tmp_path, spark):
             transport(df, "discord")
     finally:
         srv.shutdown()
+
+
+def test_http_fresh_connection_close_raises_not_retries(tmp_path, spark):
+    """Narrowed retry (ADVICE r03): a server that closes the socket
+    without responding to a FRESH connection's first request is actively
+    rejecting it — the transport must raise, not mask it with a resend
+    (the old blanket retry re-POSTed once before failing, doubling
+    delivery on servers that process-then-close)."""
+    import socketserver
+
+    hits = []
+
+    class _Slammer(socketserver.BaseRequestHandler):
+        def handle(self):
+            self.request.recv(65536)  # read the request...
+            hits.append(1)
+            self.request.close()  # ...and slam the connection shut
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Slammer)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/hook"
+        df = spark.createDataFrame(
+            [("a", '{"k": 1}')], "task_identifier string, payload string"
+        ).coalesce(1)
+        transport = http_transport({"discord": url})
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            transport(df, "discord")
+        # exactly one request hit the wire: no hidden duplicate resend
+        assert len(hits) == 1
+    finally:
+        srv.shutdown()
