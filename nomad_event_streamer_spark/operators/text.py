@@ -176,3 +176,82 @@ def cdc_chunks(
             F.sum("clen").cast("long").alias("n_bytes"),
         )
     )
+
+
+# 256-entry gear table for gear_chunks: entry c = the top 40 bits of
+# md5(chr(c)), generated ONCE driver-side and embedded as a literal array
+# in BOTH engines' expressions (no runtime hashing — a real gear table
+# lookup, unlike cdc_chunks' per-window md5).  40-bit entries keep the
+# 16-term shifted sum under 2^56, inside int64 for Spark AND DuckDB
+# (which errors on BIGINT overflow rather than wrapping).
+import hashlib as _hashlib
+
+GEAR_TABLE: tuple[int, ...] = tuple(
+    int(_hashlib.md5(chr(c).encode("utf-8")).hexdigest()[:10], 16)
+    for c in range(256)
+)
+
+
+def gear_chunks(
+    docs: DataFrame,
+    window: int = 16,
+    modulus: int = 61,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Gear-hash content-defined chunking (the rolling-hash CDC variant
+    VERDICT r03 item #8 names; Xia et al. FastCDC's gear function): a
+    cut falls BEFORE position p when the gear hash of the ``window``
+    bytes ENDING at p-1 satisfies ``h % modulus == 0``, where
+    h(p) = Σ_{j=0..W-1} G[byte(p-1-j)] << j — each byte's influence
+    shifts up and ages out of the window after W steps, which is what
+    makes gear O(1)-per-byte in a sequential scanner.
+
+    Here the whole predicate stays in WHOLE-STAGE CODEGEN: the gear
+    table is a 256-long literal array (element_at + ascii(), zero
+    runtime hashing, zero UDFs), and the W-term sum is an ``aggregate``
+    HOF per candidate position — O(W · bytes) work that trades the
+    sequential scanner's O(bytes) for embarrassing parallelism across
+    positions, the right trade on a cluster where bytes/sec per core is
+    not the bottleneck but per-doc sequential dependencies are.  Chunk
+    algebra (bounds ∪ {1, L+1} → first differences → per-doc stats) is
+    shared with cdc_chunks.  Everything integer: full hash oracle."""
+    g_arr = "array(" + ", ".join(f"{v}L" for v in GEAR_TABLE) + ")"
+    d = docs.select(F.col(doc_col), "text", F.length("text").alias("L"))
+    pos = d.select(
+        doc_col,
+        "L",
+        "text",
+        F.explode(
+            F.expr(
+                f"CASE WHEN L >= {window} + 1 "
+                f"THEN sequence({window} + 1, L) ELSE array() END"
+            )
+        ).alias("p"),
+    )
+    gear_sum = (
+        f"aggregate(sequence(0, {window} - 1), CAST(0 AS BIGINT), "
+        f"(acc, j) -> acc + element_at({g_arr}, "
+        f"(ascii(substring(text, p - 1 - j, 1)) % 256) + 1) "
+        f"* shiftleft(CAST(1 AS BIGINT), j))"
+    )
+    cuts = pos.where(F.expr(f"{gear_sum} % {modulus} = 0")).select(doc_col, "p")
+    bounds = (
+        d.select(doc_col, F.lit(1).alias("p"))
+        .unionByName(cuts)
+        .unionByName(d.select(doc_col, (F.col("L") + 1).alias("p")))
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(doc_col).orderBy("p")
+    lens = (
+        bounds.withColumn("nxt", F.lead("p").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(doc_col, (F.col("nxt") - F.col("p")).alias("clen"))
+    )
+    return lens.groupBy(doc_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.min("clen").alias("min_chunk"),
+        F.max("clen").alias("max_chunk"),
+        F.sum("clen").cast("long").alias("n_bytes"),
+    )

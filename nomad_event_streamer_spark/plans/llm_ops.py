@@ -1985,6 +1985,90 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(docs, n=3, min_shared=5, max_bucket=100)
 
 
+def _containment_minhash_oracle(num_hashes: int = 16) -> str:
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    )
+    p = dedup.MINHASH_P
+    k = num_hashes
+    # The floor(...) expressions replicate containment_minhash_pairs'
+    # IEEE op sequence LITERALLY (left-assoc: ((j*(na+nb))/(1+j))/n*1000
+    # + 0.5) — do not refactor one side without the other.
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {p} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {p}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+    ),
+    m AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_match
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT m.doc_a, m.doc_b, m.n_match,
+           sa.n_sh AS na, sb.n_sh AS nb,
+           CAST(floor(
+               CAST(m.n_match AS DOUBLE) / {k} * (sa.n_sh + sb.n_sh)
+               / (1.0 + CAST(m.n_match AS DOUBLE) / {k})
+               / sa.n_sh * 1000.0 + 0.5
+           ) AS BIGINT) AS cont_a_est_milli,
+           CAST(floor(
+               CAST(m.n_match AS DOUBLE) / {k} * (sa.n_sh + sb.n_sh)
+               / (1.0 + CAST(m.n_match AS DOUBLE) / {k})
+               / sb.n_sh * 1000.0 + 0.5
+           ) AS BIGINT) AS cont_b_est_milli
+    FROM m
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    """
+    )
+
+
+@query("q_containment_minhash", oracle=_containment_minhash_oracle(16))
+def q_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment estimated from the EXISTING MinHash sketches (the
+    sketch-join companion to exact q_containment): for each LSH candidate
+    pair, cont(A in B) = i/|A| with i = ĵ(|A|+|B|)/(1+ĵ) derived from
+    the signature-match Jaccard estimate ĵ = n_match/16 — Broder's
+    resemblance→containment identity over sketches already paid for by
+    near-dup LSH.  No shingle-level pair join exists in this plan: the
+    wide signature and the exact set size ride ONE groupBy(doc), banding
+    is a projection, candidates expand in-place per bucket.  At 100 TB
+    this is the screening pass; exact containment_pairs verifies the
+    survivors (tests cross-check the two on the same corpus).  All
+    post-integer arithmetic is a fixed IEEE sequence replicated in the
+    oracle — full hash gate."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    return dedup.containment_minhash_pairs(
+        docs, n=3, num_hashes=16, rows_per_band=2
+    )
+
+
 _SIMHASH_SIG_CTE = """
     WITH hv AS (
         SELECT doc_id,
@@ -2078,6 +2162,60 @@ def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash oracle."""
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     return text.cdc_chunks(docs, window=8, modulus=64)
+
+
+def _gear_oracle(window: int = 16, modulus: int = 61) -> str:
+    gt = "[" + ", ".join(str(v) for v in text.GEAR_TABLE) + "]"
+    return f"""
+    WITH g AS (SELECT {gt} AS gt),
+    d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    pos AS (
+        SELECT doc_id, L, text,
+               unnest(range({window} + 1, greatest(L + 1, {window} + 1))) AS p
+        FROM d
+    ),
+    cuts AS (
+        SELECT doc_id, p FROM pos, g
+        WHERE list_sum(
+            [gt[(ord(substring(text, p - 1 - j, 1)) % 256) + 1] * (1 << j)
+             FOR j IN range(0, {window})]
+        ) % {modulus} = 0
+    ),
+    bounds AS (
+        SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, 1 AS p FROM d
+            UNION ALL SELECT doc_id, p FROM cuts
+            UNION ALL SELECT doc_id, L + 1 AS p FROM d
+        )
+    ),
+    lens AS (
+        SELECT doc_id,
+               lead(p) OVER (PARTITION BY doc_id ORDER BY p) - p AS clen
+        FROM bounds
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           min(clen) AS min_chunk,
+           max(clen) AS max_chunk,
+           CAST(sum(clen) AS BIGINT) AS n_bytes
+    FROM lens WHERE clen IS NOT NULL
+    GROUP BY doc_id
+    """
+
+
+@query("q_chunk_gear", oracle=_gear_oracle(16, 61))
+def q_chunk_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gear-hash CDC chunking (VERDICT r03 item #8's rolling-hash
+    variant; FastCDC's gear function): cuts where the 16-byte gear hash
+    — a 256-entry random table summed with per-age bit shifts — hits
+    ``≡ 0 (mod 61)``.  Unlike q_chunk_cdc's per-window md5, the gear
+    table is a driver-side literal array and the whole cut predicate is
+    table-lookup + shift arithmetic in whole-stage codegen (zero runtime
+    hashing, zero UDFs); the SAME 256 constants are embedded in the
+    DuckDB oracle, so the boundary set is bit-identical cross-engine.
+    Chunk-stat algebra shared with q_chunk_cdc."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    return text.gear_chunks(docs, window=16, modulus=61)
 
 
 @query(
@@ -2285,6 +2423,89 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("dup_milli"),
+    )
+
+
+@query(
+    "q_dup_span_lengths",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 5, 2))) AS i
+        FROM t
+    ),
+    sp AS (
+        SELECT doc_id, i,
+               md5(array_to_string(toks[i:i+6], ' ')) AS h
+        FROM pos
+    ),
+    df AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM sp GROUP BY h),
+    flags AS (
+        SELECT sp.doc_id, sp.i FROM sp JOIN df USING (h) WHERE df.n_docs > 1
+    ),
+    runs AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM flags
+    ),
+    per_run AS (
+        SELECT doc_id, grp, count(*) AS r FROM runs GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           count(*) AS n_runs,
+           CAST(max(r) + 6 AS BIGINT) AS max_span_tokens,
+           CAST(sum(r) AS BIGINT) AS dup_ngram_positions
+    FROM per_run
+    GROUP BY doc_id
+    """,
+)
+def q_dup_span_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated-span LENGTHS (the ExactSubstr extension VERDICT
+    r03 item #8 names, Lee et al. 2022 §4): where q_dup_spans counts
+    which 7-token spans recur across documents, this measures how LONG
+    the repeated regions are — a run of r consecutive duplicated span
+    positions implies a repeated region of r+6 tokens, which is exactly
+    the quantity suffix-array ExactSubstr dedup cuts (its 50-token
+    threshold is a run of 44 positions here).  Per document: number of
+    maximal runs, the longest repeated region in tokens, and total
+    duplicated-position mass.
+
+    Plan: position-keyed span digests (one scan; positions kept, unlike
+    q_dup_spans' distinct), the same bounded (span, doc-frequency)
+    aggregation + hash join back, then gaps-and-islands — ``grp = i -
+    row_number()`` over a PER-DOCUMENT window (partitions bounded by
+    document length, never corpus-sized) — and two integer aggregates.
+    No pair join, no suffix array, no driver state: this is the
+    distributed approximation that tells you WHETHER to pay for exact
+    suffix-array dedup and on WHICH documents.  All-integer output,
+    full hash oracle."""
+    from pyspark.sql import Window
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 6, 1)),"
+                " i -> struct(i AS i,"
+                " md5(array_join(slice(split(text, ' '), i, 7), ' ')) AS h))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.i", "s.h")
+    span_df = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    flags = (
+        spans.join(span_df, "h")
+        .where(F.col("n_docs") > 1)
+        .select("doc_id", "i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = flags.withColumn("grp", F.col("i") - F.row_number().over(w))
+    per_run = runs.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("r"))
+    return per_run.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        (F.max("r") + F.lit(6)).cast("long").alias("max_span_tokens"),
+        F.sum("r").cast("long").alias("dup_ngram_positions"),
     )
 
 

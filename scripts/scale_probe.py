@@ -101,6 +101,10 @@ PROBES = [
     "q_packing_efficiency",
     "q_dup_spans",
     "q_dedup_embed_int",
+    # round-4 additions
+    "q_containment_minhash",
+    "q_dup_span_lengths",
+    "q_chunk_gear",
 ]
 
 
