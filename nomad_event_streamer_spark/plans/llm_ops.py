@@ -100,6 +100,112 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(bands)
 
 
+def _dedup_incremental_oracle(num_hashes: int = 16) -> str:
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    )
+    p = dedup.MINHASH_P
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {p} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {p}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    idx_dig AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ),
+    exact_hit AS (
+        SELECT DISTINCT d.doc_id
+        FROM documents d JOIN idx_dig ON md5(d.text) = idx_dig.h
+        WHERE d.doc_id % 2 = 1
+    ),
+    near_hit AS (
+        SELECT DISTINCT n.doc_id
+        FROM bands n
+        JOIN bands i ON n.band = i.band AND n.bucket = i.bucket
+                     AND i.doc_id % 2 = 0
+        WHERE n.doc_id % 2 = 1
+    )
+    SELECT d.doc_id,
+           e.doc_id IS NOT NULL AS dropped_exact,
+           nh.doc_id IS NOT NULL AS dropped_near,
+           (e.doc_id IS NULL AND nh.doc_id IS NULL) AS kept
+    FROM documents d
+    LEFT JOIN exact_hit e ON e.doc_id = d.doc_id
+    LEFT JOIN near_hit nh ON nh.doc_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """
+    )
+
+
+@query("q_dedup_incremental", oracle=_dedup_incremental_oracle(16))
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production pattern every ongoing crawl
+    runs: a NEW batch (odd doc_ids) deduped against the EXISTING indexed
+    corpus (even doc_ids), never against itself.  Two stages, both
+    lookups into index-side structures: (1) exact — digest semi-join
+    against the index's distinct md5 set; (2) near-dup — the new batch's
+    LSH band buckets equi-joined against the index's bucket table (the
+    materialized asset an incremental pipeline maintains; at 100 TB the
+    bucket table IS the dedup index, and each increment shuffles only
+    the new batch's bands against it).  Per new doc: dropped_exact /
+    dropped_near / kept flags — one row each, full hash oracle.
+    Signatures are computed ONCE over the union corpus and split by
+    parity, so the scan is single-pass."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = docs.where(F.col("doc_id") % 2 == 0)
+    # stage 1: exact digest lookup
+    idx_dig = idx.select(F.md5("text").alias("h")).distinct()
+    exact_hit = (
+        new.select("doc_id", F.md5("text").alias("h"))
+        .join(idx_dig, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("de", F.lit(True))
+    )
+    # stage 2: LSH bucket lookup (one signature pass over the union)
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    near_hit = (
+        bands.where(F.col("doc_id") % 2 == 1)
+        .join(
+            bands.where(F.col("doc_id") % 2 == 0).select("band", "bucket"),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("dn", F.lit(True))
+    )
+    return (
+        new.select("doc_id")
+        .join(exact_hit, "doc_id", "left")
+        .join(near_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("de"), F.lit(False)).alias("dropped_exact"),
+            F.coalesce(F.col("dn"), F.lit(False)).alias("dropped_near"),
+            (F.col("de").isNull() & F.col("dn").isNull()).alias("kept"),
+        )
+    )
+
+
 @query(
     "q_ngram_jaccard",
     oracle=_SHINGLE_CTE
@@ -1760,6 +1866,134 @@ def _ann_int_oracle(num_planes: int = 6, dim: int = 64) -> str:
            floor(qcos * 1000000.0 + 0.5) / 1000000.0 AS qcos
     FROM ranked WHERE rn <= 5
     """
+
+
+def _sim_recall_oracle(num_planes: int = 6, dim: int = 64, k: int = 5) -> str:
+    pl_rows = ", ".join(
+        f"({p}, {d}, {int(s)})"
+        for p, row in enumerate(
+            similarity._deterministic_planes(num_planes, dim)
+        )
+        for d, s in enumerate(row)
+    )
+    return f"""
+    WITH z AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    qs AS (SELECT vec_id, v FROM z WHERE vec_id < 20),
+    ex_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CASE WHEN sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.v, c.v)) > 0
+                    THEN list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v)))
+                    ELSE 0.0 END AS qcos
+        FROM z c CROSS JOIN qs q
+        WHERE q.vec_id <> c.vec_id
+    ),
+    ex_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, neighbor_id) AS rn
+            FROM ex_scored
+        ) WHERE rn <= {k}
+    ),
+    comp AS (
+        SELECT vec_id, i, v[i + 1] AS x
+        FROM z CROSS JOIN range(0, {dim}) t(i)
+    ),
+    pl(p, i, s) AS (SELECT * FROM (VALUES {pl_rows})),
+    dots AS (
+        SELECT vec_id, p, sum(s * x) AS d
+        FROM comp JOIN pl USING (i) GROUP BY 1, 2
+    ),
+    buck AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM dots GROUP BY 1
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buck q JOIN buck c USING (bucket)
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ),
+    ann_scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v)) > 0
+                    THEN list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v)))
+                    ELSE 0.0 END AS qcos
+        FROM cand
+        JOIN z a ON a.vec_id = cand.query_id
+        JOIN z b ON b.vec_id = cand.neighbor_id
+    ),
+    ann_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, neighbor_id) AS rn
+            FROM ann_scored
+        ) WHERE rn <= {k}
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(floor(
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) * 1000.0 + 0.5
+           ) AS BIGINT) AS recall_milli
+    FROM ex_top e
+    LEFT JOIN ann_top a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """
+
+
+@query("q_sim_recall", oracle=_sim_recall_oracle())
+def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5 measurement — the evaluation every production ANN
+    deployment runs before trusting its index: per query, what fraction
+    of the EXACT quantized-cosine top-5 does the bucketed LSH path
+    (q_sim_ann_int's plan) return?  Both sides are the integer-exact
+    twins, so membership is deterministic and the whole recall table
+    sits under the full hash gate — a recall metric you can regression-
+    test bit-for-bit.  Plan: the exact side broadcasts 20 queries
+    against the corpus (never corpus×corpus); the ANN side is the bucket
+    equi-join; hits are one (query, neighbor) left-semi-style join and a
+    per-query aggregate.  At 100 TB the exact side runs on a SAMPLE of
+    queries (as here: 20) — recall estimation never needs the full
+    query load."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk_quantized(vecs, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = (
+        similarity.ann_topk_int(vecs, queries, k=5, num_planes=6)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = exact.join(ann, ["query_id", "neighbor_id"], "left")
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        n_hits.alias("n_hits"),
+        F.floor(
+            n_hits.cast("double") / F.count(F.lit(1)) * F.lit(1000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("recall_milli"),
+    )
 
 
 @query("q_sim_ann_int", oracle=_ann_int_oracle())

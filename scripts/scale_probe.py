@@ -105,6 +105,8 @@ PROBES = [
     "q_containment_minhash",
     "q_dup_span_lengths",
     "q_chunk_gear",
+    "q_sim_recall",
+    "q_dedup_incremental",
 ]
 
 

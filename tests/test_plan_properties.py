@@ -95,14 +95,28 @@ def test_no_partitionless_window(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_triangles", "q_fuzzy_join", "q_funnel", "q_bfs_reach"]
+    "name",
+    [
+        "q_triangles",
+        "q_fuzzy_join",
+        "q_funnel",
+        "q_bfs_reach",
+        # round-3/4 pair-generating ops
+        "q_containment",
+        "q_simhash_pairs",
+        "q_containment_minhash",
+        "q_dup_span_lengths",
+        "q_chunk_gear",
+    ],
 )
 def test_round2_ops_no_cartesian(spark, sf_dir, name):
-    """The round-2 pair-generating operators must stay equi-join shaped:
+    """The pair-generating operators must stay equi-join shaped:
     triangle wedges join on the middle vertex, fuzzy candidates on the
     deletion variant, funnel stages on user_id, BFS frontiers on the
-    vertex — a CartesianProduct/BroadcastNestedLoop anywhere means the
-    bucketing degenerated to all-pairs."""
+    vertex, containment/simhash candidates on shingle/block keys,
+    sketch-containment candidates on LSH buckets — a CartesianProduct/
+    BroadcastNestedLoop anywhere means the bucketing degenerated to
+    all-pairs."""
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -159,3 +159,51 @@ def test_dup_span_lengths_measures_shared_region(spark):
         assert out[i].n_runs == 1
         assert out[i].max_span_tokens == 20
         assert out[i].dup_ngram_positions == 14
+
+
+def test_sim_recall_values_are_sane(spark, sf_dir):
+    """Recall table semantics: every query reports n_exact = 5, hits
+    between 0 and 5, recall_milli = floor(hits/5*1000+0.5) exactly, and
+    the bucketed path finds SOMETHING overall (a recall table of all
+    zeros would mean the LSH plan broke, not that recall is low)."""
+    from nomad_event_streamer_spark.plans.llm_ops import q_sim_recall
+
+    rows = q_sim_recall(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_exact == 5
+        assert 0 <= r.n_hits <= 5
+        assert r.recall_milli == int(r.n_hits / 5 * 1000 + 0.5)
+    assert sum(r.n_hits for r in rows) > 0
+
+
+def test_dedup_incremental_flags_on_crafted_batch(spark):
+    """Crafted corpus: index doc 0; new docs — 1 = verbatim copy of 0
+    (dropped_exact AND dropped_near: identical signatures collide in
+    every band), 3 = near-copy of 0 with one token changed
+    (dropped_near only), 5 = unrelated (kept)."""
+    import os
+    import tempfile
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the busy "
+        "spider spins a careful web across the quiet garden gate"
+    )
+    near = base.replace("garden", "meadow")
+    other = "completely unrelated content about distributed query engines " \
+            "and columnar storage formats nothing shared with the index"
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (3, near), (5, other)],
+        "doc_id long, text string",
+    )
+    from nomad_event_streamer_spark.plans.llm_ops import q_dedup_incremental
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in q_dedup_incremental(spark, d).collect()}
+    assert set(out) == {1, 3, 5}
+    assert out[1].dropped_exact and out[1].dropped_near and not out[1].kept
+    assert not out[3].dropped_exact
+    assert out[3].dropped_near and not out[3].kept
+    assert not out[5].dropped_exact and not out[5].dropped_near
+    assert out[5].kept
