@@ -20,6 +20,7 @@ from . import graph_queries  # noqa: E402,F401
 from . import storage_queries  # noqa: E402,F401
 from . import timeseries_queries  # noqa: E402,F401
 from . import analytics_queries  # noqa: E402,F401
+from . import corpus_queries  # noqa: E402,F401
 
 
 # The verification driver records hard CORRECTNESS rows for only the FIRST

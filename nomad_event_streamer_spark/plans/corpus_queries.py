@@ -1,0 +1,1006 @@
+"""Corpus-hygiene queries: the boilerplate-removal / fingerprinting /
+LM-scoring / saturation / quality-ranking passes a pre-training data
+pipeline runs over a raw crawl (SURVEY.md §2.12, round-4 additions).
+
+Every query here ships a full DuckDB hash oracle: the float policy is
+integer-first (bit-length logs, exact integer regression sums, Broder-
+style md5-replayed hashes), and the single float op (Wilson lower bound)
+is a fixed IEEE expression tree both engines evaluate bit-identically
+before portable floor-half-up rounding.
+
+None of this exists in the reference (a single-stream Ruby event relay,
+`app.rb:1-278`); these are the EXT operators the build contract mandates
+for the 100 TB training-data use case.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators import ranking
+from ..tables import ORACLE_ROUND4, load, rebalance_for_cpu, round4
+from .registry import query
+
+# Shared oracle CTE: distinct 3-token shingles per document (mirrors
+# llm_ops._SHINGLE_CTE; duplicated literal to keep each oracle string
+# self-contained for the driver).
+_SHINGLE_CTE = """
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 1, 1))]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+"""
+
+# CDC chunking constants shared by q_chunk_dedup and its oracle — the
+# same window/modulus family as operators.text.cdc_chunks (q_chunk_cdc),
+# so the chunk boundaries here are the ones the dedup store would see.
+_CDC_WINDOW = 8
+_CDC_MODULUS = 64
+_CHUNK_KEEP_MAX_DOCS = 2
+
+
+@query(
+    "q_chunk_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    pos AS (
+        SELECT doc_id, L, text,
+               unnest(range(2, greatest(L - {_CDC_WINDOW} + 2, 2))) AS p
+        FROM d
+    ),
+    cuts AS (
+        SELECT doc_id, p FROM pos
+        WHERE CAST(concat('0x', substring(md5(substring(text, p, {_CDC_WINDOW})), 1, 4))
+                   AS BIGINT) % {_CDC_MODULUS} = 0
+    ),
+    bounds AS (
+        SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, 1 AS p FROM d
+            UNION ALL SELECT doc_id, p FROM cuts
+            UNION ALL SELECT doc_id, L + 1 AS p FROM d)
+    ),
+    spans AS (
+        SELECT doc_id, p,
+               lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+        FROM bounds
+    ),
+    chunks AS (
+        SELECT s.doc_id, s.p,
+               substring(d.text, s.p, s.nxt - s.p) AS chunk,
+               s.nxt - s.p AS clen
+        FROM spans s JOIN d USING (doc_id) WHERE s.nxt IS NOT NULL
+    ),
+    freq AS (
+        SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY 1
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_docs <= {_CHUNK_KEEP_MAX_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN f.n_docs <= {_CHUNK_KEEP_MAX_DOCS} THEN c.clen ELSE 0 END)
+                AS BIGINT) AS kept_bytes,
+           md5(coalesce(string_agg(c.chunk, '' ORDER BY c.p)
+                        FILTER (WHERE f.n_docs <= {_CHUNK_KEEP_MAX_DOCS}), ''))
+               AS kept_md5
+    FROM chunks c JOIN freq f ON md5(c.chunk) = f.h
+    GROUP BY c.doc_id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-frequency boilerplate removal (the CCNet/Dolma "drop
+    paragraphs that repeat across the corpus" pass, with content-defined
+    chunks as the unit since the corpus has no newlines): CDC-chunk every
+    document (same boundary predicate as q_chunk_cdc), count how many
+    DISTINCT documents each chunk digest appears in, drop chunks seen in
+    more than ``_CHUNK_KEEP_MAX_DOCS`` documents, and reassemble the
+    surviving text in original order.  ``kept_md5`` hashes the
+    reassembled document, so the oracle proves byte-exact reconstruction,
+    not just counts.
+
+    Scale: the frequency table is keyed by the 16-byte chunk digest —
+    digests shuffle for the global count, not chunk bytes; the
+    keep-filter join is digest-keyed (broadcastable once pruned to the
+    boilerplate tail, else a plain hash join); reassembly groups each
+    document's own chunks — document-local bytes move exactly once, the
+    irreducible cost of emitting rewritten text.  No step is
+    quadratic in corpus size."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", "text", F.length("text").alias("L"))
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(
+                f"CASE WHEN L >= {_CDC_WINDOW} + 1 "
+                f"THEN sequence(2, L - {_CDC_WINDOW} + 1) ELSE array() END"
+            )
+        ).alias("p"),
+    )
+    cuts = pos.where(
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"substring(text, p, {_CDC_WINDOW})")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CDC_MODULUS
+        == 0
+    ).select("doc_id", "p")
+    bounds = (
+        d.select("doc_id", F.lit(1).alias("p"))
+        .unionByName(cuts)
+        .unionByName(d.select("doc_id", (F.col("L") + 1).alias("p")))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    spans = (
+        bounds.withColumn("nxt", F.lead("p").over(w))
+        .where(F.col("nxt").isNotNull())
+    )
+    chunks = spans.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "p",
+        F.expr("substring(text, p, nxt - p)").alias("chunk"),
+        (F.col("nxt") - F.col("p")).alias("clen"),
+    )
+    freq = chunks.groupBy(F.md5("chunk").alias("h")).agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = chunks.join(
+        freq, F.md5(chunks["chunk"]) == freq["h"]
+    ).withColumn("kept", F.col("n_docs") <= _CHUNK_KEEP_MAX_DOCS)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("clen")).otherwise(0))
+        .cast("long")
+        .alias("kept_bytes"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"), F.struct("p", "chunk")
+                            )
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                "",
+            )
+        ).alias("kept_md5"),
+    )
+
+
+# Winnowing parameters (Schleimer, Wilkerson, Aiken — SIGMOD 2003
+# "Winnowing: Local Algorithms for Document Fingerprinting"): token
+# k-grams, window of w consecutive gram hashes, keep the window minimum
+# with the RIGHTMOST tie-break (robust winnowing).  The (hash, position)
+# pair is packed into one BIGINT — h * 2^20 + (2^20-1 - pos) — so a
+# single integer MIN implements "smallest hash, then largest position"
+# and both engines agree bit-for-bit.  2^20 positions caps documents at
+# ~1M tokens (far above any web doc; guard documented, not enforced).
+_WIN_K = 4
+_WIN_W = 5
+_POS_MOD = 1 << 20
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id, len(toks) - {_WIN_K} + 1 AS n, toks,
+               unnest(range(1, greatest(len(toks) - {_WIN_K} + 2, 1))) AS j
+        FROM t
+    ),
+    h AS (
+        SELECT doc_id, n, j,
+               CAST(concat('0x', substring(md5(
+                   array_to_string(toks[j:j+{_WIN_K - 1}], ' ')), 1, 10))
+                   AS BIGINT) * {_POS_MOD} + ({_POS_MOD - 1} - j) AS key
+        FROM g
+    ),
+    w AS (
+        SELECT doc_id, n, j,
+               min(key) OVER (PARTITION BY doc_id ORDER BY j
+                              ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS sel
+        FROM h
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, sel // {_POS_MOD} AS fp_h,
+               {_POS_MOD - 1} - (sel % {_POS_MOD}) AS fp_pos
+        FROM w WHERE j <= n - {_WIN_W} + 1
+    )
+    SELECT doc_id, count(*) AS n_fp, CAST(sum(fp_h) AS BIGINT) AS fp_sum,
+           min(fp_pos) AS first_pos, max(fp_pos) AS last_pos
+    FROM fp GROUP BY doc_id
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash
+    every token 4-gram, slide a 5-gram window, keep each window's minimum
+    hash with the rightmost tie-break, and de-duplicate the selections —
+    the guarantee is that any shared substring of >= w+k-1 tokens yields
+    at least one shared fingerprint, at ~2/(w+1) the density of full
+    k-gram hashing.  Emitted per document: fingerprint count, integer
+    checksum of the selected hashes, and first/last selected position
+    (the summary a copy-detection index stores).
+
+    The min-with-rightmost-tie-break is ONE integer ``min`` over the
+    packed ``h * 2^20 + (2^20-1-j)`` key — no argmin UDF, no struct
+    comparison semantics to align across engines.
+
+    Scale: everything is document-local (per-doc ordered window + per-doc
+    aggregate) — a single partitioning by doc_id serves both steps;
+    no cross-document shuffle at any size."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    g = t.select(
+        "doc_id",
+        (F.size("toks") - F.lit(_WIN_K - 1)).alias("n"),
+        "toks",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {_WIN_K} "
+                f"THEN sequence(1, size(toks) - {_WIN_K} + 1) "
+                f"ELSE array() END"
+            )
+        ).alias("j"),
+    )
+    key = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice("toks", F.col("j"), _WIN_K))),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long")
+        * _POS_MOD
+        + (F.lit(_POS_MOD - 1) - F.col("j"))
+    )
+    h = g.select("doc_id", "n", "j", key.alias("key"))
+    w = Window.partitionBy("doc_id").orderBy("j").rowsBetween(0, _WIN_W - 1)
+    sel = (
+        h.withColumn("sel", F.min("key").over(w))
+        .where(F.col("j") <= F.col("n") - _WIN_W + 1)
+        .select(
+            "doc_id",
+            F.expr(f"sel DIV {_POS_MOD}").alias("fp_h"),
+            (F.lit(_POS_MOD - 1) - F.col("sel") % _POS_MOD).alias("fp_pos"),
+        )
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum("fp_h").cast("long").alias("fp_sum"),
+        F.min("fp_pos").alias("first_pos"),
+        F.max("fp_pos").alias("last_pos"),
+    )
+
+
+@query(
+    "q_bigram_surprisal",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+        SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+    ),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+    cp AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp FROM cb GROUP BY 1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(length(bin(cp)) - length(bin(cb))) AS BIGINT) AS surprisal_bits
+    FROM b JOIN cb USING (w1, w2) JOIN cp USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filtering, integer form (the conditional
+    upgrade of q_unigram_surprisal): per-bigram surprisal
+    ≈ -log2 P(w2|w1) computed as bit_length(c(w1·)) - bit_length(c(w1,w2))
+    — within 1 bit of the true log-ratio but pure integer arithmetic, so
+    the per-document scores (high = improbable word *transitions* =
+    garbled or off-distribution text, a sharper signal than unigram
+    rarity) are engine-exact and fully hash-oracled.
+
+    Scale: the LM "model" is the bigram count table (vocabulary²-bounded,
+    in practice corpus-sublinear) keyed by the bigram — a map-side
+    combinable count then a bigram-keyed hash join back to occurrences;
+    the prefix-count table is strictly smaller.  Both joins broadcast
+    once the model is pruned, else they are plain shuffle joins on the
+    model key — never on raw text."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    b = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 "
+                "THEN sequence(1, size(toks) - 1) ELSE array() END"
+            )
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
+    )
+    cb = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cp = cb.groupBy("w1").agg(F.sum("cb").cast("long").alias("cp"))
+    bits = F.length(F.bin("cp")) - F.length(F.bin("cb"))
+    return (
+        b.join(cb, ["w1", "w2"])
+        .join(cp, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits).cast("long").alias("surprisal_bits"),
+        )
+    )
+
+
+@query(
+    "q_zipf_slope",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    r AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rnk FROM v),
+    xy AS (SELECT length(bin(rnk)) AS x, length(bin(c)) AS y FROM r),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM xy
+    )
+    SELECT n AS n_vocab,
+           (n * sxy - sx * sy) AS slope_num,
+           (n * sxx - sx * sx) AS slope_den
+    FROM s
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary at octave resolution: the
+    least-squares slope of log2(frequency) against log2(rank), with both
+    logs taken as integer bit_length — the standard corpus-health
+    diagnostic (natural text ≈ -1; a machine-generated or template-heavy
+    corpus bends away).  The regression is emitted as the EXACT integer
+    numerator / denominator pair (slope = slope_num / slope_den), so the
+    whole query is engine-bit-exact with no float policy carve-out; the
+    caller divides.  Int64 headroom: |num| <= n * sxy <= n² * 31² —
+    safe to a ~3e6-type vocabulary per int64 term at 31-bit ranks, and
+    vocabularies grow ~heaps-law-sublinearly, so 100 TB corpora stay
+    inside (documented bound, not enforced).
+
+    Scale: the vocabulary count is one map-side-combinable groupBy; the
+    global rank uses the bucketed prefix-sum (operators/ranking.py) with
+    bit_length(c) as the monotone bucket — the only partitionless window
+    runs over the <= 64-row bucket-offset table, never the vocabulary."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = ranking.global_row_number(
+        v,
+        [F.col("c").desc(), F.col("tok").asc()],
+        bucket=F.length(F.bin("c")),
+        out_col="rnk",
+        bucket_desc=True,
+    )
+    xy = ranked.select(
+        F.length(F.bin("rnk")).alias("x"), F.length(F.bin("c")).alias("y")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "slope_num"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "slope_den"
+        ),
+    )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=_SHINGLE_CTE
+    + """
+    , fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM sh JOIN fs USING (shingle) GROUP BY doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-saturation curve: for every document, how many of its
+    distinct 3-token shingles appear for the FIRST time in it (first
+    occurrence = the minimum doc_id carrying the shingle).  Plotted
+    against ingestion order this is the diminishing-returns diagnostic a
+    crawl pipeline watches to decide when another dump stops adding
+    information (Heaps'-law flattening), and per-document
+    ``n_novel / n_shingles`` is a dedup-adjacent quality signal — a
+    document contributing zero novel shingles is subsumed by the corpus
+    before it.
+
+    Scale: first-occurrence is a map-side-combinable MIN keyed by the
+    shingle (the shingle vocabulary shuffles once), then one
+    shingle-keyed join back to per-doc shingle rows and a per-doc count
+    — the same two-shuffle shape as q_contamination; nothing is
+    pairwise."""
+    from ..operators import dedup
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    fs = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(fs, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+
+
+# Wilson lower bound at 95% (z = 1.96): both engines evaluate the SAME
+# IEEE double expression tree (z² = 3.8416, z²/2 = 1.9208, z²/4 = 0.9604
+# pre-folded as literals so neither engine re-derives them), then the
+# portable floor-half-up 4dp rounding.  sqrt is IEEE-correctly-rounded,
+# so the full chain is bit-identical cross-engine.
+_WILSON_ORACLE_EXPR = (
+    "((CAST(n_pass AS DOUBLE) / n) + 1.9208 / n"
+    " - 1.96 * sqrt(((CAST(n_pass AS DOUBLE) / n)"
+    " * (1.0 - (CAST(n_pass AS DOUBLE) / n)) + 0.9604 / n) / n))"
+    " / (1.0 + 3.8416 / n)"
+)
+
+
+@query(
+    "q_quality_wilson",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN n_chars BETWEEN 250 AND 450 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pass
+        FROM documents GROUP BY source
+    )
+    SELECT source, n, n_pass,
+           {ORACLE_ROUND4.format(x=_WILSON_ORACLE_EXPR)} AS wilson_lb
+    FROM s
+    """,
+)
+def q_quality_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality ranking by Wilson 95% lower confidence bound:
+    each source's pass rate on a quality gate (here the in-band length
+    predicate; any boolean gate drops in), ranked by the Wilson score
+    lower bound rather than the raw proportion — the standard fix for
+    "a source with 3/3 passing is not better than one with 9,000/10,000"
+    when deciding which crawl sources to keep or re-weight.
+
+    Float policy: the bound is one fixed IEEE expression tree over the
+    two exact integers (n, n_pass) — division/multiplication/sqrt are
+    deterministic and correctly rounded, both engines evaluate the
+    literal-identical tree, and the result passes through the portable
+    floor-half-up 4dp quantizer.  Scale: a single partial-aggregate
+    shuffle keyed by source; output is source-cardinality rows."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("n_chars").between(250, 450), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pass"),
+    )
+    phat = F.col("n_pass").cast("double") / F.col("n")
+    wilson = (
+        phat
+        + F.lit(1.9208) / F.col("n")
+        - F.lit(1.96)
+        * F.sqrt(
+            (phat * (F.lit(1.0) - phat) + F.lit(0.9604) / F.col("n"))
+            / F.col("n")
+        )
+    ) / (F.lit(1.0) + F.lit(3.8416) / F.col("n"))
+    return s.select(
+        "source", "n", "n_pass", round4(wilson).alias("wilson_lb")
+    )
+
+
+@query(
+    "q_t_closeness",
+    oracle="""
+    WITH cats AS (SELECT DISTINCT n_chars // 100 AS cat FROM documents),
+    gtab AS (SELECT n_chars // 100 AS cat, CAST(count(*) AS BIGINT) AS gc
+             FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot,
+                   CAST(count(DISTINCT n_chars // 100) AS BIGINT) AS m
+            FROM documents),
+    grp AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2),
+    gcnt AS (SELECT lang, source, n_chars // 100 AS cat,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM documents GROUP BY 1, 2, 3),
+    grid AS (SELECT g.lang, g.source, g.n, cats.cat, coalesce(x.c, 0) AS c
+             FROM grp g CROSS JOIN cats
+             LEFT JOIN gcnt x
+               ON x.lang = g.lang AND x.source = g.source AND x.cat = cats.cat),
+    j AS (SELECT grid.lang, grid.source, grid.n, grid.cat,
+                 grid.c * t.ntot - gl.gc * grid.n AS diff, t.ntot, t.m
+          FROM grid JOIN gtab gl USING (cat) CROSS JOIN tot t),
+    cum AS (SELECT lang, source, n, ntot, m, cat,
+                   sum(diff) OVER (PARTITION BY lang, source ORDER BY cat
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+            FROM j)
+    SELECT lang, source, n,
+           CAST(sum(abs(cum)) AS BIGINT) AS emd_num,
+           CAST(n * ntot * (m - 1) AS BIGINT) AS emd_den,
+           sum(abs(cum)) * 5 > n * ntot * (m - 1) AS above_t
+    FROM cum GROUP BY lang, source, n, ntot, m
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE 2007) — the third member of the
+    privacy-release trio after q_k_anonymity and q_l_diversity, catching
+    what both miss: a group can be k-large AND l-diverse while its
+    sensitive-value *distribution* still diverges from the corpus (e.g.
+    all-high length buckets), which is itself a disclosure.  Distance is
+    the ordered-attribute Earth Mover's Distance = mean |cumulative
+    probability difference| over the m length-bucket categories,
+    computed in EXACT integers: per-category diff is scaled by
+    ntot·n_group (``c·ntot − gc·n``), cumulated per group, and emitted as
+    the numerator/denominator pair with the t=0.2 flag evaluated as
+    ``5·num > den`` — zero float ops, full hash oracle.  Int64 headroom:
+    den = n·ntot·(m−1), safe while n·ntot < ~9e17 (document-level
+    releases at 100 TB stay inside by bucketing the audit per shard or
+    re-scaling to milli-probabilities; documented, not enforced).
+
+    Scale: three partial-agg shuffles (global counts, group counts,
+    group×category counts) sized by quasi-identifier and category
+    cardinality — never by the corpus; the category grid is
+    broadcast-small and the cumulative window partitions by group."""
+    docs = load(spark, sf_dir, "documents")
+    cat = F.expr("n_chars div 100")
+    cats = docs.select(cat.alias("cat")).distinct()
+    gtab = docs.groupBy(cat.alias("cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("gc")
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("ntot"),
+        F.countDistinct(cat).cast("long").alias("m"),
+    )
+    grp = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    gcnt = docs.groupBy("lang", "source", cat.alias("cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(cats))
+        .join(gcnt, ["lang", "source", "cat"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    j = (
+        grid.join(F.broadcast(gtab), "cat")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "diff", F.col("c") * F.col("ntot") - F.col("gc") * F.col("n")
+        )
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("cat")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = j.withColumn("cum", F.sum("diff").over(w))
+    return cum.groupBy("lang", "source", "n", "ntot", "m").agg(
+        F.sum(F.abs("cum")).cast("long").alias("emd_num"),
+        (F.col("n") * F.col("ntot") * (F.col("m") - 1))
+        .cast("long")
+        .alias("emd_den"),
+        (
+            F.sum(F.abs("cum")) * 5
+            > F.col("n") * F.col("ntot") * (F.col("m") - 1)
+        ).alias("above_t"),
+    ).drop("ntot", "m")
+
+
+@query(
+    "q_mix_temperature",
+    oracle="""
+    WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1),
+    w AS (SELECT source, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE) * 1000000000000.0))
+                      AS BIGINT) AS wgt
+          FROM s),
+    t AS (SELECT CAST(sum(wgt) AS BIGINT) AS sw FROM w)
+    SELECT source, n, wgt, CAST((wgt * 1000000) // sw AS BIGINT) AS share_ppm
+    FROM w CROSS JOIN t
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixing weights at α = 1/2 (the
+    multilingual-LM sampling standard: w_i ∝ n_i^α flattens the source
+    distribution so head sources stop drowning the tail): per-source
+    weight = floor(sqrt(n·10¹²)) = floor(10⁶·√n) — sqrt is IEEE
+    correctly-rounded, so the integer weights are bit-identical
+    cross-engine, their sum is exact, and each source's sampling share
+    in ppm is an exact integer division.  No float accumulation
+    anywhere (the usual w_i/Σw float normalization is summation-order
+    sensitive; this is not).
+
+    Scale: one partial-agg shuffle keyed by source; the weight table is
+    source-cardinality (broadcast-size) and the total is one row."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = s.withColumn(
+        "wgt",
+        F.floor(F.sqrt(F.col("n").cast("double") * F.lit(1e12))).cast(
+            "long"
+        ),
+    )
+    t = w.agg(F.sum("wgt").cast("long").alias("sw"))
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        "wgt",
+        F.expr("(wgt * 1000000) div sw").cast("long").alias("share_ppm"),
+    )
+
+
+@query(
+    "q_systematic_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents),
+    g AS (SELECT *, CAST(concat('0x', substring(h, 1, 1)) AS BIGINT) AS grp
+          FROM d),
+    c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY grp ORDER BY h, doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS cum_in
+          FROM g),
+    t AS (SELECT grp, CAST(sum(n_tok) AS BIGINT) AS tot FROM g GROUP BY 1),
+    o AS (SELECT grp, CAST(coalesce(sum(tot) OVER (ORDER BY grp
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                      AS off
+          FROM t),
+    tw AS (SELECT CAST(sum(n_tok) AS BIGINT) AS wtot FROM d),
+    x AS (SELECT doc_id, n_tok, off + cum_in AS cum FROM c JOIN o USING (grp))
+    SELECT doc_id, n_tok,
+           CAST(((cum - n_tok) * 100) // wtot AS BIGINT) AS slot,
+           CAST((cum * 100) // wtot - ((cum - n_tok) * 100) // wtot
+                AS BIGINT) AS n_slots
+    FROM x CROSS JOIN tw
+    WHERE (cum * 100) // wtot > ((cum - n_tok) * 100) // wtot
+    """,
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-proportional systematic sampling (PPS without replacement,
+    the deterministic form): documents in hash-shuffled order are laid
+    head-to-tail by token mass and the k = 100 equal-mass boundaries
+    select the document they land in — every document's selection
+    probability is proportional to its token count, reproducible across
+    runs/engines/partitionings (rand()-based weighted sampling is
+    neither), and big documents straddling several boundaries report
+    ``n_slots``.  Selection is pure integer arithmetic on the
+    distributed prefix sum: doc selected iff floor(cum·k/W) advances
+    across it.
+
+    Scale: the same 16-nibble-group distributed prefix sum as
+    q_pack_sequences (per-group window cumsums + a broadcast 16-row
+    offset table) — no single-partition global window; the only global
+    values are W (one row) and the offset table.  Int64: cum·k ≤ W·k,
+    safe to ~9e16 total tokens at k=100."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("long").alias("grp"),
+    )
+    w_in = (
+        Window.partitionBy("grp")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_in = base.withColumn("cum_in", F.sum("n_tok").over(w_in))
+    totals = base.groupBy("grp").agg(F.sum("n_tok").alias("tot"))
+    w_off = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "grp", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    tw = base.agg(F.sum("n_tok").cast("long").alias("wtot"))
+    x = (
+        cum_in.join(F.broadcast(offsets), "grp")
+        .withColumn("cum", F.col("off") + F.col("cum_in"))
+        .crossJoin(F.broadcast(tw))
+    )
+    lo = F.expr("((cum - n_tok) * 100) div wtot")
+    hi = F.expr("(cum * 100) div wtot")
+    return (
+        x.where(hi > lo)
+        .select(
+            "doc_id",
+            "n_tok",
+            lo.cast("long").alias("slot"),
+            (hi - lo).cast("long").alias("n_slots"),
+        )
+    )
+
+
+# Session gap shared with q_sessionize (plans/advanced.py) and band
+# width for the interval-overlap join: one-hour buckets over session
+# spans (sessions here last minutes-to-hours, so a session lands in a
+# handful of buckets; the bucket is the shuffle key).
+_IJ_GAP_US = 2 * 3600 * 1_000_000
+_IJ_BUCKET_US = 3600 * 1_000_000
+
+
+@query(
+    "q_interval_join",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_IJ_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    s AS (
+        SELECT user_id, event_id, ts_us,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM g
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM s GROUP BY 1, 2
+    )
+    SELECT a.user_id, a.session_id, count(*) AS n_concurrent
+    FROM sess a JOIN sess b
+      ON a.user_id <> b.user_id
+     AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+    GROUP BY 1, 2
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (session concurrency): for every user
+    session, how many OTHER users' sessions overlap it in time — the
+    load/concurrency analysis shape, and the general interval-join
+    pattern (genomics ranges, ad exposure windows, resource booking).
+    The naive formulation is an inequality-only θ-join = cartesian; the
+    scale plan is RANGE BANDING: each session explodes into the 1-hour
+    buckets it spans, candidates equi-join on the bucket, pairs
+    de-duplicate (a pair can share several buckets), and the exact
+    overlap predicate confirms.  The oracle IS the quadratic θ-join —
+    feasible at oracle scale, which is exactly why the banded plan and
+    not the θ-join is the declared operator.
+
+    Scale: candidate volume = Σ_bucket (sessions-in-bucket)² — bounded
+    by banding granularity, not corpus size; hot buckets (a flash-crowd
+    hour) are the skew knob, the same max_bucket/salting treatment as
+    the shared-shingle joins.  Sessions build on one user_id
+    partitioning (two windows + one agg, same as q_sessionize)."""
+    from ..tables import events
+
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _IJ_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        g.withColumn("session_id", F.sum("is_new").over(ws))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")
+        )
+    )
+    banded = sess.select(
+        "user_id",
+        "session_id",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {_IJ_BUCKET_US}"),
+                F.expr(f"end_us div {_IJ_BUCKET_US}"),
+            )
+        ).alias("bucket"),
+    )
+    a = banded.select(
+        F.col("user_id").alias("a_user"),
+        F.col("session_id").alias("a_sess"),
+        F.col("start_us").alias("a_start"),
+        F.col("end_us").alias("a_end"),
+        "bucket",
+    )
+    b = banded.select(
+        F.col("user_id").alias("b_user"),
+        F.col("session_id").alias("b_sess"),
+        F.col("start_us").alias("b_start"),
+        F.col("end_us").alias("b_end"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(
+            (F.col("a_user") != F.col("b_user"))
+            & (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("a_user", "a_sess", "b_user", "b_sess")
+        .distinct()
+    )
+    return pairs.groupBy(
+        F.col("a_user").alias("user_id"), F.col("a_sess").alias("session_id")
+    ).agg(F.count(F.lit(1)).alias("n_concurrent"))
+
+
+@query(
+    "q_audio_pcm_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+    s AS (SELECT doc_id, n, t.t,
+                 ((doc_id*7919 + t.t*104729 + 1234) % 65536) - 32768 AS v
+          FROM d CROSS JOIN range(0, 160) t(t) WHERE t.t < n),
+    c AS (SELECT doc_id, n, t, v,
+                 lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+          FROM s)
+    SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(v)) AS BIGINT) AS max_abs,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path — the audio leg of the multimodal mandate,
+    same strategy as q_multimodal_decode's BMP/PGM leg: each document
+    carries a *valid RIFF/WAVE file* (16-bit mono PCM, closed-form int16
+    samples), and the Arrow-batched decoder walks the actual container
+    (RIFF magic, chunk iteration with the even-byte padding rule,
+    unknown-chunk tolerance, ``fmt ``/``data`` parsing) in pure
+    numpy/struct (operators/multimodal.py: encode_wav/decode_wav), then
+    emits integer signal features: total |amplitude|, peak, and the
+    zero-crossing count.  The oracle recomputes the features from the
+    closed form, so any chunk-walk, sample-width, or endianness bug in
+    the decoder breaks the hash.
+
+    100 TB shape: encode stands in for the object-storage scan; decode
+    is per-byte linear inside mapInPandas with no shuffle until the tiny
+    stats output — identical posture to the image path."""
+    from ..operators import multimodal
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    payloads = multimodal.synthetic_audio(docs)
+    return multimodal.decode_audio_stats(payloads)
+
+
+@query(
+    "q_class_balance",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1),
+    m AS (SELECT CAST(min(n) AS BIGINT) AS k FROM c),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM r CROSS JOIN m WHERE rn <= k GROUP BY lang
+    """,
+)
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents, chosen by deterministic hash rank (md5 of
+    the id, not rand(), so the subsample is reproducible across runs,
+    engines, and partitionings — the property a training-data freeze
+    needs).  The head-class downsampling half of imbalance handling;
+    q_mix_temperature is the soft-reweight alternative.
+
+    Scale: rank is a per-class window (lang partitions the shuffle);
+    the class-count table and the scalar min broadcast.  Output proves
+    membership (id checksum), not just counts."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = c.agg(F.min("n").cast("long").alias("k"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = docs.select("doc_id", "lang").withColumn("rn", F.row_number().over(w))
+    return (
+        r.crossJoin(F.broadcast(m))
+        .where(F.col("rn") <= F.col("k"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents WHERE lang IN ('en', 'fr')
+    GROUP BY lang
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format + partitioned-layout roundtrip: documents written once
+    as ORC partitioned by ``lang`` (Hive-style directory layout), read
+    back with a partition filter — the scan touches only the en/fr
+    directories (partition pruning identical to the parquet path; ORC
+    carries its own stripe-level min/max indexes for row skipping) — and
+    the read-back aggregate hash-matches the source-table oracle,
+    proving the format conversion is lossless.  Spark's ORC support is
+    built-in (native reader), so an ORC-based lakehouse can adopt every
+    operator here unchanged.
+
+    100 TB shape: format choice changes the scan layer only; the
+    partition-pruned read is the same files-skipped pattern as
+    q_partitioned_sink_prune."""
+    import os as _os
+
+    docs = load(spark, sf_dir, "documents")
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_orc_{tag}"
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        (
+            docs.repartition("lang")
+            .write.partitionBy("lang")
+            .mode("overwrite")
+            .orc(out)
+        )
+    back = spark.read.orc(out).where(F.col("lang").isin("en", "fr"))
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

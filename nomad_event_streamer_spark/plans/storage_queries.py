@@ -188,3 +188,60 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dec_sum("value", "sum_value"),
     )
+
+
+@query(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n_items,
+           {ORACLE_DEC_SUM.format(col="l_extendedprice")} AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the storage-layout half of shuffle
+    elimination (the brief's "pre-partition for co-located joins"):
+    lineitem and orders are written ONCE as external bucketed tables
+    (``bucketBy(8, <orderkey>)`` + in-bucket sort, Hive-compatible file
+    naming), after which EVERY join on the bucket key runs with ZERO
+    Exchange on either side — the scans come up pre-partitioned and
+    pre-sorted, so SortMergeJoin starts immediately
+    (``tests/test_plan_properties.py::test_bucketed_join_no_exchange``
+    pins ``Bucketed: true`` scans and an Exchange-free join subtree).
+    At 100 TB this is THE amortization: one bucketed rewrite, then every
+    daily fact-to-fact join on the key skips both terabyte shuffles.
+
+    The aggregate (priority-level revenue after a date filter)
+    hash-matches the plain-SQL oracle, proving the layout transform is
+    semantics-free."""
+    tag = _sf_tag(sf_dir).replace(".", "_")  # identifier-safe ("sf0.01")
+    spec = (
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_orderkey"),
+    )
+    for name, key in spec:
+        tbl = f"nes_bucketed_{name}_{tag}"
+        if not spark.catalog.tableExists(tbl):
+            (
+                load(spark, sf_dir, name)
+                .write.format("parquet")
+                .option("path", f"/tmp/spark_graft_bucketed_{tag}/{name}")
+                .mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(tbl)
+            )
+    li = spark.table(f"nes_bucketed_lineitem_{tag}")
+    od = spark.table(f"nes_bucketed_orders_{tag}").where(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    )
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum("l_extendedprice", "sum_price"),
+        )
+    )

@@ -107,6 +107,21 @@ PROBES = [
     "q_chunk_gear",
     "q_sim_recall",
     "q_dedup_incremental",
+    # round-4 corpus-hygiene additions
+    "q_chunk_dedup",
+    "q_winnow_fingerprint",
+    "q_bigram_surprisal",
+    "q_zipf_slope",
+    "q_ngram_novelty",
+    "q_quality_wilson",
+    "q_t_closeness",
+    "q_mix_temperature",
+    "q_systematic_sample",
+    "q_interval_join",
+    "q_audio_pcm_stats",
+    "q_class_balance",
+    "q_orc_roundtrip",
+    "q_bucketed_join",
 ]
 
 

@@ -76,7 +76,8 @@ def _partitionless_window_specs(df) -> list[str]:
 
 
 @pytest.mark.parametrize(
-    "name", ["q_dataset_shuffle", "q_window_global", "q_pack_sequences"]
+    "name",
+    ["q_dataset_shuffle", "q_window_global", "q_pack_sequences", "q_zipf_slope"],
 )
 def test_no_partitionless_window(spark, sf_dir, name):
     """The global-order queries must use the bucketed prefix-sum — any
@@ -107,6 +108,12 @@ def test_no_partitionless_window(spark, sf_dir, name):
         "q_containment_minhash",
         "q_dup_span_lengths",
         "q_chunk_gear",
+        # round-4 corpus-hygiene ops (digest / bigram / shingle-keyed joins)
+        "q_chunk_dedup",
+        "q_bigram_surprisal",
+        "q_ngram_novelty",
+        # banded interval join: bucket equi-join, never the θ-join
+        "q_interval_join",
     ],
 )
 def test_round2_ops_no_cartesian(spark, sf_dir, name):
@@ -120,6 +127,30 @@ def test_round2_ops_no_cartesian(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """The bucketed co-located join must read ``Bucketed: true`` scans
+    and run the join with ZERO Exchange below the aggregation — the
+    storage-layout shuffle elimination q_bucketed_join exists to prove.
+    Broadcast/AQE are disabled for the assertion so the plan cannot
+    sidestep the bucketing (a broadcast join would also be
+    exchange-free, but for the wrong reason)."""
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = QUERIES["q_bucketed_join"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert plan.count("Bucketed: true") == 2, plan
+    join_subtree = plan[plan.index("SortMergeJoin"):]
+    # one Exchange is legal ABOVE the join (the groupBy re-partition);
+    # below the join there must be none — the scans arrive co-located.
+    assert "Exchange" not in join_subtree, join_subtree[:2000]
 
 
 def test_funnel_aggregates_partial(spark, sf_dir):
