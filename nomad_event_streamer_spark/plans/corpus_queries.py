@@ -1004,3 +1004,395 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+# ExactSubstr cut threshold in tokens (Lee et al. 2022 use 50; the
+# synthetic corpus's duplicated regions top out at ~95 tokens, so 20
+# exercises both cut and keep paths on real data).
+_XS_MIN_CUT = 20
+
+
+@query(
+    "q_exactsubstr_cut",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 5, 2))) AS i
+        FROM t
+    ),
+    sp AS (
+        SELECT doc_id, i, md5(array_to_string(toks[i:i+6], ' ')) AS h
+        FROM pos
+    ),
+    df AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM sp GROUP BY h),
+    flags AS (
+        SELECT sp.doc_id, sp.i FROM sp JOIN df USING (h) WHERE df.n_docs > 1
+    ),
+    runs AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM flags
+    ),
+    per_run AS (
+        SELECT doc_id, grp, min(i) AS start_i, count(*) AS r
+        FROM runs GROUP BY 1, 2
+    ),
+    regions AS (
+        SELECT doc_id, start_i, start_i + r + 5 AS end_i
+        FROM per_run WHERE r + 6 >= {_XS_MIN_CUT}
+    ),
+    tokens AS (
+        SELECT doc_id, tt.tt AS t, toks[tt.tt] AS tok, len(toks) AS n
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS tt) tt
+    ),
+    cut AS (
+        SELECT DISTINCT tk.doc_id, tk.t
+        FROM tokens tk JOIN regions r
+          ON tk.doc_id = r.doc_id AND tk.t BETWEEN r.start_i AND r.end_i
+    ),
+    ft AS (
+        SELECT tk.doc_id, tk.t, tk.tok, tk.n, c.t IS NOT NULL AS is_cut
+        FROM tokens tk
+        LEFT JOIN cut c ON tk.doc_id = c.doc_id AND tk.t = c.t
+    ),
+    reg_n AS (SELECT doc_id, count(*) AS n_regions FROM regions GROUP BY 1)
+    SELECT ft.doc_id,
+           CAST(max(ft.n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN ft.is_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+           CAST(coalesce(max(reg_n.n_regions), 0) AS BIGINT) AS n_regions,
+           md5(coalesce(string_agg(ft.tok, ' ' ORDER BY ft.t)
+                        FILTER (WHERE NOT ft.is_cut), '')) AS kept_md5
+    FROM ft LEFT JOIN reg_n ON ft.doc_id = reg_n.doc_id
+    GROUP BY ft.doc_id
+    """,
+)
+def q_exactsubstr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup REWRITE (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): where
+    q_dup_spans/q_dup_span_lengths only *measure* cross-document repeated
+    regions, this pass actually CUTS them — every maximal run of
+    duplicated 7-token span positions covering >= 20 tokens is removed
+    from the document and the survivor text is reassembled in order,
+    with ``kept_md5`` proving the rewrite byte-for-byte.  This is the
+    suffix-array tool's effect re-expressed as dataflow: position-keyed
+    span digests -> bounded (span, doc-frequency) aggregation -> hash
+    join back -> gaps-and-islands runs -> threshold -> per-document
+    region mask -> ordered reassembly.
+
+    Scale: identical posture to q_dup_span_lengths for detection (no
+    pair join, no suffix array, digests shuffle); the mask step is a
+    doc_id equi-join with a range predicate against the per-doc region
+    list (regions per doc are few — bounded by doc length / MIN_CUT),
+    and reassembly groups each document's own surviving tokens, so
+    document bytes move once.  All-integer counts + md5 => full hash
+    oracle."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 6, 1)),"
+                " i -> struct(i AS i,"
+                " md5(array_join(slice(split(text, ' '), i, 7), ' ')) AS h))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.i", "s.h")
+    span_df = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    flags = (
+        spans.join(span_df, "h")
+        .where(F.col("n_docs") > 1)
+        .select("doc_id", "i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    regions = (
+        flags.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("i").alias("start_i"), F.count(F.lit(1)).alias("r"))
+        .where(F.col("r") + 6 >= _XS_MIN_CUT)
+        .select(
+            F.col("doc_id").alias("r_doc"),
+            "start_i",
+            (F.col("start_i") + F.col("r") + 5).alias("end_i"),
+        )
+    )
+    tokens = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n"),
+        F.posexplode(F.split("text", " ")).alias("t0", "tok"),
+    ).select("doc_id", "n", (F.col("t0") + 1).alias("t"), "tok")
+    cut = (
+        tokens.join(
+            regions,
+            (F.col("doc_id") == F.col("r_doc"))
+            & F.col("t").between(F.col("start_i"), F.col("end_i")),
+        )
+        .select("doc_id", "t")
+        .distinct()
+        .withColumn("is_cut_src", F.lit(True))
+    )
+    ft = tokens.join(cut, ["doc_id", "t"], "left").withColumn(
+        "is_cut", F.coalesce(F.col("is_cut_src"), F.lit(False))
+    )
+    reg_n = regions.groupBy(F.col("r_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_regions")
+    )
+    return (
+        ft.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("is_cut").cast("long")).cast("long").alias("n_cut"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("is_cut"), F.struct("t", "tok")
+                                )
+                            )
+                        ),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+        .join(reg_n, "doc_id", "left")
+        .withColumn(
+            "n_regions", F.coalesce(F.col("n_regions"), F.lit(0)).cast("long")
+        )
+        .select("doc_id", "n_tokens", "n_cut", "n_regions", "kept_md5")
+    )
+
+
+@query(
+    "q_benford_audit",
+    oracle="""
+    WITH d AS (
+        SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY 1),
+    tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs),
+    exp_ AS (SELECT * FROM (VALUES ('1',301),('2',176),('3',125),('4',97),('5',79),
+                                   ('6',67),('7',58),('8',51),('9',46)) e(digit, exp_milli))
+    SELECT e.digit, CAST(coalesce(o.observed, 0) AS BIGINT) AS observed,
+           CAST((coalesce(o.observed, 0) * 1000) // t.n AS BIGINT) AS obs_milli,
+           CAST(e.exp_milli AS BIGINT) AS benford_milli,
+           abs((coalesce(o.observed, 0) * 1000) // t.n - e.exp_milli) AS dev_milli
+    FROM exp_ e LEFT JOIN obs o USING (digit) CROSS JOIN tot t
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of a value column — the classic
+    fabricated-data / synthetic-leak detector in data profiling: natural
+    multiplicative processes put digit d first with probability
+    log10(1+1/d) (30.1% for 1 ... 4.6% for 9), while generated or
+    clipped data shows flat or spiky digit mass.  Emitted per digit:
+    observed count, observed milli-fraction (integer division), the
+    Benford expectation in milli (literal table — no runtime log10), and
+    the absolute deviation.  All-integer — full hash oracle.
+
+    Scale: one partial-agg shuffle over first-digit strings (9 groups);
+    the expectation table and the scalar total broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    tot = obs.agg(F.sum("observed").cast("long").alias("n"))
+    exp_ = spark.createDataFrame(
+        [("1", 301), ("2", 176), ("3", 125), ("4", 97), ("5", 79),
+         ("6", 67), ("7", 58), ("8", 51), ("9", 46)],
+        ["digit", "exp_milli"],
+    )
+    j = (
+        exp_.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0)).cast("long"))
+        .withColumn("obs_milli", F.expr("(observed * 1000) div n").cast("long"))
+    )
+    return j.select(
+        "digit",
+        "observed",
+        "obs_milli",
+        F.col("exp_milli").cast("long").alias("benford_milli"),
+        F.abs(F.col("obs_milli") - F.col("exp_milli")).alias("dev_milli"),
+    )
+
+
+# Trigram-similarity join parameters: pg_trgm-style candidate generation
+# (shared char-trigram equi-join over DISTINCT names), min_shared floor
+# bounds the pair output, cosine on exact integer trigram counts.
+_TRGM_MIN_SHARED = 2
+_TRGM_MIN_COS_MILLI = 400
+
+
+@query(
+    "q_trigram_join",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    tg AS (
+        SELECT name, unnest(list_distinct(
+            [substring(name, i, 3) FOR i IN range(1, greatest(length(name) - 1, 1))]
+        )) AS tg
+        FROM names
+    ),
+    sz AS (SELECT name, CAST(count(*) AS BIGINT) AS n FROM tg GROUP BY 1),
+    pairs AS (
+        SELECT a.name AS name_a, b.name AS name_b, count(*) AS shared
+        FROM tg a JOIN tg b ON a.tg = b.tg AND a.name < b.name
+        GROUP BY 1, 2 HAVING count(*) >= {_TRGM_MIN_SHARED}
+    ),
+    scored AS (
+        SELECT p.name_a, p.name_b, p.shared,
+               CAST(floor(CAST(p.shared AS DOUBLE)
+                    / sqrt(CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE))
+                    * 1000.0 + 0.5) AS BIGINT) AS cos_milli
+        FROM pairs p JOIN sz sa ON p.name_a = sa.name
+                     JOIN sz sb ON p.name_b = sb.name
+    )
+    SELECT name_a, name_b, CAST(shared AS BIGINT) AS shared, cos_milli
+    FROM scored WHERE cos_milli >= {_TRGM_MIN_COS_MILLI}
+    """,
+)
+def q_trigram_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-cosine string-similarity join (the pg_trgm pattern —
+    entity resolution over free-text names, the complement of
+    q_fuzzy_join's edit-distance-1 neighborhood): DISTINCT names first
+    (dedup before any pair work — at scale the distinct-name table is
+    orders of magnitude smaller than the row count), char-trigram
+    explode, shared-trigram equi-join with a min-shared floor, then
+    cosine = shared / sqrt(|A|·|B|) on exact integer trigram counts
+    (sqrt is IEEE-correctly-rounded and the floor-half-up milli
+    quantization makes the scores engine-exact).
+
+    Scale: candidates come only from shared trigrams (never all-pairs);
+    hot trigrams are the skew knob — the same max_bucket cap as the
+    shingle joins drops in if the name distribution needs it (64
+    distinct names here do not).  Output is pair rows above the
+    threshold, bounded by candidate count."""
+    part = load(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    tg = names.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(name) - 2, 1)),"
+                    " i -> substring(name, i, 3))"
+                )
+            )
+        ).alias("tg"),
+    )
+    sz = tg.groupBy("name").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = tg.select(F.col("name").alias("name_a"), "tg")
+    b = tg.select(F.col("name").alias("name_b"), "tg")
+    pairs = (
+        a.join(b, "tg")
+        .where(F.col("name_a") < F.col("name_b"))
+        .groupBy("name_a", "name_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= _TRGM_MIN_SHARED)
+    )
+    scored = (
+        pairs.join(sz.select(F.col("name").alias("name_a"), F.col("n").alias("na")), "name_a")
+        .join(sz.select(F.col("name").alias("name_b"), F.col("n").alias("nb")), "name_b")
+        .withColumn(
+            "cos_milli",
+            F.floor(
+                F.col("shared").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+                * F.lit(1000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return scored.where(F.col("cos_milli") >= _TRGM_MIN_COS_MILLI).select(
+        "name_a", "name_b", F.col("shared").cast("long").alias("shared"), "cos_milli"
+    )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               CAST(p_size AS BIGINT) AS size, p_partkey
+        FROM part
+    ),
+    pairs AS (
+        SELECT cents, size, CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(min(p_partkey) AS BIGINT) AS min_partkey
+        FROM v GROUP BY 1, 2
+    )
+    SELECT cents, size, n_parts, min_partkey FROM pairs p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pairs q
+        WHERE q.cents <= p.cents AND q.size <= p.size
+          AND (q.cents < p.cents OR q.size < p.size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (Börzsönyi et al., ICDE 2001):
+    the parts no other part beats on BOTH price and size — the
+    multi-criteria shortlist query.  The oracle is the textbook
+    quadratic NOT EXISTS dominance check; the declared plan is the
+    LINEAR sort-sweep re-expressed distributively: dedupe to distinct
+    (cents, size) value pairs, order by (cents asc, size asc), and a
+    pair survives iff the running minimum of size over strictly
+    preceding pairs is greater than its own (a preceding pair has
+    cents <=, so any with size <= dominates).  The running min uses the
+    same bucketed two-level pattern as operators/ranking.py — per-bucket
+    window min (bucket = bit_length(cents), monotone in the sort key)
+    plus a <=64-row cross-bucket prefix-min table — so no partitionless
+    window ever touches the pair table.
+
+    Scale: frontier work is over DISTINCT value pairs (value-space
+    bounded, corpus-independent); the only corpus-sized step is the
+    initial pair aggregation.  Integer cents/size end-to-end."""
+    part = load(spark, sf_dir, "part")
+    pairs = (
+        part.select(
+            F.floor(F.col("p_retailprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            F.col("p_size").cast("long").alias("size"),
+            "p_partkey",
+        )
+        .groupBy("cents", "size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("p_partkey").cast("long").alias("min_partkey"),
+        )
+        .withColumn("bucket", F.length(F.bin("cents")))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("cents", "size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_mins = pairs.groupBy("bucket").agg(F.min("size").alias("bmin"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_mins.select(
+        "bucket", F.min("bmin").over(w_off).alias("off_min")
+    )
+    big = F.lit(1 << 62)
+    scored = (
+        pairs.withColumn("min_in", F.min("size").over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "prec_min",
+            F.least(
+                F.coalesce(F.col("min_in"), big),
+                F.coalesce(F.col("off_min"), big),
+            ),
+        )
+    )
+    return scored.where(F.col("prec_min") > F.col("size")).select(
+        "cents", "size", "n_parts", "min_partkey"
+    )

@@ -154,3 +154,102 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         denom.cast("long").alias("denom_units"),
         (F.lit(float(_HLL_NUM)) / denom.cast("double")).alias("est_users"),
     )
+
+
+# Count-Min parameters: d=4 hash rows, w=16 buckets — deliberately
+# NARROW (the 31-token vocabulary collides inside 16 buckets) so the
+# sketch's one-sided error is actually exercised: estimates strictly
+# exceed exact counts for colliding tokens, and the CMS invariant
+# est >= exact is assertable (and asserted) on every probe.
+_CMS_D = 4
+_CMS_W = 16
+
+
+@query(
+    "q_countmin",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    rows_ AS (SELECT unnest(range(0, {_CMS_D})) AS i),
+    cells AS (
+        SELECT i, CAST(concat('0x', substring(md5(concat(CAST(i AS VARCHAR), ':', tok)), 1, 8))
+                  AS BIGINT) % {_CMS_W} AS bucket, count(*) AS cnt
+        FROM toks CROSS JOIN rows_ GROUP BY 1, 2
+    ),
+    probes AS (SELECT unnest(['spark', 'query', 'join', 'scan', 'window']) AS tok),
+    pb AS (
+        SELECT p.tok, r.i,
+               CAST(concat('0x', substring(md5(concat(CAST(r.i AS VARCHAR), ':', p.tok)), 1, 8))
+               AS BIGINT) % {_CMS_W} AS bucket
+        FROM probes p CROSS JOIN rows_ r
+    ),
+    est AS (
+        SELECT pb.tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+        FROM pb LEFT JOIN cells c ON pb.i = c.i AND pb.bucket = c.bucket
+        GROUP BY pb.tok
+    ),
+    exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM toks GROUP BY tok)
+    SELECT e.tok, e.est, CAST(coalesce(x.exact, 0) AS BIGINT) AS exact,
+           e.est >= coalesce(x.exact, 0) AS is_overestimate
+    FROM est e LEFT JOIN exact x ON e.tok = x.tok
+    """,
+)
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) with point-query
+    estimates: the d×w counter matrix is ONE partial-aggregate groupBy
+    over (hash-row, bucket) — bounded memory at ANY key cardinality, the
+    property that makes CMS the streaming-frequency workhorse — and a
+    point query reads d cells and takes the min.  Probes report estimate
+    vs exact count side by side with the one-sided-error invariant
+    (est >= exact, equality iff no collision in some row) as an output
+    column; w=16 forces real collisions so the overestimate path is
+    exercised, not just the lucky-exact one.
+
+    Everything is integer (counter sums, md5-derived buckets), so the
+    full sketch STATE and the estimates are hash-oracled — stronger than
+    the usual "sketch ≈ right" test.  Scale: the sketch is d·w counters
+    regardless of corpus size (mergeable across partitions by addition);
+    the only data-sized pass is the token scan feeding the partial agg;
+    probes broadcast."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    rows_ = spark.range(_CMS_D).select(F.col("id").cast("int").alias("i"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+    cells = (
+        toks.crossJoin(F.broadcast(rows_))
+        .groupBy("i", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = spark.createDataFrame(
+        [("spark",), ("query",), ("join",), ("scan",), ("window",)], ["tok"]
+    )
+    pb = probes.crossJoin(F.broadcast(rows_)).select(
+        "tok", "i", bucket.alias("bucket")
+    )
+    est = (
+        pb.join(F.broadcast(cells), ["i", "bucket"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    return (
+        est.join(exact, "tok", "left")
+        .select(
+            "tok",
+            "est",
+            F.coalesce(F.col("exact"), F.lit(0)).cast("long").alias("exact"),
+            (F.col("est") >= F.coalesce(F.col("exact"), F.lit(0))).alias(
+                "is_overestimate"
+            ),
+        )
+    )

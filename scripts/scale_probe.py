@@ -122,6 +122,11 @@ PROBES = [
     "q_class_balance",
     "q_orc_roundtrip",
     "q_bucketed_join",
+    "q_exactsubstr_cut",
+    "q_countmin",
+    "q_benford_audit",
+    "q_trigram_join",
+    "q_skyline",
 ]
 
 

@@ -77,7 +77,13 @@ def _partitionless_window_specs(df) -> list[str]:
 
 @pytest.mark.parametrize(
     "name",
-    ["q_dataset_shuffle", "q_window_global", "q_pack_sequences", "q_zipf_slope"],
+    [
+        "q_dataset_shuffle",
+        "q_window_global",
+        "q_pack_sequences",
+        "q_zipf_slope",
+        "q_skyline",
+    ],
 )
 def test_no_partitionless_window(spark, sf_dir, name):
     """The global-order queries must use the bucketed prefix-sum — any
@@ -114,6 +120,10 @@ def test_no_partitionless_window(spark, sf_dir, name):
         "q_ngram_novelty",
         # banded interval join: bucket equi-join, never the θ-join
         "q_interval_join",
+        # ExactSubstr rewrite: span-digest join + doc-local region mask
+        "q_exactsubstr_cut",
+        # trigram similarity join: shared-trigram equi-join candidates
+        "q_trigram_join",
     ],
 )
 def test_round2_ops_no_cartesian(spark, sf_dir, name):

@@ -286,6 +286,70 @@ def test_class_balance_is_exact_and_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_exactsubstr_cut_rewrite_semantics(spark, sf_dir):
+    """Uncut documents reassemble to exactly their original text; cut
+    documents lose at least MIN_CUT tokens per region and never more
+    than the whole document."""
+    from nomad_event_streamer_spark.plans.corpus_queries import (
+        _XS_MIN_CUT,
+        q_exactsubstr_cut,
+    )
+
+    out = q_exactsubstr_cut(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("orig_md5")
+    )
+    j = out.join(docs, "doc_id")
+    assert j.where(
+        (F.col("n_regions") == 0)
+        & ((F.col("n_cut") != 0) | (F.col("kept_md5") != F.col("orig_md5")))
+    ).count() == 0
+    cut_docs = j.where(F.col("n_regions") > 0)
+    assert cut_docs.count() > 0
+    # regions may overlap in token space (maximal runs separated by one
+    # unflagged position still cover overlapping 7-grams), so the union
+    # bound is >= MIN_CUT, not MIN_CUT * n_regions
+    assert cut_docs.where(
+        (F.col("n_cut") < F.lit(_XS_MIN_CUT))
+        | (F.col("n_cut") > F.col("n_tokens"))
+        | (F.col("kept_md5") == F.col("orig_md5"))
+    ).count() == 0
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """The bucketed sort-sweep must equal quadratic dominance checking
+    re-derived in python over the distinct value pairs."""
+    from nomad_event_streamer_spark.plans.corpus_queries import q_skyline
+
+    got = {
+        (r["cents"], r["size"]) for r in q_skyline(spark, sf_dir).collect()
+    }
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("long").alias("c"),
+        F.col("p_size").cast("long").alias("s"),
+    ).distinct().collect()
+    pts = [(r["c"], r["s"]) for r in parts]
+    brute = {
+        p
+        for p in pts
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and q != p for q in pts
+        )
+    }
+    assert got == brute
+
+
+def test_countmin_one_sided_error(spark, sf_dir):
+    """CMS estimates never undercount, and at w=16 the 31-token
+    vocabulary collides, so at least one probe strictly overestimates."""
+    from nomad_event_streamer_spark.plans.sketch_queries import q_countmin
+
+    rows = q_countmin(spark, sf_dir).collect()
+    assert all(r["est"] >= r["exact"] for r in rows)
+    assert all(r["is_overestimate"] for r in rows)
+    assert any(r["est"] > r["exact"] for r in rows)
+
+
 def test_zipf_slope_is_negative(spark, sf_dir):
     """Frequency decreases with rank, so the octave-binned regression
     slope must be negative and the denominator positive."""
