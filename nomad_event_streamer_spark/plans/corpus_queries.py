@@ -1396,3 +1396,103 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(F.col("prec_min") > F.col("size")).select(
         "cents", "size", "n_parts", "min_partkey"
     )
+
+
+@query(
+    "q_knn_classify",
+    oracle="""
+    WITH qz AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id < 20
+    ),
+    cz AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CASE WHEN sqrt(list_dot_product(qv, qv))
+                         * sqrt(list_dot_product(cv, cv)) > 0
+                    THEN list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv)))
+                    ELSE 0.0 END AS qcos
+        FROM cz CROSS JOIN qz
+        WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qcos DESC, neighbor_id) AS rn
+        FROM scored
+    ),
+    votes AS (
+        SELECT r.query_id, CAST(e.label AS BIGINT) AS pred_label,
+               CAST(count(*) AS BIGINT) AS votes
+        FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+        WHERE r.rn <= 5 GROUP BY 1, 2
+    ),
+    pick AS (
+        SELECT query_id, pred_label, votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, pred_label) AS prn
+        FROM votes
+    )
+    SELECT p.query_id, p.pred_label, p.votes,
+           CAST(q.label AS BIGINT) AS true_label,
+           p.pred_label = CAST(q.label AS BIGINT) AS correct
+    FROM pick p JOIN embeddings q ON q.vec_id = p.query_id
+    WHERE p.prn = 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification over the integer-exact cosine
+    path (the weak-labeling / label-propagation primitive: assign every
+    unlabeled item the majority label of its 5 nearest neighbors):
+    reuses cosine_topk_quantized — the quantized ranking is
+    bit-reproducible, so the neighbor sets, the vote counts, the
+    deterministic tie-break (higher votes, then smaller label), and the
+    resulting accuracy flags are ALL under the full hash gate, making
+    the classifier itself regression-testable (the same property
+    q_sim_recall exploits for recall).
+
+    Scale: queries broadcast against the corpus (cosine_topk_quantized's
+    per-partition partial top-k — candidates never shuffle); the vote
+    aggregation is per-query-cardinality; labels join by vec_id."""
+    from ..operators import similarity
+
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < 20)
+    top5 = similarity.cosine_topk_quantized(vecs, queries, k=5)
+    labels = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("long").alias("pred_label"),
+    )
+    votes = (
+        top5.join(labels, "neighbor_id")
+        .groupBy("query_id", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("pred_label").asc()
+    )
+    pick = votes.withColumn("prn", F.row_number().over(w)).where(
+        F.col("prn") == 1
+    )
+    truth = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return pick.join(truth, "query_id").select(
+        "query_id",
+        "pred_label",
+        "votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )

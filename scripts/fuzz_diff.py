@@ -170,7 +170,7 @@ class Gen:
         self.atoms = INT_ATOMS[self.table]()
         self.str_values = str_values
         self.shape = self.rng.choice(
-            ["project", "agg", "agg", "window", "setop"]
+            ["project", "agg", "agg", "window", "setop", "rollup"]
         )
         # the join table exercises both inner and left outer semantics
         self.join_type = self.rng.choice(["inner", "left"])
@@ -396,6 +396,59 @@ class Gen:
             )
             return df, sql
 
+        if self.shape == "rollup":
+            # GROUP BY ROLLUP over two bounded integer keys: exercises the
+            # multi-grouping NULL group markers (subtotal + grand-total
+            # rows) the fixed oracles share but the other shapes never
+            # generate.  Keys are non-null int exprs, so every NULL in the
+            # output IS a rollup marker — any marker-semantics divergence
+            # between engines breaks the hash.
+            #
+            # Known engine divergence THIS SHAPE FOUND (first 40-seed run,
+            # 2 hits): on EMPTY input, DuckDB follows the SQL standard and
+            # still emits the grand-total () grouping-set row (n=0, s=NULL)
+            # while Spark returns zero rows (both DataFrame rollup and SQL
+            # GROUP BY ROLLUP).  n=0 is impossible for any non-degenerate
+            # group (per-group count >= 1), so `HAVING count(*) > 0`
+            # removes exactly that row on both sides without touching the
+            # marker semantics under test.
+            # Second divergence this shape found (seed 87, first 200-seed
+            # run): ROLLUP(e, e) with the SAME expression twice — in the
+            # middle grouping set (e), Spark emits NULL for the second
+            # position (positional marker semantics, consistent with its
+            # grouping_id) while DuckDB binds both output references to
+            # the one still-grouped expression and emits its value.  A
+            # dark-corner ambiguity in the standard; avoided by requiring
+            # textually distinct key expressions.
+            keys = []
+            for i in range(2):
+                a = self.atom()
+                k = self.rng.choice([7, 13, 64])
+                if keys and f"({a.sql} % {k})" == keys[0][0]:
+                    sql_expr = f"(({a.sql} % {k}) + 1)"
+                    keys.append((sql_expr, (a.col % k) + 1, f"k{i}"))
+                else:
+                    keys.append((f"({a.sql} % {k})", a.col % k, f"k{i}"))
+            s_expr = self.int_expr()
+            key_cols = [c.alias(al) for _, c, al in keys]
+            df = (
+                base.rollup(*key_cols)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(s_expr.col).alias("s"),
+                )
+                .where(F.col("n") > 0)
+            )
+            key_sel = ", ".join(f"{s} AS {al}" for s, _, al in keys)
+            group_by = ", ".join(s for s, _, _ in keys)
+            sql = (
+                f"SELECT {key_sel}, count(*) AS n, "
+                f"CAST(sum({s_expr.sql}) AS BIGINT) AS s "
+                f"FROM {self._sql_from()} WHERE {where.sql} "
+                f"GROUP BY ROLLUP ({group_by}) HAVING count(*) > 0"
+            )
+            return df, sql
+
         # agg (default, double-weighted)
         n_keys = self.rng.randint(1, 2)
         keys: list[tuple[str, Column, str]] = []  # (sql, col, alias)
@@ -503,7 +556,7 @@ def run(n_seeds: int, out_path: str | None, sf_dir: str = SF) -> int:
         "sf_dir": sf_dir,
         "by_shape": {
             s: sum(1 for r in results.values() if r["shape"] == s)
-            for s in ("project", "agg", "window", "setop")
+            for s in ("project", "agg", "window", "setop", "rollup")
         },
         "results": results,
     }

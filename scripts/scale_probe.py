@@ -127,6 +127,7 @@ PROBES = [
     "q_benford_audit",
     "q_trigram_join",
     "q_skyline",
+    "q_knn_classify",
 ]
 
 

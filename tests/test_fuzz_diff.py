@@ -37,4 +37,4 @@ def test_fuzz_seed_matches(seed, spark, sf_dir, con, pool):
 
 def test_grammar_emits_every_shape(pool):
     shapes = {fuzz_diff.Gen(s, pool).shape for s in range(60)}
-    assert shapes == {"project", "agg", "window", "setop"}
+    assert shapes == {"project", "agg", "window", "setop", "rollup"}
