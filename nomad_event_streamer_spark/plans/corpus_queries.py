@@ -1496,3 +1496,65 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH d AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS val,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, val, w,
+               CAST(sum(w) OVER (PARTITION BY lang ORDER BY val, w
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        FROM d
+    )
+    SELECT lang, CAST(min(val) AS BIGINT) AS wmedian,
+           CAST(max(tot) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum >= tot GROUP BY lang
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group (lower weighted median: the smallest
+    value whose cumulative weight reaches half the total) — the
+    token-mass-weighted "typical document length" per language, and the
+    weighted-quantile primitive mixture reweighting needs that plain
+    percentiles (q_percentile_*) don't provide.  Pure integer cumulative
+    weights ⇒ engine-exact.  Determinism under ties: rows with equal
+    (val, w) are interchangeable — the cumulative-weight MULTISET at
+    each value boundary is order-independent, so the threshold value is
+    well-defined without a unique tiebreak.
+
+    Scale: one per-group window (lang partitions the shuffle) + one
+    aggregate — same single-partitioning shape as the other grouped
+    window ops."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("val"),
+        F.size(F.split("text", " ")).cast("long").alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("val", "w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("lang")
+    c = d.select(
+        "lang",
+        "val",
+        F.sum("w").over(w_cum).cast("long").alias("cum"),
+        F.sum("w").over(w_tot).cast("long").alias("tot"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("lang")
+        .agg(
+            F.min("val").cast("long").alias("wmedian"),
+            F.max("tot").cast("long").alias("total_weight"),
+        )
+    )

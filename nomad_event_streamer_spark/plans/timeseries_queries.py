@@ -435,3 +435,141 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope_cents_per_hour"),
         )
     )
+
+
+@query(
+    "q_seasonal_index",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s
+          FROM e GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts_
+          FROM g)
+    SELECT dow, n, s,
+           CAST((s * tn * 1000) // (n * ts_) AS BIGINT) AS index_milli
+    FROM g CROSS JOIN t
+    """,
+)
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index — the first step of classical seasonal
+    decomposition (and the capacity-planning staple): per weekday, mean
+    event value relative to the overall mean, in milli-units.  The ratio
+    of means is computed as ONE integer expression over four exact
+    BIGINTs — ``(s·tn·1000) div (n·ts)`` — so no float mean is ever
+    materialized and the whole table is engine-bit-exact.  (Weekday
+    numbering: DuckDB's 0=Sunday..6 convention; Spark's dayofweek is
+    1-based, shifted by one.)  Int64 headroom: s·tn·1000 — safe to
+    ~3e6 value-cents-sum per 1e9 events; re-scale the milli factor
+    past that (documented, not enforced).
+
+    Scale: one 7-group partial-agg shuffle + a broadcast one-row total."""
+    ev = events(spark, sf_dir)
+    e = ev.select(
+        (F.dayofweek("ts_t") - 1).cast("long").alias("dow"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    g = e.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s").cast("long").alias("ts_"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "n",
+        "s",
+        F.expr("(s * tn * 1000) div (n * ts_)").cast("long").alias(
+            "index_milli"
+        ),
+    )
+
+
+@query(
+    "q_autocorr",
+    oracle="""
+    WITH h AS (
+        SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+    grid AS (
+        SELECT lo + g.i AS hr
+        FROM bounds, LATERAL (SELECT unnest(range(0, CAST(hi - lo + 1 AS BIGINT))) AS i) g
+    ),
+    s AS (SELECT grid.hr, coalesce(h.c, 0) AS c FROM grid LEFT JOIN h USING (hr)),
+    lagk AS (
+        SELECT k.k, s.c AS x, l.c AS y
+        FROM (SELECT unnest([1, 24]) AS k) k
+        JOIN s ON TRUE
+        JOIN s l ON l.hr = s.hr + k.k
+    ),
+    agg AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*y) AS BIGINT) AS sxy,
+               CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+        FROM lagk GROUP BY k
+    )
+    SELECT k, n, (n*sxy - sx*sy) AS r_num,
+           (n*sxx - sx*sx) AS den_x, (n*syy - sy*sy) AS den_y
+    FROM agg
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the hourly event-count series (k = 1 and
+    24 — short-range persistence and daily seasonality, the two
+    diagnostics a forecasting pipeline checks first): the Pearson
+    correlation between the series and its k-hour shift over the
+    GAP-FILLED hourly grid (missing hours count 0 — skipping them would
+    silently splice non-adjacent hours together).  Emitted as the exact
+    integer numerator and the two variance factors (r_k =
+    r_num / sqrt(den_x · den_y)) so the whole table is engine-bit-exact
+    with no float carve-out; the caller takes the one sqrt.
+
+    Scale: the hourly series is time-range-sized (corpus-independent
+    once aggregated — one partial-agg shuffle over the events); the
+    shift join keys on the hour, and the 2-row lag dimension broadcasts.
+    Int64: n·sxy with per-hour counts c — safe to ~3e9 events/hour over
+    ~1e5 hours (documented, not enforced)."""
+    ev = events(spark, sf_dir)
+    h = (
+        ev.select(F.expr("ts_us div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bounds = h.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("hr")
+    )
+    s = grid.join(h, "hr", "left").select(
+        "hr", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    ks = spark.createDataFrame([(1,), (24,)], ["k"])
+    sx = s.select(F.col("hr").alias("hr0"), F.col("c").alias("x"))
+    sy = s.select(F.col("hr").alias("hr1"), F.col("c").alias("y"))
+    lagk = (
+        sx.crossJoin(F.broadcast(ks))
+        .join(sy, F.col("hr1") == F.col("hr0") + F.col("k"))
+    )
+    agg = lagk.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return agg.select(
+        "k",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("r_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den_x"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("den_y"),
+    )

@@ -128,6 +128,9 @@ PROBES = [
     "q_trigram_join",
     "q_skyline",
     "q_knn_classify",
+    "q_seasonal_index",
+    "q_weighted_median",
+    "q_autocorr",
 ]
 
 

@@ -350,6 +350,57 @@ def test_countmin_one_sided_error(spark, sf_dir):
     assert any(r["est"] > r["exact"] for r in rows)
 
 
+def test_weighted_median_balance(spark, sf_dir):
+    """At the weighted median m: weight of {val <= m} >= tot/2 AND
+    weight of {val >= m} >= tot/2 (the defining property), re-derived
+    independently from the raw table."""
+    from nomad_event_streamer_spark.plans.corpus_queries import (
+        q_weighted_median,
+    )
+
+    med = {r["lang"]: r["wmedian"]
+           for r in q_weighted_median(spark, sf_dir).collect()}
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", "n_chars", F.size(F.split("text", " ")).alias("w"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append((r["n_chars"], r["w"]))
+    for lang, pts in by_lang.items():
+        m = med[lang]
+        tot = sum(w for _, w in pts)
+        below = sum(w for v, w in pts if v <= m)
+        above = sum(w for v, w in pts if v >= m)
+        assert 2 * below >= tot and 2 * above >= tot, lang
+
+
+def test_seasonal_index_mass_weighted_mean_is_unit(spark, sf_dir):
+    """Event-count-weighted mean of the per-weekday indices is ~1000
+    milli (each index is the ratio of that day's mean to the overall
+    mean), within integer-division slack."""
+    from nomad_event_streamer_spark.plans.timeseries_queries import (
+        q_seasonal_index,
+    )
+
+    rows = q_seasonal_index(spark, sf_dir).collect()
+    tn = sum(r["n"] for r in rows)
+    weighted = sum(r["n"] * r["index_milli"] for r in rows) / tn
+    assert abs(weighted - 1000) <= 2
+
+
+def test_autocorr_bounded(spark, sf_dir):
+    """|r_k| <= 1 ⟺ r_num² <= den_x·den_y, and variances positive."""
+    from nomad_event_streamer_spark.plans.timeseries_queries import q_autocorr
+
+    for r in q_autocorr(spark, sf_dir).collect():
+        assert r["den_x"] > 0 and r["den_y"] > 0
+        assert r["r_num"] * r["r_num"] <= r["den_x"] * r["den_y"]
+
+
 def test_zipf_slope_is_negative(spark, sf_dir):
     """Frequency decreases with rank, so the octave-binned regression
     slope must be negative and the denominator positive."""
