@@ -2775,3 +2775,130 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.countDistinct(F.expr("n_chars div 100")) < 3).alias("below_l"),
     )
+
+
+@query(
+    "q_search_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl
+              FROM dl),
+    qt AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'join'),
+                                 (2, 'scan'), (2, 'window'),
+                                 (3, 'sort'), (3, 'merge'))
+                  v(query_id, tok)),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+           WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               CAST(floor(
+                   (length(bin(n_docs)) - length(bin(df)))
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                               * CAST(n_docs AS DOUBLE)
+                               / CAST(sum_dl AS DOUBLE))))
+                   * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+        FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id)
+                JOIN df USING (tok) CROSS JOIN stats
+    ),
+    per_doc AS (
+        SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro
+        FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id) AS rank
+        FROM per_doc
+    )
+    SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score_micro
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search SERVING on top of the index machinery the other queries
+    only build: three multi-term queries run against the corpus — term
+    match (the postings access q_inverted_index's layout serves), BM25
+    scoring per matched term (q_bm25_lite's integerized formula: micro-
+    quantized per-term scores so the per-doc accumulation is
+    associative-exact), and top-5 ranking per query with a deterministic
+    (score desc, doc_id) tiebreak.  The full retrieval result — hits,
+    ranks, scores — is under the hash gate.
+
+    Scale: the query-term table broadcasts (queries are tiny); term
+    postings are the only corpus-derived rows in flight (matched rows,
+    not the corpus); per-query ranking partitions by query_id.  This is
+    the serving-path complement of index construction: build once
+    (q_inverted_index), serve per-query with work proportional to
+    posting sizes."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    qt = spark.createDataFrame(
+        [(1, "spark"), (1, "join"), (2, "scan"), (2, "window"),
+         (3, "sort"), (3, "merge")],
+        ["query_id", "tok"],
+    )
+    tf = (
+        toks.join(F.broadcast(qt.select("tok").distinct()), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nbits = int_bit_length
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    s = (
+        (nbits(F.col("n_docs")) - nbits(F.col("df")))
+        * (tfd * F.lit(2.2))
+        / (
+            tfd
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75)
+                * (
+                    dld
+                    * F.col("n_docs").cast("double")
+                    / F.col("sum_dl").cast("double")
+                )
+            )
+        )
+    )
+    per_doc = (
+        tf.join(F.broadcast(qt), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id", quantize_units(s, 1e6).alias("s_micro")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s_micro").cast("long").alias("score_micro"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id", "doc_id", F.col("rank").cast("long").alias("rank"),
+            "score_micro",
+        )
+    )

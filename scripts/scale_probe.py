@@ -131,6 +131,7 @@ PROBES = [
     "q_seasonal_index",
     "q_weighted_median",
     "q_autocorr",
+    "q_search_topk",
 ]
 
 
