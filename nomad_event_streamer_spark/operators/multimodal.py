@@ -405,12 +405,15 @@ def decode_audio_stats(binary_df: DataFrame) -> DataFrame:
                 s, sr = decode_wav(bytes(payload))
                 s64 = s.astype(np.int64)
                 neg = s64 < 0
+                # an empty data chunk is a legal container (zero-length
+                # recording): emit zeros instead of letting the
+                # zero-size reduction raise and fail the whole partition
                 row = (
                     int(doc_id),
                     int(s64.size),
                     int(sr),
-                    int(np.abs(s64).sum()),
-                    int(np.abs(s64).max()),
+                    int(np.abs(s64).sum()) if s64.size else 0,
+                    int(np.abs(s64).max()) if s64.size else 0,
                     int(np.count_nonzero(neg[1:] != neg[:-1])),
                 )
                 for field, val in zip(AUDIO_STATS_SCHEMA.fields, row):

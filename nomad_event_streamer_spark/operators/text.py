@@ -132,49 +132,9 @@ def cdc_chunks(
         F.col(doc_col), "text", F.length("text").alias("L")
     )
     # candidate cut positions (2..L-window+1: a cut at 1 is vacuous)
-    pos = d.select(
-        doc_col,
-        "L",
-        "text",
-        F.explode(
-            F.expr(
-                f"CASE WHEN L >= {window} + 1 "
-                f"THEN sequence(2, L - {window} + 1) ELSE array() END"
-            )
-        ).alias("p"),
-    )
-    cuts = pos.where(
-        F.conv(
-            F.substring(F.md5(F.expr(f"substring(text, p, {window})")), 1, 4),
-            16,
-            10,
-        ).cast("long")
-        % modulus
-        == 0
-    ).select(doc_col, "p")
-    # cut set = {1} ∪ boundaries ∪ {L+1}; chunk lens = first differences
-    bounds = (
-        d.select(doc_col, F.lit(1).alias("p"))
-        .unionByName(cuts)
-        .unionByName(d.select(doc_col, (F.col("L") + 1).alias("p")))
-        .distinct()
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(doc_col).orderBy("p")
-    lens = (
-        bounds.withColumn("nxt", F.lead("p").over(w))
-        .where(F.col("nxt").isNotNull())
-        .select(doc_col, (F.col("nxt") - F.col("p")).alias("clen"))
-    )
-    return (
-        lens.groupBy(doc_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.min("clen").alias("min_chunk"),
-            F.max("clen").alias("max_chunk"),
-            F.sum("clen").cast("long").alias("n_bytes"),
-        )
+    cuts = md5_window_cuts(d, window, modulus, doc_col)
+    return chunk_stats(
+        chunk_spans(chunk_bounds(d, cuts, doc_col), doc_col), doc_col
     )
 
 
@@ -215,6 +175,15 @@ def gear_chunks(
     not the bottleneck but per-doc sequential dependencies are.  Chunk
     algebra (bounds ∪ {1, L+1} → first differences → per-doc stats) is
     shared with cdc_chunks.  Everything integer: full hash oracle."""
+    # 40-bit gear entries shifted by up to window-1 must stay inside
+    # int64: 40 + (window-1) <= 63.  Past that Spark (ANSI off) would
+    # WRAP the sum silently while the DuckDB oracle errors on BIGINT
+    # overflow — fail loudly instead of diverging.
+    if window > 23:
+        raise ValueError(
+            f"gear_chunks window={window} overflows int64: 40-bit gear "
+            f"entries shifted by window-1 require window <= 23"
+        )
     g_arr = "array(" + ", ".join(f"{v}L" for v in GEAR_TABLE) + ")"
     d = docs.select(F.col(doc_col), "text", F.length("text").alias("L"))
     pos = d.select(
@@ -235,23 +204,73 @@ def gear_chunks(
         f"* shiftleft(CAST(1 AS BIGINT), j))"
     )
     cuts = pos.where(F.expr(f"{gear_sum} % {modulus} = 0")).select(doc_col, "p")
-    bounds = (
+    return chunk_stats(
+        chunk_spans(chunk_bounds(d, cuts, doc_col), doc_col), doc_col
+    )
+
+
+def chunk_bounds(d: DataFrame, cuts: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Shared CDC chunk algebra, step 1: cut set = {1} ∪ boundaries ∪
+    {L+1} per document.  ``d`` must carry (doc_col, L); ``cuts``
+    (doc_col, p).  One definition serves cdc_chunks, gear_chunks, and
+    the chunk-frequency dedup plan (q_chunk_dedup)."""
+    return (
         d.select(doc_col, F.lit(1).alias("p"))
-        .unionByName(cuts)
+        .unionByName(cuts.select(doc_col, "p"))
         .unionByName(d.select(doc_col, (F.col("L") + 1).alias("p")))
         .distinct()
     )
+
+
+def chunk_spans(bounds: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Shared CDC chunk algebra, step 2: first differences of the
+    per-doc cut sequence — (doc_col, p, nxt) span rows via a
+    doc-partitioned lead window."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy(doc_col).orderBy("p")
-    lens = (
+    return (
         bounds.withColumn("nxt", F.lead("p").over(w))
         .where(F.col("nxt").isNotNull())
-        .select(doc_col, (F.col("nxt") - F.col("p")).alias("clen"))
     )
+
+
+def chunk_stats(spans: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Shared CDC chunk algebra, step 3: per-doc integer chunk stats
+    from the span rows."""
+    lens = spans.select(doc_col, (F.col("nxt") - F.col("p")).alias("clen"))
     return lens.groupBy(doc_col).agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.min("clen").alias("min_chunk"),
         F.max("clen").alias("max_chunk"),
         F.sum("clen").cast("long").alias("n_bytes"),
     )
+
+
+def md5_window_cuts(
+    d: DataFrame, window: int, modulus: int, doc_col: str = "doc_id"
+) -> DataFrame:
+    """The md5-sliding-window cut predicate shared by cdc_chunks and the
+    chunk-frequency dedup plan: a cut BEFORE position p whenever the
+    md5 of the ``window`` bytes starting at p satisfies
+    ``h % modulus == 0``.  ``d`` must carry (doc_col, text, L)."""
+    pos = d.select(
+        doc_col,
+        "L",
+        "text",
+        F.explode(
+            F.expr(
+                f"CASE WHEN L >= {window} + 1 "
+                f"THEN sequence(2, L - {window} + 1) ELSE array() END"
+            )
+        ).alias("p"),
+    )
+    return pos.where(
+        F.conv(
+            F.substring(F.md5(F.expr(f"substring(text, p, {window})")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % modulus
+        == 0
+    ).select(doc_col, "p")

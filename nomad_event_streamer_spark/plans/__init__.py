@@ -32,8 +32,8 @@ from . import corpus_queries  # noqa: E402,F401
 # re-proven at the real driver after the fix, not just in driver_sim.
 # Every slug below is fully hash-oracled (present in ORACLES) — no window
 # slot is spent on a rows-only check.  Cumulative driver-PASS target after
-# this window: >= 144 distinct slugs.  (The registry grew to 235 during
-# round 4 — the 25 new operators have never been driver-verified and are
+# this window: >= 144 distinct slugs.  (The registry grew to 239 during
+# round 4 — the 29 new operators have never been driver-verified and are
 # next in line when the window rotates in round 5.)
 DRIVER_WINDOW: list[str] = [
     # r03 FAILs, fixed this round (array outputs stringified) — 2

@@ -22,17 +22,11 @@ from ..operators import ranking
 from ..tables import ORACLE_ROUND4, load, rebalance_for_cpu, round4
 from .registry import query
 
-# Shared oracle CTE: distinct 3-token shingles per document (mirrors
-# llm_ops._SHINGLE_CTE; duplicated literal to keep each oracle string
-# self-contained for the driver).
-_SHINGLE_CTE = """
-    WITH sh AS (
-        SELECT doc_id, unnest(list_distinct(
-            [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 1, 1))]
-        )) AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-    )
-"""
+# Shared oracle CTE: distinct 3-token shingles per document.  Imported,
+# not copied — the literal is interpolated into each oracle string at
+# module-build time, so the resulting oracle strings stay self-contained
+# for the driver while there is exactly ONE definition to maintain.
+from .llm_ops import _SHINGLE_CTE, _SPAN_RUNS_CTE  # noqa: E402
 
 # CDC chunking constants shared by q_chunk_dedup and its oracle — the
 # same window/modulus family as operators.text.cdc_chunks (q_chunk_cdc),
@@ -108,40 +102,12 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's own chunks — document-local bytes move exactly once, the
     irreducible cost of emitting rewritten text.  No step is
     quadratic in corpus size."""
+    from ..operators import text as text_ops
+
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     d = docs.select("doc_id", "text", F.length("text").alias("L"))
-    pos = d.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.expr(
-                f"CASE WHEN L >= {_CDC_WINDOW} + 1 "
-                f"THEN sequence(2, L - {_CDC_WINDOW} + 1) ELSE array() END"
-            )
-        ).alias("p"),
-    )
-    cuts = pos.where(
-        F.conv(
-            F.substring(
-                F.md5(F.expr(f"substring(text, p, {_CDC_WINDOW})")), 1, 4
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _CDC_MODULUS
-        == 0
-    ).select("doc_id", "p")
-    bounds = (
-        d.select("doc_id", F.lit(1).alias("p"))
-        .unionByName(cuts)
-        .unionByName(d.select("doc_id", (F.col("L") + 1).alias("p")))
-        .distinct()
-    )
-    w = Window.partitionBy("doc_id").orderBy("p")
-    spans = (
-        bounds.withColumn("nxt", F.lead("p").over(w))
-        .where(F.col("nxt").isNotNull())
-    )
+    cuts = text_ops.md5_window_cuts(d, _CDC_WINDOW, _CDC_MODULUS)
+    spans = text_ops.chunk_spans(text_ops.chunk_bounds(d, cuts))
     chunks = spans.join(d.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         "p",
@@ -1014,27 +980,9 @@ _XS_MIN_CUT = 20
 
 @query(
     "q_exactsubstr_cut",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    pos AS (
-        SELECT doc_id, toks,
-               unnest(range(1, greatest(len(toks) - 5, 2))) AS i
-        FROM t
-    ),
-    sp AS (
-        SELECT doc_id, i, md5(array_to_string(toks[i:i+6], ' ')) AS h
-        FROM pos
-    ),
-    df AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM sp GROUP BY h),
-    flags AS (
-        SELECT sp.doc_id, sp.i FROM sp JOIN df USING (h) WHERE df.n_docs > 1
-    ),
-    runs AS (
-        SELECT doc_id, i,
-               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-        FROM flags
-    ),
-    per_run AS (
+    oracle=_SPAN_RUNS_CTE
+    + f"""
+    , per_run AS (
         SELECT doc_id, grp, min(i) AS start_i, count(*) AS r
         FROM runs GROUP BY 1, 2
     ),
@@ -1087,23 +1035,10 @@ def q_exactsubstr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reassembly groups each document's own surviving tokens, so
     document bytes move once.  All-integer counts + md5 => full hash
     oracle."""
+    from ..operators import dedup
+
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
-    spans = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 6, 1)),"
-                " i -> struct(i AS i,"
-                " md5(array_join(slice(split(text, ' '), i, 7), ' ')) AS h))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.i", "s.h")
-    span_df = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
-    flags = (
-        spans.join(span_df, "h")
-        .where(F.col("n_docs") > 1)
-        .select("doc_id", "i")
-    )
+    flags = dedup.span_flag_positions(docs, n=7)
     w = Window.partitionBy("doc_id").orderBy("i")
     regions = (
         flags.withColumn("grp", F.col("i") - F.row_number().over(w))

@@ -2660,9 +2660,12 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dup_span_lengths",
-    oracle="""
+# Shared oracle prefix for the ExactSubstr family (q_dup_span_lengths
+# here, q_exactsubstr_cut in corpus_queries): duplicated 7-token span
+# positions -> gaps-and-islands run groups.  ONE definition; interpolated
+# into each oracle string at module-build time, so the driver still sees
+# self-contained SQL.  Spark-side twin: operators.dedup.span_flag_positions.
+_SPAN_RUNS_CTE = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     pos AS (
         SELECT doc_id, toks,
@@ -2682,8 +2685,15 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, i,
                i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
         FROM flags
-    ),
-    per_run AS (
+    )
+"""
+
+
+@query(
+    "q_dup_span_lengths",
+    oracle=_SPAN_RUNS_CTE
+    + """
+    , per_run AS (
         SELECT doc_id, grp, count(*) AS r FROM runs GROUP BY 1, 2
     )
     SELECT doc_id,
@@ -2717,22 +2727,7 @@ def q_dup_span_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
-    spans = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 6, 1)),"
-                " i -> struct(i AS i,"
-                " md5(array_join(slice(split(text, ' '), i, 7), ' ')) AS h))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.i", "s.h")
-    span_df = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
-    flags = (
-        spans.join(span_df, "h")
-        .where(F.col("n_docs") > 1)
-        .select("doc_id", "i")
-    )
+    flags = dedup.span_flag_positions(docs, n=7)
     w = Window.partitionBy("doc_id").orderBy("i")
     runs = flags.withColumn("grp", F.col("i") - F.row_number().over(w))
     per_run = runs.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("r"))

@@ -204,7 +204,6 @@ def http_transport(
                         conn = connect()
                         conn.request("POST", path, body=body, headers=headers)
                         resp = conn.getresponse()
-                        reused = False
                     resp.read()
                     if resp.status >= 400:
                         raise RuntimeError(

@@ -38,17 +38,10 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def driver_canonicalize(pdf):
-    """Reproduce the verification driver's pandas canonicalization: the
-    driver fetches results through Arrow -> pandas (array<T> columns
-    become numpy.ndarray cells) and sorts by ALL columns before hashing.
-    Multi-column ``sort_values`` factorizes each column — ndarray cells
-    raise ``TypeError: unhashable type: 'numpy.ndarray'`` and the driver
-    records a hard FAIL regardless of values (the r03
-    q_dedup_survivorship / q_inverted_index failure mode).  This helper
-    must throw exactly where the driver throws."""
-    cols = sorted(pdf.columns)
-    return pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+# The canonicalization gate is LIBRARY code (scripts/driver_sim.py needs
+# it without the tests tree on the path); re-exported here so test-side
+# imports keep working.
+from nomad_event_streamer_spark.harness import driver_canonicalize  # noqa: E402,F401
 
 
 def _norm_cell(v: Any) -> Any:

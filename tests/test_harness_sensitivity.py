@@ -110,11 +110,22 @@ def test_driver_canonicalize_throws_on_array_columns(spark, sf_dir):
 
 def test_driver_sim_gate_is_the_shared_function():
     """scripts/driver_sim.py must keep importing the canonicalization
-    gate from tests.oracle_compare — a fork would reopen the blind
-    spot where the proxy accepts what the driver rejects."""
+    gate from the library package (nomad_event_streamer_spark.harness —
+    the single definition tests re-export) — a fork would reopen the
+    blind spot where the proxy accepts what the driver rejects."""
     import pathlib
 
+    from nomad_event_streamer_spark.harness import (
+        driver_canonicalize as lib_gate,
+    )
+
+    from .oracle_compare import driver_canonicalize as test_gate
+
+    assert lib_gate is test_gate  # re-export, not a fork
     src = pathlib.Path(__file__).resolve().parent.parent / "scripts" / "driver_sim.py"
     text = src.read_text(encoding="utf-8")
-    assert "from tests.oracle_compare import driver_canonicalize" in text
+    assert (
+        "from nomad_event_streamer_spark.harness import driver_canonicalize"
+        in text
+    )
     assert "driver_canonicalize(sdf.toPandas())" in text

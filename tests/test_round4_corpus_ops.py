@@ -253,6 +253,35 @@ def test_wav_codec_roundtrip_and_validation():
         m.decode_wav(bad)
 
 
+def test_wav_empty_data_chunk_yields_zero_stats(spark):
+    """A structurally valid WAV with a zero-length data chunk (legal:
+    an empty recording) must decode to n_samples=0 with zeroed stats,
+    not crash the partition."""
+    import numpy as np
+
+    from nomad_event_streamer_spark.operators import multimodal as m
+
+    empty = m.encode_wav(np.array([], dtype=np.int16))
+    s, sr = m.decode_wav(empty)
+    assert s.size == 0 and sr == m.WAV_SAMPLE_RATE
+    df = spark.createDataFrame([(1, bytearray(empty))], m.PAYLOAD_SCHEMA)
+    row = m.decode_audio_stats(df).collect()[0]
+    assert (row["n_samples"], row["sum_abs"], row["max_abs"],
+            row["zero_cross"]) == (0, 0, 0, 0)
+
+
+def test_gear_chunks_window_overflow_guard(spark, sf_dir):
+    """window > 23 would overflow int64 in the shifted gear sum (Spark
+    wraps silently, the oracle errors) — must raise instead."""
+    import pytest
+
+    from nomad_event_streamer_spark.operators.text import gear_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
+    with pytest.raises(ValueError, match="window"):
+        gear_chunks(docs, window=24)
+
+
 def test_audio_stats_match_signal(spark, sf_dir):
     """Every document yields one stats row and the zero-crossing count
     is bounded by n_samples - 1."""
