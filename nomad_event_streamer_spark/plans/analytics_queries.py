@@ -291,3 +291,65 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("last_touch", "first_touch")
         .agg(F.count(F.lit(1)).alias("n_conversions"))
     )
+
+
+@query(
+    "q_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    mau AS (
+        SELECT days.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau
+        FROM days JOIN ud ON ud.d BETWEEN days.d - 29 AND days.d
+        GROUP BY 1
+    )
+    SELECT dau.d, dau.dau, mau.mau,
+           CAST((dau.dau * 1000) // mau.mau AS BIGINT) AS stickiness_milli
+    FROM dau JOIN mau USING (d)
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the product-analytics engagement
+    ratio (what fraction of the trailing-30-day actives showed up
+    today).  The oracle uses the textbook BETWEEN range join; the
+    declared plan converts it to an EQUI-join by the standard offset
+    trick: each distinct (day, user) row contributes to the 30 window
+    days it falls inside (explode of 30 offsets over the
+    ALREADY-DISTINCT day-user table — the compressed relation, never
+    raw events), then one distinct-count per window day.  Integer
+    milli ratio by exact division.
+
+    Scale: raw events collapse to distinct (day, user) first (one
+    partial-agg shuffle); the 30× fan-out applies to that compressed
+    table; window-day counts shuffle on the day key (days are few)."""
+    ev = events(spark, sf_dir)
+    ud = (
+        ev.select(
+            F.expr("ts_us div 86400000000").alias("d"), "user_id"
+        ).distinct()
+    )
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    windowed = ud.select(
+        F.explode(F.expr("sequence(0, 29)")).alias("off"), "d", "user_id"
+    ).select((F.col("d") + F.col("off")).alias("wd"), "user_id")
+    mau = (
+        windowed.join(days.select(F.col("d").alias("wd")), "wd")
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+        .select(F.col("wd").alias("d"), "mau")
+    )
+    return (
+        dau.join(mau, "d")
+        .select(
+            "d",
+            "dau",
+            "mau",
+            F.expr("(dau * 1000) div mau").cast("long").alias(
+                "stickiness_milli"
+            ),
+        )
+    )

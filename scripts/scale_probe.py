@@ -133,6 +133,7 @@ PROBES = [
     "q_autocorr",
     "q_search_topk",
     "q_bootstrap_ci",
+    "q_stickiness",
 ]
 
 
