@@ -353,3 +353,175 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+    d AS (SELECT s.user_id, p.t1 - s.t0 AS lat_us
+          FROM s JOIN p USING (user_id) WHERE p.t1 >= s.t0),
+    r AS (SELECT lat_us, row_number() OVER (ORDER BY lat_us, user_id) AS rn,
+                 count(*) OVER () AS n FROM d)
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(min(lat_us) AS BIGINT) AS min_us,
+           CAST(min(CASE WHEN rn * 2 >= n THEN lat_us END) AS BIGINT)
+               AS median_us,
+           CAST(min(CASE WHEN rn * 10 >= n * 9 THEN lat_us END) AS BIGINT)
+               AS p90_us,
+           CAST(max(lat_us) AS BIGINT) AS max_us
+    FROM r
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert latency distribution (first signup → first
+    purchase per user): the funnel's companion metric — WHEN conversions
+    happen, not just whether.  Exact integer microsecond latencies with
+    lower-median / lower-p90 picks (rank thresholds on exact integers,
+    no interpolation), so the whole summary is engine-bit-exact.
+
+    Scale: per-user firsts are map-side-combinable MINs; latencies are
+    user-cardinality; the global rank uses the bucketed prefix-sum
+    (operators/ranking.py, bit_length(lat) as the monotone bucket) so no
+    partitionless window touches the latency table."""
+    from ..operators import ranking
+
+    ev = events(spark, sf_dir)
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t0"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    d = (
+        s.join(p, "user_id")
+        .where(F.col("t1") >= F.col("t0"))
+        .select("user_id", (F.col("t1") - F.col("t0")).alias("lat_us"))
+    )
+    ranked = ranking.global_row_number(
+        d,
+        [F.col("lat_us").asc(), F.col("user_id").asc()],
+        bucket=F.length(F.bin(F.col("lat_us") + 1)),
+        out_col="rn",
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = ranked.crossJoin(F.broadcast(n))
+    return r.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("lat_us").cast("long").alias("min_us"),
+        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("lat_us")))
+        .cast("long")
+        .alias("median_us"),
+        F.min(F.when(F.col("rn") * 10 >= F.col("n") * 9, F.col("lat_us")))
+        .cast("long")
+        .alias("p90_us"),
+        F.max("lat_us").cast("long").alias("max_us"),
+    )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                      event_id
+               FROM events),
+    m1 AS (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e),
+    med AS (SELECT event_type,
+                   CAST(min(CASE WHEN rn * 2 >= n THEN c END) AS BIGINT) AS med
+            FROM m1 GROUP BY 1),
+    dev AS (SELECT e.event_type, abs(e.c - med.med) AS ad, e.event_id
+            FROM e JOIN med USING (event_type)),
+    m2 AS (SELECT event_type, ad,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ad, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM dev),
+    madt AS (SELECT event_type,
+                    CAST(min(CASE WHEN rn * 2 >= n THEN ad END) AS BIGINT) AS mad
+             FROM m2 GROUP BY 1)
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(med.med) AS BIGINT) AS median_cents,
+           CAST(max(madt.mad) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN abs(e.c - med.med) > 3 * madt.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM e JOIN med USING (event_type) JOIN madt USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    resistant alternative to q_zscore/q_outlier_iqr (a single extreme
+    value shifts a mean and stdev but not a median): per event type,
+    lower median of value-cents, MAD = lower median of |x − median|,
+    and the count beyond the 3·MAD fence.  Lower-median picks are rank
+    thresholds on exact integers (the same device as q_time_to_convert
+    and q_weighted_median), so everything is engine-bit-exact — float
+    median interpolation never appears.
+
+    Scale: two per-group ranking windows + three joins, ALL keyed by
+    event_type (one partitioning serves every step); the median/MAD
+    tables are group-cardinality and broadcast."""
+    ev = events(spark, sf_dir)
+    e = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("c"),
+        "event_id",
+    )
+    w1 = Window.partitionBy("event_type").orderBy("c", "event_id")
+    wn = Window.partitionBy("event_type")
+    m1 = e.select(
+        "event_type",
+        "c",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = m1.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("c")))
+        .cast("long")
+        .alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("med")).alias("ad"), "event_id"
+    )
+    w2 = Window.partitionBy("event_type").orderBy("ad", "event_id")
+    m2 = dev.select(
+        "event_type",
+        "ad",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    madt = m2.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("ad")))
+        .cast("long")
+        .alias("mad")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(madt), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("med").cast("long").alias("median_cents"),
+            F.max("mad").cast("long").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("c") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -134,6 +134,8 @@ PROBES = [
     "q_search_topk",
     "q_bootstrap_ci",
     "q_stickiness",
+    "q_time_to_convert",
+    "q_mad_outliers",
 ]
 
 
