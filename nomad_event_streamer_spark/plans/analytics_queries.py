@@ -525,3 +525,133 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+                 count(*) OVER () AS n, sum(x) OVER () AS sx FROM u)
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           CAST(max(sx) AS BIGINT) AS total_events,
+           CAST(2 * sum(i * x) - (max(n) + 1) * max(sx) AS BIGINT) AS gini_num,
+           CAST(max(n) * max(sx) AS BIGINT) AS gini_den
+    FROM r
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the concentration /
+    inequality diagnostic (is the workload a few whales or a broad
+    base?), via the exact rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) /
+    (n·Σxᵢ) over ascending-sorted counts.  Emitted as the exact integer
+    numerator/denominator pair — zero float ops, engine-bit-exact.
+
+    Scale: per-user counts are one map-side-combinable shuffle; the
+    global ascending rank uses the bucketed prefix-sum
+    (operators/ranking.py, bit_length(count) buckets), so no
+    partitionless window touches the user table; totals broadcast.
+    Int64: Σi·xᵢ ≤ n·Σx — safe while n·total_events < ~9e18."""
+    from ..operators import ranking
+
+    ev = events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ranked = ranking.global_row_number(
+        u,
+        [F.col("x").asc(), F.col("user_id").asc()],
+        bucket=F.length(F.bin("x")),
+        out_col="i",
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    r = ranked.crossJoin(F.broadcast(tot))
+    return r.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.max("sx").cast("long").alias("total_events"),
+        (
+            2 * F.sum(F.col("i") * F.col("x"))
+            - (F.max("n") + 1) * F.max("sx")
+        )
+        .cast("long")
+        .alias("gini_num"),
+        (F.max("n") * F.max("sx")).cast("long").alias("gini_den"),
+    )
+
+
+@query(
+    "q_abandonment",
+    oracle="""
+    WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+          WHERE event_type = 'purchase'),
+    conv AS (
+        SELECT DISTINCT c.user_id, c.t
+        FROM c JOIN p ON p.user_id = c.user_id
+                     AND p.t >= c.t AND p.t < c.t + 3600000000
+    ),
+    agg AS (
+        SELECT c.user_id, count(*) AS n_clicks,
+               CAST(count(conv.t) AS BIGINT) AS n_converted
+        FROM c LEFT JOIN conv
+          ON conv.user_id = c.user_id AND conv.t = c.t
+        GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_clicks) AS BIGINT) AS total_clicks,
+           CAST(sum(n_converted) AS BIGINT) AS converted_clicks,
+           CAST(sum(n_clicks - n_converted) AS BIGINT) AS abandoned_clicks
+    FROM agg
+    """,
+)
+def q_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click abandonment — the funnel's complement: clicks NOT followed
+    by a purchase by the same user within one hour (the cart-abandonment
+    metric).  The within-window match is a per-user equi-join with a
+    range predicate (user_id is the shuffle key; per-user event lists
+    bound the range probe — never a time-only θ-join), converted click
+    instants dedupe before the left join back, and every output is an
+    exact integer count.
+
+    Scale: both event subsets shuffle once on user_id; at heavier
+    per-user volumes the same 1-hour banding as q_interval_join drops
+    in — the plan shape is already equi-keyed."""
+    ev = events(spark, sf_dir)
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("t")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts_us").alias("pt")
+    )
+    conv = (
+        c.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("pt") >= F.col("t"))
+            & (F.col("pt") < F.col("t") + 3600000000),
+        )
+        .select("user_id", "t")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    agg = (
+        c.join(conv, ["user_id", "t"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_converted"),
+        )
+    )
+    return agg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_clicks").cast("long").alias("total_clicks"),
+        F.sum("n_converted").cast("long").alias("converted_clicks"),
+        F.sum(F.col("n_clicks") - F.col("n_converted"))
+        .cast("long")
+        .alias("abandoned_clicks"),
+    )

@@ -136,6 +136,8 @@ PROBES = [
     "q_stickiness",
     "q_time_to_convert",
     "q_mad_outliers",
+    "q_gini",
+    "q_abandonment",
 ]
 
 
