@@ -655,3 +655,103 @@ def q_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("abandoned_clicks"),
     )
+
+
+@query(
+    "q_path_topk",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, event_id,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    p AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        FROM e WHERE e3 IS NOT NULL GROUP BY 1
+    ),
+    r AS (SELECT path, n,
+                 row_number() OVER (ORDER BY n DESC, path) AS rk FROM p)
+    SELECT path, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 10
+    """,
+)
+def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user paths (clickstream sequence mining): the 10 most common
+    3-event sequences across all users, ranked with a deterministic
+    (count desc, path asc) tiebreak — the "what do users actually do"
+    query behind every product-flow dashboard, and the input to funnel
+    design.  Two leads over ONE per-user ordered window build the
+    ordered trigrams row-locally; path counts are a map-side-combinable
+    aggregate.
+
+    Scale: one user_id-partitioned window + one path-keyed partial-agg
+    shuffle; the final top-10 ranks the path *vocabulary* (event-type³
+    bounded — 125 here, still tiny at any corpus size), not event rows."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    p = (
+        e.where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        p.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rk") <= 10)
+        .select("path", "n", "rk")
+    )
+
+
+@query(
+    "q_burstiness",
+    oracle="""
+    WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x*x) AS BIGINT) AS sxx FROM h)
+    SELECT n AS n_hours, sx AS total_events,
+           CAST(n * sxx - sx * sx AS BIGINT) AS fano_num,
+           CAST((n - 1) * sx AS BIGINT) AS fano_den
+    FROM a
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of the event stream via the Fano factor (sample
+    variance over mean of per-hour counts): ~1 for a Poisson process,
+    >1 = bursty/clumped arrivals (the capacity-planning red flag), <1 =
+    regular.  Emitted as the exact integer pair fano_num/fano_den =
+    (n·Σx² − (Σx)²) / ((n−1)·Σx) — zero float ops, engine-bit-exact.
+
+    Scale: events collapse to the time-range-sized hourly series (one
+    combinable shuffle), then a single-row aggregate.  Int64 headroom:
+    n·Σx² — safe to ~3e9 events/hour across ~1e5 active hours."""
+    ev = events(spark, sf_dir)
+    h = (
+        ev.select(F.expr("ts_us div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    a = h.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return a.select(
+        F.col("n").alias("n_hours"),
+        F.col("sx").alias("total_events"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("fano_num"),
+        ((F.col("n") - 1) * F.col("sx")).cast("long").alias("fano_den"),
+    )

@@ -138,6 +138,8 @@ PROBES = [
     "q_mad_outliers",
     "q_gini",
     "q_abandonment",
+    "q_path_topk",
+    "q_burstiness",
 ]
 
 
