@@ -755,3 +755,56 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fano_num"),
         ((F.col("n") - 1) * F.col("sx")).cast("long").alias("fano_den"),
     )
+
+
+@query(
+    "q_lorenz",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+                 count(*) OVER () AS n, sum(x) OVER () AS sx FROM u),
+    d AS (SELECT ((i - 1) * 10) // n AS decile, x, n, sx FROM r)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) AS BIGINT) AS events,
+           CAST((sum(x) * 1000) // max(sx) AS BIGINT) AS share_milli
+    FROM d GROUP BY decile
+    """,
+)
+def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution — q_gini's companion view (the
+    single coefficient says HOW concentrated; the curve says WHERE):
+    users ascending-ranked by activity are cut into ten equal-population
+    deciles and each decile reports its share of total events in exact
+    integer milli.  The familiar "top decile drives X% of load" readout.
+
+    Scale: identical posture to q_gini — one combinable per-user count,
+    the bucketed prefix-sum global rank (no partitionless window over
+    users), broadcast totals, then a 10-group aggregate."""
+    from ..operators import ranking
+
+    ev = events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ranked = ranking.global_row_number(
+        u,
+        [F.col("x").asc(), F.col("user_id").asc()],
+        bucket=F.length(F.bin("x")),
+        out_col="i",
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    d = ranked.crossJoin(F.broadcast(tot)).select(
+        F.expr("((i - 1) * 10) div n").cast("long").alias("decile"),
+        "x",
+        "sx",
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("events"),
+        F.expr("(sum(x) * 1000) div max(sx)").cast("long").alias(
+            "share_milli"
+        ),
+    )

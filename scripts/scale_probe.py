@@ -140,6 +140,7 @@ PROBES = [
     "q_abandonment",
     "q_path_topk",
     "q_burstiness",
+    "q_lorenz",
 ]
 
 
