@@ -1594,3 +1594,66 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_milli"
         ),
     )
+
+
+@query(
+    "q_heaps_law",
+    oracle=_SHINGLE_CTE
+    + """
+    , fs AS (SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY 1),
+    ks AS (SELECT power(2, j.j)::BIGINT AS k
+           FROM (SELECT unnest(range(0, 10)) AS j) j)
+    SELECT ks.k, CAST(count(fs.shingle) AS BIGINT) AS vocab
+    FROM ks LEFT JOIN fs ON fs.fd < ks.k
+    GROUP BY ks.k
+    """,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct shingle vocabulary
+    after the first k documents, at k = 1, 2, 4, ..., 512 — the
+    sublinear growth whose flattening q_ngram_novelty reads per document
+    and this reads corpus-wide (log-log slope ≈ the Heaps exponent; a
+    saturating curve says another crawl dump adds little).  Built from
+    the same first-occurrence MIN as the novelty curve.
+
+    Scale: the only corpus-sized work is the shingle first-occurrence
+    aggregate (map-side combinable, shingle-keyed); the curve itself
+    comes from a ≤64-row per-bit-length count table crossed with the
+    10-row k grid — ``fd < 2^j`` becomes the equi-computable
+    ``bit_length(fd) <= j`` (fd = 0 bucketed as 0), so no
+    corpus-against-grid nested loop exists."""
+    from ..operators import dedup
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    fs = sh.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
+    blen = F.when(F.col("fd") == 0, 0).otherwise(
+        F.length(F.bin("fd"))
+    )
+    g = fs.groupBy(blen.alias("blen")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ks = spark.range(10).select(
+        F.col("id").cast("int").alias("j"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))")
+        .cast("long")
+        .alias("k"),
+    )
+    return (
+        ks.crossJoin(F.broadcast(g))
+        .where(F.col("blen") <= F.col("j"))
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("long").alias("vocab"))
+        .unionByName(
+            # k values whose prefix holds zero documents' shingles would
+            # vanish from the filtered cross — emit them with vocab 0
+            ks.join(
+                ks.crossJoin(F.broadcast(g))
+                .where(F.col("blen") <= F.col("j"))
+                .select("k")
+                .distinct(),
+                "k",
+                "left_anti",
+            ).select("k", F.lit(0).cast("long").alias("vocab"))
+        )
+    )

@@ -141,6 +141,7 @@ PROBES = [
     "q_path_topk",
     "q_burstiness",
     "q_lorenz",
+    "q_heaps_law",
 ]
 
 
