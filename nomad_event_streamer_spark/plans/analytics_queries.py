@@ -687,8 +687,11 @@ def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.
 
     Scale: one user_id-partitioned window + one path-keyed partial-agg
-    shuffle; the final top-10 ranks the path *vocabulary* (event-type³
-    bounded — 125 here, still tiny at any corpus size), not event rows."""
+    shuffle; the final top-10 is ``orderBy(...).limit(10)`` — physical
+    TakeOrderedAndProject, a per-partition heap + driver merge of 10
+    rows — and only the 10 survivors see the rank window, so no
+    partitionless window ever touches the full path vocabulary (pinned
+    by ``test_path_topk_window_is_bounded``)."""
     ev = events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     e = ev.select(
@@ -704,10 +707,10 @@ def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    top = p.orderBy(F.col("n").desc(), F.col("path").asc()).limit(10)
     wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
     return (
-        p.withColumn("rk", F.row_number().over(wr).cast("long"))
-        .where(F.col("rk") <= 10)
+        top.withColumn("rk", F.row_number().over(wr).cast("long"))
         .select("path", "n", "rk")
     )
 

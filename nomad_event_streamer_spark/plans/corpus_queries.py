@@ -151,7 +151,9 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair is packed into one BIGINT — h * 2^20 + (2^20-1 - pos) — so a
 # single integer MIN implements "smallest hash, then largest position"
 # and both engines agree bit-for-bit.  2^20 positions caps documents at
-# ~1M tokens (far above any web doc; guard documented, not enforced).
+# ~1M tokens (far above any web doc); both engines FAIL LOUD
+# (raise_error / error()) on an over-long document rather than silently
+# aliasing positions — the same posture as gear_chunks' window<=23 guard.
 _WIN_K = 4
 _WIN_W = 5
 _POS_MOD = 1 << 20
@@ -160,7 +162,14 @@ _POS_MOD = 1 << 20
 @query(
     "q_winnow_fingerprint",
     oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN len(string_split(text, ' ')) < {_POS_MOD}
+                    THEN string_split(text, ' ')
+                    ELSE error('q_winnow_fingerprint: document exceeds 2^20 tokens')
+               END AS toks
+        FROM documents
+    ),
     g AS (
         SELECT doc_id, len(toks) - {_WIN_K} + 1 AS n, toks,
                unnest(range(1, greatest(len(toks) - {_WIN_K} + 2, 1))) AS j
@@ -207,7 +216,19 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate) — a single partitioning by doc_id serves both steps;
     no cross-document shuffle at any size."""
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
-    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # Fail loud on a document whose token count would alias the packed
+    # position field (>= 2^20 tokens) — silently-wrong fingerprints are
+    # worse than an error.  CASE lazily evaluates raise_error only on the
+    # offending rows.
+    t = docs.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(split(text, ' ')) < {_POS_MOD}"
+            " THEN split(text, ' ')"
+            " ELSE raise_error(concat('q_winnow_fingerprint: document '"
+            " , cast(doc_id AS string), ' exceeds 2^20 tokens')) END"
+        ).alias("toks"),
+    )
     g = t.select(
         "doc_id",
         (F.size("toks") - F.lit(_WIN_K - 1)).alias("n"),
@@ -1212,13 +1233,19 @@ def q_trigram_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, bounded by candidate count."""
     part = load(spark, sf_dir, "part")
     names = part.select(F.col("p_name").alias("name")).distinct()
+    # Names under 3 chars emit NO trigrams (explode of the empty array
+    # drops the row), matching the oracle's empty range(1, 1) — without
+    # the CASE, Spark's greatest(..., 1) lower bound would emit one
+    # truncated <3-char "trigram" that the oracle never produces.
     tg = names.select(
         "name",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, greatest(length(name) - 2, 1)),"
+                    "CASE WHEN length(name) >= 3 THEN"
+                    " transform(sequence(1, length(name) - 2),"
                     " i -> substring(name, i, 3))"
+                    " ELSE array() END"
                 )
             )
         ).alias("tg"),

@@ -4,8 +4,9 @@ driver would, and hash-compare queries() vs oracle_sql() via DuckDB.
 
 Usage: python scripts/driver_sim.py [output.json]
 With an output path, writes a machine-readable per-query result file
-(the DRIVER_SIM_r{N}.json artifact VERDICT r01 item 6 asks for)."""
-import json, sys, hashlib, datetime, decimal, math
+(the DRIVER_SIM_r{N}.json artifact VERDICT r01 item 6 asks for).
+Set DRIVER_SIM_ONLY=slug1,slug2 to check a subset while iterating."""
+import json, os, sys, hashlib, datetime, decimal, math
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb
@@ -51,6 +52,9 @@ def value_hash(cols, rows):
 from nomad_event_streamer_spark.harness import driver_canonicalize  # noqa: E402
 
 qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+_only = {s for s in os.environ.get("DRIVER_SIM_ONLY", "").split(",") if s}
+if _only:
+    qs = {k: v for k, v in qs.items() if k in _only}
 n_pass = n_fail = n_rows_only = 0
 results = {}
 for name in sorted(qs):

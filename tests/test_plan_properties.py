@@ -101,6 +101,24 @@ def test_no_partitionless_window(spark, sf_dir, name):
     assert not bad, f"full-input partitionless window in {name}: {bad}"
 
 
+def test_path_topk_window_is_bounded(spark, sf_dir):
+    """q_path_topk's rank window IS partitionless, but its input is the
+    10 survivors of ``orderBy(...).limit(10)`` — physically a
+    TakeOrderedAndProject (per-partition heap, driver merge of 10 rows),
+    never a global sort.  Pin both: the limit sits BELOW the window in
+    the optimized plan (bounded input) and the physical top-k is the
+    heap-based operator."""
+    df = QUERIES["q_path_topk"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit 10" in opt
+    assert opt.index("Window") < opt.index("GlobalLimit"), (
+        "limit must bound the window input"
+    )
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    assert "Exchange rangepartitioning" not in phys
+
+
 @pytest.mark.parametrize(
     "name",
     [
