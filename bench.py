@@ -10,8 +10,10 @@ nothing collected to the driver).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -64,6 +66,20 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def plan_fingerprint(df) -> str:
+    """Stable 12-hex fingerprint of the OPTIMIZED logical plan, so
+    "did the plan change between rounds?" is answerable from two bench
+    artifacts alone (VERDICT r04 item #2 — the q_quantile_hist class of
+    measurement ambiguity).  Expression ids (``#123``), which differ per
+    session, and the sf-dir path are normalized out; everything
+    structural (operators, join strategies chosen by hints, pushed
+    filters, aggregate shapes) stays."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = re.sub(r"#\d+", "#", plan)
+    plan = re.sub(r"/[^\s,\]\)]*testdata[^\s,\]\)]*", "<sf_dir>", plan)
+    return hashlib.sha256(plan.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -88,20 +104,25 @@ def main() -> None:
     # move means a PLAN change, not noise.  (Was best-of-2 in r01-r03.)
     runs_per_query = 3
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    plan_fps: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
+        plan_fps[name] = plan_fingerprint(fn(spark, sf_dir))
         runs: list[float] = []
         for _ in range(runs_per_query):
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        med = round(sorted(runs)[len(runs) // 2], 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        med = sorted(runs)[len(runs) // 2]
         timings[name] = med
+        all_runs[name] = runs
         total += med
         print(
             f"# {name}: median {med:.3f}s "
-            f"(runs: {', '.join(f'{r:.3f}' for r in sorted(runs))})",
+            f"(runs: {', '.join(f'{r:.3f}' for r in sorted(runs))}) "
+            f"plan={plan_fps[name]}",
             file=sys.stderr,
         )
 
@@ -115,6 +136,14 @@ def main() -> None:
                 "sf": sf,
                 "stat": "median",
                 "runs_per_query": runs_per_query,
+                # Full evidence per query (VERDICT r04 item #2): the raw
+                # wall times in measurement order, and a normalized
+                # optimized-plan fingerprint — a >20% move with an
+                # UNCHANGED fingerprint is session noise (compare the
+                # runs spread), with a CHANGED fingerprint it's a plan
+                # regression.  Decidable from artifacts alone.
+                "runs": all_runs,
+                "plan_fp": plan_fps,
             }
         )
     )
