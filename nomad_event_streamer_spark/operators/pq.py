@@ -324,3 +324,143 @@ def ivfpq_topk(
             F.round("approx_cosine", 6).alias("approx_cosine"),
         )
     )
+
+
+def pq_topk_int(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ncodes: int = 32,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN with FULLY integer codebooks, encoding, and ADC scoring —
+    the compressed-domain tier under the complete value-hash gate (the
+    float twin ``pq_topk`` stays rows-only by policy).
+
+    Integer-exactness recipe (the q_sim_ann_int device applied to PQ):
+
+    * **Codebooks**: centroid ``c`` of subspace ``s`` is the subvector of
+      the ``c``-th corpus row in smallest-``md5(id)`` order, quantized to
+      the 1e-6 integer grid — NO Lloyd refinement, so both engines can
+      name the identical codebook from the data alone.
+    * **Encoding**: per subspace, argmin of the exact integer squared-L2
+      distance, smallest-code tie-break.  One Arrow-batched pandas UDF
+      over the corpus (int64 numpy; ``np.argmin`` takes the first
+      minimum = smallest code, matching the oracle's row_number order).
+    * **ADC**: per-query lookup table ``tab[s][c] = ||q_sub − cent||²``
+      (int64); a corpus row's score is the integer SUM of m table
+      lookups — order-independent, bit-identical anywhere.  Ranking is
+      (adc_dist ASC, neighbor_id ASC).
+
+    Plan shape is ``pq_topk``'s 100 TB posture unchanged: encode is one
+    UDF pass (no shuffle), tables broadcast in the ``mapInPandas``
+    closure, each partition emits only its local top-k, and a final
+    window ranks the ≤ partitions × |queries| × k survivors exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .similarity import quantize_vec
+
+    if 64 % m != 0:
+        raise ValueError(f"dim 64 not divisible by m={m}")
+
+    seeds = (
+        vecs.select(
+            quantize_vec(F.col(vec_col), scale).alias("qv"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.col(id_col),
+        )
+        .orderBy("h", id_col)
+        .limit(ncodes)
+        .collect()
+    )
+    cents = np.stack(
+        [np.asarray(r["qv"], dtype=np.int64) for r in seeds]
+    )  # (ncodes, dim)
+    dim = cents.shape[1]
+    dsub = dim // m
+
+    def _quant(mat: np.ndarray) -> np.ndarray:
+        # identical formula to quantize_vec / the oracle: floor(x*s+0.5)
+        # in exact float64 — float32 inputs widen exactly first.
+        return np.floor(
+            mat.astype(np.float64) * float(scale) + 0.5
+        ).astype(np.int64)
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        qmat = _quant(np.stack(v.to_numpy()))  # (n, dim) int64
+        n = qmat.shape[0]
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            sub = qmat[:, s * dsub : (s + 1) * dsub]
+            cs = cents[:, s * dsub : (s + 1) * dsub]
+            d2 = ((sub[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)  # first min = smallest code
+        return pd.Series(list(codes))
+
+    encoded = vecs.select(F.col(id_col), encode(F.col(vec_col)).alias("pq_codes"))
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = _quant(np.stack([np.asarray(r[vec_col]) for r in qrows]))
+    # tables[q, s, c] = ||q_sub − cent_{s,c}||² as int64
+    tables = np.empty((len(qids), m, ncodes), dtype=np.int64)
+    for s in range(m):
+        qs = qmat[:, s * dsub : (s + 1) * dsub]
+        cs = cents[:, s * dsub : (s + 1) * dsub]
+        tables[:, s, :] = ((qs[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("adc_dist", LongType()),
+        ]
+    )
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["pq_codes"].to_numpy()).astype(np.int64)
+            n = len(ids)
+            scores = np.zeros((n, len(qids)), dtype=np.int64)
+            for s in range(m):
+                scores += tables[:, s, codes[:, s]].T  # (n, q)
+            parts = []
+            for qi, qid in enumerate(qids):
+                col = scores[:, qi]
+                mask = ids != qid
+                cids, cscores = ids[mask], col[mask]
+                top = min(k, len(cids))
+                if top == 0:
+                    continue
+                order = np.lexsort((cids, cscores))[:top]  # dist asc, id asc
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cids[order],
+                            "adc_dist": cscores[order],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    candidates = encoded.mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )

@@ -270,6 +270,105 @@ def ann_topk_int(
     return _quantized_score_topk(c.join(F.broadcast(q), "bucket"), k)
 
 
+def ivf_topk_int(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    num_probe: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with FULLY integer cell routing and scoring — the
+    inverted-file layout under the complete value-hash gate (the float
+    twin ``ivf_topk`` stays rows-only by policy; this extends the
+    q_sim_ann_int device to the coarse-quantizer path).
+
+    Coarse centroids are the ``num_cells`` corpus vectors with smallest
+    ``md5(id)`` (content-free, reproducible — same seeding rule as
+    ``coarse_centroids`` but WITHOUT Lloyd refinement, so both engines
+    can name the identical centroid set), quantized to the integer grid.
+    Cell assignment is argmin over exact integer squared-L2 distances
+    with a smallest-cell tie-break; queries probe their ``num_probe``
+    nearest cells by the same integer distance.  Candidates come from
+    the cell equi-join (each corpus row lives in exactly ONE cell — the
+    100 TB shuffle/storage key); scoring is the shared quantized-cosine
+    tail (``_quantized_score_topk``).
+
+    The per-centroid distances are pure Catalyst expressions over
+    literal centroid arrays (no UDF anywhere): argmin =
+    ``array_position(dists, array_min(dists))``, probe ranking =
+    ``array_sort`` over (dist, cell) structs.  Int64 headroom: at scale
+    1e6 and |x| ≤ ~4, a 64-dim squared distance ≤ ~4e15 ≥ fits, and the
+    test data is unit-ish (≤ ~2.6e14)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col), scale).alias("q_vec"),
+    )
+    c = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_vec(F.col(vec_col), scale).alias("c_vec"),
+    )
+    seeds = (
+        c.select(
+            "neighbor_id",
+            "c_vec",
+            F.md5(F.col("neighbor_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "neighbor_id")
+        .limit(num_cells)
+        .collect()
+    )
+    cents = [[int(x) for x in r["c_vec"]] for r in seeds]
+
+    def _d2(vcol, cent):
+        cl = F.array(*[F.lit(v).cast("long") for v in cent])
+        return F.aggregate(
+            F.zip_with(vcol, cl, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _dists(vcol):
+        return F.array(*[_d2(vcol, cent) for cent in cents])
+
+    # Two-step projection so the 16-distance array is computed ONCE per
+    # row (CollapseProject keeps non-cheap aliases used twice; physical
+    # subexpression elimination backstops it), then argmin over it.
+    cand = (
+        c.withColumn("dists", _dists(F.col("c_vec")))
+        .withColumn(
+            "cell",
+            (
+                F.array_position(F.col("dists"), F.array_min(F.col("dists")))
+                - 1
+            ).cast("long"),
+        )
+        .drop("dists")
+    )
+    probe_structs = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _d2(F.col("q_vec"), cent).alias("d"),
+                    F.lit(i).cast("long").alias("c"),
+                )
+                for i, cent in enumerate(cents)
+            ]
+        )
+    )
+    qprobe = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(probe_structs, 1, num_probe), lambda s: s["c"]
+            )
+        ),
+    ).select("query_id", "q_vec", "cell")
+    return _quantized_score_topk(cand.join(F.broadcast(qprobe), "cell"), k)
+
+
 def near_dup_pairs(
     vecs: DataFrame,
     threshold: float = 0.35,
