@@ -1308,14 +1308,75 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bpe_train")
+def _bpe_train_oracle(num_merges: int = 20, min_pair_count: int = 2) -> str:
+    """Unrolled per-merge CTE chain (the q_pagerank technique, VERDICT
+    r04 item #5): each round counts adjacent symbol pairs, takes the
+    (count DESC, l, r) argmax with ``c >= min_pair_count``, and rewrites
+    every word with a ``list_reduce`` string-fold.
+
+    The fold IS the left-to-right greedy fuse: keep the word as symbols
+    joined by chr(30); for each next symbol x, if the accumulator's LAST
+    symbol is exactly ``l`` (acc = l, or acc ends with chr(30)||l) and
+    x = r, append ``r`` WITHOUT a separator (fusing l+r), else append
+    with one.  A just-fused symbol is l||r ≠ l (r nonempty), so the fold
+    can never re-fuse through it — exactly the scan-and-skip semantics
+    of the Spark ``_merge_udf``.  Early stop: an empty argmax empties
+    the cross join, so later rounds yield no merges, matching the
+    driver-side ``break``.
+
+    Every chained CTE is MATERIALIZED: without it DuckDB inlines, and
+    since round i+1 references s_i twice (directly and via m_i) the
+    expansion is 2^num_merges corpus scans — the first attempt died on
+    file-handle exhaustion before it could be slow."""
+    parts = ["""
+    WITH wf AS (
+        SELECT array_to_string(string_split(w, ''), chr(30))
+                   || chr(30) || '</w>' AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    s_0 AS MATERIALIZED (SELECT s, cnt FROM wf)"""]
+    for i in range(num_merges):
+        parts.append(f""",
+    p_{i} AS MATERIALIZED (
+        SELECT toks[j] AS l, toks[j + 1] AS r, sum(cnt) AS c
+        FROM (SELECT string_split(s, chr(30)) AS toks, cnt FROM s_{i}),
+             LATERAL (SELECT unnest(range(1, len(toks))) AS j) t
+        GROUP BY 1, 2
+    ),
+    m_{i} AS MATERIALIZED (
+        SELECT l, r FROM p_{i} WHERE c >= {min_pair_count}
+        ORDER BY c DESC, l, r LIMIT 1
+    ),
+    s_{i + 1} AS MATERIALIZED (
+        SELECT list_reduce(string_split(s, chr(30)),
+            (acc, x) -> CASE WHEN x = m.r AND (acc = m.l
+                                  OR ends_with(acc, chr(30) || m.l))
+                             THEN acc || x
+                             ELSE acc || chr(30) || x END) AS s,
+               cnt
+        FROM s_{i} CROSS JOIN m_{i} m
+    )""")
+    selects = " UNION ALL ".join(
+        f'SELECT CAST({i} AS INTEGER) AS merge_rank,'
+        f' l AS "left", r AS "right" FROM m_{i}'
+        for i in range(num_merges)
+    )
+    parts.append(f"\n    {selects}")
+    return "".join(parts)
+
+
+@query("q_bpe_train", oracle=_bpe_train_oracle())
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (Sennrich ACL 2016) over the corpus:
-    returns the learned merge table (rank, left, right).  Rows-only by
-    necessity — the algorithm is an iterative argmax refinement (driver
-    holds the KB-sized merge list, executors hold the corpus), not
-    expressible as one SQL query.  Determinism: lexicographic pair
-    tie-break, so the table is a pure function of the data."""
+    returns the learned merge table (rank, left, right).  The algorithm
+    is an iterative argmax refinement (driver holds the KB-sized merge
+    list, executors hold the word-frequency table), but the merge TABLE
+    is deterministic under the lexicographic tie-break — so it sits
+    under the FULL hash gate against an unrolled 20-round CTE-chain
+    oracle (``_bpe_train_oracle``), upgrading this from rows-only
+    (VERDICT r04 item #5)."""
     from ..operators import bpe
 
     docs = load(spark, sf_dir, "documents")
