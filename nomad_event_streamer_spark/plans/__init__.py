@@ -26,73 +26,78 @@ from . import corpus_queries  # noqa: E402,F401
 # The verification driver records hard CORRECTNESS rows for only the FIRST
 # 50 queries in the order ``all_queries()`` yields them.  Rounds 1-2 covered
 # the early relational/LLM slugs; round 3 covered TPC-H / graph / analytics /
-# time-series / sketches / hard LLM ops (48 PASS + the 2 array-output FAILs).
-# Round 4 rotates onto the next 50 never-driver-verified slugs (VERDICT r03
-# item #3) and KEEPS the two r03 FAILs in the window — a FAIL must be
-# re-proven at the real driver after the fix, not just in driver_sim.
-# Every slug below is fully hash-oracled (present in ORACLES) — no window
-# slot is spent on a rows-only check.  Cumulative driver-PASS target after
-# this window: >= 144 distinct slugs.  (The registry grew to 239 during
-# round 4 — the 29 new operators have never been driver-verified and are
-# next in line when the window rotates in round 5.)
+# time-series / sketches / hard LLM ops; round 4 covered storage/CDC, set
+# ops, scalar-function and agg/window families plus the two re-proven r03
+# FAILs — cumulative hard driver-PASS after r04: 146 distinct slugs.
+# Round-4 ledger correction (ADVICE r04): the registry reached 249 (not
+# 239) during round 4 — 34 new operators, not 29; all 34 are in the
+# never-verified pool this rotation draws from, so none were skipped.
+# Round 5 rotates onto the next 50 never-driver-verified slugs (VERDICT
+# r04 item #1), prioritizing the round-4 corpus/analytics families that
+# have never seen the real driver, plus the three queries that gained
+# full hash oracles THIS round (q_sim_ivf_int / q_sim_pq_int — VERDICT
+# item #4 reserved their slots — and q_bpe_train, upgraded from
+# rows-only by item #5).  Every slug below is hash-oracled — no window
+# slot is spent on a rows-only check.  Registry at HEAD: 251 queries /
+# 238 oracled; cumulative driver-PASS target after this window: 196.
+# (Round 6's rotation then covers the remaining 42.)
 DRIVER_WINDOW: list[str] = [
-    # r03 FAILs, fixed this round (array outputs stringified) — 2
-    "q_dedup_survivorship",
-    "q_inverted_index",
-    # storage / CDC / sink family (plans/cdc.py, storage_queries.py) — 11
-    "q_cdc_snapshot",
-    "q_partitioned_sink_prune",
-    "q_scd2_merge",
-    "q_dpp_prune",
-    "q_custom_sink_roundtrip",
-    "q_range_sorted_sink",
-    "q_zorder_sink",
-    "q_bloom_prune_join",
-    "q_incremental_agg",
-    "q_compact_small_files",
-    "q_variant_extract",
-    # round-3 additions, never driver-seen (plans/llm_ops.py, advanced.py) — 6
-    "q_containment",
-    "q_simhash_pairs",
-    "q_chunk_cdc",
-    "q_drift_chi2",
-    "q_l_diversity",
-    "q_dedup_embed_int",
-    # set operations (plans/extras.py) — 3
-    "q_intersect_all",
-    "q_except_all",
-    "q_join_full",
-    # join shapes (plans/extras.py, advanced.py) — 3
-    "q_join_hint_smj",
-    "q_star_join",
-    "q_join_agg_topk",
-    # scalar-function families (plans/extras.py) — 16
-    "q_map_funcs",
-    "q_regex_extract",
-    "q_null_funcs",
-    "q_bitwise",
-    "q_stats_moments",
-    "q_string_pad",
-    "q_array_funcs",
-    "q_date_breadth",
-    "q_like_family",
-    "q_try_funcs",
-    "q_struct_json",
-    "q_explode_outer",
-    "q_map_transform",
-    "q_argmax",
-    "q_count_distinct_multi",
-    "q_percentile_cont",
-    # aggregation / window shapes (plans/advanced.py, extras.py) — 9
-    "q_grouping_sets",
-    "q_percentile_disc",
-    "q_string_agg",
-    "q_gapfill_hours",
-    "q_histogram",
-    "q_pivot_counts",
-    "q_cube",
-    "q_conditional_agg",
-    "q_collect_set",
+    # new full-hash oracles this round — 3
+    "q_sim_ivf_int",
+    "q_sim_pq_int",
+    "q_bpe_train",
+    # round-4 corpus-hygiene family (plans/corpus_queries.py) — 15
+    "q_exactsubstr_cut",
+    "q_chunk_dedup",
+    "q_winnow_fingerprint",
+    "q_bigram_surprisal",
+    "q_zipf_slope",
+    "q_ngram_novelty",
+    "q_quality_wilson",
+    "q_t_closeness",
+    "q_mix_temperature",
+    "q_systematic_sample",
+    "q_interval_join",
+    "q_audio_pcm_stats",
+    "q_class_balance",
+    "q_benford_audit",
+    "q_trigram_join",
+    # corpus search / sketch / sampling (corpus_queries.py, extras.py) — 8
+    "q_search_topk",
+    "q_knn_classify",
+    "q_countmin",
+    "q_bootstrap_ci",
+    "q_skyline",
+    "q_weighted_median",
+    "q_orc_roundtrip",
+    "q_bucketed_join",
+    # analytics family (plans/analytics_queries.py) — 11
+    "q_gini",
+    "q_lorenz",
+    "q_stickiness",
+    "q_path_topk",
+    "q_burstiness",
+    "q_abandonment",
+    "q_time_to_convert",
+    "q_mad_outliers",
+    "q_heaps_law",
+    "q_autocorr",
+    "q_seasonal_index",
+    # round-4 dedup/chunking/similarity additions — 9
+    "q_chunk_gear",
+    "q_dup_spans",
+    "q_dup_span_lengths",
+    "q_containment_minhash",
+    "q_packing_efficiency",
+    "q_dedup_incremental",
+    "q_gram_int",
+    "q_sim_recall",
+    "q_k_anonymity",
+    # LLM-pipeline ops never driver-seen (plans/llm_ops.py) — 4
+    "q_vocab_topk",
+    "q_mix_budget",
+    "q_stratified_sample",
+    "q_dedup_decision",
 ]
 
 

@@ -1,9 +1,10 @@
 """Differential query fuzzing vs DuckDB (VERDICT r02 item #3).
 
-The 188 hand-written oracles could share blind spots with the queries they
+The hand-written oracles could share blind spots with the queries they
 check (same author, same mental model).  This fuzzer generates seeded
-random filter / aggregate / join / window queries over ``events`` /
-``lineitem``(+``orders``) from a bounded grammar, renders each query BOTH
+random filter / aggregate / join / window / rollup / window-over-agg
+queries over ``events`` / ``lineitem`` (+``orders``, +``customer`` for
+the 3-table chain) from a bounded grammar, renders each query BOTH
 as a PySpark DataFrame program (through the engine's own ``tables.load``
 path, on a plain driver-style SparkSession) and as DuckDB SQL, and
 hash-compares the results with the same normalization the verification
@@ -132,16 +133,43 @@ def _orders_atoms() -> dict[str, tuple[str, Callable[[], Column], float]]:
     }
 
 
+def _customer_atoms() -> dict[str, tuple[str, Callable[[], Column], float]]:
+    # half-up cent quantization works identically for negative balances
+    # (floor is toward -inf in both engines)
+    return {
+        "c_nationkey": ("c_nationkey", lambda: F.col("c_nationkey"), 32),
+        "acct_cents": (
+            "CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)",
+            lambda: F.floor(
+                F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)
+            ).cast("long"),
+            2e6,
+        ),
+    }
+
+
 STR_ATOMS = {
     "events": ["event_type"],
     "lineitem": ["l_returnflag", "l_linestatus"],
     "join": ["l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority"],
+    "join3": [
+        "l_returnflag",
+        "l_linestatus",
+        "o_orderstatus",
+        "o_orderpriority",
+        "c_mktsegment",
+    ],
 }
 
 INT_ATOMS = {
     "events": _events_atoms,
     "lineitem": _lineitem_atoms,
     "join": lambda: {**_lineitem_atoms(), **_orders_atoms()},
+    "join3": lambda: {
+        **_lineitem_atoms(),
+        **_orders_atoms(),
+        **_customer_atoms(),
+    },
 }
 
 # Window order keys.  NOT unique: the synthetic lineitem has ~11.8k
@@ -155,6 +183,7 @@ UNIQUE_KEYS = {
     "events": ["event_id"],
     "lineitem": ["l_orderkey", "l_linenumber"],
     "join": ["l_orderkey", "l_linenumber"],
+    "join3": ["l_orderkey", "l_linenumber"],
 }
 
 
@@ -166,11 +195,11 @@ class Gen:
     def __init__(self, seed: int, str_values: dict[str, list[str]]):
         self.rng = random.Random(seed)
         self.seed = seed
-        self.table = self.rng.choice(["events", "lineitem", "join"])
+        self.table = self.rng.choice(["events", "lineitem", "join", "join3"])
         self.atoms = INT_ATOMS[self.table]()
         self.str_values = str_values
         self.shape = self.rng.choice(
-            ["project", "agg", "agg", "window", "setop", "rollup"]
+            ["project", "agg", "agg", "window", "setop", "rollup", "aggwindow"]
         )
         # the join table exercises both inner and left outer semantics
         self.join_type = self.rng.choice(["inner", "left"])
@@ -263,6 +292,24 @@ class Gen:
             return load(spark, sf_dir, "events")
         if self.table == "lineitem":
             return load(spark, sf_dir, "lineitem")
+        if self.table == "join3":
+            # 3-table chain: the multi-join decimal-aggregate surface
+            # (VERDICT r04 item #7).  The inner lineitem⋈orders link is
+            # always tight; a "left" seed thins CUSTOMER so the second
+            # hop exercises outer-null semantics through the c atoms.
+            base = load(spark, sf_dir, "lineitem").join(
+                load(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "inner",
+            )
+            customer = load(spark, sf_dir, "customer")
+            if self._join_type() == "left":
+                customer = customer.where(F.col("c_custkey") % 3 != 0)
+            return base.join(
+                customer,
+                F.col("o_custkey") == F.col("c_custkey"),
+                self._join_type(),
+            )
         orders = load(spark, sf_dir, "orders")
         if self._join_type() == "left":
             # every lineitem matches an order in TPC-H shapes, so a left
@@ -277,10 +324,23 @@ class Gen:
 
     def _join_type(self) -> str:
         # NULL ordering defaults differ between the engines (Spark: NULLS
-        # FIRST asc; DuckDB: NULLS LAST), so window shapes stay inner.
-        return "inner" if self.shape == "window" else self.join_type
+        # FIRST asc; DuckDB: NULLS LAST), and aggwindow's grouping keys
+        # must be non-null for deterministic partition/order — both
+        # window shapes stay inner.
+        if self.shape in ("window", "aggwindow"):
+            return "inner"
+        return self.join_type
 
     def _sql_from(self) -> str:
+        if self.table == "join3":
+            inner = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+            if self._join_type() == "left":
+                return (
+                    f"{inner} LEFT JOIN (SELECT * FROM customer "
+                    "WHERE c_custkey % 3 <> 0) c "
+                    "ON o_custkey = c_custkey"
+                )
+            return f"{inner} JOIN customer ON o_custkey = c_custkey"
         if self.table == "join":
             if self._join_type() == "left":
                 return (
@@ -449,6 +509,67 @@ class Gen:
             )
             return df, sql
 
+        if self.shape == "aggwindow":
+            # window-over-aggregate-over-join (VERDICT r04 item #7): rank
+            # and running sum across the GROUPS of a two-key aggregate.
+            # After GROUP BY (k0, k1) the pairs are unique, so within a
+            # k0 partition the k1 values are distinct → row_number and
+            # the rows-frame prefix sum are deterministic without any
+            # extra tiebreak.  Keys must be textually distinct (same
+            # dark corner as rollup); join bases are forced inner so
+            # keys are non-null.
+            keys: list[tuple[str, Column, str]] = []
+            for i in range(2):
+                if self.rng.random() < 0.5:
+                    name = self.str_atom()
+                    if keys and name == keys[0][0]:
+                        a = self.atom()
+                        keys.append((f"({a.sql} % 13)", a.col % 13, f"k{i}"))
+                    else:
+                        keys.append((name, F.col(name), f"k{i}"))
+                else:
+                    a = self.atom()
+                    k = self.rng.choice([7, 13, 64, 97])
+                    if keys and f"({a.sql} % {k})" == keys[0][0]:
+                        keys.append(
+                            (f"(({a.sql} % {k}) + 1)", (a.col % k) + 1, f"k{i}")
+                        )
+                    else:
+                        keys.append((f"({a.sql} % {k})", a.col % k, f"k{i}"))
+            s_expr = self.int_expr()
+            key_cols = [c.alias(al) for _, c, al in keys]
+            inner = base.groupBy(*key_cols).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(s_expr.col).alias("s"),
+            )
+            wp = Window.partitionBy("k0").orderBy(F.col("k1").asc())
+            df = inner.select(
+                "k0",
+                "k1",
+                "n",
+                "s",
+                F.row_number().over(wp).alias("rn"),
+                F.sum("s")
+                .over(
+                    wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                .alias("ws"),
+            )
+            key_sel = ", ".join(f"{s} AS {al}" for s, _, al in keys)
+            group_by = ", ".join(s for s, _, _ in keys)
+            sql = (
+                f"SELECT k0, k1, n, s, "
+                f"row_number() OVER (PARTITION BY k0 ORDER BY k1) AS rn, "
+                f"CAST(sum(s) OVER (PARTITION BY k0 ORDER BY k1 "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                f"AS BIGINT) AS ws "
+                f"FROM (SELECT {key_sel}, count(*) AS n, "
+                f"CAST(sum({s_expr.sql}) AS BIGINT) AS s "
+                f"FROM {self._sql_from()} WHERE {where.sql} "
+                f"GROUP BY {group_by}) g"
+            )
+            return df, sql
+
         # agg (default, double-weighted)
         n_keys = self.rng.randint(1, 2)
         keys: list[tuple[str, Column, str]] = []  # (sql, col, alias)
@@ -491,6 +612,7 @@ def str_value_pool(con) -> dict[str, list[str]]:
         ("events", ["event_type"]),
         ("lineitem", ["l_returnflag", "l_linestatus"]),
         ("orders", ["o_orderstatus", "o_orderpriority"]),
+        ("customer", ["c_mktsegment"]),
     ):
         for name in names:
             pool[name] = [
@@ -556,7 +678,18 @@ def run(n_seeds: int, out_path: str | None, sf_dir: str = SF) -> int:
         "sf_dir": sf_dir,
         "by_shape": {
             s: sum(1 for r in results.values() if r["shape"] == s)
-            for s in ("project", "agg", "window", "setop", "rollup")
+            for s in (
+                "project",
+                "agg",
+                "window",
+                "setop",
+                "rollup",
+                "aggwindow",
+            )
+        },
+        "by_table": {
+            t: sum(1 for r in results.values() if r["table"] == t)
+            for t in ("events", "lineitem", "join", "join3")
         },
         "results": results,
     }

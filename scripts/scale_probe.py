@@ -228,15 +228,23 @@ def main() -> None:
     )
     print(f"{'query':24s} {'sf0.1':>8s} {'x{:d}'.format(args.reps):>8s} {'ratio':>7s}")
     for name in probes:
-        times = {}
-        for label, sf in [("small", SRC), ("big", dst_for(args.reps))]:
-            t0 = time.perf_counter()
-            queries[name](spark, sf).write.format("noop").mode("overwrite").save()
-            times[label] = time.perf_counter() - t0
-        ratio = times["big"] / max(times["small"], 1e-9)
-        print(
-            f"{name:24s} {times['small']:8.2f} {times['big']:8.2f} {ratio:6.1f}x"
-        )
+        # q_bucketed_join is layout-stateful: run 1 pays the one-time
+        # bucketed rewrite (COLD), run 2 reuses the tables and times the
+        # Exchange-free join itself (WARM) — both rows matter, the claim
+        # "the rewrite amortizes" needs the warm number measured, not
+        # only plan-pinned (VERDICT r04 item #6).
+        runs = ("cold", "warm") if name == "q_bucketed_join" else ("",)
+        for run_label in runs:
+            times = {}
+            for label, sf in [("small", SRC), ("big", dst_for(args.reps))]:
+                t0 = time.perf_counter()
+                queries[name](spark, sf).write.format("noop").mode("overwrite").save()
+                times[label] = time.perf_counter() - t0
+            ratio = times["big"] / max(times["small"], 1e-9)
+            shown = f"{name}({run_label})" if run_label else name
+            print(
+                f"{shown:24s} {times['small']:8.2f} {times['big']:8.2f} {ratio:6.1f}x"
+            )
 
 
 if __name__ == "__main__":

@@ -2,12 +2,12 @@
 r03 item #3).
 
 The verification driver records hard CORRECTNESS rows for only the first 50
-queries in ``all_queries()`` order.  Round 4 rotates that window onto the
-next 50 never-driver-verified slugs — keeping the two r03 FAILs in place so
-the fix is re-proven at the real driver; these assertions keep the rotation
-from silently regressing (e.g. a new module import reshuffling registration
-order, or a window slot landing on a rows-only query and wasting the hard
-signal).
+queries in ``all_queries()`` order.  Round 5 rotates that window onto the
+next 50 never-driver-verified slugs (VERDICT r04 item #1) — round-4
+corpus/analytics families first, plus the three queries that gained full
+hash oracles this round; these assertions keep the rotation from silently
+regressing (e.g. a new module import reshuffling registration order, or a
+window slot landing on a rows-only query and wasting the hard signal).
 """
 
 from __future__ import annotations
@@ -46,16 +46,14 @@ def test_rotation_is_consistent_and_lossless():
 def test_window_targets_previously_unverified_queries():
     # Slugs with a cumulative driver-PASS row (any prior round) already have
     # hard evidence; re-spending window slots on them would be
-    # window-stuffing, not evidence-widening.  The two r03 FAILs are the
-    # deliberate exception: a FAIL must be re-proven at the real driver
-    # after the fix (VERDICT r03 item #1), so they hold window slots even
-    # though their r03 rows exist.
+    # window-stuffing, not evidence-widening.  (No FAIL re-proof exception
+    # this round: r04 was the project's first 0-FAIL window.)
     import json
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1]
     already_pass: set[str] = set()
-    for rnd in ("r01", "r02", "r03"):
+    for rnd in ("r01", "r02", "r03", "r04"):
         path = root / f"CORRECTNESS_{rnd}.json"
         if not path.exists():
             continue
@@ -70,8 +68,3 @@ def test_window_targets_previously_unverified_queries():
         }
     overlap = [s for s in DRIVER_WINDOW if s in already_pass]
     assert not overlap, f"window re-verifies already-PASS slugs: {overlap}"
-
-
-def test_window_holds_the_r03_fails_for_reproof():
-    assert "q_dedup_survivorship" in DRIVER_WINDOW
-    assert "q_inverted_index" in DRIVER_WINDOW
