@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..tables import events
+from ..tables import events, load
 from .registry import query
 
 WEEK_US = 7 * 24 * 3600 * 1_000_000
@@ -810,4 +810,89 @@ def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(sum(x) * 1000) div max(sx)").cast("long").alias(
             "share_milli"
         ),
+    )
+
+
+@query(
+    "q_tdigest_int",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber)
+                   AS rnk,
+               count(*) OVER () AS n
+        FROM v
+    )
+    SELECT CAST(((rnk - 1) * 32) // n AS BIGINT) AS c_id,
+           CAST(count(*) AS BIGINT) AS weight,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents
+    FROM r GROUP BY 1
+    """,
+)
+def q_tdigest_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile digest with INTEGER centroids (the t-digest
+    idea — Dunning & Ertl, "Computing Extremely Accurate Quantiles
+    Using t-Digests" — under a uniform scale function, so centroid
+    boundaries are exact equi-depth rank cuts instead of float
+    k-scale ones; VERDICT r04 item #8): values quantize to cents, every
+    row gets its GLOBAL rank under the total order (cents, orderkey,
+    linenumber), and centroid ``c_id = (rank-1)·K div N`` buckets the
+    sorted stream into K=32 equal-weight centroids.  Each centroid
+    carries (weight, sum, min, max) — all int64, so the whole digest
+    table is bit-reproducible and sits under the full hash gate (the
+    float t-digest's asin scale function and incremental-buffer merge
+    order cannot be).
+
+    The centroid table IS the mergeable state: shard digests
+    concatenate (union) and re-compress by re-ranking centroid
+    boundaries — the t-digest cluster-merge step — and quantile q is
+    answered from the centroid whose cumulative weight brackets qN,
+    interpolating inside [min, max].
+
+    Scale: the global rank uses the bucketed prefix-sum
+    (``ranking.global_row_number`` — range buckets from an
+    approxQuantile sampling pass, per-bucket windows, a broadcast
+    ≤32-row offset table); NO partitionless window ever touches the
+    data.  One extra sampling action at plan time, one bucket shuffle,
+    one 32-group aggregate."""
+    from ..operators.ranking import (
+        global_row_number,
+        quantile_boundaries,
+        range_bucket,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    bounds = quantile_boundaries(li, "cents", 32)
+    ranked = global_row_number(
+        li,
+        [
+            F.col("cents").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        bucket=range_bucket(F.col("cents"), bounds),
+        out_col="rnk",
+    )
+    tot = li.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d = ranked.crossJoin(F.broadcast(tot)).select(
+        F.expr("((rnk - 1) * 32) div n").cast("long").alias("c_id"), "cents"
+    )
+    return d.groupBy("c_id").agg(
+        F.count(F.lit(1)).cast("long").alias("weight"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
     )

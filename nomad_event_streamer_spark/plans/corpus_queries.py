@@ -1060,6 +1060,15 @@ def q_exactsubstr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     flags = dedup.span_flag_positions(docs, n=7)
+    return _exactsubstr_rewrite(docs, flags)
+
+
+def _exactsubstr_rewrite(docs: DataFrame, flags: DataFrame) -> DataFrame:
+    """Shared rewrite tail of the ExactSubstr family (cut / cluster):
+    flagged positions → gaps-and-islands runs → >= MIN_CUT regions →
+    per-doc region mask → ordered reassembly with a kept_md5 proof.
+    One definition so the two variants can never drift in thresholding,
+    masking, or reassembly."""
     w = Window.partitionBy("doc_id").orderBy("i")
     regions = (
         flags.withColumn("grp", F.col("i") - F.row_number().over(w))
@@ -1120,6 +1129,98 @@ def q_exactsubstr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "n_cut", "n_regions", "kept_md5")
     )
+
+
+# ExactSubstr CLUSTER variant of the span-runs CTE: per duplicated span
+# digest the smallest doc_id is the designated survivor and its positions
+# are never flagged — the corpus keeps exactly ONE copy of each repeated
+# region (Lee et al. 2022 §4.2) instead of cutting all occurrences.
+_SPAN_RUNS_KEEPER_CTE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 5, 2))) AS i
+        FROM t
+    ),
+    sp AS (
+        SELECT doc_id, i,
+               md5(array_to_string(toks[i:i+6], ' ')) AS h
+        FROM pos
+    ),
+    df AS (SELECT h, count(DISTINCT doc_id) AS n_docs,
+                  min(doc_id) AS keeper
+           FROM sp GROUP BY h),
+    flags AS (
+        SELECT sp.doc_id, sp.i FROM sp JOIN df USING (h)
+        WHERE df.n_docs > 1 AND sp.doc_id <> df.keeper
+    ),
+    runs AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM flags
+    )
+"""
+
+
+@query(
+    "q_exactsubstr_cluster",
+    oracle=_SPAN_RUNS_KEEPER_CTE
+    + f"""
+    , per_run AS (
+        SELECT doc_id, grp, min(i) AS start_i, count(*) AS r
+        FROM runs GROUP BY 1, 2
+    ),
+    regions AS (
+        SELECT doc_id, start_i, start_i + r + 5 AS end_i
+        FROM per_run WHERE r + 6 >= {_XS_MIN_CUT}
+    ),
+    tokens AS (
+        SELECT doc_id, tt.tt AS t, toks[tt.tt] AS tok, len(toks) AS n
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS tt) tt
+    ),
+    cut AS (
+        SELECT DISTINCT tk.doc_id, tk.t
+        FROM tokens tk JOIN regions r
+          ON tk.doc_id = r.doc_id AND tk.t BETWEEN r.start_i AND r.end_i
+    ),
+    ft AS (
+        SELECT tk.doc_id, tk.t, tk.tok, tk.n, c.t IS NOT NULL AS is_cut
+        FROM tokens tk
+        LEFT JOIN cut c ON tk.doc_id = c.doc_id AND tk.t = c.t
+    ),
+    reg_n AS (SELECT doc_id, count(*) AS n_regions FROM regions GROUP BY 1)
+    SELECT ft.doc_id,
+           CAST(max(ft.n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN ft.is_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+           CAST(coalesce(max(reg_n.n_regions), 0) AS BIGINT) AS n_regions,
+           md5(coalesce(string_agg(ft.tok, ' ' ORDER BY ft.t)
+                        FILTER (WHERE NOT ft.is_cut), '')) AS kept_md5
+    FROM ft LEFT JOIN reg_n ON ft.doc_id = reg_n.doc_id
+    GROUP BY ft.doc_id
+    """,
+)
+def q_exactsubstr_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup with CLUSTER-SURVIVOR semantics (Lee et al.
+    2022 §4.2; VERDICT r04 item #8): where q_exactsubstr_cut removes
+    EVERY occurrence of a cross-document repeated region — losing the
+    content entirely — this variant designates the smallest doc_id
+    sharing each duplicated span as the survivor and cuts only the
+    OTHER documents' copies, so the corpus retains exactly one
+    occurrence of each repeated region.  Output schema and rewrite
+    machinery are identical to q_exactsubstr_cut (runs → threshold →
+    region mask → ordered reassembly, ``kept_md5`` proving the rewrite
+    byte-for-byte); the only change is the survivor exclusion in the
+    detection pass.
+
+    Scale: identical posture to q_exactsubstr_cut — the survivor choice
+    is one extra ``min(doc_id)`` in the already-present bounded
+    (span → doc-frequency) aggregation; no new shuffle, no pair join,
+    no suffix array."""
+    from ..operators import dedup
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    flags = dedup.span_flag_positions(docs, n=7, keep_first_doc=True)
+    return _exactsubstr_rewrite(docs, flags)
 
 
 @query(

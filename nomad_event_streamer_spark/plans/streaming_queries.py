@@ -22,17 +22,24 @@ from ..tables import canonicalize_events_ts
 from .registry import query
 
 
-_STREAM_DIRS: dict[str, str] = {}
+_STREAM_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _table_stream_dir(sf_dir: str, table: str) -> str:
+    """The file-stream source requires a *directory*; expose the single
+    parquet file through a symlink in a cached temp dir."""
+    key = (sf_dir, table)
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="nes_stream_")
+        os.symlink(
+            f"{sf_dir}/{table}.parquet", os.path.join(d, f"{table}.parquet")
+        )
+        _STREAM_DIRS[key] = d
+    return _STREAM_DIRS[key]
 
 
 def _events_stream_dir(sf_dir: str) -> str:
-    """The file-stream source requires a *directory*; expose the single
-    events parquet through a symlink in a cached temp dir."""
-    if sf_dir not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="nes_stream_")
-        os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
-        _STREAM_DIRS[sf_dir] = d
-    return _STREAM_DIRS[sf_dir]
+    return _table_stream_dir(sf_dir, "events")
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,6 +49,15 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(_events_stream_dir(sf_dir))
     return canonicalize_events_ts(stream)
+
+
+def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a bounded file stream (same schema-pinning rule)."""
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return spark.readStream.schema(schema).parquet(
+        _table_stream_dir(sf_dir, "documents")
+    )
 
 
 def _run_to_memory_drain(df: DataFrame, output_mode: str) -> DataFrame:
@@ -493,4 +509,84 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("event_type", "user_id", "n")
+    )
+
+
+from .llm_ops import _dedup_incremental_oracle  # noqa: E402
+
+
+@query(
+    "q_stream_dedup_lsh",
+    # identical output contract to the batch q_dedup_incremental — the
+    # SAME oracle proves the streaming path computes the same verdicts
+    oracle=_dedup_incremental_oracle(16),
+)
+def q_stream_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental dedup against the batch LSH index (VERDICT
+    r04 item #8 — q_dedup_incremental's stream analog): new documents
+    (odd doc_ids) ARRIVE AS A STREAM and are decided against the static
+    index the batch pipeline maintains (even doc_ids) — exact-digest
+    set and LSH band-bucket table.
+
+    The streaming plan is COMPLETELY STATELESS — the scalable shape:
+    the minhash signature is computed row-locally with array HOFs
+    (``dedup.minhash_bands_rowlocal`` — min-over-array instead of a
+    min aggregate), so the stream needs no state store, no watermark,
+    and no shuffle; both index lookups are stream-static left joins
+    (digest equi-join + band-bucket equi-join on the exploded band
+    rows).  The memory sink collects per-band decision rows; a batch
+    rollup collapses them to the per-document verdict — identical
+    output schema and values to the batch q_dedup_incremental, so the
+    SAME oracle applies.
+
+    At 100 TB the bucket table IS the dedup index (a maintained asset);
+    each arriving micro-batch shuffles nothing and probes the index by
+    key — the posture an always-on crawl ingest needs."""
+    from ..operators import dedup
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    idx = docs.where(F.col("doc_id") % 2 == 0)
+    idx_dig = (
+        idx.select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("de", F.lit(True))
+    )
+    ibands = (
+        dedup.lsh_bands(
+            dedup.minhash_signatures(dedup.shingles(idx, n=3), num_hashes=16),
+            num_hashes=16,
+            rows_per_band=2,
+        )
+        .select("band", "bucket")
+        .distinct()
+        .withColumn("dn", F.lit(True))
+    )
+
+    stream = _stream_documents(spark, sf_dir).where(F.col("doc_id") % 2 == 1)
+    banded = dedup.minhash_bands_rowlocal(
+        stream.select("doc_id", "text"), n=3, num_hashes=16, rows_per_band=2
+    )
+    decided = (
+        banded.withColumn("h", F.md5("text"))
+        .join(idx_dig, "h", "left")
+        .select("doc_id", "de", F.explode_outer("bands").alias("bb"))
+        .join(
+            ibands,
+            (F.col("bb.band") == F.col("band"))
+            & (F.col("bb.bucket") == F.col("bucket")),
+            "left",
+        )
+        .select("doc_id", "de", "dn")
+    )
+    sink = _run_to_memory(decided, "append")
+    return sink.groupBy("doc_id").agg(
+        F.max(F.coalesce(F.col("de"), F.lit(False))).alias("dropped_exact"),
+        F.max(F.coalesce(F.col("dn"), F.lit(False))).alias("dropped_near"),
+        (
+            ~(
+                F.max(F.coalesce(F.col("de"), F.lit(False)))
+                | F.max(F.coalesce(F.col("dn"), F.lit(False)))
+            )
+        ).alias("kept"),
     )

@@ -1,0 +1,173 @@
+"""Round-5 operator tests: integer IVF/PQ ANN twins, the BPE merge-table
+oracle, ExactSubstr cluster-survivor semantics, the integer t-digest, and
+the stateless streaming LSH dedup.
+
+Value correctness is carried by the DuckDB hash oracles (driver_sim /
+driver); these tests pin the RELATIONSHIPS and plan shapes the oracles
+cannot see — variant-vs-variant invariants, batch/streaming equivalence,
+and scale-posture plan properties.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from nomad_event_streamer_spark.operators import dedup
+from nomad_event_streamer_spark.plans import QUERIES
+from nomad_event_streamer_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr cluster-survivor semantics
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_cuts_strictly_less_than_cut(spark, sf_dir):
+    """The survivor exclusion must RETAIN content: the cluster variant
+    cuts strictly fewer positions than cut-all (given any duplicated
+    region exists), and never more per document."""
+    cut = {
+        r["doc_id"]: r["n_cut"]
+        for r in QUERIES["q_exactsubstr_cut"](spark, sf_dir).collect()
+    }
+    clu = {
+        r["doc_id"]: r["n_cut"]
+        for r in QUERIES["q_exactsubstr_cluster"](spark, sf_dir).collect()
+    }
+    assert set(cut) == set(clu)  # every document reported by both
+    assert all(clu[d] <= cut[d] for d in cut)
+    assert sum(clu.values()) < sum(cut.values())
+
+
+def test_cluster_keeps_one_copy_per_duplicated_span(spark, sf_dir):
+    """Per duplicated span digest, the smallest doc_id's positions are
+    never flagged — checked directly on the detection pass."""
+    docs = load(spark, sf_dir, "documents")
+    flagged = dedup.span_flag_positions(docs, n=7, keep_first_doc=True)
+    all_flagged = dedup.span_flag_positions(docs, n=7)
+    # keeper-excluded flags are a strict subset of all flags
+    extra = flagged.exceptAll(all_flagged)
+    assert extra.count() == 0
+    assert flagged.count() < all_flagged.count()
+
+
+# ---------------------------------------------------------------------------
+# Row-local minhash banding == aggregate-path banding
+# ---------------------------------------------------------------------------
+
+
+def test_rowlocal_bands_match_aggregate_path(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    agg_bands = dedup.lsh_bands(
+        dedup.minhash_signatures(dedup.shingles(docs, n=3), num_hashes=16),
+        num_hashes=16,
+        rows_per_band=2,
+    )
+    row_bands = (
+        dedup.minhash_bands_rowlocal(docs, n=3, num_hashes=16, rows_per_band=2)
+        .select("doc_id", F.explode("bands").alias("bb"))
+        .select("doc_id", "bb.band", "bb.bucket")
+    )
+    assert agg_bands.exceptAll(row_bands).count() == 0
+    assert row_bands.exceptAll(agg_bands).count() == 0
+
+
+def test_rowlocal_bands_short_doc_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a full three tokens here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["bands"]
+        for r in dedup.minhash_bands_rowlocal(df).collect()
+    }
+    assert out[1] == []  # < n tokens -> no shingles -> no bands
+    assert len(out[2]) == 8  # 16 hashes / 2 rows per band
+
+
+# ---------------------------------------------------------------------------
+# Integer t-digest invariants
+# ---------------------------------------------------------------------------
+
+
+def test_tdigest_centroids_partition_the_sorted_stream(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_tdigest_int"](spark, sf_dir).collect(),
+        key=lambda r: r["c_id"],
+    )
+    n_rows = load(spark, sf_dir, "lineitem").count()
+    assert [r["c_id"] for r in rows] == list(range(32))
+    assert sum(r["weight"] for r in rows) == n_rows
+    # equi-depth: weights differ by at most 1
+    ws = [r["weight"] for r in rows]
+    assert max(ws) - min(ws) <= 1
+    # centroid value ranges are ordered and non-overlapping (ties may
+    # share a boundary value across adjacent centroids)
+    for a, b in zip(rows, rows[1:]):
+        assert a["min_cents"] <= a["max_cents"]
+        assert a["max_cents"] <= b["min_cents"]
+
+
+def test_tdigest_no_partitionless_window(spark, sf_dir):
+    """The global rank must come from the bucketed prefix sum: the only
+    partitionless window allowed is the <=32-row bucket-offset table
+    (same pin as test_no_partitionless_window)."""
+    df = QUERIES["q_tdigest_int"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    offset_frame = "specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)"
+    # in-bucket rank windows must carry a partition spec; detect the
+    # empty-partition shape textually as in test_plan_properties
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" not in ln:
+            continue
+        spec = ln.split("windowspecdefinition(", 1)[1]
+        head = spec.split(",", 1)[0]
+        if (" ASC" in head or " DESC" in head) and offset_frame not in ln:
+            raise AssertionError(f"full-input partitionless window: {ln}")
+
+
+# ---------------------------------------------------------------------------
+# Integer IVF / PQ ANN twins — plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_int_is_cell_equi_join(spark, sf_dir):
+    plan = (
+        QUERIES["q_sim_ivf_int"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # candidates via cell key
+
+
+def test_pq_int_top5_per_query(spark, sf_dir):
+    rows = QUERIES["q_sim_pq_int"](spark, sf_dir).collect()
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["adc_dist"])
+    assert len(per_q) == 20
+    for q, dists in per_q.items():
+        assert len(dists) == 5
+        assert all(d >= 0 for d in dists)  # squared distances
+        assert q not in [
+            r["neighbor_id"] for r in rows if r["query_id"] == q
+        ]  # self excluded
+
+
+def test_ivf_int_agrees_with_exact_on_shared_membership(spark, sf_dir):
+    """IVF probing is approximate in MEMBERSHIP but exact in SCORES:
+    any (query, neighbor) pair that both the IVF and brute-force
+    quantized paths return must carry the identical qcos."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["qcos"]
+        for r in QUERIES["q_sim_topk_int"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["qcos"]
+        for r in QUERIES["q_sim_ivf_int"](spark, sf_dir).collect()
+    }
+    shared = set(exact) & set(ivf)
+    assert shared, "IVF should recover at least one exact top-5 pair"
+    assert all(exact[k] == ivf[k] for k in shared)
