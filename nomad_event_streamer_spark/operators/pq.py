@@ -464,3 +464,149 @@ def pq_topk_int(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_dist")
     )
+
+
+def ivfpq_topk_int(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    num_probe: int = 3,
+    m: int = 8,
+    ncodes: int = 32,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ combined ANN, end-to-end integer — the FAISS ``IVFx,PQy``
+    layout (non-residual) with both levers under the full hash gate:
+    the coarse quantizer is the q_sim_ivf_int recipe (md5-seeded
+    quantized centroids, integer squared-L2 argmin, smallest-cell
+    ties), compression and scoring are the q_sim_pq_int recipe
+    (md5-row quantized subvector codebooks, int-L2 argmin encoding,
+    INTEGER ADC tables).  Each query ADC-scans only its ``num_probe``
+    nearest cells' codes; scores are exact int64 sums ranked
+    (dist ASC, id ASC) — bit-reproducible membership, codes, and
+    distances.
+
+    Plan: assignment+encoding is ONE Arrow-batched UDF pass (cell id
+    and m codes per row, no shuffle); per-query probe sets and ADC
+    tables ride the ``mapInPandas`` closure; partitions emit local
+    top-k only; a final window ranks the survivors.  At 100 TB the
+    cell id is the storage partition key and each query touches
+    ~probe/cells of the compressed corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .similarity import quantize_vec
+
+    seeds = (
+        vecs.select(
+            quantize_vec(F.col(vec_col), scale).alias("qv"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.col(id_col),
+        )
+        .orderBy("h", id_col)
+        .limit(max(num_cells, ncodes))
+        .collect()
+    )
+    qmat_seeds = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in seeds])
+    cells = qmat_seeds[:num_cells]  # (num_cells, dim)
+    cents = qmat_seeds[:ncodes]  # (ncodes, dim) codebook source rows
+    dim = qmat_seeds.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    def _quant(mat: np.ndarray) -> np.ndarray:
+        return np.floor(
+            mat.astype(np.float64) * float(scale) + 0.5
+        ).astype(np.int64)
+
+    def _cell_of(qmat: np.ndarray) -> np.ndarray:
+        # ||x-c||² argmin over int64; np.argmin first-min = smallest cell
+        d2 = (
+            (qmat[:, None, :] - cells[None, :, :]) ** 2
+        ).sum(axis=2)
+        return np.argmin(d2, axis=1)
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign_encode(v: pd.Series) -> pd.Series:
+        qmat = _quant(np.stack(v.to_numpy()))
+        n = qmat.shape[0]
+        out = np.empty((n, m + 1), dtype=np.int64)
+        out[:, 0] = _cell_of(qmat)
+        for s in range(m):
+            sub = qmat[:, s * dsub : (s + 1) * dsub]
+            cs = cents[:, s * dsub : (s + 1) * dsub]
+            d2 = ((sub[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+            out[:, s + 1] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    encoded = vecs.select(
+        F.col(id_col), assign_encode(F.col(vec_col)).alias("cc")
+    )
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = _quant(np.stack([np.asarray(r[vec_col]) for r in qrows]))
+    cd2 = ((qmat[:, None, :] - cells[None, :, :]) ** 2).sum(axis=2)
+    # probe sets: num_probe nearest cells, ties to the smaller cell id
+    # (np.argsort stable on the int64 distances)
+    probe = np.argsort(cd2, axis=1, kind="stable")[:, :num_probe]
+    tables = np.empty((len(qids), m, ncodes), dtype=np.int64)
+    for s in range(m):
+        qs = qmat[:, s * dsub : (s + 1) * dsub]
+        cs = cents[:, s * dsub : (s + 1) * dsub]
+        tables[:, s, :] = ((qs[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("adc_dist", LongType()),
+        ]
+    )
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cc = np.stack(pdf["cc"].to_numpy()).astype(np.int64)
+            cell, codes = cc[:, 0], cc[:, 1:]
+            n = len(ids)
+            scores = np.zeros((n, len(qids)), dtype=np.int64)
+            for s in range(m):
+                scores += tables[:, s, codes[:, s]].T
+            parts = []
+            for qi, qid in enumerate(qids):
+                mask = np.isin(cell, probe[qi]) & (ids != qid)
+                cids, cscores = ids[mask], scores[mask, qi]
+                top = min(k, len(cids))
+                if top == 0:
+                    continue
+                order = np.lexsort((cids, cscores))[:top]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cids[order],
+                            "adc_dist": cscores[order],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    candidates = encoded.mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )

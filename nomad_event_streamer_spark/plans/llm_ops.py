@@ -2212,6 +2212,115 @@ def _pq_int_oracle(m: int = 8, ncodes: int = 32, k: int = 5, dim: int = 64) -> s
     """
 
 
+def _ivfpq_int_oracle(
+    num_cells: int = 16,
+    num_probe: int = 3,
+    m: int = 8,
+    ncodes: int = 32,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    dsub = dim // m
+    dfull = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    a = f"v.qv[t.s*{dsub}+1 : t.s*{dsub}+{dsub}]"
+    b = f"s.cv[t.s*{dsub}+1 : t.s*{dsub}+{dsub}]"
+    dsubexpr = dfull.format(a=a, b=b)
+    return f"""
+    WITH {_QZ_CTE},
+    cseeds AS (
+        SELECT CAST(row_number() OVER w - 1 AS BIGINT) AS cell, qv AS cv
+        FROM qz
+        WINDOW w AS (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        QUALIFY row_number() OVER w <= {num_cells}
+    ),
+    pseeds AS (
+        SELECT CAST(row_number() OVER w - 1 AS BIGINT) AS code, qv AS cv
+        FROM qz
+        WINDOW w AS (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        QUALIFY row_number() OVER w <= {ncodes}
+    ),
+    assign AS (
+        SELECT v.vec_id, s.cell, {dfull.format(a="v.qv", b="s.cv")} AS d
+        FROM qz v CROSS JOIN cseeds s
+    ),
+    cellof AS (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rn
+            FROM assign
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rn
+            FROM assign WHERE vec_id < 20
+        ) WHERE rn <= {num_probe}
+    ),
+    subs AS (SELECT unnest(range(0, {m})) AS s),
+    enc AS (
+        SELECT vec_id, s, code FROM (
+            SELECT v.vec_id, t.s, s.code, {dsubexpr} AS d,
+                   row_number() OVER (PARTITION BY v.vec_id, t.s
+                                      ORDER BY {dsubexpr}, s.code) AS rn
+            FROM qz v CROSS JOIN subs t CROSS JOIN pseeds s
+        ) WHERE rn = 1
+    ),
+    qtab AS (
+        SELECT v.vec_id AS query_id, t.s, s.code, {dsubexpr} AS d
+        FROM qz v CROSS JOIN subs t CROSS JOIN pseeds s
+        WHERE v.vec_id < 20
+    ),
+    cand AS (
+        SELECT p.query_id, c.neighbor_id
+        FROM probes p JOIN cellof c USING (cell)
+        WHERE p.query_id <> c.neighbor_id
+    ),
+    scored AS (
+        SELECT ca.query_id, ca.neighbor_id,
+               CAST(sum(q.d) AS BIGINT) AS adc_dist
+        FROM cand ca
+        JOIN enc e ON e.vec_id = ca.neighbor_id
+        JOIN qtab q ON q.query_id = ca.query_id
+                   AND q.s = e.s AND q.code = e.code
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_dist FROM ranked WHERE rn <= {k}
+    """
+
+
+@query("q_sim_ivfpq_int", oracle=_ivfpq_int_oracle())
+def q_sim_ivfpq_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ combined ANN, end-to-end integer — completes the integer
+    twin family (q_sim_topk_int / q_sim_ann_int / q_sim_ivf_int /
+    q_sim_pq_int): the coarse quantizer routes by integer squared-L2 to
+    md5-seeded quantized centroids, PQ compresses to m=8 integer-argmin
+    codes, and each query ADC-scans only its 3-of-16 probed cells with
+    INTEGER distance tables — the full FAISS IVFx,PQy serving layout
+    with membership, codes, and distances all bit-reproducible under
+    the hash gate (the float q_sim_ivfpq stays rows-only by policy).
+    One UDF pass assigns+encodes (no shuffle); probe sets and tables
+    ride the mapInPandas closure; partitions emit local top-k only."""
+    from ..operators import pq
+
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < 20)
+    return pq.ivfpq_topk_int(
+        vecs, queries, k=5, num_cells=16, num_probe=3, m=8, ncodes=32
+    )
+
+
 @query("q_sim_pq_int", oracle=_pq_int_oracle())
 def q_sim_pq_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, end-to-end integer (VERDICT r04 item

@@ -145,6 +145,7 @@ PROBES = [
     # round-5 additions (q_bpe_train already probed above)
     "q_sim_ivf_int",
     "q_sim_pq_int",
+    "q_sim_ivfpq_int",
     "q_exactsubstr_cluster",
     "q_tdigest_int",
     "q_stream_dedup_lsh",

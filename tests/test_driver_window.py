@@ -21,6 +21,24 @@ from nomad_event_streamer_spark.plans import (
 )
 
 
+def test_ledger_comment_matches_registry():
+    """ADVICE r04 #3: the DRIVER_WINDOW ledger comment undercounted the
+    registry and nearly caused a rotation to skip unverified slugs.
+    Pin the counts the comment states to the live registry."""
+    import inspect
+
+    import nomad_event_streamer_spark.plans as plans_pkg
+
+    src = inspect.getsource(plans_pkg)
+    comment = src.split("DRIVER_WINDOW: list[str] = [")[0]
+    assert f"{len(QUERIES)} queries" in comment, (
+        f"ledger comment stale: registry has {len(QUERIES)} queries"
+    )
+    assert f"{len(ORACLES)} oracled" in comment, (
+        f"ledger comment stale: registry has {len(ORACLES)} oracled"
+    )
+
+
 def test_window_is_50_unique_registered_slugs():
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
