@@ -565,12 +565,15 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embed_int_oracle(
-    threshold_milli: int = 350,
+def _embed_int_body(
     num_tables: int = 3,
     num_planes: int = 6,
     dim: int = 64,
 ) -> str:
+    """CTE body (z … scored) of the integer embedding near-dup pipeline
+    — shared by the pair oracle (q_dedup_embed_int) and the SemDeDup
+    cluster oracle (q_semdedup), so the candidate generation and
+    scoring can never drift between the two."""
     import hashlib as _hashlib
 
     pl_rows = ", ".join(
@@ -580,8 +583,7 @@ def _embed_int_oracle(
         for p in range(num_planes)
         for d in range(dim)
     )
-    return f"""
-    WITH z AS (
+    return f"""z AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
@@ -621,10 +623,93 @@ def _embed_int_oracle(
         FROM cand
         JOIN z za ON za.vec_id = id_a
         JOIN z zb ON zb.vec_id = id_b
-    )
+    )"""
+
+
+def _embed_int_oracle(
+    threshold_milli: int = 350,
+    num_tables: int = 3,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> str:
+    return f"""
+    WITH {_embed_int_body(num_tables, num_planes, dim)}
     SELECT id_a, id_b, cos_milli FROM scored
     WHERE cos_milli >= {threshold_milli}
     """
+
+
+def _semdedup_oracle(threshold_milli: int = 350) -> str:
+    return f"""
+    WITH RECURSIVE {_embed_int_body()},
+    edges AS (
+        SELECT id_a, id_b FROM scored WHERE cos_milli >= {threshold_milli}
+    ),
+    und AS (SELECT id_a AS s, id_b AS d FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(node, mn) AS (
+        SELECT s AS node, s AS mn FROM und
+        UNION
+        SELECT u.s, r.mn FROM und u JOIN reach r ON u.d = r.node
+    ),
+    assign AS (SELECT node, min(mn) AS cluster_id FROM reach GROUP BY node),
+    o AS (
+        SELECT v.vec_id,
+               CAST(coalesce(a.cluster_id, v.vec_id) AS BIGINT) AS cluster_id
+        FROM embeddings v LEFT JOIN assign a ON a.node = v.vec_id
+    ),
+    sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM o GROUP BY 1)
+    SELECT o.vec_id, o.cluster_id, sz.cluster_size,
+           o.vec_id = o.cluster_id AS kept
+    FROM o JOIN sz USING (cluster_id)
+    """
+
+
+@query("q_semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication") as exact dataflow:
+    semantic near-dup PAIRS from the integer embedding LSH
+    (q_dedup_embed_int's candidate generation + quantized cosine at
+    0.350) become CLUSTERS via min-label connected components, and each
+    cluster keeps exactly its minimum-id representative — the per-vector
+    decision table (cluster, size, kept) a curation pipeline joins
+    against the corpus.  Every vector appears: singletons are their own
+    kept cluster of size 1.  End-to-end integer ⇒ full hash oracle
+    (recursive-CTE reachability on the DuckDB side).
+
+    Scale: candidate pairs are OR-amplified bucket joins (never
+    all-pairs); components iterate join+agg on the node key with
+    lineage checkpoints (O(cluster diameter) rounds — semantic-dup
+    clusters are shallow); the survivor rule is one aggregate.  At
+    100 TB the cluster assignment is the reusable asset: re-curation
+    re-joins it instead of re-scoring pairs."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    pairs = similarity.near_dup_pairs_int(vecs).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs, src="id_a", dst="id_b")
+    assign = comp.select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+    )
+    o = (
+        vecs.select("vec_id")
+        .join(assign, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+    sz = o.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return o.join(sz, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("vec_id") == F.col("cluster_id")).alias("kept"),
+    )
 
 
 @query("q_dedup_embed_int", oracle=_embed_int_oracle())

@@ -149,6 +149,7 @@ PROBES = [
     "q_exactsubstr_cluster",
     "q_tdigest_int",
     "q_stream_dedup_lsh",
+    "q_semdedup",
 ]
 
 

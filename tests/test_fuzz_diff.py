@@ -37,4 +37,16 @@ def test_fuzz_seed_matches(seed, spark, sf_dir, con, pool):
 
 def test_grammar_emits_every_shape(pool):
     shapes = {fuzz_diff.Gen(s, pool).shape for s in range(60)}
-    assert shapes == {"project", "agg", "window", "setop", "rollup"}
+    assert shapes == {
+        "project",
+        "agg",
+        "window",
+        "setop",
+        "rollup",
+        "aggwindow",
+    }
+
+
+def test_grammar_emits_every_table(pool):
+    tables = {fuzz_diff.Gen(s, pool).table for s in range(60)}
+    assert tables == {"events", "lineitem", "join", "join3"}
