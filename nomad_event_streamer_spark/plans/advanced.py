@@ -712,6 +712,127 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LP_SEED_MAX = 100  # vec_id < 100 keep their true label (clamped seeds)
+_LP_ROUNDS = 3
+
+
+def _label_prop_oracle(
+    rounds: int = _LP_ROUNDS, threshold_milli: int = 350
+) -> str:
+    """Unrolled label-propagation rounds (the q_pagerank / q_bpe_train
+    technique): each round, every unlabeled node takes the majority
+    label among its labeled neighbors — votes weighted 1 per edge,
+    ties to the SMALLEST label — while seed nodes stay clamped.
+    MATERIALIZED per round: lab_{i} is referenced twice in round i+1
+    (as vote source and as carry-forward), so inlining would double
+    the edge scan per round."""
+    parts = [f"""
+    WITH {_embed_int_body()},
+    edges AS (
+        SELECT id_a, id_b FROM scored WHERE cos_milli >= {threshold_milli}
+    ),
+    und AS (SELECT id_a AS s, id_b AS d FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    lab_0 AS MATERIALIZED (
+        SELECT vec_id,
+               CASE WHEN vec_id < {_LP_SEED_MAX} THEN CAST(label AS BIGINT)
+               END AS lab
+        FROM embeddings
+    )"""]
+    for i in range(rounds):
+        parts.append(f""",
+    votes_{i} AS MATERIALIZED (
+        SELECT u.s AS vec_id, l.lab, count(*) AS n
+        FROM und u JOIN lab_{i} l ON l.vec_id = u.d
+        WHERE l.lab IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    win_{i} AS MATERIALIZED (
+        SELECT vec_id, lab FROM (
+            SELECT vec_id, lab,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY n DESC, lab) AS rn
+            FROM votes_{i}
+        ) WHERE rn = 1
+    ),
+    lab_{i + 1} AS MATERIALIZED (
+        SELECT l.vec_id,
+               CASE WHEN l.vec_id < {_LP_SEED_MAX} THEN l.lab
+                    ELSE coalesce(l.lab, w.lab) END AS lab
+        FROM lab_{i} l LEFT JOIN win_{i} w ON w.vec_id = l.vec_id
+    )""")
+    parts.append(f"""
+    SELECT vec_id,
+           vec_id < {_LP_SEED_MAX} AS is_seed,
+           lab AS label_out
+    FROM lab_{rounds}
+    """)
+    return "".join(parts)
+
+
+@query("q_label_prop", oracle=_label_prop_oracle())
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    weak-labeling primitive): seed labels (vec_id < 100 keep their true
+    label, clamped) spread over the integer-LSH similarity graph — per
+    round, each unlabeled vector takes the MAJORITY label among its
+    labeled neighbors (ties to the smallest label); 3 rounds, once
+    labeled a node keeps its label.  Deterministic end to end (integer
+    votes, total-order tie-break) ⇒ full hash oracle with unrolled
+    per-round CTEs.
+
+    Plan: the similarity graph is the q_dedup_embed_int bucket-join
+    output (never all-pairs); each round is ONE edge-keyed join + one
+    (node, label)-keyed partial-agg vote + an argmax window partitioned
+    by node — all shuffles on node ids, lineage checkpointed per round.
+    At 100 TB rounds are a handful (propagation radius), not
+    data-sized."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    pairs = similarity.near_dup_pairs_int(vecs).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint(eager=True)
+    und = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    ).union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+    lab = vecs.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") < _LP_SEED_MAX, F.col("label").cast("long")
+        ).alias("lab"),
+    )
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            und.join(
+                lab.select(F.col("vec_id").alias("d"), "lab"), "d"
+            )
+            .where(F.col("lab").isNotNull())
+            .groupBy(F.col("s").alias("vec_id"), "lab")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("n").desc(), F.col("lab").asc()
+        )
+        win = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("lab").alias("wlab"))
+        )
+        lab = (
+            lab.join(win, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(F.col("vec_id") < _LP_SEED_MAX, F.col("lab"))
+                .otherwise(F.coalesce("lab", "wlab"))
+                .alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab.select(
+        "vec_id",
+        (F.col("vec_id") < _LP_SEED_MAX).alias("is_seed"),
+        F.col("lab").alias("label_out"),
+    )
+
+
 @query("q_dedup_embed_int", oracle=_embed_int_oracle())
 def q_dedup_embed_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact embedding near-dup pairs (the hash-verifiable twin

@@ -150,6 +150,7 @@ PROBES = [
     "q_tdigest_int",
     "q_stream_dedup_lsh",
     "q_semdedup",
+    "q_label_prop",
 ]
 
 
