@@ -1785,3 +1785,319 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("k", F.lit(0).cast("long").alias("vocab"))
         )
     )
+
+
+_KNN_EVAL_N_QUERIES = 100
+
+
+@query(
+    "q_knn_eval",
+    oracle=f"""
+    WITH qz AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id < {_KNN_EVAL_N_QUERIES}
+    ),
+    cz AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CASE WHEN sqrt(list_dot_product(qv, qv))
+                         * sqrt(list_dot_product(cv, cv)) > 0
+                    THEN list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv)))
+                    ELSE 0.0 END AS qcos
+        FROM cz CROSS JOIN qz
+        WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qcos DESC, neighbor_id) AS rn
+        FROM scored
+    ),
+    votes AS (
+        SELECT r.query_id, CAST(e.label AS BIGINT) AS pred_label,
+               count(*) AS votes
+        FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+        WHERE r.rn <= 5 GROUP BY 1, 2
+    ),
+    pick AS (
+        SELECT query_id, pred_label FROM (
+            SELECT query_id, pred_label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY votes DESC, pred_label) AS prn
+            FROM votes
+        ) WHERE prn = 1
+    ),
+    pred AS (
+        SELECT p.query_id, p.pred_label, CAST(q.label AS BIGINT) AS true_label
+        FROM pick p JOIN embeddings q ON q.vec_id = p.query_id
+    ),
+    classes AS (SELECT DISTINCT CAST(label AS BIGINT) AS class
+                FROM embeddings WHERE vec_id < {_KNN_EVAL_N_QUERIES}),
+    m AS (
+        SELECT c.class,
+               CAST(sum(CASE WHEN p.true_label = c.class
+                             AND p.pred_label = c.class
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN p.true_label = c.class
+                             AND p.pred_label <> c.class
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN p.true_label <> c.class
+                             AND p.pred_label = c.class
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        FROM classes c CROSS JOIN pred p
+        GROUP BY 1
+    )
+    SELECT class, tp, fn, fp,
+           CAST(tp + fn AS BIGINT) AS support,
+           CASE WHEN tp + fp > 0
+                THEN CAST((tp * 1000) // (tp + fp) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS prec_milli,
+           CASE WHEN tp + fn > 0
+                THEN CAST((tp * 1000) // (tp + fn) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS rec_milli,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST((2 * tp * 1000) // (2 * tp + fp + fn) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS f1_milli
+    FROM m
+    """,
+)
+def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation table (the scorecard a weak-labeling
+    pipeline gates on): kNN-classify 100 held-out queries with the
+    integer-exact cosine path, then per class emit tp / fn / fp /
+    support and milli-quantized precision, recall, and F1 — every
+    number an exact integer (counts and integer divisions), so the
+    whole evaluation is bit-reproducible and under the full hash gate:
+    a quality regression in the classifier fails the hash, not a
+    dashboard eyeball.
+
+    Scale: predictions reuse cosine_topk_quantized's broadcast-query
+    posture; the confusion aggregation is classes × predictions with
+    class cardinality ~10 — per-class sums in one pass.  The per-class
+    metric rows are class-cardinality, trivially collected."""
+    from ..operators import similarity
+
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < _KNN_EVAL_N_QUERIES)
+    top5 = similarity.cosine_topk_quantized(vecs, queries, k=5)
+    labels = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("long").alias("pred_label"),
+    )
+    votes = (
+        top5.join(labels, "neighbor_id")
+        .groupBy("query_id", "pred_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("pred_label").asc()
+    )
+    pred = (
+        votes.withColumn("prn", F.row_number().over(w))
+        .where(F.col("prn") == 1)
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").cast("long").alias("true_label"),
+            ),
+            "query_id",
+        )
+        .select("query_id", "pred_label", "true_label")
+    )
+    classes = (
+        vecs.where(F.col("vec_id") < _KNN_EVAL_N_QUERIES)
+        .select(F.col("label").cast("long").alias("class"))
+        .distinct()
+    )
+    m = (
+        classes.crossJoin(pred)
+        .groupBy("class")
+        .agg(
+            F.sum(
+                (
+                    (F.col("true_label") == F.col("class"))
+                    & (F.col("pred_label") == F.col("class"))
+                ).cast("long")
+            ).alias("tp"),
+            F.sum(
+                (
+                    (F.col("true_label") == F.col("class"))
+                    & (F.col("pred_label") != F.col("class"))
+                ).cast("long")
+            ).alias("fn"),
+            F.sum(
+                (
+                    (F.col("true_label") != F.col("class"))
+                    & (F.col("pred_label") == F.col("class"))
+                ).cast("long")
+            ).alias("fp"),
+        )
+    )
+    return m.select(
+        "class",
+        "tp",
+        "fn",
+        "fp",
+        (F.col("tp") + F.col("fn")).cast("long").alias("support"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("(tp * 1000) div (tp + fp)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("prec_milli"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("(tp * 1000) div (tp + fn)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rec_milli"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.expr("(2 * tp * 1000) div (2 * tp + fp + fn)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("f1_milli"),
+    )
+
+
+def _auc_signs(dim: int = 64) -> list[int]:
+    """Deterministic ±1 weight per dimension (md5-parity — the
+    _deterministic_planes device): a fixed content-free linear scorer
+    both engines can inline as literals."""
+    import hashlib as _hashlib
+
+    return [
+        1
+        if int(_hashlib.md5(f"auc:{d}".encode()).hexdigest()[:2], 16) % 2 == 0
+        else -1
+        for d in range(dim)
+    ]
+
+
+def _eval_auc_oracle(pos_label: int = 3, dim: int = 64) -> str:
+    sgn_rows = ", ".join(f"({d}, {s})" for d, s in enumerate(_auc_signs(dim)))
+    return f"""
+    WITH z AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    sgn(i, s) AS (SELECT * FROM (VALUES {sgn_rows})),
+    comp AS (
+        SELECT vec_id, label, t.i, qv[t.i + 1] AS x
+        FROM z CROSS JOIN range(0, {dim}) t(i)
+    ),
+    sc AS (
+        SELECT vec_id, CAST(max(label) = {pos_label} AS INT) AS pos,
+               CAST(sum(s * x) AS BIGINT) AS score
+        FROM comp JOIN sgn USING (i)
+        GROUP BY vec_id
+    ),
+    r AS (
+        SELECT vec_id, pos, score,
+               row_number() OVER (ORDER BY score, vec_id) AS rk
+        FROM sc
+    ),
+    g AS (
+        SELECT score, min(rk) AS mn, max(rk) AS mx,
+               CAST(sum(pos) AS BIGINT) AS p
+        FROM r GROUP BY score
+    ),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n1,
+                   CAST(count(*) - sum(pos) AS BIGINT) AS n0 FROM r),
+    s2 AS (SELECT CAST(sum(p * (mn + mx)) AS BIGINT) AS sp FROM g)
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           CAST(sp - n1 * (n1 + 1) AS BIGINT) AS u2,
+           CAST(((sp - n1 * (n1 + 1)) * 1000000) // (2 * n1 * n0)
+                AS BIGINT) AS auc_micro
+    FROM tot, s2
+    """
+
+
+@query("q_eval_auc", oracle=_eval_auc_oracle())
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer ROC AUC (Mann-Whitney U with midrank tie handling
+    — the standard estimator, as pure integers): score = fixed ±1
+    integer linear scorer over the quantized embedding, positive class
+    = label 3; AUC = U/(n1·n0) where 2U = Σ_pos 2·midrank − n1(n1+1)
+    and 2·midrank of a tie group = min_rank + max_rank.  Emitted as the
+    exact integer pair (u2, n1·n0 via n_pos/n_neg) plus a
+    floor-quantized auc_micro — the model-eval number a quality-
+    classifier pipeline regression-tests bit-for-bit.
+
+    Scale: the global row rank uses the bucketed prefix-sum
+    (``ranking.global_row_number`` — NO partitionless window over
+    data); midranks come from a score-keyed aggregate of those ranks.
+    Int64 headroom: Σ p·(mn+mx) ≤ 2·n1·n ⇒ exact to ~10⁹ eval rows;
+    the auc_micro quantization (u2·10⁶) to ~10⁶ rows per class — an
+    EVAL-set op by design (run it on the held-out sample, not the
+    corpus)."""
+    import pyspark.sql.functions as _F
+
+    from ..operators.ranking import (
+        global_row_number,
+        quantile_boundaries,
+        range_bucket,
+    )
+    from ..operators.similarity import _int_dot, quantize_vec
+
+    signs = _auc_signs(64)
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    sc = vecs.select(
+        "vec_id",
+        (F.col("label") == 3).cast("int").alias("pos"),
+        _int_dot(
+            quantize_vec(F.col("embedding")),
+            _F.array(*[F.lit(s).cast("long") for s in signs]),
+        ).alias("score"),
+    )
+    bounds = quantile_boundaries(sc, "score", 32)
+    ranked = global_row_number(
+        sc,
+        [F.col("score").asc(), F.col("vec_id").asc()],
+        bucket=range_bucket(F.col("score"), bounds),
+        out_col="rk",
+    )
+    g = ranked.groupBy("score").agg(
+        F.min("rk").alias("mn"),
+        F.max("rk").alias("mx"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    tot = ranked.agg(
+        F.sum("pos").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n0"),
+    )
+    s2 = g.agg(
+        F.sum(F.col("p") * (F.col("mn") + F.col("mx")))
+        .cast("long")
+        .alias("sp")
+    )
+    return (
+        tot.crossJoin(F.broadcast(s2))
+        .select(
+            F.col("n1").alias("n_pos"),
+            F.col("n0").alias("n_neg"),
+            (F.col("sp") - F.col("n1") * (F.col("n1") + 1))
+            .cast("long")
+            .alias("u2"),
+            F.expr("((sp - n1 * (n1 + 1)) * 1000000) div (2 * n1 * n0)")
+            .cast("long")
+            .alias("auc_micro"),
+        )
+    )

@@ -151,6 +151,8 @@ PROBES = [
     "q_stream_dedup_lsh",
     "q_semdedup",
     "q_label_prop",
+    "q_knn_eval",
+    "q_eval_auc",
 ]
 
 
