@@ -2101,3 +2101,94 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("auc_micro"),
         )
     )
+
+
+@query(
+    "q_calibration",
+    oracle=f"""
+    WITH z AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    sgn(i, s) AS (SELECT * FROM (VALUES {", ".join(f"({d}, {s})" for d, s in enumerate(_auc_signs(64)))})),
+    comp AS (
+        SELECT vec_id, label, t.i, qv[t.i + 1] AS x
+        FROM z CROSS JOIN range(0, 64) t(i)
+    ),
+    sc AS (
+        SELECT vec_id, CAST(max(label) = 3 AS INT) AS pos,
+               CAST(sum(s * x) AS BIGINT) AS score
+        FROM comp JOIN sgn USING (i)
+        GROUP BY vec_id
+    ),
+    r AS (
+        SELECT pos, score,
+               row_number() OVER (ORDER BY score, vec_id) AS rk,
+               count(*) OVER () AS n
+        FROM sc
+    )
+    SELECT CAST(((rk - 1) * 10) // n AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST((sum(pos) * 1000) // count(*) AS BIGINT) AS pos_rate_milli,
+           min(score) AS min_score, max(score) AS max_score
+    FROM r GROUP BY 1
+    """,
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability / calibration table (the companion to q_eval_auc —
+    does a higher score actually mean a higher positive rate?): rows
+    rank globally by the fixed integer scorer, split into 10
+    equal-count deciles, and each decile reports row count, positive
+    count, milli positive rate, and its score range — all integers, so
+    the calibration curve regression-tests bit-for-bit.  A
+    well-calibrated-in-ordering scorer shows monotone pos_rate_milli
+    across deciles; the oracle-pinned table catches drift.
+
+    Scale: same posture as q_eval_auc — one scorer pass, bucketed
+    prefix-sum ranks (no partitionless window over data), a broadcast
+    one-row total, and a 10-group aggregate."""
+    import pyspark.sql.functions as _F
+
+    from ..operators.ranking import (
+        global_row_number,
+        quantile_boundaries,
+        range_bucket,
+    )
+    from ..operators.similarity import _int_dot, quantize_vec
+
+    signs = _auc_signs(64)
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    sc = vecs.select(
+        "vec_id",
+        (F.col("label") == 3).cast("int").alias("pos"),
+        _int_dot(
+            quantize_vec(F.col("embedding")),
+            _F.array(*[F.lit(s).cast("long") for s in signs]),
+        ).alias("score"),
+    )
+    bounds = quantile_boundaries(sc, "score", 32)
+    ranked = global_row_number(
+        sc,
+        [F.col("score").asc(), F.col("vec_id").asc()],
+        bucket=range_bucket(F.col("score"), bounds),
+        out_col="rk",
+    )
+    tot = sc.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d = ranked.crossJoin(F.broadcast(tot)).select(
+        F.expr("((rk - 1) * 10) div n").cast("long").alias("decile"),
+        "pos",
+        "score",
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.expr("(sum(pos) * 1000) div count(1)")
+        .cast("long")
+        .alias("pos_rate_milli"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )

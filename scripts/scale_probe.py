@@ -153,6 +153,7 @@ PROBES = [
     "q_label_prop",
     "q_knn_eval",
     "q_eval_auc",
+    "q_calibration",
 ]
 
 
