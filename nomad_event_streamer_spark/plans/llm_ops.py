@@ -1327,7 +1327,14 @@ def _bpe_train_oracle(num_merges: int = 20, min_pair_count: int = 2) -> str:
     Every chained CTE is MATERIALIZED: without it DuckDB inlines, and
     since round i+1 references s_i twice (directly and via m_i) the
     expansion is 2^num_merges corpus scans — the first attempt died on
-    file-handle exhaustion before it could be slow."""
+    file-handle exhaustion before it could be slow.
+
+    Delimiter assumption: the oracle packs each word's symbols into one
+    chr(30)-joined string; a corpus token CONTAINING chr(30) (the unit
+    separator, absent from any text corpus that survived a quality
+    filter) would misparse on the oracle side only.  The Spark side has
+    no such assumption — a divergence would therefore surface as a loud
+    hash FAIL, never a silent agreement."""
     parts = ["""
     WITH wf AS (
         SELECT array_to_string(string_split(w, ''), chr(30))
@@ -1392,7 +1399,19 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 20 BPE merges, then greedy-encode every document and report
     its token count — the budget number a training-data pipeline emits.
     Encoding is one Arrow-batched UDF with a per-batch word memo; the
-    merge table rides the closure (broadcast-dim pattern)."""
+    merge table rides the closure (broadcast-dim pattern).
+
+    Rows-only BY DESIGN even though q_bpe_train is now hash-oracled:
+    the encoder is the GREEDY lowest-rank-present algorithm (the GPT-2
+    release semantics), while the trainer's CTE chain applies merges in
+    rank order.  The two coincide on almost all data but can diverge in
+    a documented corner: if two different merges produce the same token
+    string (e.g. rank-3 (a,bc) and rank-5 (ab,c) both yielding "abc"),
+    a rank-4 merge consuming "abc" fires under greedy when rank-5
+    created the token, but never in rank-order replay.  An oracle built
+    from the training chain would be latently wrong on such corpora —
+    exactly the silent-divergence class this repo refuses to ship, so
+    the count stays rows-only rather than near-oracled."""
     from ..operators import bpe
 
     docs = load(spark, sf_dir, "documents")

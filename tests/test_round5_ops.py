@@ -171,3 +171,69 @@ def test_ivf_int_agrees_with_exact_on_shared_membership(spark, sf_dir):
     shared = set(exact) & set(ivf)
     assert shared, "IVF should recover at least one exact top-5 pair"
     assert all(exact[k] == ivf[k] for k in shared)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation family invariants
+# ---------------------------------------------------------------------------
+
+
+def test_eval_auc_bounds_and_identity(spark, sf_dir):
+    row = QUERIES["q_eval_auc"](spark, sf_dir).collect()[0]
+    n = load(spark, sf_dir, "embeddings").count()
+    assert row["n_pos"] + row["n_neg"] == n
+    assert 0 <= row["auc_micro"] <= 1_000_000
+    # u2 = 2U must sit in [0, 2*n1*n0]
+    assert 0 <= row["u2"] <= 2 * row["n_pos"] * row["n_neg"]
+
+
+def test_calibration_deciles_cover_everything(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    n = load(spark, sf_dir, "embeddings").count()
+    assert [r["decile"] for r in rows] == list(range(10))
+    assert sum(r["n_rows"] for r in rows) == n
+    # deciles are score-ordered slices: score ranges must be
+    # non-decreasing across deciles
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_score"] <= b["min_score"] or a["max_score"] <= b["max_score"]
+
+
+def test_knn_eval_counts_are_consistent(spark, sf_dir):
+    rows = QUERIES["q_knn_eval"](spark, sf_dir).collect()
+    n_queries = sum(r["support"] for r in rows)
+    assert n_queries == 100  # every query counted exactly once as truth
+    # across classes, tp+fn partitions truths; fp counts re-partition
+    # the misclassifications: sum(fp) == sum(fn)
+    assert sum(r["fp"] for r in rows) == sum(r["fn"] for r in rows)
+    for r in rows:
+        assert 0 <= r["prec_milli"] <= 1000
+        assert 0 <= r["rec_milli"] <= 1000
+        assert 0 <= r["f1_milli"] <= 1000
+
+
+def test_label_prop_clamps_seeds_and_propagates(spark, sf_dir):
+    rows = QUERIES["q_label_prop"](spark, sf_dir).collect()
+    truth = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    seeds = [r for r in rows if r["is_seed"]]
+    assert all(r["label_out"] == truth[r["vec_id"]] for r in seeds)
+    assert len(seeds) == 100
+
+
+def test_semdedup_clusters_are_consistent(spark, sf_dir):
+    rows = QUERIES["q_semdedup"](spark, sf_dir).collect()
+    n = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n  # every vector decided
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["vec_id"] for m in members)  # min-id root
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == 1 and kept[0]["vec_id"] == cid
+        assert all(m["cluster_size"] == len(members) for m in members)
