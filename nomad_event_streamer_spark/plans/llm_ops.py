@@ -2076,6 +2076,146 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QZ_CTE = """
+    qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    )"""
+
+
+def _sim_recall_ivf_oracle(
+    num_cells: int = 16, num_probe: int = 3, k: int = 5
+) -> str:
+    d = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    return f"""
+    WITH {_QZ_CTE},
+    qs AS (SELECT vec_id, qv FROM qz WHERE vec_id < 20),
+    ex_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                         * sqrt(list_dot_product(c.qv, c.qv)) > 0
+                    THEN list_dot_product(q.qv, c.qv)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(c.qv, c.qv)))
+                    ELSE 0.0 END AS qcos
+        FROM qz c CROSS JOIN qs q
+        WHERE q.vec_id <> c.vec_id
+    ),
+    ex_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, neighbor_id) AS rn
+            FROM ex_scored
+        ) WHERE rn <= {k}
+    ),
+    seeds AS (
+        SELECT CAST(row_number() OVER w - 1 AS BIGINT) AS cell, qv AS cv
+        FROM qz
+        WINDOW w AS (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        QUALIFY row_number() OVER w <= {num_cells}
+    ),
+    assign AS (
+        SELECT v.vec_id, s.cell, {d.format(a="v.qv", b="s.cv")} AS d
+        FROM qz v CROSS JOIN seeds s
+    ),
+    cellof AS (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rn
+            FROM assign
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rn
+            FROM assign WHERE vec_id < 20
+        ) WHERE rn <= {num_probe}
+    ),
+    ivf_scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                         * sqrt(list_dot_product(n.qv, n.qv)) > 0
+                    THEN list_dot_product(q.qv, n.qv)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(n.qv, n.qv)))
+                    ELSE 0.0 END AS qcos
+        FROM probes p
+        JOIN cellof c USING (cell)
+        JOIN qz q ON q.vec_id = p.query_id
+        JOIN qz n ON n.vec_id = c.neighbor_id
+        WHERE p.query_id <> c.neighbor_id
+    ),
+    ivf_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, neighbor_id) AS rn
+            FROM ivf_scored
+        ) WHERE rn <= {k}
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(floor(
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) * 1000.0 + 0.5
+           ) AS BIGINT) AS recall_milli
+    FROM ex_top e
+    LEFT JOIN ivf_top a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """
+
+
+@query("q_sim_recall_ivf", oracle=_sim_recall_ivf_oracle())
+def q_sim_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the integer IVF path vs the exact quantized top-5 —
+    q_sim_recall's measurement applied to the round-5 coarse-quantizer
+    twin, so BOTH bucketed ANN families now carry a bit-reproducible,
+    hash-gated recall table (LSH: q_sim_recall; IVF: this).  Probing
+    3 of 16 cells bounds the corpus fraction scanned; the recall number
+    quantifies what that buys back — regression-testable because every
+    input to it is integer-exact.
+
+    Plan: exact side broadcasts the 20-query sample against the corpus;
+    the IVF side is the cell equi-join; hits are one left join + a
+    per-query aggregate — the q_sim_recall posture unchanged."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk_quantized(vecs, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = (
+        similarity.ivf_topk_int(
+            vecs, queries, k=5, num_cells=16, num_probe=3
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = exact.join(ann, ["query_id", "neighbor_id"], "left")
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        n_hits.alias("n_hits"),
+        F.floor(
+            n_hits.cast("double") / F.count(F.lit(1)) * F.lit(1000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("recall_milli"),
+    )
+
+
 @query("q_sim_ann_int", oracle=_ann_int_oracle())
 def q_sim_ann_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN, end-to-end integer: ±1 planes turn the sign
@@ -2088,16 +2228,6 @@ def q_sim_ann_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
     queries = vecs.where(F.col("vec_id") < 20)
     return similarity.ann_topk_int(vecs, queries, k=5, num_planes=6)
-
-
-_QZ_CTE = """
-    qz AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
-                             AS BIGINT)) AS qv
-        FROM embeddings
-    )"""
 
 
 def _ivf_int_oracle(num_cells: int = 16, num_probe: int = 3, k: int = 5) -> str:

@@ -154,6 +154,7 @@ PROBES = [
     "q_knn_eval",
     "q_eval_auc",
     "q_calibration",
+    "q_sim_recall_ivf",
 ]
 
 
