@@ -155,6 +155,7 @@ PROBES = [
     "q_eval_auc",
     "q_calibration",
     "q_sim_recall_ivf",
+    "q_dedup_eval",
 ]
 
 
