@@ -26,15 +26,24 @@ _STREAM_DIRS: dict[tuple[str, str], str] = {}
 
 
 def _table_stream_dir(sf_dir: str, table: str) -> str:
-    """The file-stream source requires a *directory*; expose the single
-    parquet file through a symlink in a cached temp dir."""
+    """The file-stream source requires a *directory* of data files.
+
+    The driver's testdata exposes each table as a single parquet FILE —
+    symlink it into a cached temp dir.  Synthesized replica sets (the
+    scale probe) write tables as parquet DIRECTORIES of part files —
+    return the directory itself; a symlink to the directory would nest
+    it one level down where the non-recursive file stream lists zero
+    files and the query silently streams nothing (caught when the ×10
+    probe returned 0 rows)."""
     key = (sf_dir, table)
     if key not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="nes_stream_")
-        os.symlink(
-            f"{sf_dir}/{table}.parquet", os.path.join(d, f"{table}.parquet")
-        )
-        _STREAM_DIRS[key] = d
+        src = f"{sf_dir}/{table}.parquet"
+        if os.path.isdir(src):
+            _STREAM_DIRS[key] = src
+        else:
+            d = tempfile.mkdtemp(prefix="nes_stream_")
+            os.symlink(src, os.path.join(d, f"{table}.parquet"))
+            _STREAM_DIRS[key] = d
     return _STREAM_DIRS[key]
 
 

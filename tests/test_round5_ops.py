@@ -237,3 +237,36 @@ def test_semdedup_clusters_are_consistent(spark, sf_dir):
         kept = [m for m in members if m["kept"]]
         assert len(kept) == 1 and kept[0]["vec_id"] == cid
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_stream_dir_handles_directory_shaped_tables(spark, tmp_path):
+    """Replica sets write tables as parquet DIRECTORIES; the stream-dir
+    helper must expose the directory itself (a symlink would nest it
+    where the non-recursive file stream lists zero files — the ×10
+    probe silently streamed nothing before the fix)."""
+    import os
+
+    from nomad_event_streamer_spark.plans.streaming_queries import (
+        _table_stream_dir,
+    )
+
+    d = str(tmp_path)
+    spark.range(10).toDF("doc_id").withColumn(
+        "text", F.lit("alpha beta gamma delta")
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = _table_stream_dir(d, "documents")
+    assert os.path.isdir(out)
+    schema = spark.read.parquet(f"{d}/documents.parquet").schema
+    n = (
+        spark.readStream.schema(schema)
+        .parquet(out)
+        .groupBy()
+        .count()
+    )
+    # bounded run to memory mirrors the query path
+    from nomad_event_streamer_spark.plans.streaming_queries import (
+        _run_to_memory,
+    )
+
+    got = _run_to_memory(n, "complete").collect()[0][0]
+    assert got == 10
