@@ -1545,6 +1545,116 @@ def q_gram_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix_int(vecs, dim=64, scale=1000)
 
 
+_PCA_ITERS = 8
+_PCA_VSCALE = 1_000_000
+
+
+def _pca_power_int_oracle(iters: int = _PCA_ITERS, dim: int = 64) -> str:
+    """Unrolled fixed-point power iteration (the q_pagerank device
+    applied to PCA): integer Gram matvec per round, renormalized by
+    truncating division ``(gv * 1e6) // max|gv|``.  DuckDB's ``//``
+    TRUNCATES toward zero (unlike Python's floor ``//``) — the Spark
+    side mirrors with an explicit trunc-div on exact Python ints.
+    Intermediate products exceed int64 (gv·1e6 ~ 3e22); DuckDB's
+    BIGINT sums promote to HUGEINT, the Spark side uses unbounded
+    Python ints — both exact.  MATERIALIZED per round (each v_k feeds
+    the next matvec)."""
+    parts = [f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id, i, v[i + 1] AS x
+        FROM q CROSS JOIN range(0, {dim}) t(i)
+    ),
+    g AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS g
+        FROM u a JOIN u b USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    v_0 AS MATERIALIZED (
+        SELECT CAST(t.i AS BIGINT) AS i,
+               CAST({_PCA_VSCALE} AS HUGEINT) AS v
+        FROM range(0, {dim}) t(i)
+    )"""]
+    for k in range(iters):
+        parts.append(f""",
+    gv_{k} AS MATERIALIZED (
+        SELECT g.i, sum(g.g * v.v) AS gv
+        FROM g JOIN v_{k} v ON g.j = v.i
+        GROUP BY g.i
+    ),
+    v_{k + 1} AS MATERIALIZED (
+        SELECT gv_{k}.i, (gv * {_PCA_VSCALE}) // m.m AS v
+        FROM gv_{k}, (SELECT max(abs(gv)) AS m FROM gv_{k}) m
+    )""")
+    parts.append(f""",
+    sgn AS (
+        SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+        FROM v_{iters} ORDER BY abs(v) DESC, i LIMIT 1
+    )
+    SELECT v.i AS dim_i, CAST(v.v * sgn.s AS BIGINT) AS load_micro
+    FROM v_{iters} v, sgn
+    """)
+    return "".join(parts)
+
+
+@query("q_pca_power_int", oracle=_pca_power_int_oracle())
+def q_pca_power_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact top principal direction — the hash-verifiable twin
+    of q_pca_gram (which stays rows-only: float eigenvectors wobble
+    with summation order): 8 fixed-point power-iteration rounds on the
+    INTEGER Gram matrix, each round an exact integer matvec followed by
+    truncating-division renormalization to the 1e6 grid, sign
+    canonicalized by the max-|loading| entry.  Not a float PCA
+    approximation harness — a deterministic integer dynamical system
+    both engines step identically; its fixed point is the dominant
+    eigendirection on the 1e-6 grid, approached at the spectral-gap
+    rate (λ₁/λ₂)ᵏ.  Honesty note: the synthetic test embeddings are
+    near-isotropic (measured λ₁/λ₂ = 1.017 at sf0.01), so 8 rounds
+    reach only cosine 0.59 to the true top direction — the HASH-GATED
+    property is the exact integer stepping, not convergence; real
+    embedding distributions are strongly anisotropic and converge in a
+    handful of rounds (q_pca_gram's docstring carries the same
+    perturbation-theory caveat for the float path).
+
+    Scale: the data-sized work is ONE distributed pass
+    (gram_matrix_int: per-batch numpy matmul partials, combinable
+    (i,j,v) sums); iterations run on the dim×dim = 64×64 integer matrix
+    — driver microseconds at any corpus size, exact Python ints (the
+    oracle's HUGEINT mirror)."""
+    from ..operators.similarity import gram_matrix_int
+
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    rows = gram_matrix_int(vecs, dim=64, scale=1000).collect()
+    dim = 64
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        G[r["i"]][r["j"]] = int(r["g"])
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero, matching DuckDB's `//` (b > 0 here)
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    v = [_PCA_VSCALE] * dim
+    for _ in range(_PCA_ITERS):
+        gv = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in gv)
+        v = [tdiv(x * _PCA_VSCALE, m) for x in gv]
+    # canonical sign: the max-|v| entry (smallest index on ties) positive
+    pivot = min(range(dim), key=lambda i: (-abs(v[i]), i))
+    s = -1 if v[pivot] < 0 else 1
+    return spark.createDataFrame(
+        [(i, int(x * s)) for i, x in enumerate(v)],
+        "dim_i bigint, load_micro bigint",
+    )
+
+
 @query(
     "q_pack_sequences",
     oracle="""

@@ -156,6 +156,7 @@ PROBES = [
     "q_calibration",
     "q_sim_recall_ivf",
     "q_dedup_eval",
+    "q_pca_power_int",
 ]
 
 
