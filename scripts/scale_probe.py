@@ -251,14 +251,25 @@ def main() -> None:
         runs = ("cold", "warm") if name == "q_bucketed_join" else ("",)
         for run_label in runs:
             times = {}
+            empty = []
             for label, sf in [("small", SRC), ("big", dst_for(args.reps))]:
                 t0 = time.perf_counter()
                 queries[name](spark, sf).write.format("noop").mode("overwrite").save()
                 times[label] = time.perf_counter() - t0
+                # Silent-empty guard: a replica-set path bug can make a
+                # query "run" over zero rows and report a flattering
+                # ratio (q_stream_dedup_lsh streamed NOTHING at ×10
+                # through a symlinked directory before this check
+                # existed).  limit(1) is cheap; a timed run over an
+                # empty input is a lie, not a measurement.
+                if queries[name](spark, sf).limit(1).count() == 0:
+                    empty.append(label)
             ratio = times["big"] / max(times["small"], 1e-9)
             shown = f"{name}({run_label})" if run_label else name
+            flag = f"  !! EMPTY: {','.join(empty)}" if empty else ""
             print(
-                f"{shown:24s} {times['small']:8.2f} {times['big']:8.2f} {ratio:6.1f}x"
+                f"{shown:24s} {times['small']:8.2f} {times['big']:8.2f} "
+                f"{ratio:6.1f}x{flag}"
             )
 
 
