@@ -812,6 +812,16 @@ def pca_top_component(
     )
 
 
+# Default per-(table, bucket) membership cap for integer embedding LSH:
+# 64 buckets per table means bucket population grows linearly with the
+# corpus while candidate pairs grow QUADRATICALLY per bucket — a
+# fixed-plane index saturates.  The cap drops degenerate buckets before
+# pair expansion (the shingle joins' max_bucket device); production also
+# scales num_planes with log(corpus) to keep buckets sized.  256 never
+# triggers at test scale, so the hash oracles replicate it exactly.
+EMBED_MAX_BUCKET = 256
+
+
 def near_dup_pairs_int(
     vecs: DataFrame,
     threshold_milli: int = 350,
@@ -821,6 +831,7 @@ def near_dup_pairs_int(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = EMBED_MAX_BUCKET,
 ) -> DataFrame:
     """Integer-exact twin of ``near_dup_pairs`` (round 3): OR-amplified
     hyperplane LSH where BOTH the bucketing sign test and the cosine are
@@ -877,6 +888,14 @@ def near_dup_pairs_int(
         .cast("long")
         .alias("bucket")
     )
+    if max_bucket is not None:
+        ok = (
+            tabled.groupBy("t", "bucket")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .where(F.col("bn") <= max_bucket)
+            .select("t", "bucket")
+        )
+        tabled = tabled.join(ok, ["t", "bucket"], "left_semi")
     a = tabled.select(F.col("vid").alias("id_a"), "t", "bucket")
     bb = tabled.select(F.col("vid").alias("id_b"), "t", "bucket")
     pairs = (

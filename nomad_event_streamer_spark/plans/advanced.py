@@ -569,11 +569,15 @@ def _embed_int_body(
     num_tables: int = 3,
     num_planes: int = 6,
     dim: int = 64,
+    max_bucket: int | None = similarity.EMBED_MAX_BUCKET,
 ) -> str:
     """CTE body (z … scored) of the integer embedding near-dup pipeline
-    — shared by the pair oracle (q_dedup_embed_int) and the SemDeDup
-    cluster oracle (q_semdedup), so the candidate generation and
-    scoring can never drift between the two."""
+    — shared by the pair oracle (q_dedup_embed_int), the SemDeDup
+    cluster oracle (q_semdedup), and the label-propagation oracle, so
+    candidate generation and scoring can never drift between them.
+    ``max_bucket`` replicates the Spark-side skew cap exactly (the r03
+    containment-cap pattern): degenerate (table, bucket) groups are
+    dropped BEFORE pair expansion on both engines."""
     import hashlib as _hashlib
 
     pl_rows = ", ".join(
@@ -599,11 +603,17 @@ def _embed_int_body(
         SELECT vec_id, t, p, sum(s * x) AS d
         FROM comp JOIN pl USING (i) GROUP BY 1, 2, 3
     ),
-    buck AS (
+    buck0 AS (
         SELECT vec_id, t,
                CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
                    AS bucket
         FROM dots GROUP BY 1, 2
+    ),
+    bsz AS (SELECT t, bucket, count(*) AS bn FROM buck0 GROUP BY 1, 2),
+    buck AS (
+        SELECT b.vec_id, b.t, b.bucket
+        FROM buck0 b JOIN bsz USING (t, bucket)
+        WHERE bsz.bn <= {max_bucket if max_bucket is not None else 'bsz.bn'}
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

@@ -161,19 +161,44 @@ PROBES = [
 
 
 def synthesize(spark, reps: int) -> None:
+    # _done4: v4 layout (v3 + replica EMBEDDINGS are component-rotated
+    # by rep, so replica directions decorrelate; verbatim copies made
+    # every vector a 30-way exact near-dup and the embedding PAIR ops
+    # measured duplicate pathology — q_label_prop read 47.7x at x30 on
+    # v3 replicas purely because true pairs grow quadratically in copy
+    # count, the same effect the text-suffix rewrite already prevents
+    # for shingle ops.  Rotation preserves norms and per-component
+    # distributions; rep 0 keeps the originals bit-exact.)
     # _done3: v3 layout (customer replicated; names get a doubled-digit
     # suffix so cross-replica names sit at levenshtein 2, keeping the
     # distance-1 fuzzy join free of synthesizer-injected pairs)
     DST = dst_for(reps)
-    if os.path.exists(f"{DST}/_done3"):
+    if os.path.exists(f"{DST}/_done4"):
         return
     os.makedirs(DST, exist_ok=True)
     r = spark.range(reps).select(F.col("id").alias("rep"))
 
-    def replicate(name, id_cols, text_col=None, name_col=None, id_offset=10_000_000):
+    def replicate(
+        name,
+        id_cols,
+        text_col=None,
+        name_col=None,
+        rotate_col=None,
+        id_offset=10_000_000,
+    ):
         df = spark.read.parquet(f"{SRC}/{name}.parquet").crossJoin(r)
         for c in id_cols:
             df = df.withColumn(c, F.col(c) + F.col("rep") * id_offset)
+        if rotate_col:
+            k = f"(rep % {min(reps, 63)})"
+            df = df.withColumn(
+                rotate_col,
+                F.expr(
+                    f"concat(slice({rotate_col}, {k} + 1,"
+                    f" size({rotate_col}) - {k}),"
+                    f" slice({rotate_col}, 1, {k}))"
+                ),
+            )
         if text_col:
             df = df.withColumn(
                 text_col,
@@ -206,7 +231,7 @@ def synthesize(spark, reps: int) -> None:
 
     replicate("events", ["event_id"])  # user_id kept: keys stay 15, rows x10
     replicate("documents", ["doc_id"], text_col="text")
-    replicate("embeddings", ["vec_id"])
+    replicate("embeddings", ["vec_id"], rotate_col="embedding")
     replicate("lineitem", ["l_orderkey"])
     replicate("orders", ["o_orderkey", "o_custkey"])
     replicate("customer", ["c_custkey"], name_col="c_name")
@@ -214,7 +239,7 @@ def synthesize(spark, reps: int) -> None:
         spark.read.parquet(f"{SRC}/{small}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{DST}/{small}.parquet")
-    open(f"{DST}/_done3", "w").write("ok")
+    open(f"{DST}/_done4", "w").write("ok")
 
 
 def main() -> None:

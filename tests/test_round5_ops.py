@@ -270,3 +270,21 @@ def test_stream_dir_handles_directory_shaped_tables(spark, tmp_path):
 
     got = _run_to_memory(n, "complete").collect()[0][0]
     assert got == 10
+
+
+def test_embed_lsh_max_bucket_caps_degenerate_buckets(spark):
+    """300 identical vectors = one degenerate bucket per table; the cap
+    must drop it BEFORE pair expansion (0 candidates), while the
+    uncapped path would expand ~300²/2 pairs — the fixed-plane
+    saturation guard (production scales num_planes with log n; the cap
+    bounds the blast radius of whatever still collides)."""
+    from nomad_event_streamer_spark.operators import similarity
+
+    vecs = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 64).alias("embedding"),
+    )
+    capped = similarity.near_dup_pairs_int(vecs, max_bucket=10)
+    assert capped.count() == 0
+    uncapped = similarity.near_dup_pairs_int(vecs, max_bucket=None)
+    assert uncapped.count() == 300 * 299 // 2
