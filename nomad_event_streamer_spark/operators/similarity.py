@@ -812,16 +812,6 @@ def pca_top_component(
     )
 
 
-# Default per-(table, bucket) membership cap for integer embedding LSH:
-# 64 buckets per table means bucket population grows linearly with the
-# corpus while candidate pairs grow QUADRATICALLY per bucket — a
-# fixed-plane index saturates.  The cap drops degenerate buckets before
-# pair expansion (the shingle joins' max_bucket device); production also
-# scales num_planes with log(corpus) to keep buckets sized.  256 never
-# triggers at test scale, so the hash oracles replicate it exactly.
-EMBED_MAX_BUCKET = 256
-
-
 def near_dup_pairs_int(
     vecs: DataFrame,
     threshold_milli: int = 350,
@@ -831,7 +821,7 @@ def near_dup_pairs_int(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int | None = EMBED_MAX_BUCKET,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Integer-exact twin of ``near_dup_pairs`` (round 3): OR-amplified
     hyperplane LSH where BOTH the bucketing sign test and the cosine are
@@ -850,7 +840,19 @@ def near_dup_pairs_int(
     pair dedup by key and ONE vector re-join for scoring (the pair set
     is tiny next to the corpus; the float path's in-bucket matmul
     variant trades that join for applyInPandas — both shapes
-    documented)."""
+    documented).
+
+    Scale guards — two distinct failure modes, two distinct knobs:
+    hyperplane-LSH buckets are near-UNIFORM (corpus / 2^planes), so as
+    the corpus grows every bucket fattens together and candidate pairs
+    grow quadratically — the remedy is ``num_planes`` ∝ log(corpus)
+    (more planes = finer buckets), NOT a cap, which would silently
+    empty a saturated-but-healthy index.  ``max_bucket`` guards the
+    OTHER mode: duplicate pathology (verbatim copies pile into the same
+    bucket regardless of plane count — measured: un-decorrelated ×30
+    replicas made pair volume quadratic in copy count); a cap bounds
+    that blast radius, and the hash oracles replicate it exactly when
+    set."""
     import hashlib as _hashlib
 
     spark = vecs.sparkSession

@@ -569,7 +569,7 @@ def _embed_int_body(
     num_tables: int = 3,
     num_planes: int = 6,
     dim: int = 64,
-    max_bucket: int | None = similarity.EMBED_MAX_BUCKET,
+    max_bucket: int | None = None,
 ) -> str:
     """CTE body (z … scored) of the integer embedding near-dup pipeline
     — shared by the pair oracle (q_dedup_embed_int), the SemDeDup
