@@ -375,7 +375,13 @@ class Gen:
         if self.shape == "setop":
             exprs = [self.int_expr() for _ in range(self.rng.randint(1, 2))]
             where2 = self.pred()
-            op = self.rng.choice(["union", "intersect", "except"])
+            # DISTINCT and ALL (multiset) variants both fuzzed: bag
+            # semantics (intersect_all/except_all keep min/diff of
+            # multiplicities) is a subtle surface the distinct ops
+            # never touch.
+            op = self.rng.choice(
+                ["union", "intersect", "except", "intersect_all", "except_all"]
+            )
             cols = [e.col.alias(f"c{i}") for i, e in enumerate(exprs)]
             sels = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(exprs))
             base2 = self._spark_base(spark, sf_dir).where(where2.col)
@@ -384,9 +390,19 @@ class Gen:
                 df = d1.union(d2).distinct()
             elif op == "intersect":
                 df = d1.intersect(d2)  # INTERSECT DISTINCT semantics
-            else:
+            elif op == "except":
                 df = d1.subtract(d2)  # EXCEPT DISTINCT semantics
-            kw = {"union": "UNION", "intersect": "INTERSECT", "except": "EXCEPT"}
+            elif op == "intersect_all":
+                df = d1.intersectAll(d2)
+            else:
+                df = d1.exceptAll(d2)
+            kw = {
+                "union": "UNION",
+                "intersect": "INTERSECT",
+                "except": "EXCEPT",
+                "intersect_all": "INTERSECT ALL",
+                "except_all": "EXCEPT ALL",
+            }
             sql = (
                 f"SELECT {sels} FROM {self._sql_from()} WHERE {where.sql} "
                 f"{kw[op]} "
@@ -596,12 +612,28 @@ class Gen:
         df = base.groupBy(*key_cols).agg(*aggs_spark)
         key_sel = ", ".join(f"{s} AS {a}" for s, _, a in keys)
         group_by = ", ".join(s for s, _, _ in keys)
+        having_sql = ""
+        if self.rng.random() < 0.4:
+            # HAVING over post-aggregate values: exercises the
+            # filter-above-aggregate surface the fixed oracles use but
+            # the fuzzer never generated before round 5
+            hc = self.rng.randint(1, 40)
+            hop = self.rng.choice([">", ">=", "<>"])
+            df = df.where(
+                {
+                    ">": F.col("n") > hc,
+                    ">=": F.col("n") >= hc,
+                    "<>": F.col("n") != hc,
+                }[hop]
+            )
+            having_sql = f" HAVING count(*) {hop} {hc}"
         sql = (
             f"SELECT {key_sel}, count(*) AS n, "
             f"CAST(sum({s_expr.sql}) AS BIGINT) AS s, "
             f"min({mn_expr.sql}) AS mn, max({mn_expr.sql}) AS mx, "
             f"count(DISTINCT {dist_sql}) AS cd "
             f"FROM {self._sql_from()} WHERE {where.sql} GROUP BY {group_by}"
+            f"{having_sql}"
         )
         return df, sql
 
