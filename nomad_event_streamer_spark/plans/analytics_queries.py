@@ -896,3 +896,115 @@ def q_tdigest_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+@query(
+    "q_tdigest_merge",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    r AS (
+        SELECT flag, cents,
+               row_number() OVER (PARTITION BY flag
+                                  ORDER BY cents, l_orderkey, l_linenumber)
+                   AS rnk,
+               count(*) OVER (PARTITION BY flag) AS ng
+        FROM v
+    ),
+    gd AS (
+        SELECT flag, ((rnk - 1) * 32) // ng AS c_id,
+               CAST(count(*) AS BIGINT) AS w,
+               CAST(sum(cents) AS BIGINT) AS s,
+               min(cents) AS mn, max(cents) AS mx
+        FROM r GROUP BY 1, 2
+    ),
+    sorted AS (
+        SELECT *,
+               coalesce(sum(w) OVER (ORDER BY mn, mx, flag
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cum_before,
+               sum(w) OVER () AS n
+        FROM gd
+    )
+    SELECT CAST((cum_before * 32) // n AS BIGINT) AS m_id,
+           CAST(sum(w) AS BIGINT) AS weight,
+           CAST(sum(s) AS BIGINT) AS sum_cents,
+           min(mn) AS min_cents,
+           max(mx) AS max_cents
+    FROM sorted GROUP BY 1
+    """,
+)
+def q_tdigest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest MERGEABILITY demonstrated (the property q_tdigest_int's
+    centroid table claims): per-group digests (32 equi-depth integer
+    centroids per l_returnflag, built with PARTITIONED rank windows —
+    no global ordering needed for shard digests) merge into one global
+    digest by sorting the 96 centroids on their value ranges,
+    prefix-summing weights, and re-bucketing at the merged equal-weight
+    cuts — the t-digest cluster-merge step, all integer, bit-exact in
+    both engines.  The merged table approximates the direct global
+    digest (q_tdigest_int) with the standard merge error; the pytest
+    pins total-weight conservation and range nesting.
+
+    Scale: shard digests are the DISTRIBUTED output (one partitioned
+    window per shard key — this is how 1000 executors each summarize
+    their slice); the merge runs over shards × 32 centroid rows — a
+    bounded table (the ≤96-row partitionless prefix window is
+    offset-table-scale, same class as the bucketed prefix-sum offsets),
+    never the data."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wg = Window.partitionBy("flag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    ng = li.groupBy("flag").agg(F.count(F.lit(1)).alias("ng"))
+    r = li.withColumn("rnk", F.row_number().over(wg)).join(
+        F.broadcast(ng), "flag"
+    )
+    gd = (
+        r.select(
+            "flag",
+            F.expr("((rnk - 1) * 32) div ng").alias("c_id"),
+            "cents",
+        )
+        .groupBy("flag", "c_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.sum("cents").cast("long").alias("s"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        )
+    )
+    wsort = Window.orderBy("mn", "mx", "flag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = gd.agg(F.sum("w").cast("long").alias("n"))
+    sorted_ = gd.withColumn(
+        "cum_before", F.coalesce(F.sum("w").over(wsort), F.lit(0))
+    ).crossJoin(F.broadcast(tot))
+    return (
+        sorted_.select(
+            F.expr("(cum_before * 32) div n").cast("long").alias("m_id"),
+            "w",
+            "s",
+            "mn",
+            "mx",
+        )
+        .groupBy("m_id")
+        .agg(
+            F.sum("w").cast("long").alias("weight"),
+            F.sum("s").cast("long").alias("sum_cents"),
+            F.min("mn").alias("min_cents"),
+            F.max("mx").alias("max_cents"),
+        )
+    )

@@ -157,6 +157,7 @@ PROBES = [
     "q_sim_recall_ivf",
     "q_dedup_eval",
     "q_pca_power_int",
+    "q_tdigest_merge",
 ]
 
 

@@ -288,3 +288,26 @@ def test_embed_lsh_max_bucket_caps_degenerate_buckets(spark):
     assert capped.count() == 0
     uncapped = similarity.near_dup_pairs_int(vecs, max_bucket=None)
     assert uncapped.count() == 300 * 299 // 2
+
+
+def test_tdigest_merge_conserves_and_nests(spark, sf_dir):
+    """Merged shard digests must conserve total weight and value range
+    exactly; per-bucket stats approximate the direct global digest."""
+    direct = {
+        r["c_id"]: r for r in QUERIES["q_tdigest_int"](spark, sf_dir).collect()
+    }
+    merged = {
+        r["m_id"]: r
+        for r in QUERIES["q_tdigest_merge"](spark, sf_dir).collect()
+    }
+    n = load(spark, sf_dir, "lineitem").count()
+    assert sum(r["weight"] for r in merged.values()) == n
+    assert sum(r["sum_cents"] for r in merged.values()) == sum(
+        r["sum_cents"] for r in direct.values()
+    )
+    assert min(r["min_cents"] for r in merged.values()) == min(
+        r["min_cents"] for r in direct.values()
+    )
+    assert max(r["max_cents"] for r in merged.values()) == max(
+        r["max_cents"] for r in direct.values()
+    )
