@@ -1008,3 +1008,101 @@ def q_tdigest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_cents"),
         )
     )
+
+
+_SESSION_US = 300 * 1_000_000  # 5-minute activity half-open interval
+
+
+@query(
+    "q_interval_union",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {_SESSION_US} AS e
+        FROM events
+    ),
+    f AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) IS NULL
+                      OR s > max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS flag
+        FROM e
+    ),
+    g AS (
+        SELECT user_id, s, e,
+               sum(flag) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS isl
+        FROM f
+    ),
+    isl AS (
+        SELECT user_id, isl, min(s) AS mn, max(e) AS mx,
+               count(*) AS n_ev
+        FROM g GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(mx - mn) AS BIGINT) AS covered_us,
+           CAST(max(mx - mn) AS BIGINT) AS max_island_us,
+           CAST(sum(n_ev) AS BIGINT) AS n_events
+    FROM isl GROUP BY 1
+    """,
+)
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union / gaps-and-islands coverage: pad every event to a
+    5-minute half-open activity interval, merge overlaps per user, and
+    report island count, total covered time, and the longest island —
+    the "how much wall-clock was this user actually active" metric that
+    session padding + naive sums double-count.  Pure integer epoch
+    arithmetic under the full hash gate.
+
+    Algorithm: the classic cumulative-max sweep — an island starts
+    exactly where a start exceeds the running max of all prior ends
+    (window over (user, start, event_id); the event_id tiebreak makes
+    row order total, and equal-start rows can never open an island
+    apart, so island membership is order-invariant).  Plan: two
+    windows + two aggregations ALL partitioned by user_id — one hash
+    partitioning serves the entire chain, no cross-key shuffle.  At
+    100 TB each user's timeline sorts within its partition; skew is
+    bounded by per-user event counts, the same envelope q_sessionize
+    already carries."""
+    ev = events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + F.lit(_SESSION_US)).alias("e"),
+    )
+    order = [F.col("s").asc(), F.col("event_id").asc()]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = ev.withColumn(
+        "flag",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = flagged.withColumn("isl", F.sum("flag").over(w_run))
+    islands = grouped.groupBy("user_id", "isl").agg(
+        F.min("s").alias("mn"),
+        F.max("e").alias("mx"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("mx") - F.col("mn")).cast("long").alias("covered_us"),
+        F.max(F.col("mx") - F.col("mn")).cast("long").alias("max_island_us"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+    )

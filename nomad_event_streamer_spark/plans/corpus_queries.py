@@ -2192,3 +2192,69 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").alias("min_score"),
         F.max("score").alias("max_score"),
     )
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+    d AS (
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(n * (CASE WHEN n = 0 THEN 0
+                             ELSE length(bin(n)) END)) AS BIGINT) AS s
+        FROM tf GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST((CASE WHEN n_tokens = 0 THEN 0
+                 ELSE length(bin(n_tokens)) END) * n_tokens - s
+                AS BIGINT) AS bit_entropy,
+           CAST((n_distinct * 1000) // n_tokens AS BIGINT) AS ttr_milli
+    FROM d
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy + type-token ratio — the
+    lexical-diversity quality signal (low entropy = templated/repetitive
+    text, the Gopher repetition family's information-theoretic cousin).
+    Shannon entropy needs log2(N/n_w); the integer bit-length log
+    (`int_bit_length`, the q_unigram_surprisal device) makes the whole
+    signal exact-integer:
+        bit_entropy = sum_w n_w*(bitlen(N) - bitlen(n_w))
+                    = bitlen(N)*N - sum_w n_w*bitlen(n_w)
+    — one pass over per-doc term frequencies, fully hash-gated.
+
+    Plan: explode -> (doc_id, tok) count -> per-doc sum: two
+    aggregations, the second keyed on a prefix of the first's key, so
+    AQE coalesces them onto one partitioning.  No corpus-global state —
+    at 100 TB this is embarrassingly parallel per document."""
+    from ..operators.sketch import int_bit_length
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    d = tf.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("n") * int_bit_length(F.col("n")))
+        .cast("long")
+        .alias("s"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (int_bit_length(F.col("n_tokens")) * F.col("n_tokens") - F.col("s"))
+        .cast("long")
+        .alias("bit_entropy"),
+        F.expr("(n_distinct * 1000) div n_tokens")
+        .cast("long")
+        .alias("ttr_milli"),
+    )

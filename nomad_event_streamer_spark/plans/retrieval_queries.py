@@ -1,0 +1,336 @@
+"""Hybrid-retrieval serving and ranking-evaluation queries (SURVEY.md
+§2.12, round-5 additions): reciprocal-rank fusion of the lexical (BM25)
+and semantic (integer-cosine) top-k lists, and an integer-exact NDCG@10
+retrieval scorecard.
+
+These are the serving/evaluation complement of the index-construction
+family (`q_inverted_index`, `q_search_topk`, `q_sim_topk_int`): a
+training-data curation stack retrieves with BOTH a term index and an
+embedding index, fuses the lists, and gates deployments on a ranking
+metric.  Everything here is integer arithmetic (micro-quantized RRF
+mass, bit-identical quantized cosine, literal micro-discount tables),
+so the full retrieval + evaluation surface sits under the DuckDB value-
+hash gate — a ranking regression fails the hash, not an eyeball.
+
+None of this exists in the reference (a single-stream Ruby event relay,
+`app.rb:1-278`); these are EXT operators mandated by the 100 TB
+training-data north star.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators import similarity
+from ..tables import load, rebalance_for_cpu
+from .registry import ORACLES, query
+
+# The lexical list is q_search_topk's exact output (function AND oracle
+# are reused, not copied): three multi-term queries, BM25-scored, top-5
+# per query with a (score desc, doc_id) tiebreak.
+from .llm_ops import q_search_topk  # noqa: E402
+
+_RRF_K = 60  # Cormack/Clarke/Buettcher 2009's constant
+_RRF_SCALE = 1_000_000
+# Semantic anchors: query_id q is served by the embedding of vec 100+q
+# (the anchor doc IS the query, so the shared quantized-cosine tail's
+# self-exclusion drops exactly the anchor from its own result list).
+_SEM_ANCHOR_OFFSET = 100
+_SEM_QUERY_IDS = (1, 2, 3)
+
+# NDCG@10 discount table: d_i = floor(1e6 / log2(i+1) + 0.5), computed
+# ONCE in Python and inlined as integer literals in BOTH engines, so no
+# engine evaluates a float log in the query itself.
+_NDCG_K = 10
+_NDCG_N_QUERIES = 50
+_DISCOUNT_MICRO = [
+    int(math.floor(1e6 / math.log2(i + 1) + 0.5))
+    for i in range(1, _NDCG_K + 1)
+]
+# _IDCG_PREFIX[m] = sum of the first m discounts (ideal DCG when m
+# relevant items are available); index 0 = 0 so a query whose label is
+# unique in the corpus gets idcg 0 -> ndcg 0 instead of a div-by-zero.
+_IDCG_PREFIX = [0]
+for _d in _DISCOUNT_MICRO:
+    _IDCG_PREFIX.append(_IDCG_PREFIX[-1] + _d)
+
+
+def _sem_topk_cte(query_pred: str, k: int) -> str:
+    """Quantized-cosine top-k CTE chain (the q_sim_topk_int oracle
+    pattern — kept in lockstep with operators.similarity's shared
+    `_quantized_score_topk` tail): membership by UNROUNDED rank, then a
+    deterministic re-rank of the survivors on the 6dp-rounded score
+    (what the Spark side exposes), tie-broken by neighbor id."""
+    return f"""
+    qz AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings WHERE {query_pred}
+    ),
+    cz AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS cv
+        FROM embeddings
+    ),
+    sem_scored AS (
+        SELECT query_id, neighbor_id,
+               CASE WHEN sqrt(list_dot_product(qv, qv))
+                         * sqrt(list_dot_product(cv, cv)) > 0
+                    THEN list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv)))
+                    ELSE 0.0 END AS qcos
+        FROM cz CROSS JOIN qz
+        WHERE query_id <> neighbor_id
+    ),
+    sem_member AS (
+        SELECT query_id, neighbor_id,
+               CAST(floor(qcos * 1000000.0 + 0.5) AS BIGINT) AS qcos_micro
+        FROM (
+            SELECT query_id, neighbor_id, qcos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, neighbor_id) AS rn
+            FROM sem_scored
+        ) WHERE rn <= {k}
+    ),
+    sem_ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qcos_micro DESC, neighbor_id)
+                   AS sem_rank
+        FROM sem_member
+    )
+    """
+
+
+def _sem_topk_spark(
+    vecs: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Spark twin of `_sem_topk_cte`: quantized-exact top-k membership,
+    then re-rank on the rounded score the operator exposes."""
+    topk = similarity.cosine_topk_quantized(vecs, queries, k=k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.floor(F.col("qcos") * F.lit(1e6) + F.lit(0.5)).desc(),
+        F.col("neighbor_id").asc(),
+    )
+    return topk.withColumn("sem_rank", F.row_number().over(w))
+
+
+def _rrf_oracle() -> str:
+    anchors = ", ".join(
+        str(q + _SEM_ANCHOR_OFFSET) for q in _SEM_QUERY_IDS
+    )
+    return f"""
+    WITH lex AS (
+        SELECT query_id, doc_id, rank AS lex_rank
+        FROM ({ORACLES["q_search_topk"]})
+    ),
+    {_sem_topk_cte(f"vec_id IN ({anchors})", 5)},
+    sem AS (
+        SELECT query_id - {_SEM_ANCHOR_OFFSET} AS query_id,
+               neighbor_id AS doc_id, sem_rank
+        FROM sem_ranked
+    ),
+    fused AS (
+        SELECT coalesce(l.query_id, s.query_id) AS query_id,
+               coalesce(l.doc_id, s.doc_id) AS doc_id,
+               CAST((l.lex_rank IS NOT NULL)::INT
+                    + (s.sem_rank IS NOT NULL)::INT AS BIGINT) AS n_lists,
+               CAST(coalesce({_RRF_SCALE} // ({_RRF_K} + l.lex_rank), 0)
+                    + coalesce({_RRF_SCALE} // ({_RRF_K} + s.sem_rank), 0)
+                    AS BIGINT) AS rrf_micro
+        FROM lex l FULL OUTER JOIN sem s
+          ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+    )
+    SELECT query_id, doc_id, n_lists, rrf_micro,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_micro DESC, doc_id)
+                AS BIGINT) AS fused_rank
+    FROM fused
+    """
+
+
+@query("q_rrf_fusion", oracle=_rrf_oracle())
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search serving: reciprocal-rank fusion (Cormack et al.
+    2009) of the lexical BM25 top-5 (`q_search_topk`'s exact list) and
+    the semantic quantized-cosine top-5 anchored at vec 100+query_id.
+    RRF mass is micro-quantized integer division —
+    `1e6 div (60 + rank)` — so fused scores, list-membership counts,
+    and the fused ranking are all bit-reproducible and fully under the
+    value-hash gate.
+
+    Scale: both input lists are per-query top-k (k=5) — the fusion
+    full-outer join and re-rank touch k-sized lists per query, never
+    the corpus; corpus-proportional work stays inside the two upstream
+    retrieval plans (BM25: postings-sized rows; cosine: broadcast
+    queries, one corpus stream).  At 100 TB fusion cost is
+    O(queries x k): serving-path arithmetic, not a data-scale join."""
+    lex = q_search_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    anchor_ids = [q + _SEM_ANCHOR_OFFSET for q in _SEM_QUERY_IDS]
+    sem = (
+        _sem_topk_spark(
+            vecs, vecs.where(F.col("vec_id").isin(anchor_ids)), k=5
+        )
+        .select(
+            (F.col("query_id") - _SEM_ANCHOR_OFFSET).alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "sem_rank",
+        )
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + lex_rank)"), F.lit(0)
+    ) + F.coalesce(
+        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + sem_rank)"), F.lit(0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("lex_rank").isNotNull().cast("int")
+                + F.col("sem_rank").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("n_lists"),
+            rrf.cast("long").alias("rrf_micro"),
+        )
+        .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def _ndcg_oracle() -> str:
+    disc = ", ".join(str(d) for d in _DISCOUNT_MICRO)
+    pref = ", ".join(str(p) for p in _IDCG_PREFIX)
+    return f"""
+    WITH {_sem_topk_cte(f"vec_id < {_NDCG_N_QUERIES}", _NDCG_K)},
+    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS l FROM embeddings),
+    hits AS (
+        SELECT r.query_id, r.sem_rank,
+               CAST(nl.l = ql.l AS BIGINT) AS rel
+        FROM sem_ranked r
+        JOIN lab nl ON nl.vec_id = r.neighbor_id
+        JOIN lab ql ON ql.vec_id = r.query_id
+    ),
+    dcg AS (
+        SELECT query_id,
+               CAST(sum(rel) AS BIGINT) AS n_rel_ret,
+               CAST(sum(rel * list_extract([{disc}], sem_rank))
+                    AS BIGINT) AS dcg_micro
+        FROM hits GROUP BY query_id
+    ),
+    pool AS (
+        SELECT q.vec_id AS query_id, CAST(count(c.vec_id) AS BIGINT)
+                   AS n_rel_total
+        FROM lab q LEFT JOIN lab c
+          ON c.l = q.l AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_NDCG_N_QUERIES}
+        GROUP BY q.vec_id
+    )
+    SELECT d.query_id, p.n_rel_total, d.n_rel_ret, d.dcg_micro,
+           CAST(CASE WHEN p.n_rel_total = 0 THEN 0
+                ELSE (d.dcg_micro * 1000000)
+                     // list_extract([{pref}],
+                            least(p.n_rel_total, {_NDCG_K}) + 1)
+                END AS BIGINT) AS ndcg_micro
+    FROM dcg d JOIN pool p USING (query_id)
+    """
+
+
+@query("q_ndcg_int", oracle=_ndcg_oracle())
+def q_ndcg_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact NDCG@10 retrieval scorecard: for each of the first
+    50 vectors as queries, retrieve top-10 by quantized-exact cosine,
+    mark a hit when the neighbor's class label matches the query's, and
+    score DCG with a literal micro-discount table
+    (`floor(1e6/log2(i+1)+0.5)`, computed once in Python and inlined in
+    BOTH engines).  IDCG uses the prefix-sum of the same table at
+    `min(available_relevant, 10)`, so NDCG = `dcg*1e6 div idcg` is a
+    pure integer — the retrieval-quality gate a curation pipeline can
+    hash-verify in CI rather than eyeballing a float dashboard.
+
+    Scale: retrieval reuses the broadcast-queries / one-corpus-stream
+    cosine plan; the relevance join is against the label table keyed by
+    vec_id (k rows per query); the relevant-pool count groups the label
+    table by label — one agg over the corpus.  Nothing here is
+    all-pairs; query count scales the work linearly."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < _NDCG_N_QUERIES)
+    ranked = _sem_topk_spark(vecs, queries, k=_NDCG_K)
+    lab = vecs.select(
+        F.col("vec_id"), F.col("label").cast("long").alias("l")
+    )
+    disc_arr = F.array(*[F.lit(d) for d in _DISCOUNT_MICRO])
+    hits = (
+        ranked.join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("l").alias("nl"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("query_id"), F.col("l").alias("ql")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            (F.col("nl") == F.col("ql")).cast("long").alias("rel"),
+            F.element_at(disc_arr, F.col("sem_rank"))
+            .cast("long")
+            .alias("disc"),
+        )
+    )
+    dcg = hits.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel_ret"),
+        F.sum(F.col("rel") * F.col("disc")).cast("long").alias("dcg_micro"),
+    )
+    pool_counts = lab.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_label")
+    )
+    pool = (
+        lab.where(F.col("vec_id") < _NDCG_N_QUERIES)
+        .join(F.broadcast(pool_counts), "l")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            # exclude the query itself from its own relevant pool
+            (F.col("n_label") - 1).cast("long").alias("n_rel_total"),
+        )
+    )
+    pref_arr = F.array(*[F.lit(p) for p in _IDCG_PREFIX])
+    idcg = F.element_at(
+        pref_arr,
+        (F.least(F.col("n_rel_total"), F.lit(_NDCG_K)) + 1).cast("int"),
+    )
+    return (
+        dcg.join(pool, "query_id")
+        .withColumn("idcg_micro", idcg.cast("long"))
+        .select(
+            "query_id",
+            "n_rel_total",
+            "n_rel_ret",
+            "dcg_micro",
+            # idcg_micro = 0 iff n_rel_total = 0 (prefix[0] is the only
+            # zero entry) — same guard the oracle states on n_rel_total.
+            F.when(F.col("idcg_micro") == 0, F.lit(0))
+            .otherwise(F.expr("(dcg_micro * 1000000) div idcg_micro"))
+            .cast("long")
+            .alias("ndcg_micro"),
+        )
+    )

@@ -253,3 +253,191 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _sketch_jaccard_oracle() -> str:
+    reg = sketch.hll_registers_oracle_sql(
+        "SELECT source, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents",
+        ["source"],
+        "tok",
+        p=_HLL_P,
+    )
+    den_expr = (
+        f"CAST(({_HLL_M} - count(*)) * {1 << 53}"
+        f" + sum((1::BIGINT << 53) >> CAST(max_rho AS INTEGER)) AS BIGINT)"
+    )
+    est = "{num} / CAST({den} AS DOUBLE)".format
+    ea = est(num=_HLL_NUM, den="da.den")
+    eb = est(num=_HLL_NUM, den="db.den")
+    eu = est(num=_HLL_NUM, den="ud.den_u")
+    from ..tables import ORACLE_ROUND4
+
+    jac = ORACLE_ROUND4.format(x=f"((({ea}) + ({eb}) - ({eu})) / ({eu}))")
+    return f"""
+    WITH reg AS ({reg}),
+    den AS (
+        SELECT source, {den_expr} AS den FROM reg GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM den a, den b WHERE a.source < b.source
+    ),
+    u AS (
+        SELECT p.source_a, p.source_b, r.bucket,
+               max(r.max_rho) AS max_rho
+        FROM pairs p JOIN reg r
+          ON r.source = p.source_a OR r.source = p.source_b
+        GROUP BY 1, 2, 3
+    ),
+    ud AS (
+        SELECT source_a, source_b,
+               CAST(count(*) AS BIGINT) AS n_filled_union,
+               {den_expr} AS den_u
+        FROM u GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT DISTINCT source, tok FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_set
+           FROM st GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT ud.source_a, ud.source_b, ud.n_filled_union,
+           {ea} AS est_a, {eb} AS est_b, {eu} AS est_union,
+           {jac} AS jaccard_est,
+           CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+           CAST(sa.n_set + sb.n_set - coalesce(i.n_inter, 0)
+                AS BIGINT) AS n_union,
+           CAST((coalesce(i.n_inter, 0) * 1000)
+                // (sa.n_set + sb.n_set - coalesce(i.n_inter, 0))
+                AS BIGINT) AS jaccard_milli
+    FROM ud
+    JOIN den da ON da.source = ud.source_a
+    JOIN den db ON db.source = ud.source_b
+    JOIN sc sa ON sa.source = ud.source_a
+    JOIN sc sb ON sb.source = ud.source_b
+    LEFT JOIN inter i
+      ON i.source_a = ud.source_a AND i.source_b = ud.source_b
+    """
+
+
+@query("q_sketch_jaccard", oracle=_sketch_jaccard_oracle())
+def q_sketch_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based set similarity: pairwise Jaccard between per-source
+    token SETS estimated from mergeable HLL registers — union cardinality
+    comes from element-wise register max (|A∪B| via one sketch merge),
+    intersection by inclusion-exclusion, so source-pair similarity needs
+    NO pair join over values: at 100 TB each corpus partition
+    contributes register partials once, and every pairwise similarity is
+    computed over m=256-row register tables.  Registers, denominators,
+    and counts are exact integers; the estimates are the q_hll_estimate
+    device (one shared alpha*m^2*2^53 literal, a single IEEE division),
+    and jaccard_est is a fixed IEEE expression tree both engines evaluate
+    bit-identically before portable 4dp rounding — all under the full
+    hash gate.  The exact per-pair Jaccard (distinct-token join, bounded
+    by vocabulary) rides along so the sketch's error is itself a
+    verifiable, regression-testable quantity."""
+    from ..tables import round4
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    reg = sketch.hll_registers(toks, ["source"], "tok", p=_HLL_P)
+
+    filled = F.count(F.lit(1))
+    denom = (F.lit(_HLL_M) - filled) * F.lit(1 << 53) + F.sum(
+        F.expr(f"shiftright({1 << 53}L, cast(max_rho AS INT))")
+    )
+    den = reg.groupBy("source").agg(denom.cast("long").alias("den"))
+
+    pairs = (
+        den.select(F.col("source").alias("source_a"))
+        .crossJoin(F.broadcast(den.select(F.col("source").alias("source_b"))))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    ra = reg.select(
+        F.col("source").alias("source_a"), "bucket", "max_rho"
+    )
+    rb = reg.select(
+        F.col("source").alias("source_b"), "bucket", "max_rho"
+    )
+    u = (
+        pairs.join(ra, "source_a")
+        .select("source_a", "source_b", "bucket", "max_rho")
+        .unionByName(
+            pairs.join(rb, "source_b").select(
+                "source_a", "source_b", "bucket", "max_rho"
+            )
+        )
+        .groupBy("source_a", "source_b", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    ud = u.groupBy("source_a", "source_b").agg(
+        filled.cast("long").alias("n_filled_union"),
+        denom.cast("long").alias("den_u"),
+    )
+
+    st = toks.distinct()
+    sc = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_set")
+    )
+    inter = (
+        st.select(F.col("source").alias("source_a"), "tok")
+        .join(st.select(F.col("source").alias("source_b"), "tok"), "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+
+    num = F.lit(float(_HLL_NUM))
+    joined = (
+        ud.join(
+            F.broadcast(den.select(F.col("source").alias("source_a"),
+                                   F.col("den").alias("den_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(den.select(F.col("source").alias("source_b"),
+                                   F.col("den").alias("den_b"))),
+            "source_b",
+        )
+        .join(
+            F.broadcast(sc.select(F.col("source").alias("source_a"),
+                                  F.col("n_set").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sc.select(F.col("source").alias("source_b"),
+                                  F.col("n_set").alias("n_b"))),
+            "source_b",
+        )
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+    )
+    est_a = num / F.col("den_a").cast("double")
+    est_b = num / F.col("den_b").cast("double")
+    est_u = num / F.col("den_u").cast("double")
+    return joined.select(
+        "source_a",
+        "source_b",
+        "n_filled_union",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        round4((est_a + est_b - est_u) / est_u).alias("jaccard_est"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .cast("long")
+        .alias("n_union"),
+        F.expr("(n_inter * 1000) div (n_a + n_b - n_inter)")
+        .cast("long")
+        .alias("jaccard_milli"),
+    )
