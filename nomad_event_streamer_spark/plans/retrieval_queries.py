@@ -334,3 +334,232 @@ def q_ndcg_int(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg_micro"),
         )
     )
+
+
+# MMR diversification: lambda = 0.7 kept as the exact rational 7/10 —
+# scores compare by the integer numerator 7*rel - 3*maxsim (monotone in
+# MMR), so no division ever happens.
+_MMR_K_CAND = 8
+_MMR_PICKS = 4
+
+_SIM_SQL = (
+    "CAST(floor((CASE WHEN sqrt(list_dot_product({a}.cv, {a}.cv))"
+    " * sqrt(list_dot_product({b}.cv, {b}.cv)) > 0"
+    " THEN list_dot_product({a}.cv, {b}.cv)"
+    " / (sqrt(list_dot_product({a}.cv, {a}.cv))"
+    " * sqrt(list_dot_product({b}.cv, {b}.cv)))"
+    " ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def _mmr_oracle() -> str:
+    anchors = ", ".join(
+        str(q + _SEM_ANCHOR_OFFSET) for q in _SEM_QUERY_IDS
+    )
+    ctes = [
+        _sem_topk_cte(f"vec_id IN ({anchors})", _MMR_K_CAND).strip(),
+        """cand AS (
+        SELECT query_id, neighbor_id, qcos_micro AS rel_micro
+        FROM sem_member
+    )""",
+        """cv AS (
+        SELECT c.query_id, c.neighbor_id, c.rel_micro, z.cv
+        FROM cand c JOIN cz z ON z.neighbor_id = c.neighbor_id
+    )""",
+        f"""psim AS (
+        SELECT a.query_id, a.neighbor_id AS id1, b.neighbor_id AS id2,
+               {_SIM_SQL.format(a='a', b='b')} AS sim_micro
+        FROM cv a JOIN cv b
+          ON a.query_id = b.query_id
+         AND a.neighbor_id <> b.neighbor_id
+    )""",
+        """sel1 AS (
+        SELECT query_id, neighbor_id, rel_micro,
+               CAST(0 AS BIGINT) AS maxsim_micro,
+               CAST(7 * rel_micro AS BIGINT) AS mmr10_micro,
+               CAST(1 AS BIGINT) AS pick_rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY rel_micro DESC, neighbor_id) AS rn
+              FROM cand)
+        WHERE rn = 1
+    )""",
+    ]
+    prev_union = "SELECT query_id, neighbor_id FROM sel1"
+    for t in range(2, _MMR_PICKS + 1):
+        ctes.append(f"""seen{t} AS ({prev_union})""")
+        ctes.append(f"""scored{t} AS (
+        SELECT c.query_id, c.neighbor_id, c.rel_micro,
+               max(p.sim_micro) AS maxsim
+        FROM cand c
+        JOIN psim p ON p.query_id = c.query_id
+                   AND p.id1 = c.neighbor_id
+        JOIN seen{t} s ON s.query_id = p.query_id
+                      AND s.neighbor_id = p.id2
+        WHERE NOT EXISTS (SELECT 1 FROM seen{t} x
+                          WHERE x.query_id = c.query_id
+                            AND x.neighbor_id = c.neighbor_id)
+        GROUP BY 1, 2, 3
+    )""")
+        ctes.append(f"""sel{t} AS (
+        SELECT query_id, neighbor_id, rel_micro,
+               CAST(maxsim AS BIGINT) AS maxsim_micro,
+               CAST(7 * rel_micro - 3 * maxsim AS BIGINT) AS mmr10_micro,
+               CAST({t} AS BIGINT) AS pick_rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY 7 * rel_micro - 3 * maxsim DESC, neighbor_id)
+                  AS rn
+              FROM scored{t})
+        WHERE rn = 1
+    )""")
+        prev_union += f" UNION ALL SELECT query_id, neighbor_id FROM sel{t}"
+    finals = " UNION ALL ".join(
+        f"SELECT query_id - {_SEM_ANCHOR_OFFSET} AS query_id, pick_rank,"
+        f" neighbor_id AS doc_id, rel_micro, maxsim_micro, mmr10_micro"
+        f" FROM sel{t}"
+        for t in range(1, _MMR_PICKS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+@query("q_mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998) of the semantic top-8: greedily pick 4 results per
+    query maximizing ``lambda*rel - (1-lambda)*max_sim_to_selected``
+    with lambda=0.7 kept as the exact rational 7/10 — scores compare by
+    the integer numerator ``7*rel_micro - 3*maxsim_micro``, so the
+    whole greedy trajectory (picks, ranks, margins) is bit-reproducible
+    and under the full hash gate.  The greedy loop is UNROLLED into 4
+    deterministic selection stages in BOTH engines (the q_pagerank /
+    q_pca_power_int unrolled-iteration technique), tie-broken by
+    neighbor id.
+
+    Scale: candidate generation reuses the broadcast-queries one-
+    corpus-stream cosine plan; everything after operates on k=8 rows
+    per query (pairwise k^2 similarity, then 4 argmax windows over
+    <=8-row groups) — serving-path arithmetic whose cost scales with
+    query count, never corpus size."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    anchor_ids = [q + _SEM_ANCHOR_OFFSET for q in _SEM_QUERY_IDS]
+    anchors = vecs.where(F.col("vec_id").isin(anchor_ids))
+    topk = similarity.cosine_topk_quantized(
+        vecs, anchors, k=_MMR_K_CAND
+    )
+    # k-sized per query; checkpoint so the 4 unrolled greedy stages
+    # reuse the one corpus-scan candidate generation instead of
+    # recomputing it per branch (the dedup.py Pregel-loop practice)
+    cand = topk.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("qcos") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("rel_micro"),
+    ).localCheckpoint(eager=True)
+    qv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity.quantize_vec(F.col("embedding")).alias("cv"),
+    )
+    cv = cand.join(qv, "neighbor_id").select(
+        "query_id", "neighbor_id", "rel_micro", "cv"
+    )
+    a = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("id1"),
+        F.col("cv").alias("cv1"),
+    )
+    b = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("id2"),
+        F.col("cv").alias("cv2"),
+    )
+    dot = similarity._int_dot(F.col("cv1"), F.col("cv2")).cast("double")
+    den = F.sqrt(
+        similarity._int_dot(F.col("cv1"), F.col("cv1")).cast("double")
+    ) * F.sqrt(
+        similarity._int_dot(F.col("cv2"), F.col("cv2")).cast("double")
+    )
+    sim = F.when(den > 0, dot / den).otherwise(F.lit(0.0))
+    psim = (
+        a.join(b, "query_id")
+        .where(F.col("id1") != F.col("id2"))
+        .select(
+            "query_id",
+            "id1",
+            "id2",
+            F.floor(sim * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("sim_micro"),
+        )
+        .localCheckpoint(eager=True)  # k^2 rows per query
+    )
+
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel_micro").desc(), F.col("neighbor_id").asc()
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rel_micro",
+            F.lit(0).cast("long").alias("maxsim_micro"),
+            (F.lit(7) * F.col("rel_micro"))
+            .cast("long")
+            .alias("mmr10_micro"),
+            F.lit(1).cast("long").alias("pick_rank"),
+        )
+    )
+    picks = [sel]
+    seen = sel.select("query_id", "neighbor_id")
+    for t in range(2, _MMR_PICKS + 1):
+        rem = cand.join(seen, ["query_id", "neighbor_id"], "left_anti")
+        ms = (
+            psim.join(
+                seen.withColumnRenamed("neighbor_id", "id2"),
+                ["query_id", "id2"],
+            )
+            .groupBy("query_id", "id1")
+            .agg(F.max("sim_micro").alias("maxsim"))
+            .withColumnRenamed("id1", "neighbor_id")
+        )
+        scored = rem.join(ms, ["query_id", "neighbor_id"])
+        w_mmr = Window.partitionBy("query_id").orderBy(
+            (F.lit(7) * F.col("rel_micro") - F.lit(3) * F.col("maxsim"))
+            .desc(),
+            F.col("neighbor_id").asc(),
+        )
+        sel_t = (
+            scored.withColumn("rn", F.row_number().over(w_mmr))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rel_micro",
+                F.col("maxsim").cast("long").alias("maxsim_micro"),
+                (
+                    F.lit(7) * F.col("rel_micro")
+                    - F.lit(3) * F.col("maxsim")
+                )
+                .cast("long")
+                .alias("mmr10_micro"),
+                F.lit(t).cast("long").alias("pick_rank"),
+            )
+        )
+        picks.append(sel_t)
+        seen = seen.unionByName(
+            sel_t.select("query_id", "neighbor_id")
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        (F.col("query_id") - _SEM_ANCHOR_OFFSET).alias("query_id"),
+        "pick_rank",
+        F.col("neighbor_id").alias("doc_id"),
+        "rel_micro",
+        "maxsim_micro",
+        "mmr10_micro",
+    )

@@ -160,3 +160,110 @@ def test_token_entropy_counts_match_text_stats(spark, sf_dir):
         for r in QUERIES["q_token_entropy"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# q_sketch_jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_jaccard_pairs_and_domains(spark, sf_dir):
+    from nomad_event_streamer_spark.tables import load
+
+    rows = QUERIES["q_sketch_jaccard"](spark, sf_dir).collect()
+    n_sources = (
+        load(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["n_inter"] <= r["n_union"]
+        assert 0 <= r["jaccard_milli"] <= 1000
+        # union registers are element-wise max -> union estimate can
+        # never fall below either side's estimate
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-9
+        assert r["n_filled_union"] >= 1
+
+
+def test_sketch_jaccard_tracks_exact(spark, sf_dir):
+    """The m=256 sketch estimate must stay within a coarse error band
+    of the exact Jaccard (each HLL estimate carries ~1.04/sqrt(256)
+    ~ 6.5% relative error; inclusion-exclusion of three estimates
+    amplifies it, so the band is wide but must NOT be vacuous)."""
+    rows = QUERIES["q_sketch_jaccard"](spark, sf_dir).collect()
+    worst = max(
+        abs(r["jaccard_est"] * 1000 - r["jaccard_milli"]) for r in rows
+    )
+    assert worst < 400, worst
+
+
+# ---------------------------------------------------------------------------
+# q_mmr_rerank
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_trajectory_shape_and_monotonicity(spark, sf_dir):
+    from nomad_event_streamer_spark.plans.retrieval_queries import (
+        _MMR_PICKS,
+        _SEM_QUERY_IDS,
+    )
+
+    rows = QUERIES["q_mmr_rerank"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(_SEM_QUERY_IDS)
+    for q, picks in by_q.items():
+        picks.sort(key=lambda r: r["pick_rank"])
+        assert [p["pick_rank"] for p in picks] == list(
+            range(1, _MMR_PICKS + 1)
+        )
+        # picks are distinct documents
+        assert len({p["doc_id"] for p in picks}) == _MMR_PICKS
+        # from pick 2 on, the pool shrinks and each candidate's
+        # maxsim-to-selected only grows, so greedy scores are
+        # non-increasing.  (Pick 1 is excluded: it pays no diversity
+        # term, and cosine maxsim can be NEGATIVE, so pick 2's
+        # 7*rel - 3*maxsim may legitimately exceed 7*rel_top1.)
+        scores = [p["mmr10_micro"] for p in picks[1:]]
+        assert scores == sorted(scores, reverse=True), (q, scores)
+        # first pick pays no diversity penalty; later picks carry a
+        # real (possibly negative) similarity to the selected set
+        assert picks[0]["maxsim_micro"] == 0
+        assert all(p["maxsim_micro"] != 0 for p in picks[1:])
+        # arithmetic consistency of every emitted margin
+        for p in picks:
+            assert (
+                p["mmr10_micro"]
+                == 7 * p["rel_micro"] - 3 * p["maxsim_micro"]
+            )
+
+
+def test_mmr_first_pick_is_semantic_top1(spark, sf_dir):
+    """Pick 1 must be the plain relevance argmax — MMR only reshuffles
+    subsequent picks."""
+    from nomad_event_streamer_spark.plans.retrieval_queries import (
+        _SEM_ANCHOR_OFFSET,
+        _SEM_QUERY_IDS,
+    )
+    from nomad_event_streamer_spark.operators import similarity
+    from nomad_event_streamer_spark.tables import load, rebalance_for_cpu
+
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    anchors = vecs.where(
+        F.col("vec_id").isin(
+            [q + _SEM_ANCHOR_OFFSET for q in _SEM_QUERY_IDS]
+        )
+    )
+    top1 = {
+        r["query_id"] - _SEM_ANCHOR_OFFSET: r["neighbor_id"]
+        for r in similarity.cosine_topk_quantized(
+            vecs, anchors, k=1
+        ).collect()
+    }
+    got = {
+        r["query_id"]: r["doc_id"]
+        for r in QUERIES["q_mmr_rerank"](spark, sf_dir).collect()
+        if r["pick_rank"] == 1
+    }
+    assert got == top1
