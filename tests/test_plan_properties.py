@@ -192,3 +192,38 @@ def test_asof_join_is_windowed_not_joined(spark, sf_dir):
     assert "Window" in plan
     for join_node in ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"]:
         assert join_node not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # round-5 retrieval/serving + coverage ops: every window must be
+        # key-partitioned (query_id / user_id) — none of these uses the
+        # bucketed-prefix-sum offset device, so the partitionless-window
+        # list must be EMPTY outright.
+        "q_rrf_fusion",
+        "q_ndcg_int",
+        "q_mmr_rerank",
+        "q_interval_union",
+    ],
+)
+def test_round5_windows_all_partitioned(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    bad = _partitionless_window_specs(df)
+    assert not bad, f"partitionless window in {name}: {bad}"
+
+
+def test_sketch_jaccard_value_joins_stay_equi(spark, sf_dir):
+    """q_sketch_jaccard's only value-sized join (the exact-Jaccard
+    distinct-token intersection) must be a token equi-join; the
+    source-pair grid is a broadcast of a source-cardinality relation
+    (the accepted crossJoin(broadcast) scalar-grid pattern), but a
+    CartesianProduct anywhere means a value-sized side degenerated."""
+    plan = plan_of(spark, sf_dir, "q_sketch_jaccard")
+    assert "CartesianProduct" not in plan
+
+
+def test_token_entropy_aggregates_partial(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_token_entropy")
+    # (doc_id, tok) count then per-doc fold: both map-side combined
+    assert plan.count("HashAggregate") >= 4
