@@ -267,3 +267,60 @@ def test_mmr_first_pick_is_semantic_top1(spark, sf_dir):
         if r["pick_rank"] == 1
     }
     assert got == top1
+
+
+def test_interval_union_matches_bruteforce_on_adversarial_grid(
+    spark, tmp_path
+):
+    """Seeded randomized cross-check of the merge semantics against a
+    Python brute force, on a grid designed to hit the boundary cases
+    the real corpus rarely produces: duplicate timestamps, and starts
+    landing EXACTLY on a previous interval's half-open end (touching
+    intervals must merge — [0,300) U [300,600) is contiguous)."""
+    import random
+
+    from nomad_event_streamer_spark.plans.analytics_queries import (
+        _SESSION_US,
+    )
+
+    rng = random.Random(20260814)
+    rows = []
+    eid = 0
+    for user in range(12):
+        for _ in range(rng.randint(1, 40)):
+            # steps of exactly half / one / two session lengths force
+            # overlap, exact-touch, and gap cases; duplicates included
+            ts_us = rng.randint(0, 8) * (_SESSION_US // 2)
+            rows.append(
+                (eid, ts_us * 1000, user, "view", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    df.coalesce(1).write.parquet(str(tmp_path / "sf" / "events.parquet"))
+
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["q_interval_union"](spark, sf).collect()
+    }
+
+    by_user: dict[int, list[int]] = {}
+    for _, ts_ns, user, *_ in rows:
+        by_user.setdefault(user, []).append(ts_ns // 1000)
+    for user, starts in by_user.items():
+        islands = []
+        for s in sorted(starts):
+            e = s + _SESSION_US
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        r = got[user]
+        assert r["n_islands"] == len(islands), user
+        assert r["covered_us"] == sum(e - s for s, e in islands)
+        assert r["max_island_us"] == max(e - s for s, e in islands)
+        assert r["n_events"] == len(starts)
