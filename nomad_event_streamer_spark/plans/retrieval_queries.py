@@ -218,7 +218,8 @@ def _ndcg_oracle() -> str:
     pref = ", ".join(str(p) for p in _IDCG_PREFIX)
     return f"""
     WITH {_sem_topk_cte(f"vec_id < {_NDCG_N_QUERIES}", _NDCG_K)},
-    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS l FROM embeddings),
+    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS l FROM embeddings
+            WHERE label IS NOT NULL),
     hits AS (
         SELECT r.query_id, r.sem_rank,
                CAST(nl.l = ql.l AS BIGINT) AS rel
@@ -271,7 +272,11 @@ def q_ndcg_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
     queries = vecs.where(F.col("vec_id") < _NDCG_N_QUERIES)
     ranked = _sem_topk_spark(vecs, queries, k=_NDCG_K)
-    lab = vecs.select(
+    # NULL labels are excluded from the relevance universe on BOTH
+    # sides: without the filter, Spark's null-unsafe equi-joins drop
+    # null-label queries while the oracle's LEFT JOIN would keep them
+    # with pool 0 — a latent hash divergence (code-review r05 finding)
+    lab = vecs.where(F.col("label").isNotNull()).select(
         F.col("vec_id"), F.col("label").cast("long").alias("l")
     )
     disc_arr = F.array(*[F.lit(d) for d in _DISCOUNT_MICRO])
@@ -457,9 +462,20 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel_micro"),
     ).localCheckpoint(eager=True)
-    qv = vecs.select(
-        F.col("vec_id").alias("neighbor_id"),
-        similarity.quantize_vec(F.col("embedding")).alias("cv"),
+    # prune the corpus to the <= queries*k candidate ids BEFORE
+    # quantizing (broadcast semi-join against the checkpointed cand
+    # table) — otherwise quantize_vec re-transforms every corpus row
+    # under the join and the post-retrieval stage is corpus-sized,
+    # contradicting the k-rows-per-query posture (code-review r05)
+    cand_ids = cand.select(
+        F.col("neighbor_id").alias("vec_id")
+    ).distinct()
+    qv = (
+        vecs.join(F.broadcast(cand_ids), "vec_id", "semi")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            similarity.quantize_vec(F.col("embedding")).alias("cv"),
+        )
     )
     cv = cand.join(qv, "neighbor_id").select(
         "query_id", "neighbor_id", "rel_micro", "cv"

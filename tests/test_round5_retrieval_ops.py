@@ -135,7 +135,9 @@ def test_token_entropy_domain(spark, sf_dir):
     assert len(rows) > 0
     for r in rows:
         assert 1 <= r["n_distinct"] <= r["n_tokens"]
-        assert 0 < r["ttr_milli"] <= 1000
+        # ttr_milli = 0 is legal: a doc with n_tokens > 1000*n_distinct
+        # (extreme repetition) floors to 0 — the shape the metric flags
+        assert 0 <= r["ttr_milli"] <= 1000
         assert r["bit_entropy"] >= 0
         if r["n_distinct"] == 1:
             assert r["bit_entropy"] == 0
@@ -227,10 +229,11 @@ def test_mmr_trajectory_shape_and_monotonicity(spark, sf_dir):
         # 7*rel - 3*maxsim may legitimately exceed 7*rel_top1.)
         scores = [p["mmr10_micro"] for p in picks[1:]]
         assert scores == sorted(scores, reverse=True), (q, scores)
-        # first pick pays no diversity penalty; later picks carry a
-        # real (possibly negative) similarity to the selected set
+        # first pick pays no diversity penalty (maxsim can also be 0
+        # for later picks when the max cosine to the selected set
+        # quantizes to 0 — the arithmetic identity below is the real
+        # invariant)
         assert picks[0]["maxsim_micro"] == 0
-        assert all(p["maxsim_micro"] != 0 for p in picks[1:])
         # arithmetic consistency of every emitted margin
         for p in picks:
             assert (
@@ -324,3 +327,36 @@ def test_interval_union_matches_bruteforce_on_adversarial_grid(
         assert r["covered_us"] == sum(e - s for s, e in islands)
         assert r["max_island_us"] == max(e - s for s, e in islands)
         assert r["n_events"] == len(starts)
+
+
+def test_quantized_cosine_oracle_fragments_in_lockstep():
+    """The quantized-cosine scoring expression exists in more than one
+    oracle string (q_sim_topk_int's driver-proven original, and the
+    retrieval family's _sem_topk_cte reuse).  A rounding / tiebreak /
+    zero-norm policy edit that misses one copy would silently break a
+    hash oracle — pin that the canonical fragments are textually
+    identical (modulo whitespace) across every oracle that embeds
+    them (code-review r05 finding)."""
+    import re
+
+    from nomad_event_streamer_spark.plans import ORACLES
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s)
+
+    score_core = norm(
+        """CASE WHEN sqrt(list_dot_product(qv, qv))
+                 * sqrt(list_dot_product(cv, cv)) > 0
+            THEN list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv)))
+            ELSE 0.0 END"""
+    )
+    quant_core = norm(
+        "floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)"
+    )
+    for slug in ("q_sim_topk_int", "q_rrf_fusion", "q_ndcg_int",
+                 "q_mmr_rerank"):
+        o = norm(ORACLES[slug])
+        assert score_core in o, f"{slug}: scoring fragment drifted"
+        assert quant_core in o, f"{slug}: quantization fragment drifted"
