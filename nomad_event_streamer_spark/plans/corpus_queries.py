@@ -2258,3 +2258,103 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ttr_milli"),
     )
+
+
+_PRIO_K = 32
+_PRIO_U_MOD = 1_000_000
+
+
+@query(
+    "q_priority_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 15)) AS BIGINT)
+                   % {_PRIO_U_MOD} + 1 AS u_micro
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, w, u_micro,
+               (w * {_PRIO_U_MOD}) // u_micro AS priority_q,
+               row_number() OVER (
+                   ORDER BY (w * {_PRIO_U_MOD}) // u_micro DESC, doc_id)
+                   AS rk
+        FROM w
+    ),
+    tau AS (
+        SELECT CAST(coalesce(
+                   (SELECT priority_q FROM p WHERE rk = {_PRIO_K} + 1),
+                   0) AS BIGINT) AS tau_q
+    )
+    SELECT doc_id, w, u_micro, CAST(priority_q AS BIGINT) AS priority_q,
+           CAST(greatest(w, tau_q) AS BIGINT) AS est_w
+    FROM p, tau WHERE rk <= {_PRIO_K}
+    """,
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007) — the
+    production weighted-sample-without-replacement estimator: each doc
+    gets priority w/u with u ~ U(0,1]; the k highest-priority docs are
+    the sample and tau = the (k+1)-th priority makes
+    ``est = max(w, tau)`` an unbiased per-item weight estimator (sums
+    of est over the sample estimate any subset's total weight).  Here u
+    is the md5-replayed deterministic uniform (u_micro in [1, 1e6]) and
+    priority = ``w * 1e6 div u_micro`` — an integer already in PLAIN
+    weight units (u_micro = 1e6 gives priority = w), so the threshold
+    and the estimator compare against w directly; the entire sample,
+    threshold and estimator column are bit-reproducible and hash-gated,
+    unlike any rand()-based weighted sampler.
+
+    Scale: one scan computes priorities; the global top-(k+1) is the
+    TakeOrderedAndProject heap pattern (per-partition heaps, driver
+    merge of k+1 rows — no global sort, no partitionless window); tau
+    is a 1-row broadcast.  Int64: w * 1e6 needs w < 9.2e12 — any real
+    document qualifies."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        (h % _PRIO_U_MOD + 1).alias("u_micro"),
+    )
+    p = w.select(
+        "doc_id",
+        "w",
+        "u_micro",
+        F.expr(f"(w * {_PRIO_U_MOD}) div u_micro").alias("priority_q"),
+    )
+    top = p.orderBy(
+        F.col("priority_q").desc(), F.col("doc_id").asc()
+    ).limit(_PRIO_K + 1)
+    # the (k+1)-th priority is the threshold; the k survivors keep it
+    # as a 1-row broadcast (coalesce 0 when the corpus has <= k docs)
+    from pyspark.sql import Window as W
+
+    ranked = top.withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(F.col("priority_q").desc(), F.col("doc_id").asc())
+        ),
+    )
+    tau = ranked.where(F.col("rk") == _PRIO_K + 1).agg(
+        F.coalesce(F.max("priority_q"), F.lit(0)).alias("tau_q")
+    )
+    return (
+        ranked.where(F.col("rk") <= _PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "w",
+            "u_micro",
+            F.col("priority_q").cast("long").alias("priority_q"),
+            # priority_q = w*1e6 div u_micro = w/u is already in PLAIN
+            # weight units (u_micro=1e6 -> priority_q = w), so the
+            # Duffield estimator compares w and tau directly
+            F.greatest(F.col("w"), F.col("tau_q"))
+            .cast("long")
+            .alias("est_w"),
+        )
+    )

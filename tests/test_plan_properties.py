@@ -227,3 +227,20 @@ def test_token_entropy_aggregates_partial(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_token_entropy")
     # (doc_id, tok) count then per-doc fold: both map-side combined
     assert plan.count("HashAggregate") >= 4
+
+
+def test_priority_sample_topk_is_heap_bounded(spark, sf_dir):
+    """q_priority_sample's global top-(k+1) must be the heap-based
+    TakeOrderedAndProject (per-partition heaps, driver merge of 33
+    rows) — never a range-partitioned global sort; the follow-up rank
+    window is partitionless but runs over the 33 bounded survivors
+    (the q_path_topk pattern)."""
+    df = QUERIES["q_priority_sample"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit 33" in opt
+    assert opt.index("Window") < opt.index("GlobalLimit"), (
+        "limit must bound the window input"
+    )
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    assert "Exchange rangepartitioning" not in phys

@@ -360,3 +360,39 @@ def test_quantized_cosine_oracle_fragments_in_lockstep():
         o = norm(ORACLES[slug])
         assert score_core in o, f"{slug}: scoring fragment drifted"
         assert quant_core in o, f"{slug}: quantization fragment drifted"
+
+
+# ---------------------------------------------------------------------------
+# q_priority_sample
+# ---------------------------------------------------------------------------
+
+
+def test_priority_sample_estimator_and_shape(spark, sf_dir):
+    """Duffield-Lund-Thorup invariants: exactly k rows; every sampled
+    priority strictly above tau is impossible to check without tau, but
+    est = max(w*1e6, tau) implies est_q >= w*1e6 for every row; and the
+    estimator's sample-sum must land near the true corpus weight total
+    (unbiased; k=32 keeps variance moderate on 500 docs)."""
+    from nomad_event_streamer_spark.plans.corpus_queries import (
+        _PRIO_K,
+        _PRIO_U_MOD,
+    )
+    from nomad_event_streamer_spark.tables import load
+
+    rows = QUERIES["q_priority_sample"](spark, sf_dir).collect()
+    assert len(rows) == _PRIO_K
+    assert len({r["doc_id"] for r in rows}) == _PRIO_K
+    for r in rows:
+        assert 1 <= r["u_micro"] <= _PRIO_U_MOD
+        assert r["priority_q"] == (r["w"] * _PRIO_U_MOD) // r["u_micro"]
+        assert r["est_w"] >= r["w"]
+    true_total = (
+        load(spark, sf_dir, "documents")
+        .agg(F.sum("n_chars"))
+        .collect()[0][0]
+    )
+    est_total = sum(r["est_w"] for r in rows)
+    assert 0.5 * true_total <= est_total <= 2.0 * true_total, (
+        est_total,
+        true_total,
+    )
