@@ -3619,3 +3619,175 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_milli"),
     )
+
+
+_LEAK_JACC_MILLI = 500
+
+
+def _split_leakage_oracle(num_hashes: int = 16) -> str:
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {dedup.MINHASH_P} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {dedup.MINHASH_P}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    sp AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 15)) AS BIGINT) % 10 AS bucket
+        FROM documents
+    ),
+    crossing AS (
+        SELECT CASE WHEN pa.bucket < 8 THEN c.doc_a ELSE c.doc_b END
+                   AS train_doc,
+               CASE WHEN pa.bucket < 8 THEN c.doc_b ELSE c.doc_a END
+                   AS test_doc
+        FROM cand c
+        JOIN sp pa ON pa.doc_id = c.doc_a
+        JOIN sp pb ON pb.doc_id = c.doc_b
+        WHERE (pa.bucket < 8 AND pb.bucket = 9)
+           OR (pa.bucket = 9 AND pb.bucket < 8)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT x.train_doc, x.test_doc, count(*) AS i
+        FROM crossing x
+        JOIN sh sa ON sa.doc_id = x.train_doc
+        JOIN sh sb ON sb.doc_id = x.test_doc AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ),
+    ver AS (
+        SELECT x.train_doc, x.test_doc,
+               CAST((coalesce(i.i, 0) * 1000)
+                    // (ca.n + cb.n - coalesce(i.i, 0)) AS BIGINT)
+                   AS jacc_milli
+        FROM crossing x
+        JOIN cnt ca ON ca.doc_id = x.train_doc
+        JOIN cnt cb ON cb.doc_id = x.test_doc
+        LEFT JOIN inter i
+          ON i.train_doc = x.train_doc AND i.test_doc = x.test_doc
+    )
+    SELECT test_doc, CAST(count(*) AS BIGINT) AS n_train_dups,
+           CAST(min(train_doc) AS BIGINT) AS min_train_doc,
+           CAST(max(jacc_milli) AS BIGINT) AS max_jacc_milli
+    FROM ver WHERE jacc_milli >= {_LEAK_JACC_MILLI}
+    GROUP BY test_doc
+    """
+    )
+
+
+@query("q_split_leakage", oracle=_split_leakage_oracle(16))
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate leakage (the Lee et al. 2022 finding
+    that eval splits contain near-copies of training docs): assign the
+    deterministic 80/10/10 hash split (q_hash_split's exact rule), take
+    the minhash-LSH candidate pairs (q_dedup_minhash's exact banding),
+    keep only TRAIN x TEST crossings, verify each with the exact
+    integer-rational n-gram Jaccard, and report per test doc how many
+    verified train near-dups leak into it.  The full leakage report —
+    counts, witness doc, max similarity — is hash-gated: a pipeline can
+    fail CI the moment a crawl refresh contaminates its eval split.
+
+    Scale: candidate generation is the bucketed LSH path (never
+    all-pairs); the verification join touches only candidate docs'
+    shingles (semi-join pruned), and split assignment is a free
+    content-free hash — the whole check adds one band shuffle and one
+    candidate-restricted shingle join on top of the dedup pass a
+    pipeline already runs."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    cand = dedup.lsh_candidate_pairs(bands)
+
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    sp = docs.select("doc_id", bucket.alias("bucket"))
+    pa = sp.select(
+        F.col("doc_id").alias("doc_a"), F.col("bucket").alias("ba")
+    )
+    pb = sp.select(
+        F.col("doc_id").alias("doc_b"), F.col("bucket").alias("bb")
+    )
+    crossing = (
+        cand.join(F.broadcast(pa), "doc_a")
+        .join(F.broadcast(pb), "doc_b")
+        .where(
+            ((F.col("ba") < 8) & (F.col("bb") == 9))
+            | ((F.col("ba") == 9) & (F.col("bb") < 8))
+        )
+        .select(
+            F.when(F.col("ba") < 8, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("train_doc"),
+            F.when(F.col("ba") < 8, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("test_doc"),
+        )
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("train_doc"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("test_doc"), "shingle")
+    inter = (
+        crossing.join(sa, "train_doc")
+        .join(sb, ["test_doc", "shingle"])
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ver = (
+        crossing.join(
+            cnt.select(F.col("doc_id").alias("train_doc"),
+                       F.col("n").alias("na")),
+            "train_doc",
+        )
+        .join(
+            cnt.select(F.col("doc_id").alias("test_doc"),
+                       F.col("n").alias("nb")),
+            "test_doc",
+        )
+        .join(inter, ["train_doc", "test_doc"], "left")
+        .withColumn("i", F.coalesce(F.col("i"), F.lit(0)))
+        .select(
+            "train_doc",
+            "test_doc",
+            F.expr("(i * 1000) div (na + nb - i)").alias("jacc_milli"),
+        )
+    )
+    return (
+        ver.where(F.col("jacc_milli") >= _LEAK_JACC_MILLI)
+        .groupBy("test_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_dups"),
+            F.min("train_doc").cast("long").alias("min_train_doc"),
+            F.max("jacc_milli").cast("long").alias("max_jacc_milli"),
+        )
+    )

@@ -441,3 +441,115 @@ def q_sketch_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("jaccard_milli"),
     )
+
+
+_KMV_K = 32
+# (k-1) * 2^60 as one exact literal both engines share (31*2^60 is a
+# power-of-two multiple of a small integer — exactly representable)
+_KMV_NUM = repr(float((_KMV_K - 1) * (1 << 60)))
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 15)) AS BIGINT) AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hv ASC) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n_seen
+        FROM h
+    ),
+    kth AS (
+        SELECT event_type, CAST(max(n_seen) AS BIGINT) AS n_seen,
+               CAST(max(CASE WHEN rk = {_KMV_K} THEN hv END)
+                    AS BIGINT) AS h_k
+        FROM r GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+                   AS exact_users
+        FROM events GROUP BY event_type
+    )
+    SELECT k.event_type, k.n_seen, coalesce(k.h_k, 0) AS h_k,
+           CASE WHEN k.n_seen < {_KMV_K}
+                THEN CAST(k.n_seen AS DOUBLE)
+                ELSE {_KMV_NUM} / CAST(k.h_k AS DOUBLE) END AS est_users,
+           e.exact_users
+    FROM kth k JOIN ex e USING (event_type)
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    2002) with verifiable internals — the HLL-register philosophy
+    applied to the other classic cardinality sketch: per event_type keep
+    the k=32 smallest md5-replayed 60-bit hashes of user_id; the k-th
+    smallest alone estimates cardinality as ``(k-1)*2^60 / h_k``
+    (uniform order statistics), with the small-set convention
+    est = n_seen when fewer than k distinct hashes exist.  The sketch
+    state (h_k, n_seen) is exact integers and the estimate is one IEEE
+    division by a shared exact literal — all hash-gated; the exact
+    distinct count rides along so sketch error is itself a verifiable
+    column.  KMV is MERGEABLE (union = k smallest of the multiset
+    union), the property that makes sketch-table rollups work.
+
+    Scale: the distinct-hash projection is one partial-agg; the per-key
+    k-smallest is a key-partitioned window (rank <= k early-bounded by
+    WindowGroupLimit); nothing global.  In production the window is
+    replaced by the same partial top-k merge the estimator tolerates —
+    here the declared plan keeps the rank explicit so the oracle can
+    replay it row-for-row."""
+    ev = events(spark, sf_dir)
+    h = (
+        ev.select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    w_rank = W.partitionBy("event_type").orderBy(F.col("hv").asc())
+    w_all = W.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_seen"),
+    )
+    kth = r.groupBy("event_type").agg(
+        F.max("n_seen").cast("long").alias("n_seen"),
+        F.max(F.when(F.col("rk") == _KMV_K, F.col("hv")))
+        .cast("long")
+        .alias("h_k"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        kth.join(ex, "event_type")
+        .select(
+            "event_type",
+            "n_seen",
+            F.coalesce(F.col("h_k"), F.lit(0)).alias("h_k"),
+            F.when(
+                F.col("n_seen") < _KMV_K, F.col("n_seen").cast("double")
+            )
+            .otherwise(
+                F.lit(float(_KMV_NUM)) / F.col("h_k").cast("double")
+            )
+            .alias("est_users"),
+            "exact_users",
+        )
+    )

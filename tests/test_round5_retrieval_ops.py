@@ -396,3 +396,73 @@ def test_priority_sample_estimator_and_shape(spark, sf_dir):
         est_total,
         true_total,
     )
+
+
+# ---------------------------------------------------------------------------
+# q_split_leakage
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_consistent_with_split_and_dedup(spark, sf_dir):
+    """Every reported leak must name a genuine test doc and a genuine
+    train doc under q_hash_split's exact rule, with a verified
+    similarity at or above the 1/2 gate; and its oracle must embed the
+    SAME minhash chain as q_dedup_minhash (drift pin, the lockstep
+    device)."""
+    import re
+
+    from nomad_event_streamer_spark.plans import ORACLES
+
+    split = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["q_hash_split"](spark, sf_dir).collect()
+    }
+    rows = QUERIES["q_split_leakage"](spark, sf_dir).collect()
+    assert rows, "synthetic corpus contains near-dups; leakage expected"
+    for r in rows:
+        assert split[r["test_doc"]] == "test"
+        assert split[r["min_train_doc"]] == "train"
+        assert 500 <= r["max_jacc_milli"] <= 1000
+        assert r["n_train_dups"] >= 1
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s)
+
+    # the based/sig/bands chain must be identical (mod whitespace) to
+    # the q_dedup_minhash oracle's — seeds, modulus, banding in lockstep
+    leak = norm(ORACLES["q_split_leakage"])
+    chain = leak[
+        leak.index(", based AS") : leak.index("GROUP BY doc_id, seed // 2")
+    ]
+    assert chain in norm(ORACLES["q_dedup_minhash"]), (
+        "minhash chain drifted between q_split_leakage and q_dedup_minhash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_kmv_distinct
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_estimator_tracks_exact(spark, sf_dir):
+    """KMV invariants: n_seen equals the exact distinct count of hash
+    values (md5 of distinct users is collision-free at this scale, so
+    n_seen == exact_users); for keys with >= k distinct users the
+    order-statistic estimate must land within the +-1/sqrt(k-1) ~ 18%
+    band scaled to a loose 2-sided factor; below k the estimate is
+    exactly the count."""
+    from nomad_event_streamer_spark.plans.sketch_queries import _KMV_K
+
+    rows = QUERIES["q_kmv_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_seen"] == r["exact_users"]
+        if r["n_seen"] < _KMV_K:
+            assert r["h_k"] == 0
+            assert r["est_users"] == float(r["n_seen"])
+        else:
+            assert r["h_k"] > 0
+            # 3-sigma-ish band for k=32 order statistics
+            assert 0.4 * r["exact_users"] <= r["est_users"] <= 2.5 * (
+                r["exact_users"]
+            ), (r["event_type"], r["est_users"], r["exact_users"])
