@@ -39,17 +39,17 @@ from . import retrieval_queries  # noqa: E402,F401
 # full hash oracles THIS round (q_sim_ivf_int / q_sim_pq_int — VERDICT
 # item #4 reserved their slots — and q_bpe_train, upgraded from
 # rows-only by item #5).  Every slug below is hash-oracled — no window
-# slot is spent on a rows-only check.  Registry at HEAD: 273 queries /
-# 260 oracled (the round-5 additions after the rotation was drafted —
+# slot is spent on a rows-only check.  Registry at HEAD: 274 queries /
+# 261 oracled (the round-5 additions after the rotation was drafted —
 # q_exactsubstr_cluster, q_tdigest_int, q_stream_dedup_lsh,
 # q_sim_ivfpq_int, q_semdedup, q_label_prop, q_knn_eval, q_eval_auc,
 # q_calibration, q_sim_recall_ivf, q_dedup_eval, q_pca_power_int,
 # q_tdigest_merge, q_rrf_fusion, q_ndcg_int, q_interval_union,
 # q_token_entropy, q_sketch_jaccard, q_mmr_rerank, q_priority_sample,
-# q_split_leakage, q_kmv_distinct — join the never-verified pool);
-# cumulative driver-PASS target after this window: 196.  Round 6's
-# rotation then covers the remaining 64 never-driver-verified
-# hash-oracled slugs.
+# q_split_leakage, q_kmv_distinct, q_dedup_stats — join the
+# never-verified pool); cumulative driver-PASS target after this
+# window: 196.  Round 6's rotation then covers the remaining 65
+# never-driver-verified hash-oracled slugs.
 # tests/test_driver_window.py::test_ledger_comment_matches_registry
 # pins these counts so this comment can never go stale again.
 DRIVER_WINDOW: list[str] = [

@@ -3791,3 +3791,54 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jacc_milli").cast("long").alias("max_jacc_milli"),
         )
     )
+
+
+@query(
+    "q_dedup_stats",
+    oracle=f"""
+    WITH comp AS (SELECT * FROM ({_clusters_oracle(16)})),
+    full_ AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cid
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    sz AS (SELECT cid, count(*) AS sz FROM full_ GROUP BY 1)
+    SELECT CAST(length(bin(sz)) AS BIGINT) AS size_bitlen,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz) - count(*) AS BIGINT) AS n_dup_docs
+    FROM sz GROUP BY 1
+    """,
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield report — the dashboard a curation run actually reads:
+    near-dup clusters (q_dedup_clusters' exact component labeling,
+    singletons folded in as their own cluster) bucketed by
+    power-of-two size band (``bitlen(size)``: 1, 2-3, 4-7, ...), each
+    band reporting cluster count, document count, and how many docs
+    dedup would DROP (size - 1 per cluster).  Sum of n_dup_docs over
+    bands = the corpus-wide duplicate overhead; all integer, fully
+    hash-gated, so the yield number a data lead signs off on is
+    bit-reproducible.
+
+    Scale: component labeling is the existing bucketed LSH +
+    label-propagation path; the report adds one LEFT JOIN keyed by
+    doc_id and two aggregations (cluster-size, then band) — both
+    map-side combinable, output is ~log(max cluster size) rows."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    comp = dedup.connected_components(dedup.lsh_candidate_pairs(bands))
+    full = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cid"),
+    )
+    sz = full.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    nbits = int_bit_length
+    return sz.groupBy(
+        nbits(F.col("sz")).cast("long").alias("size_bitlen")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        (F.sum("sz") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+    )

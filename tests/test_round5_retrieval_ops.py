@@ -1,5 +1,7 @@
-"""Round-5 retrieval/serving additions: RRF hybrid fusion, integer
-NDCG@10, interval-union coverage, and token-entropy quality signal.
+"""Round-5 retrieval/serving/sketch additions: RRF hybrid fusion,
+integer NDCG@10, MMR diversification, interval-union coverage,
+token-entropy, HLL sketch Jaccard, priority sampling, cross-split
+leakage, KMV distinct, and the dedup yield report.
 
 Value correctness is carried by the DuckDB hash oracles (driver_sim /
 driver); these tests pin cross-query RELATIONSHIPS and metric-domain
@@ -466,3 +468,39 @@ def test_kmv_estimator_tracks_exact(spark, sf_dir):
             assert 0.4 * r["exact_users"] <= r["est_users"] <= 2.5 * (
                 r["exact_users"]
             ), (r["event_type"], r["est_users"], r["exact_users"])
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_stats
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_stats_accounts_for_every_document(spark, sf_dir):
+    """The yield report must partition the corpus exactly: sum of
+    n_docs over bands = corpus size; every band's drop count is
+    n_docs - n_clusters; band 1 (singletons) drops nothing; and the
+    total cluster count equals distinct components + singletons as
+    reported by q_dedup_clusters."""
+    from nomad_event_streamer_spark.tables import load
+
+    rows = {
+        r["size_bitlen"]: r
+        for r in QUERIES["q_dedup_stats"](spark, sf_dir).collect()
+    }
+    n_corpus = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_corpus
+    for r in rows.values():
+        assert r["n_dup_docs"] == r["n_docs"] - r["n_clusters"]
+        assert r["size_bitlen"] >= 1
+    if 1 in rows:
+        # bitlen 1 == size exactly 1: singletons drop nothing
+        assert rows[1]["n_dup_docs"] == 0
+        assert rows[1]["n_docs"] == rows[1]["n_clusters"]
+    comp = QUERIES["q_dedup_clusters"](spark, sf_dir).collect()
+    clustered_docs = {r["doc_id"] for r in comp}
+    n_components = len({r["cluster_id"] for r in comp})
+    singletons = n_corpus - len(clustered_docs)
+    assert (
+        sum(r["n_clusters"] for r in rows.values())
+        == n_components + singletons
+    )
