@@ -126,6 +126,32 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Full evidence per query (VERDICT r04 item #2): the raw wall times in
+    # measurement order, and a normalized optimized-plan fingerprint — a
+    # >20% move with an UNCHANGED fingerprint is session noise (compare
+    # the runs spread), with a CHANGED fingerprint it's a plan regression.
+    # Decidable from artifacts alone.  VERDICT r05 item #2: this evidence
+    # goes to a committed SIDECAR file (and stderr), NOT the final stdout
+    # line — the driver captures only a ~2 KB stdout tail, and r05's
+    # evidence-laden single line truncated the headline away
+    # (BENCH_r05.json "parsed": null).  The LAST stdout line must stay the
+    # compact r04-shaped object.
+    evidence = {
+        "stat": "median",
+        "runs_per_query": runs_per_query,
+        "runs": all_runs,
+        "plan_fp": plan_fps,
+        "sf": sf,
+    }
+    evidence_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_EVIDENCE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_EVIDENCE.json"),
+    )
+    with open(evidence_path, "w") as fh:
+        json.dump(evidence, fh, indent=1)
+    print(f"# evidence sidecar: {evidence_path}", file=sys.stderr)
+    print(json.dumps(evidence), file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -134,16 +160,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "stat": "median",
-                "runs_per_query": runs_per_query,
-                # Full evidence per query (VERDICT r04 item #2): the raw
-                # wall times in measurement order, and a normalized
-                # optimized-plan fingerprint — a >20% move with an
-                # UNCHANGED fingerprint is session noise (compare the
-                # runs spread), with a CHANGED fingerprint it's a plan
-                # regression.  Decidable from artifacts alone.
-                "runs": all_runs,
-                "plan_fp": plan_fps,
             }
         )
     )

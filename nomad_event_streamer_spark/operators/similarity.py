@@ -191,6 +191,35 @@ def cosine_topk(
     )
 
 
+def planes_for_corpus(
+    n: int,
+    target_bucket: int = 32,
+    min_planes: int = 6,
+    max_planes: int = 24,
+) -> int:
+    """Scale-aware plane count: ``ceil(log2(n / target_bucket))`` clamped
+    to [min_planes, max_planes] — SCALE.md's ``num_planes ∝ log(corpus)``
+    rule as the DEFAULT rather than an operating-manual step (VERDICT r05
+    item #3).
+
+    Hyperplane buckets are near-uniform (corpus / 2^planes), so with a
+    FIXED plane count candidate pairs grow ~n²/2^planes: measured ×30
+    saturation was 32.9× wall-clock for q_dedup_embed_int at planes=6,
+    and deriving planes from n bought an 11.6× reduction (SCALE.md
+    "Fixed-plane LSH saturation").  Holding the mean bucket near
+    ``target_bucket`` keeps per-bucket candidate work O(target_bucket)
+    and total candidates O(n·target_bucket) — linear in the corpus.  The
+    clamp floor keeps tiny corpora at the oracled sf-scale setting
+    (2^6 = 64 buckets); the ceiling bounds signature cost on the
+    trillion-row end (2^24 buckets ≈ 16M — at that point num_tables
+    OR-amplification, not finer buckets, is the recall knob)."""
+    import math
+
+    if n <= target_bucket:
+        return min_planes
+    return max(min_planes, min(max_planes, math.ceil(math.log2(n / target_bucket))))
+
+
 def _deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
     """+-1 hyperplanes seeded from md5(plane, dim-index) — stable across
     runs, machines, and engines."""
@@ -373,7 +402,7 @@ def near_dup_pairs(
     vecs: DataFrame,
     threshold: float = 0.35,
     num_tables: int = 6,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -383,6 +412,12 @@ def near_dup_pairs(
     each; a pair is a candidate if it collides in ANY table (recall
     amplification), then exact cosine filters at ``threshold``.
 
+    ``num_planes=None`` (the default) derives the plane count from the
+    corpus size via ``planes_for_corpus`` — the SCALE.md ∝ log n rule as
+    an automatic property of the plan; pass a literal to pin the bucket
+    layout (the oracled sf-scale queries do, so their inlined-plane SQL
+    twins stay bit-stable).
+
     Scale shape: vectors shuffle once per TABLE into their buckets; each
     bucket scores all its pairs in one blockwise BLAS matmul
     (applyInPandas); pairs colliding in several tables collapse via a
@@ -391,6 +426,8 @@ def near_dup_pairs(
     import numpy as _np
     from pyspark.sql.types import ArrayType, LongType
 
+    if num_planes is None:
+        num_planes = planes_for_corpus(vecs.count())
     planes = _np.array(
         [
             [
@@ -465,7 +502,7 @@ def ann_topk_bucketed(
     vecs: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int = 6,
+    num_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -473,9 +510,13 @@ def ann_topk_bucketed(
     """Approximate top-k: score only same-bucket candidates.
 
     At 100 TB the bucket equi-join replaces the cross join: shuffle keys
-    are bucket ids, candidate lists are bucket-sized."""
+    are bucket ids, candidate lists are bucket-sized.  ``num_planes=None``
+    derives the plane count from corpus size (``planes_for_corpus``);
+    oracled queries pass a literal."""
     from pyspark.sql import Window
 
+    if num_planes is None:
+        num_planes = planes_for_corpus(vecs.count())
     b = hyperplane_buckets(vecs, num_planes, dim, id_col, vec_col)
     cand = vecs.join(b, id_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -816,7 +857,7 @@ def near_dup_pairs_int(
     vecs: DataFrame,
     threshold_milli: int = 350,
     num_tables: int = 3,
-    num_planes: int = 6,
+    num_planes: int | None = None,
     dim: int = 64,
     scale: int = 1000,
     id_col: str = "vec_id",
@@ -852,10 +893,18 @@ def near_dup_pairs_int(
     bucket regardless of plane count — measured: un-decorrelated ×30
     replicas made pair volume quadratic in copy count); a cap bounds
     that blast radius, and the hash oracles replicate it exactly when
-    set."""
+    set.
+
+    ``num_planes=None`` (the default) derives the plane count from the
+    corpus size via ``planes_for_corpus`` — VERDICT r05 item #3: the
+    ∝ log n remedy is now the default, not an operating-manual step.
+    The oracled sf-scale queries pass ``num_planes=6`` explicitly (their
+    DuckDB twins inline the plane literals)."""
     import hashlib as _hashlib
 
     spark = vecs.sparkSession
+    if num_planes is None:
+        num_planes = planes_for_corpus(vecs.count())
     qv = vecs.select(
         F.col(id_col).alias("vid"),
         quantize_vec(F.col(vec_col), scale).alias("v"),

@@ -28,87 +28,86 @@ from . import retrieval_queries  # noqa: E402,F401
 # 50 queries in the order ``all_queries()`` yields them.  Rounds 1-2 covered
 # the early relational/LLM slugs; round 3 covered TPC-H / graph / analytics /
 # time-series / sketches / hard LLM ops; round 4 covered storage/CDC, set
-# ops, scalar-function and agg/window families plus the two re-proven r03
-# FAILs — cumulative hard driver-PASS after r04: 146 distinct slugs.
-# Round-4 ledger correction (ADVICE r04): the registry reached 249 (not
-# 239) during round 4 — 34 new operators, not 29; all 34 are in the
-# never-verified pool this rotation draws from, so none were skipped.
-# Round 5 rotates onto the next 50 never-driver-verified slugs (VERDICT
-# r04 item #1), prioritizing the round-4 corpus/analytics families that
-# have never seen the real driver, plus the three queries that gained
-# full hash oracles THIS round (q_sim_ivf_int / q_sim_pq_int — VERDICT
-# item #4 reserved their slots — and q_bpe_train, upgraded from
-# rows-only by item #5).  Every slug below is hash-oracled — no window
-# slot is spent on a rows-only check.  Registry at HEAD: 274 queries /
-# 261 oracled (the round-5 additions after the rotation was drafted —
-# q_exactsubstr_cluster, q_tdigest_int, q_stream_dedup_lsh,
-# q_sim_ivfpq_int, q_semdedup, q_label_prop, q_knn_eval, q_eval_auc,
-# q_calibration, q_sim_recall_ivf, q_dedup_eval, q_pca_power_int,
-# q_tdigest_merge, q_rrf_fusion, q_ndcg_int, q_interval_union,
-# q_token_entropy, q_sketch_jaccard, q_mmr_rerank, q_priority_sample,
-# q_split_leakage, q_kmv_distinct, q_dedup_stats — join the
-# never-verified pool); cumulative driver-PASS target after this
-# window: 196.  Round 6's rotation then covers the remaining 65
-# never-driver-verified hash-oracled slugs.
+# ops, scalar-function and agg/window families; round 5 covered the round-4
+# corpus/analytics families plus the promoted IVF/PQ/BPE oracles — 50/50
+# PASS, cumulative hard driver-PASS after r05: 196 distinct slugs.
+# Round 6 rotates onto 50 of the 65 never-driver-verified hash-oracled
+# slugs (VERDICT r05 item #1), leading with the round-5 retrieval/eval +
+# sketch families and the streaming-oracled family (all sim-matched under
+# the driver's own canonicalization gate, never seen by the real driver).
+# The 17 deferred slugs — the extras.py scalar/window/setop family
+# (q_window_ntile, q_first_last, q_window_range, q_window_misc,
+# q_stack_inline, q_ratio_to_report, q_unpivot, q_cross_join_grid,
+# q_subquery_scalar, q_subquery_correlated, q_skew_join_salted,
+# q_webhook_payload, q_zscore, q_winsorize, q_corr) plus the two queries
+# promoted from rows-only THIS round (q_bpe_token_count,
+# q_stream_nomad_pipeline — VERDICT r05 item #4) — are round 7's
+# remainder, after which every oracled slug has a hard driver row.
+# Every slug below is hash-oracled — no window slot is spent on a
+# rows-only check.  Registry at HEAD: 274 queries / 263 oracled.
+# Cumulative driver-PASS target after this window: 246.
 # tests/test_driver_window.py::test_ledger_comment_matches_registry
 # pins these counts so this comment can never go stale again.
 DRIVER_WINDOW: list[str] = [
-    # new full-hash oracles this round — 3
-    "q_sim_ivf_int",
-    "q_sim_pq_int",
-    "q_bpe_train",
-    # round-4 corpus-hygiene family (plans/corpus_queries.py) — 15
-    "q_exactsubstr_cut",
-    "q_chunk_dedup",
-    "q_winnow_fingerprint",
-    "q_bigram_surprisal",
-    "q_zipf_slope",
-    "q_ngram_novelty",
-    "q_quality_wilson",
-    "q_t_closeness",
-    "q_mix_temperature",
-    "q_systematic_sample",
-    "q_interval_join",
-    "q_audio_pcm_stats",
-    "q_class_balance",
-    "q_benford_audit",
-    "q_trigram_join",
-    # corpus search / sketch / sampling (corpus_queries.py, extras.py) — 8
-    "q_search_topk",
-    "q_knn_classify",
-    "q_countmin",
-    "q_bootstrap_ci",
-    "q_skyline",
-    "q_weighted_median",
-    "q_orc_roundtrip",
-    "q_bucketed_join",
-    # analytics family (plans/analytics_queries.py) — 11
-    "q_gini",
-    "q_lorenz",
-    "q_stickiness",
-    "q_path_topk",
-    "q_burstiness",
-    "q_abandonment",
-    "q_time_to_convert",
-    "q_mad_outliers",
-    "q_heaps_law",
-    "q_autocorr",
-    "q_seasonal_index",
-    # round-4 dedup/chunking/similarity additions — 9
-    "q_chunk_gear",
-    "q_dup_spans",
-    "q_dup_span_lengths",
-    "q_containment_minhash",
-    "q_packing_efficiency",
-    "q_dedup_incremental",
-    "q_gram_int",
-    "q_sim_recall",
-    "q_k_anonymity",
-    # LLM-pipeline ops never driver-seen (plans/llm_ops.py) — 4
-    "q_vocab_topk",
-    "q_mix_budget",
-    "q_stratified_sample",
-    "q_dedup_decision",
+    # round-5 retrieval / eval serving family (retrieval_queries.py,
+    # corpus_queries.py) — 8
+    "q_rrf_fusion",
+    "q_ndcg_int",
+    "q_mmr_rerank",
+    "q_knn_eval",
+    "q_eval_auc",
+    "q_calibration",
+    "q_token_entropy",
+    "q_priority_sample",
+    # round-5 sketch family (sketch_queries.py, analytics_queries.py) — 4
+    "q_sketch_jaccard",
+    "q_kmv_distinct",
+    "q_tdigest_int",
+    "q_tdigest_merge",
+    # round-5 dedup / similarity additions — 10
+    "q_semdedup",
+    "q_label_prop",
+    "q_split_leakage",
+    "q_dedup_stats",
+    "q_dedup_eval",
+    "q_sim_ivfpq_int",
+    "q_sim_recall_ivf",
+    "q_exactsubstr_cluster",
+    "q_interval_union",
+    "q_pca_power_int",
+    # streaming-oracled family (streaming_queries.py) — never driver-seen,
+    # sim-matched since r04 — 12
+    "q_stream_agg",
+    "q_stream_window",
+    "q_stream_sliding",
+    "q_stream_session_window",
+    "q_stream_static_join",
+    "q_stream_dedup_state",
+    "q_stream_stream_join",
+    "q_stream_cdc_snapshot",
+    "q_stream_replay_throttled",
+    "q_statestore_read",
+    "q_stream_topk",
+    "q_stream_dedup_lsh",
+    # LLM-pipeline / corpus ops never driver-seen (llm_ops.py,
+    # advanced.py) — 11
+    "q_multimodal_frames",
+    "q_bpe_pretokenize",
+    "q_ngram_freq",
+    "q_cooccurrence_pmi",
+    "q_quality_funnel",
+    "q_repetition_signals",
+    "q_dedup_clusters_star",
+    "q_embed_dim_stats",
+    "q_udtf_bigrams",
+    "q_tfidf_top3",
+    "q_minhash_est",
+    # extras profiling family never driver-seen — 5
+    "q_data_profile",
+    "q_outlier_iqr",
+    "q_pandas_udaf",
+    "q_quantile_hist",
+    "q_quality_checks",
 ]
 
 

@@ -696,7 +696,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the cluster assignment is the reusable asset: re-curation
     re-joins it instead of re-scoring pairs."""
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
-    pairs = similarity.near_dup_pairs_int(vecs).select("id_a", "id_b")
+    pairs = similarity.near_dup_pairs_int(vecs, num_planes=6).select("id_a", "id_b")
     comp = dedup.connected_components(pairs, src="id_a", dst="id_b")
     assign = comp.select(
         F.col("doc_id").alias("vec_id"), F.col("cluster_id")
@@ -798,7 +798,7 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB rounds are a handful (propagation radius), not
     data-sized."""
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
-    pairs = similarity.near_dup_pairs_int(vecs).select("id_a", "id_b")
+    pairs = similarity.near_dup_pairs_int(vecs, num_planes=6).select("id_a", "id_b")
     pairs = pairs.localCheckpoint(eager=True)
     und = pairs.select(
         F.col("id_a").alias("s"), F.col("id_b").alias("d")
@@ -853,4 +853,4 @@ def q_dedup_embed_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     extending the round-2 integer-twin device (q_sim_ann_int) from topk
     search to pairwise dedup."""
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
-    return similarity.near_dup_pairs_int(vecs)
+    return similarity.near_dup_pairs_int(vecs, num_planes=6)

@@ -1920,8 +1920,11 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").cast("long").alias("class"))
         .distinct()
     )
+    # classes is the tiny side (distinct labels); broadcast it so the
+    # confusion-matrix grid is a BroadcastNestedLoopJoin with a
+    # deterministic plan at any eval-set size (VERDICT r05 item #5).
     m = (
-        classes.crossJoin(pred)
+        pred.crossJoin(F.broadcast(classes))
         .groupBy("class")
         .agg(
             F.sum(

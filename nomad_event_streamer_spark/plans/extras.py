@@ -310,7 +310,7 @@ def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cust"))
     )
     return (
-        region.crossJoin(segs)
+        region.crossJoin(F.broadcast(segs))
         .join(
             counts,
             (counts["n_regionkey"] == region["r_regionkey"])

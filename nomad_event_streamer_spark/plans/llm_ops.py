@@ -1374,6 +1374,97 @@ def _bpe_train_oracle(num_merges: int = 20, min_pair_count: int = 2) -> str:
     return "".join(parts)
 
 
+def _bpe_token_count_oracle(
+    num_merges: int = 20, min_pair_count: int = 2, greedy_rounds: int = 8
+) -> str:
+    """Greedy-encode twin of the Spark ``bpe_token_counts`` path
+    (VERDICT r05 item #4): reuse the unrolled training chain to learn the
+    merge table, then unroll the GREEDY lowest-rank-present encoder over
+    the distinct-word vocabulary and roll counts up per document.
+
+    The r04 promotion note documented why an oracle built from the
+    TRAINING chain (rank-order replay) would be latently wrong: greedy
+    encode re-fires low-rank merges on adjacencies that later merges
+    create.  This oracle therefore implements greedy itself: per round,
+    each word's best pair is ``min(rank)`` over its adjacent pairs joined
+    against the merge table, and the rewrite is the same ``list_reduce``
+    scan-and-skip fold the training chain proved engine-equivalent.
+    Words whose best-pair join is empty pass through unchanged, so the
+    unroll is idempotent past each word's fixpoint.  ``greedy_rounds=8``
+    covers the measured bound (max 3 iterations/word at sf0.01, vocab 31;
+    an unconverged word would change counts and surface as a loud hash
+    FAIL, never silent agreement).
+
+    Duplicate-merge corner: the trainer can in principle re-learn a pair
+    at a later rank; Python's ``ranks`` dict keeps the LAST index, so the
+    merge table here dedupes with ``max(rank)`` to match bit-for-bit.
+
+    Per-document rollup: token count of a document is the sum of its
+    words' encoded lengths (the Spark encoder's per-batch word memo is
+    exactly this factoring); wordless documents get 0 via the LEFT JOIN,
+    matching the UDF's empty-array size."""
+    parts = [_bpe_train_oracle(num_merges, min_pair_count).split(
+        "\n    SELECT CAST(0 AS INTEGER)"
+    )[0]]
+    ranked = " UNION ALL ".join(
+        f"SELECT {i} AS rank, l, r FROM m_{i}" for i in range(num_merges)
+    )
+    parts.append(f""",
+    mt AS MATERIALIZED (
+        SELECT l, r, max(rank) AS rank FROM ({ranked}) GROUP BY l, r
+    ),
+    dw AS MATERIALIZED (
+        SELECT DISTINCT w
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> ''
+    ),
+    e_0 AS MATERIALIZED (
+        SELECT w, array_to_string(string_split(w, ''), chr(30))
+                   || chr(30) || '</w>' AS s
+        FROM dw
+    )""")
+    for g in range(greedy_rounds):
+        parts.append(f""",
+    b_{g} AS MATERIALIZED (
+        SELECT x.w, m.l, m.r FROM (
+            SELECT p.w, min(mt.rank) AS rk
+            FROM (SELECT w, toks[j] AS l, toks[j + 1] AS r
+                  FROM (SELECT w, string_split(s, chr(30)) AS toks
+                        FROM e_{g}),
+                       LATERAL (SELECT unnest(range(1, len(toks))) AS j) t
+                 ) p
+            JOIN mt ON mt.l = p.l AND mt.r = p.r
+            GROUP BY p.w
+        ) x JOIN mt m ON m.rank = x.rk
+    ),
+    e_{g + 1} AS MATERIALIZED (
+        SELECT e.w,
+               CASE WHEN b.l IS NULL THEN e.s
+                    ELSE list_reduce(string_split(e.s, chr(30)),
+                        (acc, x) -> CASE WHEN x = b.r AND (acc = b.l
+                                         OR ends_with(acc, chr(30) || b.l))
+                                    THEN acc || x
+                                    ELSE acc || chr(30) || x END)
+               END AS s
+        FROM e_{g} e LEFT JOIN b_{g} b ON e.w = b.w
+    )""")
+    parts.append(f""",
+    wn AS MATERIALIZED (
+        SELECT w, len(string_split(s, chr(30))) AS n FROM e_{greedy_rounds}
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(t.n_tok, 0) AS INTEGER) AS n_bpe_tokens
+    FROM documents d LEFT JOIN (
+        SELECT doc_id, sum(wn.n) AS n_tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents) wpd
+        JOIN wn ON wpd.w = wn.w
+        WHERE wpd.w <> ''
+        GROUP BY doc_id
+    ) t ON d.doc_id = t.doc_id""")
+    return "".join(parts)
+
+
 @query("q_bpe_train", oracle=_bpe_train_oracle())
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (Sennrich ACL 2016) over the corpus:
@@ -1394,24 +1485,20 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bpe_token_count")
+@query("q_bpe_token_count", oracle=_bpe_token_count_oracle())
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 20 BPE merges, then greedy-encode every document and report
     its token count — the budget number a training-data pipeline emits.
     Encoding is one Arrow-batched UDF with a per-batch word memo; the
     merge table rides the closure (broadcast-dim pattern).
 
-    Rows-only BY DESIGN even though q_bpe_train is now hash-oracled:
-    the encoder is the GREEDY lowest-rank-present algorithm (the GPT-2
-    release semantics), while the trainer's CTE chain applies merges in
-    rank order.  The two coincide on almost all data but can diverge in
-    a documented corner: if two different merges produce the same token
-    string (e.g. rank-3 (a,bc) and rank-5 (ab,c) both yielding "abc"),
-    a rank-4 merge consuming "abc" fires under greedy when rank-5
-    created the token, but never in rank-order replay.  An oracle built
-    from the training chain would be latently wrong on such corpora —
-    exactly the silent-divergence class this repo refuses to ship, so
-    the count stays rows-only rather than near-oracled."""
+    Promoted from rows-only to the FULL hash gate (VERDICT r05 item #4):
+    the r04 objection was that a rank-order-replay oracle diverges from
+    the GREEDY lowest-rank-present encoder (GPT-2 release semantics) in
+    a documented corner — so ``_bpe_token_count_oracle`` implements the
+    greedy algorithm itself (per-word min-rank pair selection + the
+    proven ``list_reduce`` fold, unrolled past the measured per-word
+    iteration bound), closing the corner instead of papering over it."""
     from ..operators import bpe
 
     docs = load(spark, sf_dir, "documents")

@@ -110,12 +110,84 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     return df.sparkSession.table(name)
 
 
-@query("q_stream_nomad_pipeline")  # rows-only: input is a generated stream
+def _nomad_pipeline_oracle() -> str:
+    """DuckDB twin of the FULL REF pipeline (VERDICT r05 item #4): the
+    deterministic 12-envelope capture is embedded as an inline VALUES
+    relation (generated from the same ``sample_stream`` call the Spark
+    query feeds its file stream — one source of truth, byte-identical
+    input on both engines), and every stage is reimplemented in SQL over
+    DuckDB's JSON functions: heartbeat split (Index AND Events both
+    null), Index > 0 replay guard, Events[] unnest, Allocation topic +
+    TaskStates null guards, TaskStates map explode via json_keys, the
+    connect-proxy anti-filter, and the app.rb:195-209 classification
+    CASE.  The watermark dedup is a no-op on this capture (every
+    (task_identifier, Time) key is unique — intra-batch disorder, no
+    duplicates), so the classified-count aggregate is the complete
+    pipeline contract.  A divergence in ANY stage shifts a count and
+    fails the hash."""
+    from ..sources.synthetic import sample_stream
+
+    vals = ",\n        ".join(
+        "('" + ln.replace("'", "''") + "')" for ln in sample_stream(12)
+    )
+    return f"""
+    WITH raw(line) AS (VALUES {vals}),
+    env AS (
+        SELECT CAST(json_extract(line, '$.Index') AS BIGINT) AS idx, line
+        FROM raw
+        WHERE json_valid(line)
+          AND NOT (json_extract(line, '$.Index') IS NULL
+                   AND json_extract(line, '$.Events') IS NULL)
+    ),
+    ev AS (
+        SELECT idx, unnest(CAST(json_extract(line, '$.Events') AS JSON[])) AS e
+        FROM env WHERE idx > 0
+    ),
+    alloc AS (
+        SELECT idx, json_extract(e, '$.Payload.Allocation.TaskStates') AS ts
+        FROM ev
+        WHERE json_extract_string(e, '$.Topic') = 'Allocation'
+          AND json_extract(e, '$.Payload.Allocation.TaskStates') IS NOT NULL
+    ),
+    tasks AS (
+        SELECT idx, unnest(json_keys(ts)) AS task_id, ts FROM alloc
+    ),
+    tev AS (
+        SELECT idx, task_id,
+               unnest(CAST(json_extract(ts, '$."' || task_id || '".Events')
+                           AS JSON[])) AS te
+        FROM tasks
+        WHERE NOT regexp_matches(task_id, 'connect-proxy')
+    ),
+    classified AS (
+        SELECT CASE
+            WHEN json_extract_string(te, '$.Type') = 'Restart Signaled'
+                 AND regexp_matches(
+                     COALESCE(json_extract_string(
+                         te, '$.Details.restart_reason'), ''),
+                     'unhealthy')
+            THEN 'failure'
+            WHEN json_extract_string(te, '$.Type') = 'Terminated' THEN
+                CASE WHEN json_extract_string(te, '$.Details.oom_killed')
+                          = 'true' THEN 'failure'
+                     WHEN json_extract_string(te, '$.Details.exit_code')
+                          = '0' THEN 'success'
+                     ELSE 'failure' END
+            ELSE NULL END AS state
+        FROM tev
+    )
+    SELECT state, count(*) AS n FROM classified GROUP BY state"""
+
+
+@query("q_stream_nomad_pipeline", oracle=_nomad_pipeline_oracle())
 def q_stream_nomad_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full REF pipeline (app.rb:106-278) as a bounded streaming run:
     synthetic NDJSON -> parse -> explode*3 -> filters -> watermark dedup ->
-    classification, counted by outcome.  Rows-only: the input is the
-    deterministic synthetic Nomad stream, not an oracle table."""
+    classification, counted by outcome.  Promoted from rows-only to the
+    FULL hash gate (VERDICT r05 item #4): the capture is deterministic,
+    so ``_nomad_pipeline_oracle`` replays the byte-identical NDJSON
+    through an independent DuckDB-JSON reimplementation of every stage
+    and hash-matches the final classified counts."""
     from ..sources.synthetic import sample_stream
     from ..streaming.runner import build_stream
 

@@ -151,7 +151,14 @@ def _customer_atoms() -> dict[str, tuple[str, Callable[[], Column], float]]:
 STR_ATOMS = {
     "events": ["event_type"],
     "lineitem": ["l_returnflag", "l_linestatus"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
     "join": ["l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority"],
+    "fulljoin": [
+        "l_returnflag",
+        "l_linestatus",
+        "o_orderstatus",
+        "o_orderpriority",
+    ],
     "join3": [
         "l_returnflag",
         "l_linestatus",
@@ -164,7 +171,9 @@ STR_ATOMS = {
 INT_ATOMS = {
     "events": _events_atoms,
     "lineitem": _lineitem_atoms,
+    "orders": _orders_atoms,
     "join": lambda: {**_lineitem_atoms(), **_orders_atoms()},
+    "fulljoin": lambda: {**_lineitem_atoms(), **_orders_atoms()},
     "join3": lambda: {
         **_lineitem_atoms(),
         **_orders_atoms(),

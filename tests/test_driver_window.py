@@ -2,12 +2,12 @@
 r03 item #3).
 
 The verification driver records hard CORRECTNESS rows for only the first 50
-queries in ``all_queries()`` order.  Round 5 rotates that window onto the
-next 50 never-driver-verified slugs (VERDICT r04 item #1) — round-4
-corpus/analytics families first, plus the three queries that gained full
-hash oracles this round; these assertions keep the rotation from silently
-regressing (e.g. a new module import reshuffling registration order, or a
-window slot landing on a rows-only query and wasting the hard signal).
+queries in ``all_queries()`` order.  Round 6 rotates that window onto 50 of
+the 65 never-driver-verified slugs (VERDICT r05 item #1) — round-5
+retrieval/eval/sketch families and the streaming-oracled family first;
+these assertions keep the rotation from silently regressing (e.g. a new
+module import reshuffling registration order, or a window slot landing on
+a rows-only query and wasting the hard signal).
 """
 
 from __future__ import annotations
@@ -65,13 +65,13 @@ def test_window_targets_previously_unverified_queries():
     # Slugs with a cumulative driver-PASS row (any prior round) already have
     # hard evidence; re-spending window slots on them would be
     # window-stuffing, not evidence-widening.  (No FAIL re-proof exception
-    # this round: r04 was the project's first 0-FAIL window.)
+    # this round: r04 and r05 were both 0-FAIL windows.)
     import json
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1]
     already_pass: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05"):
         path = root / f"CORRECTNESS_{rnd}.json"
         if not path.exists():
             continue

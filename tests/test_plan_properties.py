@@ -229,6 +229,52 @@ def test_token_entropy_aggregates_partial(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        # round-5 eval / dedup / sketch family (VERDICT r05 item #5):
+        # every value-sized join must stay key-shaped.  Several of these
+        # use the accepted crossJoin(F.broadcast(<1-row scalar>)) device,
+        # which plans as BroadcastNestedLoopJoin — so the pin here is
+        # no CartesianProduct (an unmarked all-pairs join).
+        "q_knn_eval",
+        "q_eval_auc",
+        "q_calibration",
+        "q_semdedup",
+        "q_label_prop",
+        "q_tdigest_int",
+        "q_tdigest_merge",
+        "q_kmv_distinct",
+        "q_split_leakage",
+        "q_dedup_stats",
+        "q_dedup_eval",
+        "q_exactsubstr_cluster",
+        "q_rrf_fusion",
+        "q_ndcg_int",
+        "q_mmr_rerank",
+        "q_priority_sample",
+        "q_token_entropy",
+        "q_interval_union",
+        "q_sim_ivfpq_int",
+        "q_sim_recall_ivf",
+    ],
+)
+def test_round5_ops_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_eval_confusion_grid_is_broadcast(spark, sf_dir):
+    """q_knn_eval's confusion-matrix grid is pred × distinct-classes —
+    bounded (labels × 100 eval queries) but previously an unmarked
+    crossJoin (VERDICT r05 item #3 'what's wrong').  Pin the fix: the
+    grid is a BroadcastNestedLoopJoin building the classes side, and
+    nothing in the plan is a CartesianProduct."""
+    plan = plan_of(spark, sf_dir, "q_knn_eval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
 def test_priority_sample_topk_is_heap_bounded(spark, sf_dir):
     """q_priority_sample's global top-(k+1) must be the heap-based
     TakeOrderedAndProject (per-partition heaps, driver merge of 33
