@@ -421,3 +421,65 @@ def decode_audio_stats(binary_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return binary_df.mapInPandas(decode_batches, AUDIO_STATS_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("sum_c0", LongType()),
+        StructField("sum_c1", LongType()),
+        StructField("sum_c2", LongType()),
+    ]
+)
+
+
+def resize_media_nn(binary_df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize: decode the container (BMP or PGM), nearest-
+    neighbor downsample by ``factor`` (keep every factor-th pixel in both
+    axes — output dims ceil(w/f) × ceil(h/f)), RE-ENCODE with the real
+    encoder, and emit integer stats of the result: resized dims, the
+    re-encoded FILE SIZE (pins the BMP row-padding arithmetic and the
+    PGM header grammar on the write path), and per-channel pixel sums.
+
+    Each row round-trips decode(encode(resized)) == resized inside the
+    executor — the codec pair is self-verifying on every record.  Runs
+    as Arrow-batched mapInPandas: per-byte-linear work, no shuffle, the
+    100 TB thumbnailing shape (decode → transform → re-encode → write)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in RESIZE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] == b"BM":
+                    px = decode_bmp(b)
+                    small = px[::factor, ::factor].copy()
+                    enc = encode_bmp(small)
+                    assert np.array_equal(decode_bmp(enc), small)
+                    s = small.astype(np.int64).reshape(-1, 3).sum(axis=0)
+                    fmt = "bmp"
+                    c0, c1, c2 = (int(v) for v in s)
+                    h, w = small.shape[:2]
+                elif b[:2] == b"P5":
+                    px = decode_pgm(b)
+                    small = px[::factor, ::factor].copy()
+                    enc = encode_pgm(small)
+                    assert np.array_equal(decode_pgm(enc), small)
+                    fmt = "pgm"
+                    c0, c1, c2 = int(small.astype(np.int64).sum()), None, None
+                    h, w = small.shape
+                else:
+                    raise ValueError("unknown media container")
+                row = (int(doc_id), fmt, w, h, len(enc), c0, c1, c2)
+                for field, val in zip(RESIZE_SCHEMA.fields, row):
+                    out[field.name].append(val)
+            pdf_out = pd.DataFrame(out)
+            for col in ("sum_c1", "sum_c2"):
+                pdf_out[col] = pdf_out[col].astype("Int64")
+            yield pdf_out
+
+    return binary_df.mapInPandas(batches, RESIZE_SCHEMA)

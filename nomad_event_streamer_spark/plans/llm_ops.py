@@ -3929,3 +3929,421 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("long").alias("n_docs"),
         (F.sum("sz") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
     )
+
+
+_BLOOM_M = 4096
+
+
+@query(
+    "q_dedup_bloom",
+    oracle=f"""
+    WITH idx AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ),
+    bits AS (
+        SELECT DISTINCT bit FROM (
+            SELECT CAST(concat('0x', substring(h, 1, 15)) AS BIGINT)
+                       % {_BLOOM_M} AS bit FROM idx
+            UNION ALL
+            SELECT CAST(concat('0x', substring(h, 17, 15)) AS BIGINT)
+                       % {_BLOOM_M} AS bit FROM idx
+        )
+    ),
+    probe AS (
+        SELECT doc_id, md5(text) AS h,
+               CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+                   % {_BLOOM_M} AS b1,
+               CAST(concat('0x', substring(md5(text), 17, 15)) AS BIGINT)
+                   % {_BLOOM_M} AS b2
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT p.doc_id,
+           (t1.bit IS NOT NULL AND t2.bit IS NOT NULL) AS bloom_hit,
+           (i.h IS NOT NULL) AS exact_dup,
+           (t1.bit IS NOT NULL AND t2.bit IS NOT NULL
+            AND i.h IS NULL) AS false_positive,
+           (i.h IS NOT NULL
+            AND NOT (t1.bit IS NOT NULL AND t2.bit IS NOT NULL))
+               AS missed
+    FROM probe p
+    LEFT JOIN bits t1 ON t1.bit = p.b1
+    LEFT JOIN bits t2 ON t2.bit = p.b2
+    LEFT JOIN idx i ON i.h = p.h
+    """,
+)
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter variant of the incremental-dedup digest probe
+    (VERDICT r05 item #7b; Bloom 1970): the index side (even doc_ids)
+    is summarized into an m=4096-bit, two-hash Bloom filter — here
+    materialized as its distinct set-bit table, the declarative stand-in
+    for the bitmap — and each NEW document (odd doc_ids) tests
+    membership with two broadcast-side bit lookups.  The exact digest
+    verdict rides along, so the filter's two contracts are verifiable
+    columns: ``false_positive`` rows are the expected Bloom cost
+    (rate ≈ (1-e^(-2n/m))² at these parameters) and ``missed`` must be
+    all-false — Bloom filters admit NO false negatives; the oracle
+    hash-pins both.
+
+    Bit positions are two disjoint 60-bit slices of the md5 digest mod
+    m — exact integer arithmetic, same literals both engines
+    (the q_kmv_distinct hash-replay device).
+
+    At 100 TB this is the point: the full digest index is corpus-sized
+    and lives in storage, but its Bloom summary is m bits REGARDLESS of
+    corpus size — shipped to every executor once, it answers
+    'definitely new' map-side with zero shuffle, and only the Bloom-hit
+    minority pays the exact digest join (Spark's own runtime bloom
+    pushdown — q_bloom_prune_join — applies the same idea to join
+    pruning; this operator makes the filter an explicit, maintained
+    asset of the dedup pipeline)."""
+    docs = load(spark, sf_dir, "documents")
+    idx = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+
+    def _bit(col, start):
+        return (
+            F.conv(F.substring(col, start, 15), 16, 10).cast("long")
+            % _BLOOM_M
+        )
+
+    bits = (
+        idx.select(
+            F.explode(
+                F.array(_bit(F.col("h"), 1), _bit(F.col("h"), 17))
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        _bit(F.md5("text"), 1).alias("b1"),
+        _bit(F.md5("text"), 17).alias("b2"),
+    )
+    t1 = F.broadcast(bits.select(F.col("bit").alias("b1")).withColumn("hit1", F.lit(True)))
+    t2 = F.broadcast(bits.select(F.col("bit").alias("b2")).withColumn("hit2", F.lit(True)))
+    dig = F.broadcast(idx.withColumn("in_idx", F.lit(True)))
+    out = (
+        probe.join(t1, "b1", "left")
+        .join(t2, "b2", "left")
+        .join(dig, "h", "left")
+    )
+    bloom_hit = F.coalesce("hit1", F.lit(False)) & F.coalesce(
+        "hit2", F.lit(False)
+    )
+    exact = F.coalesce("in_idx", F.lit(False))
+    return out.select(
+        "doc_id",
+        bloom_hit.alias("bloom_hit"),
+        exact.alias("exact_dup"),
+        (bloom_hit & ~exact).alias("false_positive"),
+        (exact & ~bloom_hit).alias("missed"),
+    )
+
+
+@query(
+    "q_image_resize",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               doc_id % 2 = 0 AS is_bmp,
+               9 + doc_id % 8 AS w,
+               6 + doc_id % 5 AS h,
+               (9 + doc_id % 8 + 1) // 2 AS wr,
+               (6 + doc_id % 5 + 1) // 2 AS hr
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, is_bmp, wr, hr,
+               (t.q // wr) * 2 * w + (t.q % wr) * 2 AS p_src
+        FROM d CROSS JOIN range(0, 80) t(q)
+        WHERE t.q < wr * hr
+    ),
+    c AS (
+        SELECT doc_id, is_bmp, wr, hr,
+               (doc_id*73 + (p_src * CASE WHEN is_bmp THEN 3 ELSE 1 END)
+                * 151 + 11) % 256 AS c0,
+               CASE WHEN is_bmp
+                    THEN (doc_id*73 + (p_src*3 + 1)*151 + 11) % 256 END AS c1,
+               CASE WHEN is_bmp
+                    THEN (doc_id*73 + (p_src*3 + 2)*151 + 11) % 256 END AS c2
+        FROM px
+    )
+    SELECT doc_id,
+           CASE WHEN is_bmp THEN 'bmp' ELSE 'pgm' END AS fmt,
+           CAST(max(wr) AS BIGINT) AS width,
+           CAST(max(hr) AS BIGINT) AS height,
+           CAST(CASE WHEN is_bmp
+                THEN 54 + max(hr) * (max(wr)*3 + (4 - (max(wr)*3) % 4) % 4)
+                ELSE 2 + 1 + length(CAST(max(wr) AS VARCHAR)) + 1
+                     + length(CAST(max(hr) AS VARCHAR)) + 1 + 3 + 1
+                     + max(wr) * max(hr)
+                END AS BIGINT) AS out_bytes,
+           CAST(sum(c0) AS BIGINT) AS sum_c0,
+           CAST(sum(c1) AS BIGINT) AS sum_c1,
+           CAST(sum(c2) AS BIGINT) AS sum_c2
+    FROM c GROUP BY doc_id, is_bmp
+    """,
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image RESIZE over the multimodal column (the decode →
+    transform → re-encode → write thumbnailing shape): each document's
+    valid BMP/PGM container is parsed with the numpy codecs, nearest-
+    neighbor downsampled ×2, and re-encoded with the real encoder —
+    decode(encode(x)) == x asserted per record, so the codec pair is
+    self-verifying on the write path too.
+
+    The oracle recomputes resized dims, per-channel sums of the SAMPLED
+    pixel positions (source pixel (2y, 2x) via the closed-form stream),
+    and — the sharp part — the re-encoded FILE SIZE: 54 + h*(3w+pad)
+    with the exact 4-byte row-padding rule for BMP, and the P5 header
+    grammar length for PGM.  A padding or header bug on either codec
+    side breaks the hash.  100 TB shape: per-byte-linear mapInPandas,
+    no shuffle, no driver involvement."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    payloads = multimodal.synthetic_media(docs)
+    return multimodal.resize_media_nn(payloads, factor=2)
+
+
+_HASHTEXT_BUCKETS = 65536
+
+
+@query(
+    "q_hashtext_classify",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tks
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, unnest(list_concat(
+            ['u:' || x FOR x IN tks],
+            ['b:' || tks[i] || ' ' || tks[i + 1]
+             FOR i IN range(1, greatest(len(tks), 1))]
+        )) AS feat
+        FROM t
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(feat), 1, 15)) AS BIGINT)
+                   % {_HASHTEXT_BUCKETS} AS bucket
+        FROM feats
+    ),
+    w AS (
+        SELECT doc_id,
+               (CAST(concat('0x', substring(md5('w0:' ||
+                    CAST(bucket AS VARCHAR)), 1, 15)) AS BIGINT) % 17) - 8
+                   AS w0,
+               (CAST(concat('0x', substring(md5('w1:' ||
+                    CAST(bucket AS VARCHAR)), 1, 15)) AS BIGINT) % 17) - 8
+                   AS w1
+        FROM b
+    ),
+    s AS (
+        SELECT doc_id, CAST(sum(w0) AS BIGINT) AS score_0,
+               CAST(sum(w1) AS BIGINT) AS score_1,
+               CAST(count(*) AS BIGINT) AS n_features
+        FROM w GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.score_0, 0) AS BIGINT) AS score_0,
+           CAST(coalesce(s.score_1, 0) AS BIGINT) AS score_1,
+           CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+           CAST(CASE WHEN coalesce(s.score_1, 0) > coalesce(s.score_0, 0)
+                     THEN 1 ELSE 0 END AS BIGINT) AS pred_class,
+           CAST(coalesce(s.score_0, 0) - coalesce(s.score_1, 0) AS BIGINT)
+               AS margin
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """,
+)
+def q_hashtext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch LINEAR-CLASSIFIER INFERENCE over hashed text features — the
+    fastText-style quality-filter stage (Joulin et al. 2016) every LLM
+    data pipeline runs between crawling and training: unigram + bigram
+    features hash into 2^16 buckets, each bucket carries an integer
+    weight per class, and a document's class scores are the bag-of-
+    features weight sums.  Weights here are md5-derived integers in
+    [-8, 8] — the deterministic stand-in for a trained weight vector
+    (in production the same plan broadcast-joins a weights dim; the
+    md5 expression keeps both engines bit-identical with no fixture).
+
+    Plan: ONE corpus scan (features as array HOFs, no UDF), one
+    map-side-combinable per-doc sum — zero joins on the feature path,
+    whole-stage-codegen throughout; docs with no tokens classify from
+    the empty bag via the documents LEFT JOIN.  Inference cost is
+    linear in tokens, the 100 TB posture of every learned-filter
+    scoring pass."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    tks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = docs.select("doc_id", tks.alias("tks"))
+    feats = t.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(F.col("tks"), lambda x: F.concat(F.lit("u:"), x)),
+                F.expr(
+                    "transform(slice(tks, 1, greatest(size(tks) - 1, 0)),"
+                    " (x, i) -> concat('b:', x, ' ', tks[i + 1]))"
+                ),
+            )
+        ).alias("feat"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("feat"), 1, 15), 16, 10).cast("long")
+        % _HASHTEXT_BUCKETS
+    )
+
+    def weight(cls: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"w{cls}:"), F.col("bucket").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 17
+            - 8
+        )
+
+    s = (
+        feats.select("doc_id", bucket.alias("bucket"))
+        .select("doc_id", weight("0").alias("w0"), weight("1").alias("w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w0").cast("long").alias("score_0"),
+            F.sum("w1").cast("long").alias("score_1"),
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+        )
+    )
+    s0 = F.coalesce(F.col("score_0"), F.lit(0))
+    s1 = F.coalesce(F.col("score_1"), F.lit(0))
+    return (
+        docs.select("doc_id")
+        .join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            s0.cast("long").alias("score_0"),
+            s1.cast("long").alias("score_1"),
+            F.coalesce(F.col("n_features"), F.lit(0))
+            .cast("long")
+            .alias("n_features"),
+            F.when(s1 > s0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pred_class"),
+            (s0 - s1).cast("long").alias("margin"),
+        )
+    )
+
+
+def _ivf_append_oracle(num_cells: int = 16) -> str:
+    d = (
+        "CAST(list_dot_product(v.qv, v.qv)"
+        " - 2 * list_dot_product(v.qv, s.cv)"
+        " + list_dot_product(s.cv, s.cv) AS BIGINT)"
+    )
+    return f"""
+    WITH {_QZ_CTE},
+    seeds AS (
+        SELECT CAST(row_number() OVER w - 1 AS BIGINT) AS cell, qv AS cv
+        FROM qz WHERE vec_id % 2 = 0
+        WINDOW w AS (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        QUALIFY row_number() OVER w <= {num_cells}
+    ),
+    assign AS (
+        SELECT v.vec_id, s.cell, {d} AS d
+        FROM qz v CROSS JOIN seeds s
+    ),
+    best AS (
+        SELECT vec_id, cell, d FROM (
+            SELECT vec_id, cell, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rn
+            FROM assign
+        ) WHERE rn = 1
+    )
+    SELECT cell,
+           CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_index,
+           CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN vec_id % 2 = 1 THEN d ELSE 0 END)
+                AS BIGINT) AS sum_d_new
+    FROM best GROUP BY cell
+    """
+
+
+@query("q_ivf_append", oracle=_ivf_append_oracle())
+def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN INDEX MAINTENANCE: a new vector batch (odd
+    vec_ids) is appended into the EXISTING integer-IVF layout built on
+    the indexed corpus (even vec_ids — centroids are the 16 md5-smallest
+    INDEX ids, so the coarse quantizer is a property of the maintained
+    index, not of the arriving data).  Each row routes to its argmin
+    cell by exact integer squared-L2 (smallest-cell tie-break — the
+    q_sim_ivf_int device); the output is the per-cell occupancy ledger
+    (index members, appended members, total) plus the integer sum of
+    the new batch's assignment distances — the drift signal an index
+    maintainer watches to decide when re-training the coarse quantizer
+    is due (rising append distance = centroids going stale).
+
+    At 100 TB this is the always-on ingest posture for the vector side:
+    appends never re-shuffle the existing index (cell is a pure
+    expression over broadcast centroid literals), and the ledger is one
+    map-side-combinable aggregation to num_cells rows."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    qz = vecs.select(
+        "vec_id",
+        similarity.quantize_vec(F.col("embedding"), 1_000_000).alias("qv"),
+    )
+    seeds = (
+        qz.where(F.col("vec_id") % 2 == 0)
+        .select("vec_id", "qv", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(16)
+        .collect()
+    )
+    cents = [[int(x) for x in r["qv"]] for r in seeds]
+
+    def _d2(vcol, cent):
+        cl = F.array(*[F.lit(v).cast("long") for v in cent])
+        return F.aggregate(
+            F.zip_with(vcol, cl, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[_d2(F.col("qv"), cent) for cent in cents])
+    assigned = (
+        qz.withColumn("dists", dists)
+        .withColumn("d", F.array_min(F.col("dists")))
+        .withColumn(
+            "cell",
+            (
+                F.array_position(F.col("dists"), F.array_min(F.col("dists")))
+                - 1
+            ).cast("long"),
+        )
+        .drop("dists")
+    )
+    is_new = F.col("vec_id") % 2 == 1
+    return assigned.groupBy("cell").agg(
+        F.sum(F.when(~is_new, 1).otherwise(0)).cast("long").alias("n_index"),
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("n_new"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(is_new, F.col("d")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sum_d_new"),
+    )

@@ -553,3 +553,350 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
         )
     )
+
+
+_THETA_K = 32
+_THETA_ONE = 1 << 60
+_THETA_ONE_F = repr(float(_THETA_ONE))
+
+
+@query(
+    "q_theta_intersect",
+    oracle=f"""
+    WITH st AS (
+        SELECT DISTINCT source, tok FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    h AS (
+        SELECT DISTINCT source,
+               CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM st
+    ),
+    r AS (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv ASC) AS rk,
+               count(*) OVER (PARTITION BY source) AS n_seen
+        FROM h
+    ),
+    theta AS (
+        SELECT source,
+               CAST(CASE WHEN max(n_seen) >= {_THETA_K}
+                         THEN max(CASE WHEN rk = {_THETA_K} THEN hv END)
+                         ELSE {_THETA_ONE} END AS BIGINT) AS theta
+        FROM r GROUP BY source
+    ),
+    smp AS (
+        SELECT r.source, r.hv FROM r JOIN theta t ON r.source = t.source
+        WHERE r.hv < t.theta
+    ),
+    grid AS (
+        SELECT a.source AS source_a, a.theta AS theta_a,
+               b.source AS source_b, b.theta AS theta_b
+        FROM theta a JOIN theta b ON a.source < b.source
+    ),
+    common AS (
+        SELECT sa.source AS source_a, sb.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM smp sa
+        JOIN smp sb ON sa.hv = sb.hv AND sa.source < sb.source
+        JOIN grid g ON g.source_a = sa.source AND g.source_b = sb.source
+        WHERE sa.hv < least(g.theta_a, g.theta_b)
+        GROUP BY 1, 2
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT g.source_a, g.source_b,
+           CAST(least(g.theta_a, g.theta_b) AS BIGINT) AS theta_ab,
+           CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+           CAST(coalesce(c.n_common, 0) AS DOUBLE) * {_THETA_ONE_F}
+               / CAST(least(g.theta_a, g.theta_b) AS DOUBLE) AS est_inter,
+           CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter
+    FROM grid g
+    LEFT JOIN common c
+      ON c.source_a = g.source_a AND c.source_b = g.source_b
+    LEFT JOIN inter i
+      ON i.source_a = g.source_a AND i.source_b = g.source_b
+    """,
+)
+def q_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set INTERSECTION (Dasgupta et al., "Theta-Sketch
+    Framework", 2016; the DataSketches model) over per-source token sets
+    — the set-operation twin the KMV machinery generalizes to (VERDICT
+    r05 item #7c).  Each source keeps its k=32 smallest 60-bit hashes
+    plus threshold theta (the k-th smallest; 2^60 when the set is
+    smaller than k); for a pair, theta_ab = min(theta_a, theta_b) and
+    |A∩B| is estimated as (retained common hashes below theta_ab) *
+    2^60 / theta_ab — the standard theta intersection rule.
+
+    Everything stateful is exact integers (hv, theta, n_common), and the
+    estimate is one exact double product (n_common * 2^60 — a power-of-2
+    scaled small int, no rounding) followed by a single IEEE division —
+    bit-identical across engines, so the whole sketch sits under the
+    full hash gate; the exact intersection (distinct-token equi-join)
+    rides along, making the sketch's error a verifiable column.
+
+    Scale: per-source sketches are a key-partitioned window over the
+    distinct-hash projection (WindowGroupLimit-bounded); the pairwise
+    stage joins k-row SAMPLES (640 rows total here) on hv — sketch-sized
+    work independent of corpus size, the reason theta sketches exist.
+    The source-pair grid is the accepted broadcast-grid device."""
+    from pyspark.sql import Window as W
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    st = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    h = st.select(
+        "source",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w_rank = W.partitionBy("source").orderBy(F.col("hv").asc())
+    w_all = W.partitionBy("source")
+    r = h.select(
+        "source",
+        "hv",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_seen"),
+    )
+    theta = r.groupBy("source").agg(
+        F.when(
+            F.max("n_seen") >= _THETA_K,
+            F.max(F.when(F.col("rk") == _THETA_K, F.col("hv"))),
+        )
+        .otherwise(F.lit(_THETA_ONE))
+        .cast("long")
+        .alias("theta")
+    )
+    smp = (
+        r.join(F.broadcast(theta), "source")
+        .where(F.col("hv") < F.col("theta"))
+        .select("source", "hv")
+    )
+    grid = (
+        theta.select(
+            F.col("source").alias("source_a"), F.col("theta").alias("theta_a")
+        )
+        .crossJoin(
+            F.broadcast(
+                theta.select(
+                    F.col("source").alias("source_b"),
+                    F.col("theta").alias("theta_b"),
+                )
+            )
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    common = (
+        smp.select(F.col("source").alias("source_a"), "hv")
+        .join(smp.select(F.col("source").alias("source_b"), "hv"), "hv")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(grid), ["source_a", "source_b"])
+        .where(F.col("hv") < F.least("theta_a", "theta_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    inter = (
+        st.select(F.col("source").alias("source_a"), "tok")
+        .join(st.select(F.col("source").alias("source_b"), "tok"), "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    ncommon = F.coalesce(F.col("n_common"), F.lit(0))
+    theta_ab = F.least("theta_a", "theta_b")
+    return (
+        grid.join(F.broadcast(common), ["source_a", "source_b"], "left")
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            theta_ab.cast("long").alias("theta_ab"),
+            ncommon.cast("long").alias("n_common"),
+            (
+                ncommon.cast("double")
+                * F.lit(float(_THETA_ONE))
+                / theta_ab.cast("double")
+            ).alias("est_inter"),
+            F.coalesce(F.col("n_inter"), F.lit(0))
+            .cast("long")
+            .alias("n_inter"),
+        )
+    )
+
+
+@query(
+    "q_theta_anotb",
+    oracle=f"""
+    WITH st AS (
+        SELECT DISTINCT source, tok FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    h AS (
+        SELECT DISTINCT source,
+               CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM st
+    ),
+    r AS (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv ASC) AS rk,
+               count(*) OVER (PARTITION BY source) AS n_seen
+        FROM h
+    ),
+    theta AS (
+        SELECT source,
+               CAST(CASE WHEN max(n_seen) >= {_THETA_K}
+                         THEN max(CASE WHEN rk = {_THETA_K} THEN hv END)
+                         ELSE {_THETA_ONE} END AS BIGINT) AS theta
+        FROM r GROUP BY source
+    ),
+    smp AS (
+        SELECT r.source, r.hv FROM r JOIN theta t ON r.source = t.source
+        WHERE r.hv < t.theta
+    ),
+    grid AS (
+        SELECT a.source AS source_a, a.theta AS theta_a,
+               b.source AS source_b, b.theta AS theta_b
+        FROM theta a JOIN theta b ON a.source <> b.source
+    ),
+    only_a AS (
+        SELECT g.source_a, g.source_b, CAST(count(*) AS BIGINT) AS n_only
+        FROM grid g
+        JOIN smp sa ON sa.source = g.source_a
+        WHERE sa.hv < least(g.theta_a, g.theta_b)
+          AND NOT EXISTS (SELECT 1 FROM smp sb
+                          WHERE sb.source = g.source_b AND sb.hv = sa.hv)
+        GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT gg.source_a, gg.source_b,
+               CAST(count(*) AS BIGINT) AS n_exact
+        FROM grid gg
+        JOIN st a ON a.source = gg.source_a
+        LEFT JOIN st b ON b.source = gg.source_b AND b.tok = a.tok
+        WHERE b.tok IS NULL
+        GROUP BY 1, 2
+    )
+    SELECT g.source_a, g.source_b,
+           CAST(least(g.theta_a, g.theta_b) AS BIGINT) AS theta_ab,
+           CAST(coalesce(o.n_only, 0) AS BIGINT) AS n_only,
+           CAST(coalesce(o.n_only, 0) AS DOUBLE) * {_THETA_ONE_F}
+               / CAST(least(g.theta_a, g.theta_b) AS DOUBLE) AS est_anotb,
+           CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact
+    FROM grid g
+    LEFT JOIN only_a o
+      ON o.source_a = g.source_a AND o.source_b = g.source_b
+    LEFT JOIN ex e
+      ON e.source_a = g.source_a AND e.source_b = g.source_b
+    """,
+)
+def q_theta_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch A-NOT-B (set difference) — completes the
+    DataSketches set-operation triad (union = KMV merge, intersection =
+    q_theta_intersect, difference = this).  For each DIRECTED source
+    pair, |A\\B| is estimated as the count of A-sample hashes below
+    theta_ab = min(theta_a, theta_b) absent from B's sample, scaled by
+    2^60/theta_ab.  The absent-from-B test is sound because B's sample
+    retains EVERY B hash below theta_b >= theta_ab — a hash below
+    theta_ab missing from it is genuinely not in B.
+
+    Same exactness posture as the intersection twin: integer internals,
+    one exact product + one IEEE division, exact per-pair difference
+    (token anti-join) riding along; pairwise work is k-row samples."""
+    from pyspark.sql import Window as W
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    st = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    h = st.select(
+        "source",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w_rank = W.partitionBy("source").orderBy(F.col("hv").asc())
+    w_all = W.partitionBy("source")
+    r = h.select(
+        "source",
+        "hv",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_seen"),
+    )
+    theta = r.groupBy("source").agg(
+        F.when(
+            F.max("n_seen") >= _THETA_K,
+            F.max(F.when(F.col("rk") == _THETA_K, F.col("hv"))),
+        )
+        .otherwise(F.lit(_THETA_ONE))
+        .cast("long")
+        .alias("theta")
+    )
+    smp = (
+        r.join(F.broadcast(theta), "source")
+        .where(F.col("hv") < F.col("theta"))
+        .select("source", "hv")
+    )
+    grid = (
+        theta.select(
+            F.col("source").alias("source_a"), F.col("theta").alias("theta_a")
+        )
+        .crossJoin(
+            F.broadcast(
+                theta.select(
+                    F.col("source").alias("source_b"),
+                    F.col("theta").alias("theta_b"),
+                )
+            )
+        )
+        .where(F.col("source_a") != F.col("source_b"))
+    )
+    sa = smp.select(F.col("source").alias("source_a"), "hv")
+    sb = smp.select(F.col("source").alias("source_b"), "hv")
+    only_a = (
+        grid.join(sa, "source_a")
+        .where(F.col("hv") < F.least("theta_a", "theta_b"))
+        .join(sb, ["source_b", "hv"], "left_anti")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_only"))
+    )
+    ex = (
+        grid.select("source_a", "source_b")
+        .join(
+            st.select(F.col("source").alias("source_a"), "tok"), "source_a"
+        )
+        .join(
+            st.select(F.col("source").alias("source_b"), "tok"),
+            ["source_b", "tok"],
+            "left_anti",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    nonly = F.coalesce(F.col("n_only"), F.lit(0))
+    theta_ab = F.least("theta_a", "theta_b")
+    return (
+        grid.join(F.broadcast(only_a), ["source_a", "source_b"], "left")
+        .join(F.broadcast(ex), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            theta_ab.cast("long").alias("theta_ab"),
+            nonly.cast("long").alias("n_only"),
+            (
+                nonly.cast("double")
+                * F.lit(float(_THETA_ONE))
+                / theta_ab.cast("double")
+            ).alias("est_anotb"),
+            F.coalesce(F.col("n_exact"), F.lit(0))
+            .cast("long")
+            .alias("n_exact"),
+        )
+    )

@@ -193,6 +193,7 @@ UNIQUE_KEYS = {
     "lineitem": ["l_orderkey", "l_linenumber"],
     "join": ["l_orderkey", "l_linenumber"],
     "join3": ["l_orderkey", "l_linenumber"],
+    "fulljoin": ["l_orderkey", "l_linenumber"],  # agg-only shape; unused
 }
 
 
@@ -208,8 +209,27 @@ class Gen:
         self.atoms = INT_ATOMS[self.table]()
         self.str_values = str_values
         self.shape = self.rng.choice(
-            ["project", "agg", "agg", "window", "setop", "rollup", "aggwindow"]
+            [
+                "project",
+                "agg",
+                "agg",
+                "window",
+                "setop",
+                "rollup",
+                "aggwindow",
+                "subquery",
+                "outeragg",
+            ]
         )
+        # subquery shapes correlate lineitem against an orders subquery;
+        # outeragg aggregates over a both-sides-thinned FULL OUTER join
+        # (VERDICT r05 item #6 — the two untouched surfaces)
+        if self.shape == "subquery":
+            self.table = "lineitem"
+            self.atoms = INT_ATOMS[self.table]()
+        elif self.shape == "outeragg":
+            self.table = "fulljoin"
+            self.atoms = INT_ATOMS[self.table]()
         # the join table exercises both inner and left outer semantics
         self.join_type = self.rng.choice(["inner", "left"])
 
@@ -301,6 +321,19 @@ class Gen:
             return load(spark, sf_dir, "events")
         if self.table == "lineitem":
             return load(spark, sf_dir, "lineitem")
+        if self.table == "fulljoin":
+            # both sides deterministically thinned so the full outer join
+            # produces left-orphans AND right-orphans — aggregates then
+            # run over genuinely nullable atoms from both sides
+            li = load(spark, sf_dir, "lineitem").where(
+                F.col("l_orderkey") % 5 != 0
+            )
+            orders = load(spark, sf_dir, "orders").where(
+                F.col("o_orderkey") % 3 != 0
+            )
+            return li.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey"), "full"
+            )
         if self.table == "join3":
             # 3-table chain: the multi-join decimal-aggregate surface
             # (VERDICT r04 item #7).  The inner lineitem⋈orders link is
@@ -341,6 +374,12 @@ class Gen:
         return self.join_type
 
     def _sql_from(self) -> str:
+        if self.table == "fulljoin":
+            return (
+                "(SELECT * FROM lineitem WHERE l_orderkey % 5 <> 0) l "
+                "FULL JOIN (SELECT * FROM orders WHERE o_orderkey % 3 <> 0) o "
+                "ON l_orderkey = o_orderkey"
+            )
         if self.table == "join3":
             inner = "lineitem JOIN orders ON l_orderkey = o_orderkey"
             if self._join_type() == "left":
@@ -360,12 +399,97 @@ class Gen:
             return "lineitem JOIN orders ON l_orderkey = o_orderkey"
         return self.table
 
+    def _orders_pred(self) -> Pred:
+        """A predicate over orders atoms only (for the subquery body) —
+        generated by temporarily retargeting the atom pools."""
+        saved_atoms, saved_table = self.atoms, self.table
+        self.atoms, self.table = _orders_atoms(), "orders"
+        try:
+            return self.pred()
+        finally:
+            self.atoms, self.table = saved_atoms, saved_table
+
     # -- query shapes -------------------------------------------------------
 
     def build(self, spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
         where = self.pred()
         base = self._spark_base(spark, sf_dir).where(where.col)
         uniq = UNIQUE_KEYS[self.table]
+
+        if self.shape == "subquery":
+            # EXISTS / NOT EXISTS / IN / NOT IN over a correlated orders
+            # subquery.  Spark renders the decorrelated plan directly
+            # (left_semi / left_anti join — the shape Catalyst produces
+            # for these subqueries); DuckDB parses the REAL subquery SQL
+            # and decorrelates it itself, so the two engines reach the
+            # semantics through independent machinery.  NOT IN is safe as
+            # an anti join here because both key columns are non-null by
+            # construction (TPC-H keys).  Half the exists-family seeds add
+            # a second, non-equi correlated conjunct (orders atom vs outer
+            # lineitem atom) — genuine correlation beyond the key.
+            from nomad_event_streamer_spark.tables import load
+
+            mode = self.rng.choice(["exists", "not_exists", "in", "not_in"])
+            sub = self._orders_pred()
+            orders = load(spark, sf_dir, "orders").where(sub.col)
+            cond = F.col("l_orderkey") == F.col("o_orderkey")
+            extra_sql = ""
+            if mode in ("exists", "not_exists") and self.rng.random() < 0.5:
+                oatoms = _orders_atoms()
+                oa_sql, oa_colf, _ = oatoms[self.rng.choice(sorted(oatoms))]
+                la_name = self.rng.choice(sorted(self.atoms))
+                la_sql, la_colf, _ = self.atoms[la_name]
+                op = self.rng.choice(["<", "<=", ">", ">="])
+                colops = {
+                    "<": oa_colf() < la_colf(),
+                    "<=": oa_colf() <= la_colf(),
+                    ">": oa_colf() > la_colf(),
+                    ">=": oa_colf() >= la_colf(),
+                }
+                cond = cond & colops[op]
+                extra_sql = f" AND ({oa_sql} {op} {la_sql})"
+            how = "left_semi" if mode in ("exists", "in") else "left_anti"
+            filtered = base.join(orders, cond, how)
+            if mode in ("exists", "not_exists"):
+                neg = "NOT " if mode == "not_exists" else ""
+                cond_sql = (
+                    f"{neg}EXISTS (SELECT 1 FROM orders "
+                    f"WHERE o_orderkey = l_orderkey AND {sub.sql}{extra_sql})"
+                )
+            else:
+                neg = "NOT " if mode == "not_in" else ""
+                cond_sql = (
+                    f"l_orderkey {neg}IN "
+                    f"(SELECT o_orderkey FROM orders WHERE {sub.sql})"
+                )
+            if self.rng.random() < 0.5:
+                # aggregate over the subquery survivors
+                s_expr = self.int_expr()
+                df = filtered.groupBy(
+                    F.col("l_linenumber").alias("k0")
+                ).agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(s_expr.col).alias("s"),
+                )
+                sql = (
+                    f"SELECT l_linenumber AS k0, count(*) AS n, "
+                    f"CAST(sum({s_expr.sql}) AS BIGINT) AS s "
+                    f"FROM lineitem WHERE {where.sql} AND {cond_sql} "
+                    f"GROUP BY l_linenumber"
+                )
+                return df, sql
+            exprs = [self.int_expr() for _ in range(self.rng.randint(1, 2))]
+            cols = [F.col(k) for k in uniq] + [
+                e.col.alias(f"c{i}") for i, e in enumerate(exprs)
+            ]
+            sels = list(uniq) + [
+                f"{e.sql} AS c{i}" for i, e in enumerate(exprs)
+            ]
+            sql = (
+                f"SELECT {', '.join(sels)} FROM lineitem "
+                f"WHERE {where.sql} AND {cond_sql}"
+            )
+            return filtered.select(*cols), sql
 
         if self.shape == "project":
             exprs = [self.int_expr() for _ in range(self.rng.randint(1, 3))]
@@ -726,11 +850,13 @@ def run(n_seeds: int, out_path: str | None, sf_dir: str = SF) -> int:
                 "setop",
                 "rollup",
                 "aggwindow",
+                "subquery",
+                "outeragg",
             )
         },
         "by_table": {
             t: sum(1 for r in results.values() if r["table"] == t)
-            for t in ("events", "lineitem", "join", "join3")
+            for t in ("events", "lineitem", "join", "join3", "fulljoin")
         },
         "results": results,
     }

@@ -44,9 +44,11 @@ def test_grammar_emits_every_shape(pool):
         "setop",
         "rollup",
         "aggwindow",
+        "subquery",
+        "outeragg",
     }
 
 
 def test_grammar_emits_every_table(pool):
     tables = {fuzz_diff.Gen(s, pool).table for s in range(60)}
-    assert tables == {"events", "lineitem", "join", "join3"}
+    assert tables == {"events", "lineitem", "join", "join3", "fulljoin"}

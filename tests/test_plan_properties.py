@@ -257,6 +257,14 @@ def test_token_entropy_aggregates_partial(spark, sf_dir):
         "q_interval_union",
         "q_sim_ivfpq_int",
         "q_sim_recall_ivf",
+        # round-6 additions: sketch-pair grid and Bloom bit lookups must
+        # stay broadcast-shaped
+        "q_theta_intersect",
+        "q_theta_anotb",
+        "q_dedup_bloom",
+        "q_hashtext_classify",
+        "q_ivf_append",
+        "q_image_resize",
     ],
 )
 def test_round5_ops_no_cartesian(spark, sf_dir, name):

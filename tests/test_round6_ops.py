@@ -37,6 +37,253 @@ class TestPlanesForCorpus:
             assert 16 <= occupancy <= 32.0001, (n, planes, occupancy)
 
 
+class TestThetaIntersect:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        return QUERIES["q_theta_intersect"](spark, sf_dir).collect()
+
+    def test_full_pair_grid(self, rows, spark, sf_dir):
+        n_sources = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("source")
+            .distinct()
+            .count()
+        )
+        assert len(rows) == n_sources * (n_sources - 1) // 2
+
+    def test_sample_bounded_by_k(self, rows):
+        from nomad_event_streamer_spark.plans.sketch_queries import _THETA_K
+
+        assert all(r["n_common"] <= _THETA_K for r in rows)
+
+    def test_small_set_estimate_is_exact_count(self, rows):
+        # theta_ab == 2^60 means BOTH sketches retained everything: the
+        # estimate must equal the retained-common count exactly (scale
+        # factor 2^60/2^60 == 1).
+        from nomad_event_streamer_spark.plans.sketch_queries import _THETA_ONE
+
+        small = [r for r in rows if r["theta_ab"] == _THETA_ONE]
+        for r in small:
+            assert r["est_inter"] == float(r["n_common"])
+
+    def test_estimate_nonnegative_and_sane(self, rows):
+        for r in rows:
+            assert r["est_inter"] >= 0.0
+            assert r["n_inter"] >= 0
+
+
+class TestThetaAnotb:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        return QUERIES["q_theta_anotb"](spark, sf_dir).collect()
+
+    def test_directed_pair_grid(self, rows, spark, sf_dir):
+        n_sources = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("source")
+            .distinct()
+            .count()
+        )
+        assert len(rows) == n_sources * (n_sources - 1)
+
+    def test_small_set_estimate_is_exact_retained_count(self, rows):
+        from nomad_event_streamer_spark.plans.sketch_queries import _THETA_ONE
+
+        for r in rows:
+            if r["theta_ab"] == _THETA_ONE:
+                assert r["est_anotb"] == float(r["n_only"])
+
+    def test_triad_consistency_with_intersect(self, spark, sf_dir):
+        # |A| retained below theta_ab = |A∩B| retained + |A\B| retained:
+        # the intersection and difference sketches partition A's retained
+        # sample, so their retained counts must be reconstructable from
+        # one another on the shared (a, b) pairs.
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        inter = {
+            (r["source_a"], r["source_b"]): r
+            for r in QUERIES["q_theta_intersect"](spark, sf_dir).collect()
+        }
+        anotb = {
+            (r["source_a"], r["source_b"]): r
+            for r in QUERIES["q_theta_anotb"](spark, sf_dir).collect()
+        }
+        for (a, b), ri in inter.items():
+            ra = anotb[(a, b)]
+            assert ra["theta_ab"] == ri["theta_ab"]
+            # n_common and n_only PARTITION A's retained sample below
+            # theta_ab, which holds at most k entries
+            assert ra["n_only"] + ri["n_common"] <= 32
+
+
+class TestDedupBloom:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        return QUERIES["q_dedup_bloom"](spark, sf_dir).collect()
+
+    def test_no_false_negatives(self, rows):
+        # THE Bloom contract: an indexed digest can never be missed.
+        assert all(not r["missed"] for r in rows)
+
+    def test_every_exact_dup_is_a_bloom_hit(self, rows):
+        for r in rows:
+            if r["exact_dup"]:
+                assert r["bloom_hit"]
+
+    def test_false_positive_consistency(self, rows):
+        for r in rows:
+            assert r["false_positive"] == (r["bloom_hit"] and not r["exact_dup"])
+
+    def test_probe_covers_all_new_docs(self, rows, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        n_new = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id") % 2 == 1)
+            .count()
+        )
+        assert len(rows) == n_new
+
+
+class TestStreamSessionDedup:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        return QUERIES["q_stream_session_dedup"](spark, sf_dir).collect()
+
+    def test_sessions_conserve_documents(self, rows, spark, sf_dir):
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert sum(r["n_docs"] for r in rows) == n_docs
+
+    def test_drop_count_is_session_size_minus_keeper(self, rows):
+        assert all(r["n_dropped"] == r["n_docs"] - 1 for r in rows)
+
+    def test_keeper_is_earliest_arrival(self, rows):
+        # arrival time is doc_id-monotonic, so the session keeper (min
+        # doc_id) must be the session-start document
+        from nomad_event_streamer_spark.plans.streaming_queries import (
+            _SESSION_DEDUP_BASE_US,
+        )
+
+        for r in rows:
+            assert (
+                _SESSION_DEDUP_BASE_US + r["keeper_doc"] * 60_000_000
+                == r["session_start_us"]
+            )
+
+
+class TestImageResize:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        return {
+            r["doc_id"]: r
+            for r in QUERIES["q_image_resize"](spark, sf_dir).collect()
+        }
+
+    def test_resized_dims_are_ceil_half(self, rows):
+        for doc_id, r in rows.items():
+            w, h = 9 + doc_id % 8, 6 + doc_id % 5
+            assert r["width"] == (w + 1) // 2
+            assert r["height"] == (h + 1) // 2
+
+    def test_bmp_out_bytes_honor_row_padding(self, rows):
+        for doc_id, r in rows.items():
+            if r["fmt"] != "bmp":
+                continue
+            wr, hr = r["width"], r["height"]
+            pad = (4 - (wr * 3) % 4) % 4
+            assert r["out_bytes"] == 54 + hr * (wr * 3 + pad)
+
+    def test_pgm_channels_are_null(self, rows):
+        for r in rows.values():
+            if r["fmt"] == "pgm":
+                assert r["sum_c1"] is None and r["sum_c2"] is None
+            else:
+                assert r["sum_c1"] is not None and r["sum_c2"] is not None
+
+    def test_operator_roundtrip_on_handcrafted_image(self, spark):
+        # independent of the closed form: a hand-built 5x3 BMP resizes to
+        # the exact pixels numpy slicing predicts
+        import numpy as np
+
+        from nomad_event_streamer_spark.operators import multimodal
+
+        px = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+        payload = multimodal.encode_bmp(px)
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        row = multimodal.resize_media_nn(df, factor=2).collect()[0]
+        small = px[::2, ::2]
+        assert (row["width"], row["height"]) == (3, 2)
+        assert row["sum_c0"] == int(small[:, :, 0].astype(int).sum())
+        assert row["sum_c1"] == int(small[:, :, 1].astype(int).sum())
+        assert row["sum_c2"] == int(small[:, :, 2].astype(int).sum())
+
+
+class TestHashtextClassify:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        return QUERIES["q_hashtext_classify"](spark, sf_dir).collect()
+
+    def test_margin_and_pred_consistent(self, rows):
+        for r in rows:
+            assert r["margin"] == r["score_0"] - r["score_1"]
+            assert r["pred_class"] == (1 if r["score_1"] > r["score_0"] else 0)
+
+    def test_feature_count_is_unigrams_plus_bigrams(self, rows, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        toks = {
+            r["doc_id"]: r["n"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(
+                "doc_id",
+                F.size(
+                    F.filter(F.split("text", " "), lambda x: x != "")
+                ).alias("n"),
+            )
+            .collect()
+        }
+        for r in rows:
+            n = toks[r["doc_id"]]
+            assert r["n_features"] == (n + max(n - 1, 0) if n > 0 else 0)
+
+
+class TestIvfAppend:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        return QUERIES["q_ivf_append"](spark, sf_dir).collect()
+
+    def test_ledger_conserves_corpus(self, rows, spark, sf_dir):
+        n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        assert sum(r["n_total"] for r in rows) == n_vecs
+        for r in rows:
+            assert r["n_index"] + r["n_new"] == r["n_total"]
+
+    def test_every_cell_holds_its_own_centroid(self, rows):
+        # each centroid is an index vector assigned to itself at d=0, so
+        # no cell's index side can be empty
+        assert len(rows) == 16
+        assert all(r["n_index"] >= 1 for r in rows)
+
+    def test_append_distances_nonnegative(self, rows):
+        assert all(r["sum_d_new"] >= 0 for r in rows)
+
+
 class TestDerivedPlanesPath:
     @pytest.fixture(scope="class")
     def vecs(self, spark):
