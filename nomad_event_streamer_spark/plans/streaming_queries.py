@@ -790,3 +790,98 @@ def q_stream_session_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper_doc",
         (F.col("n_docs") - 1).cast("long").alias("n_dropped"),
     )
+
+
+_LATE_DIRS: dict[str, str] = {}
+
+
+def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Three deterministic micro-batch files (user_id % 3 == 0/1/2),
+    ordered by explicit modification times so the file-stream source
+    replays them as batches 0, 1, 2 — the arrival schedule the late-data
+    oracle replays."""
+    if sf_dir not in _LATE_DIRS:
+        import glob
+        import shutil
+
+        ev = canonicalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).select("event_id", "user_id", "ts")
+        work = tempfile.mkdtemp(prefix="nes_late_work_")
+        out = tempfile.mkdtemp(prefix="nes_late_in_")
+        for b in range(3):
+            ev.where(F.col("user_id") % 3 == b).coalesce(1).write.parquet(
+                f"{work}/b{b}"
+            )
+            part = glob.glob(f"{work}/b{b}/part-*.parquet")[0]
+            dst = os.path.join(out, f"{chr(97 + b)}_{b}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1000 + b * 100, 1000 + b * 100))
+        _LATE_DIRS[sf_dir] = out
+    return _LATE_DIRS[sf_dir]
+
+
+@query(
+    "q_stream_late_metrics",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 3 AS batch,
+               epoch_us(ts) AS us,
+               (epoch_us(ts) // 3600000000) * 3600000000 AS ws
+        FROM events
+    ),
+    wm AS (
+        SELECT max(CASE WHEN batch = 0 THEN us END) - 600000000 AS wm0,
+               max(us) - 600000000 AS wm_all
+        FROM e
+    ),
+    kept AS (
+        SELECT e.ws FROM e CROSS JOIN wm
+        WHERE e.batch IN (0, 1) OR e.ws + 3600000000 > wm.wm0
+    )
+    SELECT k.ws AS window_start_us, CAST(count(*) AS BIGINT) AS n
+    FROM kept k CROSS JOIN wm
+    WHERE k.ws + 3600000000 <= wm.wm_all
+    GROUP BY k.ws
+    """,
+)
+def q_stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics under the full hash gate — the
+    deterministic-replay upgrade of the rows-only q_stream_late_data:
+    events arrive in THREE engineered micro-batches (user_id % 3, file
+    modification times pin the order), so which rows are late is a pure
+    function of the data and the oracle can replay Spark's actual
+    watermark protocol, empirically pinned in this session:
+
+    - the watermark takes effect with a one-batch enactment lag: rows of
+      batch N are dropped iff their window end <= max event time over
+      batches 0..N-2 minus the 10-minute delay (batches 0 and 1 are
+      never filtered);
+    - dropped rows can never re-open an emitted window (the drop
+      threshold always >= the eviction threshold that emitted it);
+    - after the trailing empty batch, append mode has emitted exactly
+      the windows whose end <= global max event time minus the delay.
+
+    The output is the finalized per-window count table — late drops and
+    all; any divergence in the drop rule, the enactment lag, or the
+    emission boundary breaks the hash.  (The streaming upgrade of the
+    REF staleness filter, app.rb:162-167, with the drop set now
+    verifiable instead of declared.)"""
+    ensure_runtime_confs(spark)
+    d = _late_batches_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts_t", "10 minutes")
+        .groupBy(F.window("ts_t", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        F.col("n").cast("long").alias("n"),
+    )

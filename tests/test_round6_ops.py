@@ -284,6 +284,44 @@ class TestIvfAppend:
         assert all(r["sum_d_new"] >= 0 for r in rows)
 
 
+class TestStreamLateMetrics:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        return QUERIES["q_stream_late_metrics"](spark, sf_dir).collect()
+
+    def test_late_drops_and_open_windows_reduce_the_count(
+        self, rows, spark, sf_dir
+    ):
+        # the finalized-window total must be strictly below the corpus
+        # size: the trailing unemitted windows (end > max - delay) alone
+        # guarantee it, and batch-2 late drops reduce it further
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        total = sum(r["n"] for r in rows)
+        assert 0 < total < n_events
+
+    def test_windows_are_hour_aligned_and_unique(self, rows):
+        starts = [r["window_start_us"] for r in rows]
+        assert len(starts) == len(set(starts))
+        assert all(s % 3_600_000_000 == 0 for s in starts)
+
+    def test_no_window_past_the_final_watermark(self, rows, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from nomad_event_streamer_spark.tables import canonicalize_events_ts
+
+        ev = canonicalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        )
+        max_us = ev.select(
+            F.max(F.expr("ts div 1000")).alias("m")
+        ).collect()[0]["m"]
+        wm = max_us - 600_000_000
+        for r in rows:
+            assert r["window_start_us"] + 3_600_000_000 <= wm
+
+
 class TestDerivedPlanesPath:
     @pytest.fixture(scope="class")
     def vecs(self, spark):
