@@ -4347,3 +4347,184 @@ def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_d_new"),
     )
+
+
+@query(
+    "q_stupid_backoff",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tks
+        FROM documents
+    ),
+    uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cu
+        FROM (SELECT unnest(tks) AS tok FROM t) GROUP BY tok
+    ),
+    n AS (SELECT CAST(sum(cu) AS BIGINT) AS total FROM uni),
+    bi AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS cuv
+        FROM (
+            SELECT tks[i] AS u, tks[i + 1] AS v
+            FROM t, LATERAL (SELECT unnest(range(1, greatest(len(tks), 1)))
+                             AS i) r
+        ) GROUP BY u, v
+    ),
+    pos AS (
+        SELECT doc_id, tks[i] AS u, tks[i + 1] AS v
+        FROM t, LATERAL (SELECT unnest(range(1, greatest(len(tks), 1)))
+                         AS i) r
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               CASE WHEN b.cuv IS NOT NULL
+                    THEN (b.cuv * 1000000) // cu_u.cu
+                    ELSE (4 * cu_v.cu * 1000000) // (10 * n.total)
+               END AS s_micro
+        FROM pos p
+        LEFT JOIN bi b ON b.u = p.u AND b.v = p.v
+        JOIN uni cu_u ON cu_u.tok = p.u
+        JOIN uni cu_v ON cu_v.tok = p.v
+        CROSS JOIN n
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(count(s.s_micro), 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(sum(s.s_micro), 0) AS BIGINT) AS score_micro
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al., "Large Language
+    Models in Machine Translation", EMNLP 2007 — the smoothing rule web-
+    scale LM filters actually use because it needs NO discount fitting):
+    S(v|u) = c(uv)/c(u) when the bigram was seen, else 0.4 * c(v)/N.
+    Per-document score = the micro-quantized integer sum over positions
+    — the LM-quality signal a perplexity filter thresholds on, with the
+    backoff path making unseen-bigram docs comparable instead of -inf.
+
+    Everything is integer: counts are exact, each position's score is
+    one integer floor-division (`div` / `//`), the 0.4 constant is the
+    exact rational 4/10 folded into the numerator.  Plan: one corpus
+    scan builds positions; unigram/bigram counts are map-side-combined
+    aggregations; scoring is two token-keyed joins (the shuffle keys a
+    1000-executor cluster wants) + one per-doc sum.  In production the
+    count tables are the maintained LM asset; scoring a new corpus
+    reuses them unchanged."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    tks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = docs.select("doc_id", tks.alias("tks"))
+    toks = t.select("doc_id", F.explode("tks").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    pos = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(tks, 1, greatest(size(tks) - 1, 0)),"
+                " (x, i) -> struct(x AS u, tks[i + 1] AS v))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.u", "p.v")
+    bi = pos.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cuv")
+    )
+    scored = (
+        pos.join(bi, ["u", "v"], "left")
+        .join(uni.select(F.col("tok").alias("u"), F.col("cu").alias("cu_u")), "u")
+        .join(uni.select(F.col("tok").alias("v"), F.col("cu").alias("cu_v")), "v")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cuv").isNotNull(),
+                F.expr("(cuv * 1000000) div cu_u"),
+            )
+            .otherwise(F.expr("(4 * cu_v * 1000000) div (10 * total)"))
+            .alias("s_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("s_micro").cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum("s_micro"), F.lit(0))
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+
+
+@query(
+    "q_chunk_sliding",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               s.chunk_id,
+               tks[s.chunk_id * 32 + 1 : s.chunk_id * 32 + 64] AS chunk
+        FROM t, LATERAL (
+            SELECT unnest(range(0, CAST(ceil(len(tks) / 32.0) AS BIGINT)))
+                AS chunk_id
+        ) s
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash,
+           CAST(greatest(64 - len(chunk), CASE WHEN chunk_id > 0
+                THEN 32 ELSE 0 END) * 1000 // 64 AS BIGINT)
+               AS overlap_milli
+    FROM c
+    """,
+)
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (window 64 tokens, stride 32 — the
+    standard RAG / retrieval-corpus preparation with 50% overlap, as
+    opposed to the disjoint q_chunk_docs and the content-defined
+    q_chunk_cdc/q_chunk_gear): one chunk per stride offset, the last
+    window truncated at the document end.  Output per chunk: token
+    count, an md5 content fingerprint (join-key for chunk-level dedup
+    downstream), and the milli overlap share with the PRECEDING chunk
+    (32/64 for interior chunks; a short tail window overlaps its
+    predecessor on every token it has, floor(min(64-len .. ) rule) —
+    the padding/redundancy accounting a chunk-store budget needs.
+
+    Plan shape: pure array HOFs (sequence + slice) — zero UDFs, zero
+    joins, one explode; output volume is ceil(tokens/32) rows per doc,
+    ~2 rows per 64 input tokens.  Embarrassingly parallel at any
+    corpus size."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    tks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # tokenless docs yield ZERO chunks (DuckDB's range(0, 0) is empty;
+    # Spark's sequence(0, -1) would DESCEND — guard the degenerate case
+    # out before the explode)
+    t = docs.select("doc_id", tks.alias("tks")).where(F.size("tks") > 0)
+    c = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("tks") / F.lit(32.0)).cast("long") - 1,
+            )
+        ).alias("chunk_id"),
+        F.col("tks"),
+    )
+    chunk = F.expr("slice(tks, chunk_id * 32 + 1, 64)")
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        F.expr(
+            "greatest(64 - size(slice(tks, chunk_id * 32 + 1, 64)),"
+            " CASE WHEN chunk_id > 0 THEN 32 ELSE 0 END) * 1000 div 64"
+        )
+        .cast("long")
+        .alias("overlap_milli"),
+    )

@@ -265,6 +265,8 @@ def test_token_entropy_aggregates_partial(spark, sf_dir):
         "q_hashtext_classify",
         "q_ivf_append",
         "q_image_resize",
+        "q_stupid_backoff",
+        "q_chunk_sliding",
     ],
 )
 def test_round5_ops_no_cartesian(spark, sf_dir, name):

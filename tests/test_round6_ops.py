@@ -322,6 +322,60 @@ class TestStreamLateMetrics:
             assert r["window_start_us"] + 3_600_000_000 <= wm
 
 
+class TestStupidBackoff:
+    def test_seen_bigram_scores_dominate_backoff(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        rows = QUERIES["q_stupid_backoff"](spark, sf_dir).collect()
+        assert all(r["score_micro"] >= 0 for r in rows)
+        # every in-corpus bigram was seen at least once (counts come from
+        # the same corpus), so no position can score 0 and every doc with
+        # bigrams has a positive score
+        for r in rows:
+            if r["n_bigrams"] > 0:
+                assert r["score_micro"] > 0
+
+
+class TestChunkSliding:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        return QUERIES["q_chunk_sliding"](spark, sf_dir).collect()
+
+    def test_chunk_count_is_ceil_len_over_stride(self, rows, spark, sf_dir):
+        import collections
+
+        import pyspark.sql.functions as F
+
+        per_doc = collections.Counter(r["doc_id"] for r in rows)
+        lens = {
+            r["doc_id"]: r["n"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(
+                "doc_id",
+                F.size(
+                    F.filter(F.split("text", " "), lambda x: x != "")
+                ).alias("n"),
+            )
+            .collect()
+        }
+        for doc_id, n in lens.items():
+            assert per_doc[doc_id] == -(-n // 32) if n > 0 else doc_id not in per_doc
+
+    def test_interior_chunks_are_full_window(self, rows):
+        import collections
+
+        last = collections.defaultdict(int)
+        for r in rows:
+            last[r["doc_id"]] = max(last[r["doc_id"]], r["chunk_id"])
+        for r in rows:
+            if r["chunk_id"] < last[r["doc_id"]] - 1:
+                assert r["n_tokens"] == 64
+                if r["chunk_id"] > 0:
+                    assert r["overlap_milli"] == 500
+
+
 class TestDerivedPlanesPath:
     @pytest.fixture(scope="class")
     def vecs(self, spark):
