@@ -4528,3 +4528,296 @@ def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_milli"),
     )
+
+
+def _lsh_tuning_oracle(num_hashes: int = 16) -> str:
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    )
+    p = dedup.MINHASH_P
+    band_ctes = []
+    cand_selects = []
+    for r in (2, 4, 8):
+        band_ctes.append(f"""
+    bands{r} AS (
+        SELECT doc_id, seed // {r} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed))
+                   AS bucket
+        FROM sig GROUP BY doc_id, seed // {r}
+    )""")
+        cand_selects.append(
+            f"SELECT {r} AS rpb, doc_a, doc_b FROM ("
+            f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            f"FROM bands{r} a JOIN bands{r} b "
+            f"ON a.band = b.band AND a.bucket = b.bucket "
+            f"AND a.doc_id < b.doc_id)"
+        )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ni * 2 >= (sa.n_sh + sb.n_sh - ni)
+    ),
+    based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {p} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {p}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),{",".join(band_ctes)},
+    cands AS ({" UNION ALL ".join(cand_selects)}),
+    counts AS (
+        SELECT c.rpb, CAST(count(*) AS BIGINT) AS n_cand,
+               CAST(sum(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM cands c
+        LEFT JOIN exact e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+        GROUP BY c.rpb
+    ),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
+    SELECT cfg.rpb AS rows_per_band,
+           CAST({num_hashes} // cfg.rpb AS BIGINT) AS n_bands,
+           ex.n_exact,
+           CAST(coalesce(k.n_cand, 0) AS BIGINT) AS n_cand,
+           CAST(coalesce(k.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN coalesce(k.n_cand, 0) > 0
+                THEN (coalesce(k.n_hits, 0) * 1000) // k.n_cand
+                ELSE 0 END AS BIGINT) AS precision_milli,
+           CAST(CASE WHEN ex.n_exact > 0
+                THEN (coalesce(k.n_hits, 0) * 1000) // ex.n_exact
+                ELSE 0 END AS BIGINT) AS recall_milli
+    FROM (VALUES (2), (4), (8)) cfg(rpb)
+    LEFT JOIN counts k ON k.rpb = cfg.rpb
+    CROSS JOIN ex
+    """
+    )
+
+
+@query("q_lsh_tuning", oracle=_lsh_tuning_oracle())
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-LSH band/row TUNING SWEEP — the S-curve analysis a dedup
+    pipeline runs to pick its (bands, rows) operating point (Broder;
+    the standard 1-(1-s^r)^b trade): over the SAME 16-hash signature,
+    generate candidates at rows_per_band = 2 (8 bands, high recall),
+    4, and 8 (2 bands, high precision), and score each configuration
+    against the exact-Jaccard >= 1/2 ground truth with integer milli
+    precision/recall — q_dedup_eval generalized from the production
+    point to the whole tuning grid, so choosing a different operating
+    point is a hash-verified decision, not a vibe.
+
+    Scale: signatures compute ONCE (banding is pure projection); each
+    config's candidates use the group-and-expand device (never a
+    signature self-join); the exact side is the shared-shingle
+    equi-join.  An eval op — run on a sample in production."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    exact = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
+            "doc_b",
+        )
+        .where(F.col("ni") * 2 >= F.col("sa") + F.col("sb") - F.col("ni"))
+        .select("doc_a", "doc_b")
+        .withColumn("is_true", F.lit(True))
+    )
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = None
+    for r in (2, 4, 8):
+        c = dedup.lsh_candidate_pairs(
+            dedup.lsh_bands(sig, num_hashes=16, rows_per_band=r)
+        ).withColumn("rpb", F.lit(r))
+        cands = c if cands is None else cands.unionByName(c)
+    counts = (
+        cands.join(exact, ["doc_a", "doc_b"], "left")
+        .groupBy("rpb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(False)).cast("long"))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    ex = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    cfg = spark.createDataFrame([(2,), (4,), (8,)], "rpb int")
+    ncand = F.coalesce(F.col("n_cand"), F.lit(0))
+    nhits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        cfg.join(F.broadcast(counts), "rpb", "left")
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.col("rpb").cast("long").alias("rows_per_band"),
+            (F.lit(16) / F.col("rpb")).cast("long").alias("n_bands"),
+            "n_exact",
+            ncand.cast("long").alias("n_cand"),
+            nhits.cast("long").alias("n_hits"),
+            F.when(
+                ncand > 0,
+                F.expr("(coalesce(n_hits, 0) * 1000) div coalesce(n_cand, 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("precision_milli"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.expr("(coalesce(n_hits, 0) * 1000) div n_exact"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("recall_milli"),
+        )
+    )
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+               event_type
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    g AS (
+        SELECT v,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM e GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+               sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+        FROM g
+    ),
+    n AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM g
+    )
+    SELECT n.n1, n.n2,
+           CAST(max(abs(n.n2 * c.cum1 - n.n1 * c.cum2)) AS BIGINT) AS d_num,
+           CAST(n.n1 * n.n2 AS BIGINT) AS d_den,
+           CAST((max(abs(n.n2 * c.cum1 - n.n1 * c.cum2)) * 1000)
+                // (n.n1 * n.n2) AS BIGINT) AS d_milli
+    FROM cum c CROSS JOIN n
+    GROUP BY n.n1, n.n2
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (purchase vs click value
+    distributions) as EXACT integers — the distribution-drift gate that
+    complements q_drift_chi2 (categorical) with a continuous test: D =
+    max_t |F1(t) - F2(t)| computed as max |n2·cum1(t) - n1·cum2(t)|
+    over the half-up cent grid, reported with its exact integer
+    numerator/denominator and the milli floor — no float CDF anywhere,
+    so the sharp max sits under the hash gate.
+
+    The cumulative counts use the repo's bucketed-prefix-sum device
+    (value-range buckets via a pure monotone expression, in-bucket
+    rows-frame windows, driver-scale bucket offsets) — NO partitionless
+    window over the value grid, the shape that survives an arbitrary
+    distinct-value count.  Production note: n1·cum2 needs int64
+    headroom (n1·n2 < 2^63) — at trillion-row scale run the test on
+    the per-key sampled stream like every eval op here."""
+    from ..tables import events as load_events
+
+    ev = load_events(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = (
+        ev.select(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            "event_type",
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+        .withColumn("bkt", F.expr("v div 5000"))
+    )
+    from pyspark.sql import Window as W
+
+    w_in = (
+        W.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    incum = g.select(
+        "v",
+        "bkt",
+        F.sum("c1").over(w_in).alias("in1"),
+        F.sum("c2").over(w_in).alias("in2"),
+    )
+    # bucket offsets: <= num_buckets rows, driver-scale window
+    bo = g.groupBy("bkt").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = bo.select(
+        "bkt",
+        F.coalesce(F.sum("b1").over(w_off), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("b2").over(w_off), F.lit(0)).alias("off2"),
+    )
+    cum = incum.join(F.broadcast(offsets), "bkt").select(
+        "v",
+        (F.col("off1") + F.col("in1")).alias("cum1"),
+        (F.col("off2") + F.col("in2")).alias("cum2"),
+    )
+    n = g.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
+            )
+            .cast("long")
+            .alias("d_num"),
+        )
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            (F.col("n1") * F.col("n2")).cast("long").alias("d_den"),
+            F.expr("(d_num * 1000) div (n1 * n2)")
+            .cast("long")
+            .alias("d_milli"),
+        )
+    )

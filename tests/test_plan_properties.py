@@ -267,6 +267,8 @@ def test_token_entropy_aggregates_partial(spark, sf_dir):
         "q_image_resize",
         "q_stupid_backoff",
         "q_chunk_sliding",
+        "q_lsh_tuning",
+        "q_ks_test",
     ],
 )
 def test_round5_ops_no_cartesian(spark, sf_dir, name):

@@ -376,6 +376,91 @@ class TestChunkSliding:
                     assert r["overlap_milli"] == 500
 
 
+class TestLshTuning:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        return {
+            r["rows_per_band"]: r
+            for r in QUERIES["q_lsh_tuning"](spark, sf_dir).collect()
+        }
+
+    def test_s_curve_monotonicity(self, rows):
+        # more rows per band = fewer, higher-precision candidates: the
+        # candidate count must be non-increasing in rows_per_band and
+        # recall non-increasing too (the S-curve trade)
+        assert rows[2]["n_cand"] >= rows[4]["n_cand"] >= rows[8]["n_cand"]
+        assert (
+            rows[2]["recall_milli"]
+            >= rows[4]["recall_milli"]
+            >= rows[8]["recall_milli"]
+        )
+
+    def test_hits_bounded_by_both_sides(self, rows):
+        for r in rows.values():
+            assert r["n_hits"] <= r["n_cand"]
+            assert r["n_hits"] <= r["n_exact"]
+
+    def test_production_config_matches_dedup_eval(self, rows, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        ev = QUERIES["q_dedup_eval"](spark, sf_dir).collect()[0]
+        r2 = rows[2]
+        assert (r2["n_exact"], r2["n_cand"], r2["n_hits"]) == (
+            ev["n_exact"],
+            ev["n_lsh"],
+            ev["n_hits"],
+        )
+
+
+class TestKsTest:
+    def test_statistic_bounds_and_exactness(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        r = QUERIES["q_ks_test"](spark, sf_dir).collect()[0]
+        assert r["d_den"] == r["n1"] * r["n2"]
+        assert 0 <= r["d_num"] <= r["d_den"]
+        assert r["d_milli"] == (r["d_num"] * 1000) // r["d_den"]
+
+    def test_identical_samples_give_zero(self, spark):
+        # same distribution in both groups -> every threshold has
+        # n2*cum1 == n1*cum2 -> D == 0
+        import pyspark.sql.functions as F
+
+        from nomad_event_streamer_spark.operators import ranking  # noqa: F401
+
+        df = spark.createDataFrame(
+            [(float(v), t) for v in (1, 2, 3, 4) for t in ("purchase", "click")],
+            "value double, event_type string",
+        )
+        g = (
+            df.select(
+                F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v"),
+                "event_type",
+            )
+            .groupBy("v")
+            .agg(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).alias("c1"),
+                F.sum(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                ).alias("c2"),
+            )
+        )
+        rows = g.collect()
+        n1 = sum(r["c1"] for r in rows)
+        n2 = sum(r["c2"] for r in rows)
+        cum1 = cum2 = 0
+        worst = 0
+        for r in sorted(rows, key=lambda r: r["v"]):
+            cum1 += r["c1"]
+            cum2 += r["c2"]
+            worst = max(worst, abs(n2 * cum1 - n1 * cum2))
+        assert worst == 0
+
+
 class TestDerivedPlanesPath:
     @pytest.fixture(scope="class")
     def vecs(self, spark):
