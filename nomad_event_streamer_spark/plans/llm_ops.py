@@ -4821,3 +4821,123 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d_milli"),
         )
     )
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               CAST(length(text) AS BIGINT) AS raw_len,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY length(text), doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n_s
+        FROM documents
+    )
+    SELECT doc_id, source, raw_len,
+           CAST(rk AS BIGINT) AS rk,
+           CAST((rk * 1000) // (n_s + 1) AS BIGINT) AS norm_milli
+    FROM r
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUANTILE NORMALIZATION of a raw document signal (text
+    length here; any score column in production): rank within source
+    with a deterministic doc_id tiebreak, then the rank/(n+1) quantile
+    transform as an exact milli integer — the cross-domain score
+    calibration step mixing pipelines apply before comparing quality
+    signals across sources with different scales (a length-850 doc can
+    be p90 in one source and p30 in another; thresholds belong on the
+    normalized scale).
+
+    Plan: one source-partitioned rank window + a source-partitioned
+    count — key-partitioned only, no global ordering anywhere; output
+    is corpus-sized but the shuffle key is the source (the mixing
+    pipeline's natural partitioning)."""
+    from pyspark.sql import Window as W
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    w_rank = W.partitionBy("source").orderBy(
+        F.length("text").asc(), F.col("doc_id").asc()
+    )
+    w_all = W.partitionBy("source")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("raw_len"),
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_s"),
+    ).select(
+        "doc_id",
+        "source",
+        "raw_len",
+        "rk",
+        F.expr("(rk * 1000) div (n_s + 1)").cast("long").alias("norm_milli"),
+    )
+
+
+def _bpe_fertility_oracle(num_merges: int = 20) -> str:
+    """Per-source tokenizer fertility from the greedy-encode chain: the
+    q_bpe_token_count oracle's word->token-count table (wn) rolled up by
+    source over word OCCURRENCES."""
+    base = _bpe_token_count_oracle(num_merges).split("\n    SELECT d.doc_id,")[0]
+    return (
+        base
+        + """,
+    wsrc AS (
+        SELECT source, w FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+        WHERE w <> ''
+    )
+    SELECT s.source,
+           CAST(sum(wn.n) AS BIGINT) AS n_bpe,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST((sum(wn.n) * 1000) // count(*) AS BIGINT) AS fertility_milli
+    FROM wsrc s JOIN wn ON wn.w = s.w
+    GROUP BY s.source"""
+    )
+
+
+@query("q_bpe_fertility", oracle=_bpe_fertility_oracle())
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per source — BPE tokens emitted per
+    whitespace word (the tokenizer-efficiency metric a multilingual /
+    multi-domain pipeline tracks per corpus slice: fertility creeping up
+    on a domain means the learned merges fit it poorly and its token
+    budget silently inflates).  Trains the 20-merge table on the corpus
+    (the oracled q_bpe_train path), greedy-encodes every document, and
+    rolls token and word counts up by source as exact integers with a
+    milli ratio.
+
+    Scale: encode is the one Arrow-batched UDF pass with the per-batch
+    word memo; the rollup is one map-side-combinable agg to
+    source-cardinality rows."""
+    from ..operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, num_merges=20, min_pair_count=2)
+    enc = bpe.bpe_token_counts(docs, merges)
+    per_doc = enc.select(
+        "source",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_words"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_bpe").cast("long").alias("n_bpe"),
+            F.sum("n_words").cast("long").alias("n_words"),
+        )
+        .where(F.col("n_words") > 0)
+        .select(
+            "source",
+            "n_bpe",
+            "n_words",
+            F.expr("(n_bpe * 1000) div n_words")
+            .cast("long")
+            .alias("fertility_milli"),
+        )
+    )

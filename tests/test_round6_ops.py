@@ -461,6 +461,39 @@ class TestKsTest:
         assert worst == 0
 
 
+class TestQuantileNormalize:
+    def test_normalized_scale_properties(self, spark, sf_dir):
+        import collections
+
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        rows = QUERIES["q_quantile_normalize"](spark, sf_dir).collect()
+        by_src = collections.defaultdict(list)
+        for r in rows:
+            by_src[r["source"]].append(r)
+        for src, rs in by_src.items():
+            n = len(rs)
+            ranks = sorted(r["rk"] for r in rs)
+            assert ranks == list(range(1, n + 1))
+            for r in rs:
+                assert r["norm_milli"] == (r["rk"] * 1000) // (n + 1)
+                assert 0 < r["norm_milli"] < 1000
+
+
+class TestBpeFertility:
+    def test_fertility_bounds(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        rows = QUERIES["q_bpe_fertility"](spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            # every word encodes to at least 1 token and at most
+            # len(word)+1 symbols; fertility >= 1000 milli always
+            assert r["n_bpe"] >= r["n_words"]
+            assert r["fertility_milli"] >= 1000
+            assert r["fertility_milli"] == (r["n_bpe"] * 1000) // r["n_words"]
+
+
 class TestDerivedPlanesPath:
     @pytest.fixture(scope="class")
     def vecs(self, spark):
