@@ -4941,3 +4941,175 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fertility_milli"),
         )
     )
+
+
+@query(
+    "q_embed_drift",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, vec_id % 2 = 0 AS is_a,
+               unnest(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT))) AS qx,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ),
+    s AS (
+        SELECT dim,
+               CAST(sum(CASE WHEN is_a THEN qx ELSE 0 END) AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN NOT is_a THEN qx ELSE 0 END)
+                    AS BIGINT) AS sb,
+               CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM q GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(sa // na AS BIGINT) AS mean_a_micro,
+           CAST(sb // nb AS BIGINT) AS mean_b_micro,
+           CAST(abs(sa // na - sb // nb) AS BIGINT) AS abs_delta_micro
+    FROM s
+    """,
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution DRIFT between two corpus snapshots (even
+    vs odd vec_ids standing in for old/new embedding-model runs): per
+    dimension, the floor mean of the micro-quantized components in each
+    snapshot and their absolute delta — the monitoring table an
+    embedding pipeline alerts on (a re-trained or silently-updated
+    encoder shifts per-dimension means long before retrieval quality
+    visibly degrades; a drift gate catches the swap at ingest).
+
+    All integer: quantization is the shared half-up micro grid, means
+    are integer floor-divisions of exact sums.  Plan: one posexplode +
+    one (dim)-keyed partial agg — 64 output rows at any corpus size,
+    and snapshot membership is a pure expression, so both snapshots
+    aggregate in the SAME pass (no self-join of the corpus)."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    q = vecs.select(
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.posexplode(
+            similarity.quantize_vec(F.col("embedding"), 1_000_000)
+        ).alias("dim0", "qx"),
+    )
+    s = q.groupBy("dim0").agg(
+        F.sum(F.when(F.col("is_a"), F.col("qx")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(~F.col("is_a"), F.col("qx")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    return s.select(
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.expr("sa div na").cast("long").alias("mean_a_micro"),
+        F.expr("sb div nb").cast("long").alias("mean_b_micro"),
+        F.abs(F.expr("sa div na") - F.expr("sb div nb"))
+        .cast("long")
+        .alias("abs_delta_micro"),
+    )
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source, text,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    dup AS (
+        SELECT source, CAST(sum(cnt - 1) AS BIGINT) AS n_dup_docs
+        FROM (SELECT source, md5(text) AS h, count(*) AS cnt
+              FROM base GROUP BY source, md5(text))
+        GROUP BY source
+    ),
+    vocab AS (
+        SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM base)
+        WHERE tok <> ''
+        GROUP BY source
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(b.n_chars) AS BIGINT) AS n_chars,
+           CAST((sum(b.n_toks) * 1000) // count(*) AS BIGINT)
+               AS toks_per_doc_milli,
+           max(v.n_vocab) AS n_vocab,
+           CAST((max(v.n_vocab) * 1000) // sum(b.n_toks) AS BIGINT)
+               AS ttr_milli,
+           max(d.n_dup_docs) AS n_dup_docs,
+           CAST((max(d.n_dup_docs) * 1000) // count(*) AS BIGINT)
+               AS dup_milli
+    FROM base b
+    JOIN dup d ON d.source = b.source
+    JOIN vocab v ON v.source = b.source
+    GROUP BY b.source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD rollup — the per-slice summary table that fronts a
+    published training corpus (docs, tokens, chars, tokens/doc,
+    vocabulary size, type-token ratio, exact-duplicate count and rate —
+    each per source) assembled in ONE query so the card is a
+    reproducible artifact of the corpus, not a hand-maintained README
+    table; every figure is an exact integer or milli ratio under the
+    hash gate.
+
+    Plan: one corpus scan feeds three source-keyed aggregations (doc
+    stats, md5 duplicate groups, distinct vocabulary), joined on the
+    source key — all shuffles are source-keyed partial aggs; output is
+    source-cardinality rows."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    dup = (
+        base.groupBy("source", F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source")
+        .agg(F.sum(F.col("cnt") - 1).cast("long").alias("n_dup_docs"))
+    )
+    vocab = (
+        base.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source")
+        .agg(F.countDistinct("tok").cast("long").alias("n_vocab"))
+    )
+    stats = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return (
+        stats.join(F.broadcast(dup), "source")
+        .join(F.broadcast(vocab), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.expr("(n_tokens * 1000) div n_docs")
+            .cast("long")
+            .alias("toks_per_doc_milli"),
+            "n_vocab",
+            F.expr("(n_vocab * 1000) div n_tokens")
+            .cast("long")
+            .alias("ttr_milli"),
+            "n_dup_docs",
+            F.expr("(n_dup_docs * 1000) div n_docs")
+            .cast("long")
+            .alias("dup_milli"),
+        )
+    )

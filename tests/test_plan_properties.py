@@ -269,6 +269,10 @@ def test_token_entropy_aggregates_partial(spark, sf_dir):
         "q_chunk_sliding",
         "q_lsh_tuning",
         "q_ks_test",
+        "q_embed_drift",
+        "q_dataset_card",
+        "q_quantile_normalize",
+        "q_bpe_fertility",
     ],
 )
 def test_round5_ops_no_cartesian(spark, sf_dir, name):

@@ -494,6 +494,34 @@ class TestBpeFertility:
             assert r["fertility_milli"] == (r["n_bpe"] * 1000) // r["n_words"]
 
 
+class TestEmbedDrift:
+    def test_delta_consistency_and_shape(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        rows = QUERIES["q_embed_drift"](spark, sf_dir).collect()
+        assert len(rows) == 64
+        assert sorted(r["dim"] for r in rows) == list(range(1, 65))
+        for r in rows:
+            assert r["abs_delta_micro"] == abs(
+                r["mean_a_micro"] - r["mean_b_micro"]
+            )
+
+
+class TestDatasetCard:
+    def test_card_figures_reconcile(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        rows = QUERIES["q_dataset_card"](spark, sf_dir).collect()
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert sum(r["n_docs"] for r in rows) == n_docs
+        for r in rows:
+            assert r["toks_per_doc_milli"] == (r["n_tokens"] * 1000) // r["n_docs"]
+            assert r["ttr_milli"] == (r["n_vocab"] * 1000) // r["n_tokens"]
+            assert r["dup_milli"] == (r["n_dup_docs"] * 1000) // r["n_docs"]
+            assert 0 <= r["n_dup_docs"] < r["n_docs"]
+            assert 0 < r["n_vocab"] <= r["n_tokens"]
+
+
 class TestDerivedPlanesPath:
     @pytest.fixture(scope="class")
     def vecs(self, spark):
