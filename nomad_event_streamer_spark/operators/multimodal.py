@@ -483,3 +483,49 @@ def resize_media_nn(binary_df: DataFrame, factor: int = 2) -> DataFrame:
             yield pdf_out
 
     return binary_df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_out", LongType()),
+        StructField("out_rate", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("sum_abs", LongType()),
+    ]
+)
+
+
+def resample_audio_decimate(binary_df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio downsample: chunk-walk the WAV, keep every
+    ``factor``-th sample (integer decimation — the anti-aliasing filter
+    is stubbed out as identity so the arithmetic stays exact; the
+    Spark-side plumbing is what a real polyphase resampler would ride),
+    RE-ENCODE at rate/factor with the real encoder, and emit integer
+    stats of the result incl. the re-encoded FILE SIZE (pins the RIFF
+    length bookkeeping on the write path).  decode(encode(x)) == x
+    asserted per record."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                f.name: [] for f in AUDIO_RESAMPLE_SCHEMA.fields
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s, sr = decode_wav(bytes(payload))
+                small = s[::factor].copy()
+                enc = encode_wav(small, sample_rate=sr // factor)
+                dec, dec_sr = decode_wav(enc)
+                assert np.array_equal(dec, small) and dec_sr == sr // factor
+                row = (
+                    int(doc_id),
+                    int(small.size),
+                    sr // factor,
+                    len(enc),
+                    int(np.abs(small.astype(np.int64)).sum()),
+                )
+                for field, val in zip(AUDIO_RESAMPLE_SCHEMA.fields, row):
+                    out[field.name].append(val)
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(batches, AUDIO_RESAMPLE_SCHEMA)

@@ -322,3 +322,44 @@ def q_range_sorted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "q_cdc_time_travel",
+    oracle="""
+    WITH cut AS (
+        SELECT (max(event_id) * 6) // 10 AS s FROM events
+    )
+    SELECT user_id AS key,
+           arg_max(value, event_id) AS val,
+           max(event_id) AS last_seq
+    FROM events CROSS JOIN cut
+    WHERE event_id <= cut.s
+    GROUP BY user_id
+    HAVING arg_max(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END,
+                   event_id) <> 'D'
+    """,
+)
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL snapshot over the CDC changelog: the table AS OF
+    sequence S (here the deterministic 60%-of-max cutoff — in production
+    any committed sequence number), materialized by filtering the
+    changelog to ``seq <= S`` BEFORE the same one-shuffle ``max_by``
+    snapshot aggregation q_cdc_snapshot uses.  Keys whose last op at S
+    was a delete are absent, and keys created after S don't exist yet —
+    the read-uncommitted-free historical view a changelog-backed table
+    format reconstructs for audits and reproducible backfills.
+
+    Scale: the cutoff is a 1-row broadcast; the seq filter is a pushed
+    scan predicate on the changelog (at 100 TB, changelog segments are
+    seq-ranged files, so the filter prunes whole segments before IO);
+    the snapshot itself stays one map-side-combinable shuffle on key."""
+    spark.dataSource.register(ChangelogDataSource)
+    changes = spark.read.format("changelog").load(
+        _changelog_dir(spark, sf_dir)
+    )
+    cut = changes.agg(
+        F.expr("(max(seq) * 6) div 10").cast("long").alias("s")
+    )
+    asof = changes.crossJoin(F.broadcast(cut)).where(F.col("seq") <= F.col("s"))
+    return latest_snapshot(asof)

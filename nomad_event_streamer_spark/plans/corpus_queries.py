@@ -2361,3 +2361,38 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_w"),
         )
     )
+
+
+@query(
+    "q_audio_resample",
+    oracle="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+    s AS (SELECT doc_id, n, (n + 1) // 2 AS n_out, t.q AS q,
+                 ((doc_id*7919 + (t.q * 2)*104729 + 1234) % 65536) - 32768
+                     AS v
+          FROM d CROSS JOIN range(0, 81) t(q) WHERE t.q < (n + 1) // 2)
+    SELECT doc_id,
+           CAST(max(n_out) AS BIGINT) AS n_out,
+           CAST(4000 AS BIGINT) AS out_rate,
+           CAST(44 + 2 * max(n_out) AS BIGINT) AS out_bytes,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio RESAMPLE (decimation ×2) — the audio twin of
+    q_image_resize's decode → transform → re-encode shape: chunk-walk
+    the WAV, keep every 2nd sample, re-encode at 4000 Hz with the real
+    encoder (roundtrip-asserted per record), and emit integer stats of
+    the result including the re-encoded FILE SIZE — 44 header bytes +
+    2·n, so a RIFF length-bookkeeping bug on the write path breaks the
+    hash exactly like the BMP row-padding pin.
+
+    100 TB shape: per-byte-linear mapInPandas, no shuffle, no driver
+    involvement — the transcode pass an audio-corpus pipeline runs to
+    normalize sample rates before feature extraction."""
+    from ..operators import multimodal
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    payloads = multimodal.synthetic_audio(docs)
+    return multimodal.resample_audio_decimate(payloads, factor=2)

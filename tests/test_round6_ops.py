@@ -522,6 +522,63 @@ class TestDatasetCard:
             assert 0 < r["n_vocab"] <= r["n_tokens"]
 
 
+class TestCdcTimeTravel:
+    def test_asof_snapshot_is_prefix_of_history(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        asof = {
+            r["key"]: r
+            for r in QUERIES["q_cdc_time_travel"](spark, sf_dir).collect()
+        }
+        latest = {
+            r["key"]: r
+            for r in QUERIES["q_cdc_snapshot"](spark, sf_dir).collect()
+        }
+        assert asof  # cutoff keeps a meaningful prefix
+        import pyspark.sql.functions as F
+
+        from nomad_event_streamer_spark.tables import events
+
+        max_seq = (
+            events(spark, sf_dir).agg(F.max("event_id").alias("m")).collect()
+        )[0]["m"]
+        cutoff = (max_seq * 6) // 10
+        for key, r in asof.items():
+            # every as-of row is from the prefix
+            assert r["last_seq"] <= cutoff
+            # a key whose state did not change after S agrees with latest
+            if key in latest and latest[key]["last_seq"] <= cutoff:
+                assert latest[key]["val"] == r["val"]
+
+
+class TestAudioResample:
+    def test_resample_figures(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        rows = QUERIES["q_audio_resample"](spark, sf_dir).collect()
+        for r in rows:
+            n_in = 64 + r["doc_id"] % 97
+            assert r["n_out"] == (n_in + 1) // 2
+            assert r["out_rate"] == 4000
+            assert r["out_bytes"] == 44 + 2 * r["n_out"]
+            assert r["sum_abs"] >= 0
+
+    def test_operator_roundtrip_on_handcrafted_wave(self, spark):
+        import numpy as np
+
+        from nomad_event_streamer_spark.operators import multimodal
+
+        samples = np.array([100, -200, 300, -400, 500], dtype=np.int16)
+        payload = multimodal.encode_wav(samples)
+        df = spark.createDataFrame(
+            [(7, bytearray(payload))], "doc_id long, payload binary"
+        )
+        r = multimodal.resample_audio_decimate(df, factor=2).collect()[0]
+        assert r["n_out"] == 3  # samples 100, 300, 500
+        assert r["sum_abs"] == 900
+        assert r["out_bytes"] == 44 + 6
+
+
 class TestDerivedPlanesPath:
     @pytest.fixture(scope="class")
     def vecs(self, spark):
