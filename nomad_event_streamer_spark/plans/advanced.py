@@ -854,3 +854,72 @@ def q_dedup_embed_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     search to pairwise dedup."""
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
     return similarity.near_dup_pairs_int(vecs, num_planes=6)
+
+
+@query(
+    "q_asof_forward",
+    oracle="""
+    WITH cd AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           arg_min(cd.click_id, cd.ts_us) AS next_click_id,
+           min(cd.ts_us) AS next_click_ts
+    FROM p
+    LEFT JOIN cd ON cd.user_id = p.user_id
+                 AND cd.ts_us >= p.ts_us
+                 AND cd.ts_us <= p.ts_us + 3600000000
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (pandas ``merge_asof
+    direction='forward', tolerance=1h`` semantics): each purchase picks
+    up the user's EARLIEST click at-or-after it, but only within the
+    next hour — the follow-up-event attribution lookup (did a
+    confirmation/next action happen soon after?), the mirror of
+    q_asof_join's state-at-event-time backward lookup.
+
+    Same scale shape as the backward operator — the forward direction
+    is the SAME tagged-union + running-window composition run on
+    NEGATED timestamps (most-recent-at-or-before on -ts ≡
+    earliest-at-or-after on ts), so it stays one shuffle on the key
+    with a linear per-key merge, never a range-join expansion; the
+    tolerance is a post-hoc null-out, not a join condition.  The
+    oracle states the semantics independently as a bounded range join
+    + arg_min (exact on the deduped click set, where min ts is
+    unique per user)."""
+    from ..operators.asof import asof_join
+
+    ev = events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        (-F.col("ts_us")).alias("nts"),
+        F.col("event_id"),
+        F.col("ts_us").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", (-F.col("ts_us")).alias("nts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="nts",
+        right_value="click_ts",
+        right_id="event_id",
+    )
+    in_tol = F.col("asof_click_ts") <= F.col("ts_us") + F.lit(3_600_000_000)
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(in_tol, F.col("asof_event_id")).alias("next_click_id"),
+        F.when(in_tol, F.col("asof_click_ts")).alias("next_click_ts"),
+    )

@@ -579,6 +579,33 @@ class TestAudioResample:
         assert r["out_bytes"] == 44 + 6
 
 
+class TestAsofForward:
+    def test_forward_match_semantics(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        rows = QUERIES["q_asof_forward"](spark, sf_dir).collect()
+        matched = [r for r in rows if r["next_click_ts"] is not None]
+        assert matched  # the events stream has follow-up clicks
+        for r in matched:
+            assert r["ts_us"] <= r["next_click_ts"] <= r["ts_us"] + 3_600_000_000
+        unmatched = [r for r in rows if r["next_click_ts"] is None]
+        for r in unmatched:
+            assert r["next_click_id"] is None
+
+    def test_no_join_node_in_plan(self, spark, sf_dir):
+        from nomad_event_streamer_spark.plans import QUERIES
+
+        plan = (
+            QUERIES["q_asof_forward"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+            assert node not in plan
+        assert "Window" in plan
+
+
 class TestDerivedPlanesPath:
     @pytest.fixture(scope="class")
     def vecs(self, spark):
