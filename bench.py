@@ -59,6 +59,19 @@ HEADLINE = [
     "q_dataset_shuffle",
     "q_unigram_surprisal",
     "q_curation_pipeline",
+    # round-3..6 heavyweights (VERDICT r06 item #3): the newest operator
+    # families now carry per-round medians + plan fingerprints, so a perf
+    # regression in them is caught by artifact diffing, not just plan pins
+    "q_bpe_train",
+    "q_dedup_clusters_star",
+    "q_semdedup",
+    "q_split_leakage",
+    "q_exactsubstr_cut",
+    "q_sim_ivfpq_int",
+    "q_stream_dedup_lsh",
+    "q_image_resize",
+    "q_audio_resample",
+    "q_theta_intersect",
 ]
 
 

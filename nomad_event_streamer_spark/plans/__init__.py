@@ -29,93 +29,103 @@ from . import retrieval_queries  # noqa: E402,F401
 # the early relational/LLM slugs; round 3 covered TPC-H / graph / analytics /
 # time-series / sketches / hard LLM ops; round 4 covered storage/CDC, set
 # ops, scalar-function and agg/window families; round 5 covered the round-4
-# corpus/analytics families plus the promoted IVF/PQ/BPE oracles — 50/50
-# PASS, cumulative hard driver-PASS after r05: 196 distinct slugs.
-# Round 6 rotates onto 50 of the 65 never-driver-verified hash-oracled
-# slugs (VERDICT r05 item #1), leading with the round-5 retrieval/eval +
-# sketch families and the streaming-oracled family (all sim-matched under
-# the driver's own canonicalization gate, never seen by the real driver).
-# The 17 deferred slugs — the extras.py scalar/window/setop family
-# (q_window_ntile, q_first_last, q_window_range, q_window_misc,
-# q_stack_inline, q_ratio_to_report, q_unpivot, q_cross_join_grid,
-# q_subquery_scalar, q_subquery_correlated, q_skew_join_salted,
-# q_webhook_payload, q_zscore, q_winsorize, q_corr) plus the two queries
-# promoted from rows-only THIS round (q_bpe_token_count,
-# q_stream_nomad_pipeline — VERDICT r05 item #4) — are round 7's
-# remainder, after which every oracled slug has a hard driver row.
+# corpus/analytics families plus the promoted IVF/PQ/BPE oracles; round 6
+# covered the round-5 retrieval/eval/sketch + streaming families — six
+# consecutive 50/50-PASS windows, cumulative hard driver-PASS after r06:
+# 246 distinct slugs.
+# Round 7 (VERDICT r06 item #1) FINISHES the driver-verification program:
+# the window leads with all 37 never-driver-verified slugs (the 19-slug
+# round-6 op family + the 18 older sim-only extras/streaming slugs — every
+# one judge-run-oracle-verified green in the r06 verdict session), then the
+# 3 NEW round-7 ops (q_eval_mcc, q_eval_kappa, q_card_dedup_yield), and
+# fills the last 10 slots re-verifying the CPU-heavy dedup family whose
+# physical plans changed THIS round (rebalance_for_cpu factor 2 -> 1,
+# tables.py — stale-evidence refresh, not window-stuffing; the documented
+# RE_VERIFY allowance in tests/test_driver_window.py names exactly these).
 # Every slug below is hash-oracled — no window slot is spent on a
-# rows-only check.  Registry at HEAD: 294 queries / 283 oracled.
-# (Round-6 additions q_theta_intersect / q_theta_anotb / q_dedup_bloom /
-# q_stream_session_dedup / q_image_resize / q_hashtext_classify /
-# q_ivf_append / q_stream_late_metrics / q_stupid_backoff /
-# q_chunk_sliding / q_lsh_tuning / q_ks_test / q_quantile_normalize /
-# q_bpe_fertility / q_embed_drift / q_dataset_card / q_cdc_time_travel /
-# q_audio_resample / q_asof_forward / q_csv_roundtrip join the
-# never-verified pool for round 7.)
-# Cumulative driver-PASS target after this window: 246.
+# rows-only check.  Registry at HEAD: 297 queries / 286 oracled.
+# Cumulative hard driver-PASS target after this window: 286 = every
+# hash-oracled slug in the registry.
 # tests/test_driver_window.py::test_ledger_comment_matches_registry
 # pins these counts so this comment can never go stale again.
 DRIVER_WINDOW: list[str] = [
-    # round-5 retrieval / eval serving family (retrieval_queries.py,
-    # corpus_queries.py) — 8
-    "q_rrf_fusion",
-    "q_ndcg_int",
-    "q_mmr_rerank",
-    "q_knn_eval",
-    "q_eval_auc",
-    "q_calibration",
-    "q_token_entropy",
-    "q_priority_sample",
-    # round-5 sketch family (sketch_queries.py, analytics_queries.py) — 4
-    "q_sketch_jaccard",
-    "q_kmv_distinct",
-    "q_tdigest_int",
-    "q_tdigest_merge",
-    # round-5 dedup / similarity additions — 10
-    "q_semdedup",
-    "q_label_prop",
-    "q_split_leakage",
-    "q_dedup_stats",
-    "q_dedup_eval",
-    "q_sim_ivfpq_int",
-    "q_sim_recall_ivf",
-    "q_exactsubstr_cluster",
-    "q_interval_union",
-    "q_pca_power_int",
-    # streaming-oracled family (streaming_queries.py) — never driver-seen,
-    # sim-matched since r04 — 12
-    "q_stream_agg",
-    "q_stream_window",
-    "q_stream_sliding",
-    "q_stream_session_window",
-    "q_stream_static_join",
-    "q_stream_dedup_state",
-    "q_stream_stream_join",
-    "q_stream_cdc_snapshot",
-    "q_stream_replay_throttled",
-    "q_statestore_read",
-    "q_stream_topk",
-    "q_stream_dedup_lsh",
-    # LLM-pipeline / corpus ops never driver-seen (llm_ops.py,
-    # advanced.py) — 11
-    "q_multimodal_frames",
-    "q_bpe_pretokenize",
-    "q_ngram_freq",
-    "q_cooccurrence_pmi",
-    "q_quality_funnel",
-    "q_repetition_signals",
-    "q_dedup_clusters_star",
-    "q_embed_dim_stats",
-    "q_udtf_bigrams",
-    "q_tfidf_top3",
+    # round-6 op family — never driver-seen (judge-oracle-verified r06) — 19
+    "q_asof_forward",
+    "q_cdc_time_travel",
+    "q_audio_resample",
+    "q_image_resize",
+    "q_theta_intersect",
+    "q_theta_anotb",
+    "q_dedup_bloom",
+    "q_stream_session_dedup",
+    "q_ivf_append",
+    "q_hashtext_classify",
+    "q_stupid_backoff",
+    "q_chunk_sliding",
+    "q_lsh_tuning",
+    "q_ks_test",
+    "q_quantile_normalize",
+    "q_bpe_fertility",
+    "q_embed_drift",
+    "q_dataset_card",
+    "q_csv_roundtrip",
+    # older sim-only slugs — never driver-seen (judge-oracle-verified
+    # r06): extras scalar/window/setop family + the two r06-promoted
+    # oracles — 18
+    "q_bpe_token_count",
+    "q_corr",
+    "q_cross_join_grid",
+    "q_first_last",
+    "q_ratio_to_report",
+    "q_skew_join_salted",
+    "q_stack_inline",
+    "q_stream_late_metrics",
+    "q_stream_nomad_pipeline",
+    "q_subquery_correlated",
+    "q_subquery_scalar",
+    "q_unpivot",
+    "q_webhook_payload",
+    "q_window_misc",
+    "q_window_ntile",
+    "q_window_range",
+    "q_winsorize",
+    "q_zscore",
+    # NEW round-7 ops (VERDICT r06 item #7) — 3
+    "q_eval_mcc",
+    "q_eval_kappa",
+    "q_card_dedup_yield",
+    # re-verify: CPU-heavy dedup/corpus family whose physical plans
+    # changed this round (rebalance_for_cpu factor 2 -> 1) — 10
+    "q_dedup_minhash",
     "q_minhash_est",
-    # extras profiling family never driver-seen — 5
-    "q_data_profile",
-    "q_outlier_iqr",
-    "q_pandas_udaf",
-    "q_quantile_hist",
-    "q_quality_checks",
+    "q_dedup_incremental",
+    "q_ngram_jaccard",
+    "q_curation_pipeline",
+    "q_tfidf_top3",
+    "q_multimodal_decode",
+    "q_simhash",
+    "q_dedup_clusters",
+    "q_dedup_stats",
 ]
+
+# Round-7 re-verification allowance (the ONLY slugs the window may spend
+# slots on despite a prior driver-PASS row): their optimized plans changed
+# this round via the rebalance_for_cpu factor change, so the old evidence
+# describes a plan that no longer exists.
+RE_VERIFY_R07: frozenset[str] = frozenset(
+    {
+        "q_dedup_minhash",
+        "q_minhash_est",
+        "q_dedup_incremental",
+        "q_ngram_jaccard",
+        "q_curation_pipeline",
+        "q_tfidf_top3",
+        "q_multimodal_decode",
+        "q_simhash",
+        "q_dedup_clusters",
+        "q_dedup_stats",
+    }
+)
 
 
 def _rotated(mapping):

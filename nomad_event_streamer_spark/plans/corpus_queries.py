@@ -1789,10 +1789,11 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_EVAL_N_QUERIES = 100
 
-
-@query(
-    "q_knn_eval",
-    oracle=f"""
+# Shared oracle scaffold: kNN predictions (query_id, pred_label,
+# true_label) for the 100 held-out queries — the CTE chain q_knn_eval,
+# q_eval_mcc and q_eval_kappa all replay; defined once so the three
+# scorecard oracles can never drift apart.
+_KNN_PRED_CTE = f"""
     WITH qz AS (
         SELECT vec_id AS query_id,
                list_transform(embedding,
@@ -1841,8 +1842,52 @@ _KNN_EVAL_N_QUERIES = 100
     pred AS (
         SELECT p.query_id, p.pred_label, CAST(q.label AS BIGINT) AS true_label
         FROM pick p JOIN embeddings q ON q.vec_id = p.query_id
-    ),
-    classes AS (SELECT DISTINCT CAST(label AS BIGINT) AS class
+    )
+"""
+
+
+def _knn_predictions(vecs: DataFrame) -> DataFrame:
+    """kNN predictions (query_id, pred_label, true_label) for the 100
+    held-out queries — the Spark twin of ``_KNN_PRED_CTE``, shared by
+    q_knn_eval / q_eval_mcc / q_eval_kappa so the scorecard family
+    scores ONE prediction set.  Integer-exact cosine top-5 with
+    majority vote (ties -> smaller label, same as the oracle's
+    row_number tiebreak)."""
+    from ..operators import similarity
+
+    queries = vecs.where(F.col("vec_id") < _KNN_EVAL_N_QUERIES)
+    top5 = similarity.cosine_topk_quantized(vecs, queries, k=5)
+    labels = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("long").alias("pred_label"),
+    )
+    votes = (
+        top5.join(labels, "neighbor_id")
+        .groupBy("query_id", "pred_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("pred_label").asc()
+    )
+    return (
+        votes.withColumn("prn", F.row_number().over(w))
+        .where(F.col("prn") == 1)
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").cast("long").alias("true_label"),
+            ),
+            "query_id",
+        )
+        .select("query_id", "pred_label", "true_label")
+    )
+
+
+@query(
+    "q_knn_eval",
+    oracle=_KNN_PRED_CTE
+    + f"""
+    , classes AS (SELECT DISTINCT CAST(label AS BIGINT) AS class
                 FROM embeddings WHERE vec_id < {_KNN_EVAL_N_QUERIES}),
     m AS (
         SELECT c.class,
@@ -1886,35 +1931,8 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture; the confusion aggregation is classes × predictions with
     class cardinality ~10 — per-class sums in one pass.  The per-class
     metric rows are class-cardinality, trivially collected."""
-    from ..operators import similarity
-
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
-    queries = vecs.where(F.col("vec_id") < _KNN_EVAL_N_QUERIES)
-    top5 = similarity.cosine_topk_quantized(vecs, queries, k=5)
-    labels = vecs.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").cast("long").alias("pred_label"),
-    )
-    votes = (
-        top5.join(labels, "neighbor_id")
-        .groupBy("query_id", "pred_label")
-        .agg(F.count(F.lit(1)).alias("votes"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("votes").desc(), F.col("pred_label").asc()
-    )
-    pred = (
-        votes.withColumn("prn", F.row_number().over(w))
-        .where(F.col("prn") == 1)
-        .join(
-            vecs.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("label").cast("long").alias("true_label"),
-            ),
-            "query_id",
-        )
-        .select("query_id", "pred_label", "true_label")
-    )
+    pred = _knn_predictions(vecs)
     classes = (
         vecs.where(F.col("vec_id") < _KNN_EVAL_N_QUERIES)
         .select(F.col("label").cast("long").alias("class"))
@@ -1974,6 +1992,206 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
         .alias("f1_milli"),
+    )
+
+
+@query(
+    "q_eval_mcc",
+    oracle=_KNN_PRED_CTE
+    + f"""
+    , classes AS (SELECT DISTINCT CAST(label AS BIGINT) AS class
+                  FROM embeddings WHERE vec_id < {_KNN_EVAL_N_QUERIES}),
+    m AS (
+        SELECT c.class,
+               CAST(sum(CASE WHEN p.true_label = c.class
+                             AND p.pred_label = c.class
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN p.true_label = c.class
+                             AND p.pred_label <> c.class
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN p.true_label <> c.class
+                             AND p.pred_label = c.class
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN p.true_label <> c.class
+                             AND p.pred_label <> c.class
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM classes c CROSS JOIN pred p
+        GROUP BY 1
+    )
+    SELECT class, tp, fp, fn, tn,
+           CAST(tp * tn - fp * fn AS BIGINT) AS mcc_num,
+           CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) AS BIGINT)
+               AS mcc_den_sq,
+           CAST(CASE WHEN tp + fn > 0 AND tn + fp > 0
+                THEN ((tp * 1000) // (tp + fn)
+                      + (tn * 1000) // (tn + fp)) // 2
+                ELSE 0 END AS BIGINT) AS bal_acc_milli
+    FROM m
+    """,
+)
+def q_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation + balanced accuracy per class (VERDICT r06
+    item #7): the chance-robust scorecard row q_knn_eval's
+    precision/recall table lacks — on an imbalanced eval set a
+    majority-class predictor scores high accuracy but MCC ~0, so the
+    gate a curation pipeline should alarm on is THIS table.  Emits the
+    full binary confusion (tp/fp/fn/tn) per class plus MCC as exact
+    integer numerator (tp*tn - fp*fn) and squared denominator
+    ((tp+fp)(tp+fn)(tn+fp)(tn+fn)) — the float sqrt is left to the
+    reader so every emitted value is an exact integer under the hash
+    gate — and balanced accuracy ((sensitivity+specificity)/2) in
+    integer milli (all divisions on non-negative ints, so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree).
+
+    Plan: same posture as q_knn_eval — predictions reuse the shared
+    scaffold, the confusion grid is a broadcast nested-loop over the
+    ~10-class dimension, per-class sums in one pass."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    pred = _knn_predictions(vecs)
+    classes = (
+        vecs.where(F.col("vec_id") < _KNN_EVAL_N_QUERIES)
+        .select(F.col("label").cast("long").alias("class"))
+        .distinct()
+    )
+    m = (
+        pred.crossJoin(F.broadcast(classes))
+        .groupBy("class")
+        .agg(
+            F.sum(
+                (
+                    (F.col("true_label") == F.col("class"))
+                    & (F.col("pred_label") == F.col("class"))
+                ).cast("long")
+            ).alias("tp"),
+            F.sum(
+                (
+                    (F.col("true_label") == F.col("class"))
+                    & (F.col("pred_label") != F.col("class"))
+                ).cast("long")
+            ).alias("fn"),
+            F.sum(
+                (
+                    (F.col("true_label") != F.col("class"))
+                    & (F.col("pred_label") == F.col("class"))
+                ).cast("long")
+            ).alias("fp"),
+            F.sum(
+                (
+                    (F.col("true_label") != F.col("class"))
+                    & (F.col("pred_label") != F.col("class"))
+                ).cast("long")
+            ).alias("tn"),
+        )
+    )
+    return m.select(
+        "class",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn"))
+        .cast("long")
+        .alias("mcc_num"),
+        (
+            (F.col("tp") + F.col("fp"))
+            * (F.col("tp") + F.col("fn"))
+            * (F.col("tn") + F.col("fp"))
+            * (F.col("tn") + F.col("fn"))
+        )
+        .cast("long")
+        .alias("mcc_den_sq"),
+        F.when(
+            (F.col("tp") + F.col("fn") > 0) & (F.col("tn") + F.col("fp") > 0),
+            F.expr(
+                "((tp * 1000) div (tp + fn) + (tn * 1000) div (tn + fp))"
+                " div 2"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bal_acc_milli"),
+    )
+
+
+@query(
+    "q_eval_kappa",
+    oracle=_KNN_PRED_CTE
+    + """
+    , pc AS (SELECT pred_label AS lbl, CAST(count(*) AS BIGINT) AS p_k
+             FROM pred GROUP BY 1),
+    tc AS (SELECT true_label AS lbl, CAST(count(*) AS BIGINT) AS t_k
+           FROM pred GROUP BY 1),
+    pt AS (SELECT CAST(coalesce(sum(p_k * t_k), 0) AS BIGINT) AS sum_pt
+           FROM pc JOIN tc USING (lbl)),
+    ov AS (SELECT CAST(sum(CASE WHEN pred_label = true_label
+                               THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+                  CAST(count(*) AS BIGINT) AS total
+           FROM pred)
+    SELECT correct, total, sum_pt,
+           CAST(correct * total - sum_pt AS BIGINT) AS kappa_num,
+           CAST(total * total - sum_pt AS BIGINT) AS kappa_den,
+           CAST(CASE WHEN correct * total - sum_pt >= 0
+                THEN ((correct * total - sum_pt) * 1000)
+                     // (total * total - sum_pt)
+                ELSE -(((sum_pt - correct * total) * 1000)
+                       // (total * total - sum_pt)) END AS BIGINT)
+               AS kappa_milli
+    FROM ov CROSS JOIN pt
+    """,
+)
+def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the kNN scorecard — overall chance-corrected
+    agreement as EXACT integers: with s = total, c = correct and
+    sum_pt = Σ_k (#predicted k)·(#true k), kappa = (c·s - sum_pt) /
+    (s² - sum_pt), so numerator and denominator are integer-exact and
+    the milli quantization handles a negative numerator (worse than
+    chance) by dividing magnitudes and re-applying the sign — the one
+    formulation where Spark's truncating ``div`` and DuckDB's flooring
+    ``//`` provably agree.
+
+    Plan: two label-keyed counts over the 100-row prediction set joined
+    on the ~10-label key, one global sum, one broadcast 1x1 cross —
+    nothing here scales with corpus size; at any eval-set size the
+    shuffles are label-cardinality."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    pred = _knn_predictions(vecs)
+    pc = pred.groupBy(F.col("pred_label").alias("lbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("p_k")
+    )
+    tc = pred.groupBy(F.col("true_label").alias("lbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("t_k")
+    )
+    pt = (
+        pc.join(tc, "lbl")
+        .agg(
+            F.coalesce(F.sum(F.col("p_k") * F.col("t_k")), F.lit(0))
+            .cast("long")
+            .alias("sum_pt")
+        )
+    )
+    ov = pred.agg(
+        F.sum((F.col("pred_label") == F.col("true_label")).cast("long"))
+        .cast("long")
+        .alias("correct"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    return ov.crossJoin(F.broadcast(pt)).select(
+        "correct",
+        "total",
+        "sum_pt",
+        (F.col("correct") * F.col("total") - F.col("sum_pt"))
+        .cast("long")
+        .alias("kappa_num"),
+        (F.col("total") * F.col("total") - F.col("sum_pt"))
+        .cast("long")
+        .alias("kappa_den"),
+        F.expr(
+            "CAST(CASE WHEN correct * total - sum_pt >= 0"
+            " THEN ((correct * total - sum_pt) * 1000)"
+            "      div (total * total - sum_pt)"
+            " ELSE -(((sum_pt - correct * total) * 1000)"
+            "        div (total * total - sum_pt)) END AS BIGINT)"
+        ).alias("kappa_milli"),
     )
 
 
@@ -2437,12 +2655,14 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+    # Overwrite unconditionally, matching every other write-then-read
+    # query in the repo (VERDICT r06 what's-wrong #2: the old _SUCCESS
+    # sentinel keyed only on the sf-dir basename would silently reuse a
+    # stale directory written by an older schema).  The write IS part of
+    # the roundtrip under test; 8 small files, negligible cost.
     tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
     out = f"/tmp/spark_graft_csv_{tag}"
-    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
-        ev.repartition(8).write.mode("overwrite").option("header", True).csv(
-            out
-        )
+    ev.repartition(8).write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.schema(
         "event_id long, user_id long, event_type string, cents long"
     ).option("header", True).csv(out)

@@ -92,7 +92,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: shingle -> 16 min-wise hashes ->
     8 bands x 2 rows -> bucket group-and-expand.  Candidate generation
     cost is bucket-sized, never all-pairs, and the signature lineage is
-    computed exactly once (no self-join)."""
+    computed exactly once (no self-join).
+
+    Base-hash cost, MEASURED (round 7): the md5+conv base hash is NOT
+    the bottleneck at bench scale — replacing it with a no-hash floor
+    (min-agg over ``length(shingle)``) times IDENTICAL (0.62s vs 0.59s
+    over 260k shingle rows, local[32] sf0.1), so a cheaper 64-bit hash
+    or a distinct-shingle pre-agg (27k distinct / 260k occurrences)
+    would buy nothing here and the pre-agg would ADD two shuffles.
+    The real lever was task-count: rebalance_for_cpu factor 2 -> 1
+    (see tables.py) cut this query -20% in an interleaved A/B.  At
+    100 TB the md5 CPU is embarrassingly parallel; shuffle width
+    (doc_id + 16 longs after map-side partial min) stays the binding
+    cost, and adding shuffles to dedup hash inputs remains the wrong
+    trade."""
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     sh = dedup.shingles(docs, n=3)
     sig = dedup.minhash_signatures(sh, num_hashes=16)
@@ -5111,5 +5124,131 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_dup_docs * 1000) div n_docs")
             .cast("long")
             .alias("dup_milli"),
+        )
+    )
+
+
+@query(
+    "q_card_dedup_yield",
+    oracle=f"""
+    WITH comp AS (SELECT * FROM ({_clusters_oracle(16)})),
+    base AS (
+        SELECT d.doc_id, d.source, d.text,
+               CAST(len(list_filter(string_split(d.text, ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_toks,
+               coalesce(c.cluster_id, d.doc_id) AS cid
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    surv AS (SELECT cid, min(doc_id) AS keep_id FROM base GROUP BY 1),
+    dec AS (
+        SELECT b.source, b.n_toks,
+               CASE WHEN b.doc_id = s.keep_id THEN 0 ELSE 1 END AS dropped
+        FROM base b JOIN surv s USING (cid)
+    ),
+    exact AS (
+        SELECT source, CAST(sum(cnt - 1) AS BIGINT) AS n_exact_dup
+        FROM (SELECT source, md5(text) AS h, count(*) AS cnt
+              FROM base GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_toks) AS BIGINT) AS n_tokens,
+           max(e.n_exact_dup) AS n_exact_dup,
+           CAST(sum(d.dropped) AS BIGINT) AS n_dropped,
+           CAST(count(*) - sum(d.dropped) AS BIGINT) AS n_kept,
+           CAST(((count(*) - sum(d.dropped)) * 1000) // count(*) AS BIGINT)
+               AS kept_milli,
+           CAST((sum(CASE WHEN d.dropped = 0 THEN d.n_toks ELSE 0 END)
+                 * 1000) // sum(d.n_toks) AS BIGINT) AS kept_tokens_milli
+    FROM dec d JOIN exact e USING (source)
+    GROUP BY 1
+    """,
+)
+def q_card_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card x dedup-yield drill-down (VERDICT r06 item #7): the
+    per-source row a data lead reads before signing a corpus release —
+    how many docs and tokens each source contributes, how many are
+    exact duplicates, how many the near-dup pass would DROP (minhash-LSH
+    components, min-id survivor — exact dups fold into the same
+    components since identical text has identical signatures), and the
+    kept yield in docs AND tokens as integer milli rates.  Joins
+    q_dataset_card's per-source card to q_dedup_stats' cluster yield on
+    the source key; everything integer, fully hash-gated.
+
+    Plan: ONE corpus scan feeds the component labeling (the existing
+    bucketed LSH + label-propagation path) and the per-source card
+    aggregation; the survivor rule is a cluster-keyed min + join, the
+    exact-dup count a source+digest agg — all shuffles are key-partial,
+    output is source-cardinality rows.  At 100 TB the LSH component
+    labeling dominates exactly as in q_dedup_clusters; the card layer
+    adds two narrow aggregations."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    comp = dedup.connected_components(dedup.lsh_candidate_pairs(bands))
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+            .cast("long")
+            .alias("n_toks"),
+        )
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            "n_toks",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cid"),
+        )
+    )
+    surv = base.groupBy("cid").agg(F.min("doc_id").alias("keep_id"))
+    dec = base.join(surv, "cid").select(
+        "source",
+        "n_toks",
+        F.when(F.col("doc_id") == F.col("keep_id"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("dropped"),
+    )
+    exact = (
+        docs.groupBy("source", F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source")
+        .agg(F.sum(F.col("cnt") - 1).cast("long").alias("n_exact_dup"))
+    )
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.sum(
+                F.when(F.col("dropped") == 0, F.col("n_toks")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .join(F.broadcast(exact), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_exact_dup",
+            "n_dropped",
+            (F.col("n_docs") - F.col("n_dropped"))
+            .cast("long")
+            .alias("n_kept"),
+            F.expr("((n_docs - n_dropped) * 1000) div n_docs")
+            .cast("long")
+            .alias("kept_milli"),
+            F.expr("(kept_tokens * 1000) div n_tokens")
+            .cast("long")
+            .alias("kept_tokens_milli"),
         )
     )

@@ -100,7 +100,7 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rebalance_for_cpu(df: DataFrame, factor: int = 2) -> DataFrame:
+def rebalance_for_cpu(df: DataFrame, factor: int = 1) -> DataFrame:
     """Rebalance a small-file scan across cores for CPU-bound operators.
 
     A tiny parquet file arrives as ONE input partition, serializing
@@ -108,7 +108,18 @@ def rebalance_for_cpu(df: DataFrame, factor: int = 2) -> DataFrame:
     sf0.1).  Only repartitions when the scan has fewer partitions than
     the cluster's parallelism — at production scale (thousands of input
     splits) this is a no-op, so it never introduces a shuffle where the
-    data is already spread."""
+    data is already spread.
+
+    ``factor=1`` (one partition per core), not 2: an interleaved A/B at
+    sf0.1/local[32] over the 7 heaviest CPU-bound headliners (8 runs per
+    arm per query, alternating arms so JVM warm-up cancels) measured
+    2x oversubscription as pure overhead — factor=1 won EVERY query,
+    -16% total (12.31s -> 10.33s; q_multimodal_decode -36%,
+    q_tfidf_top3 -25%, q_minhash_est -23%).  Task durations here are
+    uniform (same text-stat work per row), so oversubscription buys no
+    straggler smoothing and costs ~2x task-scheduling overhead per
+    stage.  On a real cluster with skewed splits, callers can pass
+    factor=2 explicitly; AQE skew-split covers the shuffle side."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:

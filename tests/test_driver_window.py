@@ -16,6 +16,7 @@ from nomad_event_streamer_spark.plans import (
     DRIVER_WINDOW,
     ORACLES,
     QUERIES,
+    RE_VERIFY_R07,
     all_oracles,
     all_queries,
 )
@@ -64,14 +65,17 @@ def test_rotation_is_consistent_and_lossless():
 def test_window_targets_previously_unverified_queries():
     # Slugs with a cumulative driver-PASS row (any prior round) already have
     # hard evidence; re-spending window slots on them would be
-    # window-stuffing, not evidence-widening.  (No FAIL re-proof exception
-    # this round: r04 and r05 were both 0-FAIL windows.)
+    # window-stuffing, not evidence-widening.  The ONE sanctioned
+    # exception is the explicit RE_VERIFY_R07 allowance: slugs whose
+    # optimized plans changed this round (rebalance_for_cpu factor
+    # change), so the prior evidence describes a plan that no longer
+    # exists — VERDICT r06 item #1 asked for exactly this refresh.
     import json
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1]
     already_pass: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06"):
         path = root / f"CORRECTNESS_{rnd}.json"
         if not path.exists():
             continue
@@ -84,5 +88,35 @@ def test_window_targets_previously_unverified_queries():
             and v.get("rows_match", v.get("count_match", True))
             and not v.get("err")
         }
-    overlap = [s for s in DRIVER_WINDOW if s in already_pass]
+    overlap = [
+        s for s in DRIVER_WINDOW if s in already_pass and s not in RE_VERIFY_R07
+    ]
     assert not overlap, f"window re-verifies already-PASS slugs: {overlap}"
+
+
+def test_sim_artifact_covers_registry():
+    """VERDICT r06 item #2 / what's-wrong #1: the committed DRIVER_SIM
+    artifact must never trail the registry — a query added after the sim
+    refresh would carry no machine evidence.  Pins the LATEST committed
+    DRIVER_SIM_r*.json to the exact registry size (regenerate the
+    artifact after the last registry-touching commit)."""
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    sims = sorted(
+        root.glob("DRIVER_SIM_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    assert sims, "no DRIVER_SIM artifact committed"
+    latest = sims[-1]
+    rows = json.loads(latest.read_text())
+    # artifact format: {"queries": {...}} (scripts/driver_sim.py output)
+    per_query = rows.get("queries", rows)
+    per_query = {k: v for k, v in per_query.items() if k.startswith("q_")}
+    assert len(per_query) == len(QUERIES), (
+        f"{latest.name} covers {len(per_query)} queries but the registry "
+        f"has {len(QUERIES)} — regenerate the sim artifact after the last "
+        "registry-touching commit"
+    )

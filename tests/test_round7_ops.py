@@ -1,0 +1,126 @@
+"""Round-7 operator tests (VERDICT r06 item #7): the MCC / kappa
+scorecard rows and the dataset-card × dedup-yield drill-down, plus
+invariants tying them to the existing q_knn_eval / q_dataset_card /
+q_dedup_stats surfaces they extend.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nomad_event_streamer_spark.plans import QUERIES
+
+
+@pytest.fixture(scope="module")
+def mcc_rows(spark, sf_dir):
+    return QUERIES["q_eval_mcc"](spark, sf_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def kappa_row(spark, sf_dir):
+    rows = QUERIES["q_eval_kappa"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+@pytest.fixture(scope="module")
+def knn_rows(spark, sf_dir):
+    return QUERIES["q_knn_eval"](spark, sf_dir).collect()
+
+
+class TestEvalMcc:
+    def test_one_row_per_class_matching_knn_eval(self, mcc_rows, knn_rows):
+        assert {r["class"] for r in mcc_rows} == {r["class"] for r in knn_rows}
+
+    def test_confusion_rows_sum_to_eval_set(self, mcc_rows):
+        # Every class's binary confusion partitions the same prediction
+        # set: tp+fp+fn+tn is constant across classes.
+        totals = {r["tp"] + r["fp"] + r["fn"] + r["tn"] for r in mcc_rows}
+        assert len(totals) == 1
+        assert totals.pop() > 0
+
+    def test_mcc_num_den_consistent(self, mcc_rows):
+        for r in mcc_rows:
+            assert r["mcc_num"] == r["tp"] * r["tn"] - r["fp"] * r["fn"]
+            assert r["mcc_den_sq"] == (
+                (r["tp"] + r["fp"])
+                * (r["tp"] + r["fn"])
+                * (r["tn"] + r["fp"])
+                * (r["tn"] + r["fn"])
+            )
+            # Cauchy-Schwarz: mcc_num² <= mcc_den_sq (|MCC| <= 1)
+            if r["mcc_den_sq"] > 0:
+                assert r["mcc_num"] ** 2 <= r["mcc_den_sq"]
+
+    def test_tp_fn_agree_with_knn_eval(self, mcc_rows, knn_rows):
+        # Shared prediction scaffold: the binary confusion's tp/fn must be
+        # the same numbers q_knn_eval reports per class.
+        by_class = {r["class"]: r for r in knn_rows}
+        for r in mcc_rows:
+            k = by_class[r["class"]]
+            assert (r["tp"], r["fn"], r["fp"]) == (k["tp"], k["fn"], k["fp"])
+
+    def test_bal_acc_in_milli_range(self, mcc_rows):
+        for r in mcc_rows:
+            assert 0 <= r["bal_acc_milli"] <= 1000
+
+
+class TestEvalKappa:
+    def test_identities(self, kappa_row):
+        r = kappa_row
+        assert r["kappa_num"] == r["correct"] * r["total"] - r["sum_pt"]
+        assert r["kappa_den"] == r["total"] * r["total"] - r["sum_pt"]
+        assert 0 < r["total"]
+        assert 0 <= r["correct"] <= r["total"]
+
+    def test_kappa_bounded(self, kappa_row):
+        # kappa <= 1 always; milli respects the bound and the sign of num.
+        r = kappa_row
+        assert r["kappa_milli"] <= 1000
+        if r["kappa_num"] >= 0:
+            assert r["kappa_milli"] >= 0
+
+    def test_correct_matches_knn_diag(self, kappa_row, knn_rows):
+        # Σ per-class tp over the shared scaffold = overall correct.
+        assert kappa_row["correct"] == sum(r["tp"] for r in knn_rows)
+        assert kappa_row["total"] == sum(r["tp"] + r["fn"] for r in knn_rows)
+
+
+class TestCardDedupYield:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return QUERIES["q_card_dedup_yield"](spark, sf_dir).collect()
+
+    def test_one_row_per_source_matching_card(self, rows, spark, sf_dir):
+        card = {r["source"] for r in QUERIES["q_dataset_card"](spark, sf_dir).collect()}
+        assert {r["source"] for r in rows} == card
+
+    def test_counts_consistent(self, rows):
+        for r in rows:
+            assert r["n_kept"] == r["n_docs"] - r["n_dropped"]
+            assert 0 <= r["n_dropped"] < r["n_docs"]
+            assert 0 <= r["n_exact_dup"] <= r["n_dropped"], (
+                "exact dups fold into near-dup components (identical text "
+                "=> identical signature), so drops must cover them"
+            )
+            assert 0 < r["kept_milli"] <= 1000
+            assert 0 < r["kept_tokens_milli"] <= 1000
+
+    def test_total_drops_match_dedup_stats(self, rows, spark, sf_dir):
+        # Corpus-wide: Σ per-source near-dup drops == q_dedup_stats'
+        # Σ n_dup_docs over size bands (same components, same min-id rule).
+        stats = QUERIES["q_dedup_stats"](spark, sf_dir).collect()
+        assert sum(r["n_dropped"] for r in rows) == sum(
+            s["n_dup_docs"] for s in stats
+        )
+
+    def test_card_figures_match_dataset_card(self, rows, spark, sf_dir):
+        card = {
+            r["source"]: r
+            for r in QUERIES["q_dataset_card"](spark, sf_dir).collect()
+        }
+        for r in rows:
+            c = card[r["source"]]
+            assert r["n_docs"] == c["n_docs"]
+            assert r["n_tokens"] == c["n_tokens"]
+            assert r["n_exact_dup"] == c["n_dup_docs"]
