@@ -10,7 +10,7 @@ float-heavy cosine ops, which are rows-only by the SURVEY float policy.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators import dedup, multimodal, similarity, text
 from ..operators.sketch import int_bit_length
@@ -4362,9 +4362,9 @@ def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_stupid_backoff",
-    oracle="""
+# Shared oracle scaffold: stupid-backoff per-position scores + the
+# per-doc rollup, reused by q_stupid_backoff and q_perplexity_buckets.
+_STUPID_BACKOFF_CTE = """
     WITH t AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), x -> x <> '') AS tks
@@ -4399,12 +4399,22 @@ def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN uni cu_u ON cu_u.tok = p.u
         JOIN uni cu_v ON cu_v.tok = p.v
         CROSS JOIN n
+    ),
+    doc_scores AS (
+        SELECT d.doc_id,
+               CAST(coalesce(count(s.s_micro), 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(sum(s.s_micro), 0) AS BIGINT) AS score_micro
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        GROUP BY d.doc_id
     )
-    SELECT d.doc_id,
-           CAST(coalesce(count(s.s_micro), 0) AS BIGINT) AS n_bigrams,
-           CAST(coalesce(sum(s.s_micro), 0) AS BIGINT) AS score_micro
-    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
-    GROUP BY d.doc_id
+"""
+
+
+@query(
+    "q_stupid_backoff",
+    oracle=_STUPID_BACKOFF_CTE
+    + """
+    SELECT doc_id, n_bigrams, score_micro FROM doc_scores
     """,
 )
 def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4425,6 +4435,13 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     count tables are the maintained LM asset; scoring a new corpus
     reuses them unchanged."""
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    return _stupid_backoff_scored(docs)
+
+
+def _stupid_backoff_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, score_micro) — the stupid-backoff scoring
+    pipeline, shared by q_stupid_backoff and q_perplexity_buckets so the
+    LM-quality signal both report is ONE computation."""
     tks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     t = docs.select("doc_id", tks.alias("tks"))
     toks = t.select("doc_id", F.explode("tks").alias("tok"))
@@ -4466,6 +4483,88 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("s_micro"), F.lit(0))
             .cast("long")
             .alias("score_micro"),
+        )
+    )
+
+
+@query(
+    "q_perplexity_buckets",
+    oracle=_STUPID_BACKOFF_CTE
+    + """
+    , enriched AS (
+        SELECT s.doc_id, d.lang,
+               CASE WHEN s.n_bigrams > 0
+                    THEN s.score_micro // s.n_bigrams ELSE 0 END AS avg_micro,
+               CAST(len(list_filter(string_split(d.text, ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_toks
+        FROM doc_scores s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    bucketed AS (
+        SELECT lang, avg_micro, n_toks,
+               ntile(4) OVER (PARTITION BY lang
+                              ORDER BY avg_micro DESC, doc_id) AS bucket
+        FROM enriched
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           min(avg_micro) AS min_avg_micro,
+           max(avg_micro) AS max_avg_micro
+    FROM bucketed
+    GROUP BY lang, bucket
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-quality bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC 2020 — public): per language, rank documents by their
+    normalized stupid-backoff LM score (score_micro / n_bigrams —
+    integer floor division, the per-position quality signal) and split
+    into QUARTILE buckets — bucket 1 is CCNet's "head" (most fluent),
+    bucket 4 the "tail" a curation pipeline drops or down-samples.
+    Per (lang, bucket): doc count, token sum, and the min/max normalized
+    score — the table a data lead uses to set the per-language quality
+    cut.  Everything integer (counts, floor divisions, rank-based
+    ntile with a doc_id tiebreak), fully hash-gated.
+
+    Plan: the scoring pipeline is the shared q_stupid_backoff scaffold
+    (token-keyed count joins + per-doc sum); bucketing is ONE
+    lang-partitioned rank window (same posture as q_quantile_normalize
+    — the shuffle key is the language, no global ordering); the rollup
+    is (lang, bucket)-cardinality rows.  At 100 TB the per-language
+    sort is the binding cost — production replaces exact ntile with
+    broadcast t-digest cutoffs (q_tdigest_int's device) at the price of
+    approximate quartile boundaries; the exact form here is the
+    oracle-able twin."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    scores = _stupid_backoff_scored(docs)
+    tks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    enriched = scores.join(
+        docs.select("doc_id", "lang", F.size(tks).cast("long").alias("n_toks")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr("score_micro div n_bigrams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("avg_micro"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        enriched.withColumn("bucket", F.ntile(4).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.min("avg_micro").alias("min_avg_micro"),
+            F.max("avg_micro").alias("max_avg_micro"),
         )
     )
 

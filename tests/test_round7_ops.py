@@ -124,3 +124,49 @@ class TestCardDedupYield:
             assert r["n_docs"] == c["n_docs"]
             assert r["n_tokens"] == c["n_tokens"]
             assert r["n_exact_dup"] == c["n_dup_docs"]
+
+
+class TestPerplexityBuckets:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return QUERIES["q_perplexity_buckets"](spark, sf_dir).collect()
+
+    def test_four_buckets_per_lang(self, rows, spark, sf_dir):
+        langs = {
+            r["lang"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("lang")
+            .distinct()
+            .collect()
+        }
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], set()).add(r["bucket"])
+        assert set(by_lang) == langs
+        for lang, buckets in by_lang.items():
+            assert buckets == {1, 2, 3, 4}, (lang, buckets)
+
+    def test_bucket_scores_descend(self, rows):
+        # bucket 1 = head (highest normalized LM score): each bucket's
+        # min must be >= the next bucket's max within a language.
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+        for lang, bs in by_lang.items():
+            for b in (1, 2, 3):
+                assert bs[b]["min_avg_micro"] >= bs[b + 1]["max_avg_micro"], (
+                    lang,
+                    b,
+                )
+
+    def test_counts_cover_corpus(self, rows, spark, sf_dir):
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert sum(r["n_docs"] for r in rows) == n_docs
+
+    def test_quartiles_balanced(self, rows):
+        # ntile: bucket sizes within a lang differ by at most 1
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r["n_docs"])
+        for lang, sizes in by_lang.items():
+            assert max(sizes) - min(sizes) <= 1, (lang, sizes)
