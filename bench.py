@@ -72,6 +72,11 @@ HEADLINE = [
     "q_image_resize",
     "q_audio_resample",
     "q_theta_intersect",
+    # round-7 additions
+    "q_eval_mcc",
+    "q_card_dedup_yield",
+    "q_perplexity_buckets",
+    "q_embed_lsh_tuning",
 ]
 
 

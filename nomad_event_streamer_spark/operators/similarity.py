@@ -975,3 +975,139 @@ def near_dup_pairs_int(
         j.select("id_a", "id_b", cos_milli.alias("cos_milli"))
         .where(F.col("cos_milli") >= threshold_milli)
     )
+
+
+def lsh_amplification_table(
+    vecs: DataFrame,
+    threshold_milli: int = 350,
+    num_tables: int = 3,
+    num_planes: int | None = None,
+    dim: int = 64,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OR-amplification tuning table for the embedding LSH (the
+    ``num_tables`` recall knob SCALE.md documents, as a first-class
+    measured operator — the embedding-side complement of the minhash
+    band/row q_lsh_tuning): for T = 1..num_tables, report how many
+    candidate pairs the first T tables surface, how many of them score
+    >= ``threshold_milli`` (confirmed near-dups), and the CONFIRMED
+    recall relative to the full num_tables configuration, in integer
+    milli.
+
+    Nested-prefix design: configuration T's candidate set is exactly
+    the pairs whose MINIMUM colliding table index < T, so one signature
+    computation and ONE scoring pass serve every configuration — the
+    per-pair ``min_t`` rides the pair dedup aggregate (q_lsh_tuning's
+    signatures-computed-once posture).  Recall here is measured against
+    the full OR-amplified set, which is the operational question ("what
+    does dropping a table cost?"); ABSOLUTE recall needs a ground-truth
+    sample (q_sim_recall's device) because exact all-pairs truth is
+    corpus-quadratic by definition.
+
+    Scale: identical cost profile to ``near_dup_pairs_int`` — the
+    posexplode + broadcast-plane join with map-side partials, bucket
+    equi-joins per table, one vector re-join for the (tiny) pair set;
+    output is num_tables rows.  ``num_planes=None`` derives the plane
+    count from the corpus via ``planes_for_corpus`` (the scale-aware
+    default — fixed planes saturate quadratically as the corpus grows);
+    the oracled sf-scale query passes 6 explicitly, matching its DuckDB
+    twin's inlined literals."""
+    import hashlib as _hashlib
+
+    spark = vecs.sparkSession
+    if num_planes is None:
+        num_planes = planes_for_corpus(vecs.count())
+    qv = vecs.select(
+        F.col(id_col).alias("vid"),
+        quantize_vec(F.col(vec_col), scale).alias("v"),
+    )
+    plane_rows = [
+        (
+            t,
+            p,
+            d,
+            1
+            if int(_hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:2], 16) % 2
+            == 0
+            else -1,
+        )
+        for t in range(num_tables)
+        for p in range(num_planes)
+        for d in range(dim)
+    ]
+    pl = spark.createDataFrame(plane_rows, "t int, p int, i int, s long")
+    comp = qv.select("vid", F.posexplode("v").alias("i", "x"))
+    dots = (
+        comp.join(F.broadcast(pl), "i")
+        .groupBy("vid", "t", "p")
+        .agg(F.sum(F.col("s") * F.col("x")).alias("d"))
+    )
+    tabled = dots.groupBy("vid", "t").agg(
+        F.sum(
+            F.when(
+                F.col("d") > 0, F.expr("CAST(shiftleft(1, p) AS BIGINT)")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    a = tabled.select(F.col("vid").alias("id_a"), "t", "bucket")
+    bb = tabled.select(F.col("vid").alias("id_b"), "t", "bucket")
+    pairs = (
+        a.join(bb, ["t", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("t").alias("min_t"))
+    )
+    normed = qv.withColumn("n2", _int_dot(F.col("v"), F.col("v")))
+    va = normed.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("n2").alias("na"),
+    )
+    vb = normed.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    j = pairs.join(va, "id_a").join(vb, "id_b")
+    dot = _int_dot(F.col("va"), F.col("vb")).cast("double")
+    den = F.sqrt(F.col("na").cast("double")) * F.sqrt(
+        F.col("nb").cast("double")
+    )
+    cos_milli = F.floor(
+        F.when(den > 0, dot / den).otherwise(F.lit(0.0)) * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = j.select("id_a", "id_b", "min_t", cos_milli.alias("cos_milli"))
+    configs = spark.range(1, num_tables + 1).select(
+        F.col("id").cast("long").alias("num_tables")
+    )
+    per_t = (
+        scored.crossJoin(F.broadcast(configs))
+        .where(F.col("min_t") < F.col("num_tables"))
+        .groupBy("num_tables")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum((F.col("cos_milli") >= threshold_milli).cast("long"))
+            .cast("long")
+            .alias("n_confirmed"),
+        )
+    )
+    full = scored.agg(
+        F.sum((F.col("cos_milli") >= threshold_milli).cast("long"))
+        .cast("long")
+        .alias("full_confirmed")
+    )
+    return per_t.crossJoin(F.broadcast(full)).select(
+        "num_tables",
+        "n_candidates",
+        "n_confirmed",
+        F.when(
+            F.col("full_confirmed") > 0,
+            F.expr("(n_confirmed * 1000) div full_confirmed"),
+        )
+        .otherwise(F.lit(1000))
+        .cast("long")
+        .alias("recall_vs_full_milli"),
+    )

@@ -923,3 +923,105 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("asof_event_id")).alias("next_click_id"),
         F.when(in_tol, F.col("asof_click_ts")).alias("next_click_ts"),
     )
+
+
+def _lsh_amplification_oracle(
+    threshold_milli: int = 350,
+    num_tables: int = 3,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the OR-amplification tuning table: the
+    _embed_int_body device extended with the per-pair MIN colliding
+    table index, then the nested-prefix rollup per configuration."""
+    import hashlib as _hashlib
+
+    pl_rows = ", ".join(
+        f"({t}, {p}, {d}, "
+        f"{1 if int(_hashlib.md5(f'{t}:{p}:{d}'.encode()).hexdigest()[:2], 16) % 2 == 0 else -1})"
+        for t in range(num_tables)
+        for p in range(num_planes)
+        for d in range(dim)
+    )
+    cfg_rows = ", ".join(f"({t})" for t in range(1, num_tables + 1))
+    return f"""
+    WITH z AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT vec_id, i, v[i + 1] AS x
+        FROM z CROSS JOIN range(0, {dim}) t(i)
+    ),
+    pl(t, p, i, s) AS (SELECT * FROM (VALUES {pl_rows})),
+    dots AS (
+        SELECT vec_id, t, p, sum(s * x) AS d
+        FROM comp JOIN pl USING (i) GROUP BY 1, 2, 3
+    ),
+    buck AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(min(a.t) AS BIGINT) AS min_t
+        FROM buck a JOIN buck b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT id_a, id_b, min_t,
+               CAST(floor(
+                   CASE WHEN sqrt(list_dot_product(za.v, za.v))
+                             * sqrt(list_dot_product(zb.v, zb.v)) > 0
+                        THEN list_dot_product(za.v, zb.v)
+                             / (sqrt(list_dot_product(za.v, za.v))
+                                * sqrt(list_dot_product(zb.v, zb.v)))
+                        ELSE 0.0 END * 1000.0 + 0.5
+               ) AS BIGINT) AS cos_milli
+        FROM cand
+        JOIN z za ON za.vec_id = id_a
+        JOIN z zb ON zb.vec_id = id_b
+    ),
+    cfg(num_tables) AS (SELECT * FROM (VALUES {cfg_rows})),
+    per_t AS (
+        SELECT CAST(num_tables AS BIGINT) AS num_tables,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN cos_milli >= {threshold_milli}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed
+        FROM scored JOIN cfg ON min_t < num_tables
+        GROUP BY 1
+    ),
+    full_ AS (
+        SELECT CAST(sum(CASE WHEN cos_milli >= {threshold_milli}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS full_confirmed
+        FROM scored
+    )
+    SELECT num_tables, n_candidates, n_confirmed,
+           CAST(CASE WHEN full_confirmed > 0
+                THEN (n_confirmed * 1000) // full_confirmed
+                ELSE 1000 END AS BIGINT) AS recall_vs_full_milli
+    FROM per_t CROSS JOIN full_
+    """
+
+
+@query("q_embed_lsh_tuning", oracle=_lsh_amplification_oracle())
+def q_embed_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplification tuning table for the embedding LSH (the
+    ``num_tables`` recall knob measured as a first-class operator — the
+    embedding-side complement of the minhash band/row q_lsh_tuning):
+    per T = 1..3 tables, candidate pair count, confirmed near-dups at
+    cos >= 0.350, and confirmed recall vs the full 3-table
+    configuration in integer milli.  One signature computation and one
+    scoring pass serve every configuration (per-pair min colliding
+    table index rides the pair dedup aggregate); at 100 TB this is the
+    dashboard that prices 'drop a table, save a bucket join' against
+    lost near-dups — the recall half of the num_planes/num_tables
+    trade SCALE.md documents."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    return similarity.lsh_amplification_table(vecs, num_planes=6)

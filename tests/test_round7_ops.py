@@ -170,3 +170,35 @@ class TestPerplexityBuckets:
             by_lang.setdefault(r["lang"], []).append(r["n_docs"])
         for lang, sizes in by_lang.items():
             assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+
+class TestEmbedLshTuning:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["num_tables"]: r
+            for r in QUERIES["q_embed_lsh_tuning"](spark, sf_dir).collect()
+        }
+
+    def test_three_configs(self, rows):
+        assert set(rows) == {1, 2, 3}
+
+    def test_nested_prefix_monotone(self, rows):
+        # T tables' candidates/confirmed are supersets of T-1's.
+        for t in (2, 3):
+            assert rows[t]["n_candidates"] >= rows[t - 1]["n_candidates"]
+            assert rows[t]["n_confirmed"] >= rows[t - 1]["n_confirmed"]
+        assert (
+            rows[1]["recall_vs_full_milli"]
+            <= rows[2]["recall_vs_full_milli"]
+            <= rows[3]["recall_vs_full_milli"]
+        )
+
+    def test_full_config_recall_is_1000(self, rows):
+        assert rows[3]["recall_vs_full_milli"] == 1000
+
+    def test_full_confirmed_matches_dedup_embed_int(self, rows, spark, sf_dir):
+        # The T=3 confirmed count must equal the registered pair
+        # operator's output — same planes, same threshold, same corpus.
+        n_pairs = QUERIES["q_dedup_embed_int"](spark, sf_dir).count()
+        assert rows[3]["n_confirmed"] == n_pairs
