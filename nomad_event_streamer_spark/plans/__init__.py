@@ -37,15 +37,15 @@ from . import retrieval_queries  # noqa: E402,F401
 # the window leads with all 37 never-driver-verified slugs (the 19-slug
 # round-6 op family + the 18 older sim-only extras/streaming slugs — every
 # one judge-run-oracle-verified green in the r06 verdict session), then the
-# 5 NEW round-7 ops (q_eval_mcc, q_eval_kappa, q_card_dedup_yield,
-# q_perplexity_buckets, q_embed_lsh_tuning), and fills the last 8 slots
-# re-verifying the CPU-heavy dedup family whose physical plans changed
+# 6 NEW round-7 ops (q_eval_mcc, q_eval_kappa, q_card_dedup_yield,
+# q_perplexity_buckets, q_embed_lsh_tuning, q_kcore), and fills the last
+# 7 slots re-verifying the CPU-heavy dedup family whose physical plans changed
 # THIS round (rebalance_for_cpu factor 2 -> 1, tables.py —
 # stale-evidence refresh, not window-stuffing; the documented RE_VERIFY
 # allowance in tests/test_driver_window.py names exactly these).
 # Every slug below is hash-oracled — no window slot is spent on a
-# rows-only check.  Registry at HEAD: 299 queries / 288 oracled.
-# Cumulative hard driver-PASS target after this window: 288 = every
+# rows-only check.  Registry at HEAD: 300 queries / 289 oracled.
+# Cumulative hard driver-PASS target after this window: 289 = every
 # hash-oracled slug in the registry.
 # tests/test_driver_window.py::test_ledger_comment_matches_registry
 # pins these counts so this comment can never go stale again.
@@ -91,23 +91,24 @@ DRIVER_WINDOW: list[str] = [
     "q_window_range",
     "q_winsorize",
     "q_zscore",
-    # NEW round-7 ops (VERDICT r06 item #7 + the CCNet bucketing and
-    # OR-amplification seams) — 5
+    # NEW round-7 ops (VERDICT r06 item #7 + the CCNet bucketing,
+    # OR-amplification, and k-core seams) — 6
     "q_eval_mcc",
     "q_eval_kappa",
     "q_card_dedup_yield",
     "q_perplexity_buckets",
     "q_embed_lsh_tuning",
+    "q_kcore",
     # re-verify: CPU-heavy dedup/corpus family whose physical plans
-    # changed this round (rebalance_for_cpu factor 2 -> 1) — 8
+    # changed this round (rebalance_for_cpu factor 2 -> 1) — 7
     # (q_dedup_stats yielded its slot to q_perplexity_buckets — its
     # cluster path is re-verified via q_dedup_clusters and exercised by
     # the new q_card_dedup_yield; q_simhash yielded to
-    # q_embed_lsh_tuning — it had the smallest measured A/B delta of
-    # the family and its one-aggregation plan changed least)
+    # q_embed_lsh_tuning — smallest measured A/B delta of the family;
+    # q_dedup_incremental yielded to q_kcore — its minhash chain is
+    # re-verified via q_dedup_minhash and its own logic is unchanged)
     "q_dedup_minhash",
     "q_minhash_est",
-    "q_dedup_incremental",
     "q_ngram_jaccard",
     "q_curation_pipeline",
     "q_tfidf_top3",
@@ -123,7 +124,6 @@ RE_VERIFY_R07: frozenset[str] = frozenset(
     {
         "q_dedup_minhash",
         "q_minhash_est",
-        "q_dedup_incremental",
         "q_ngram_jaccard",
         "q_curation_pipeline",
         "q_tfidf_top3",

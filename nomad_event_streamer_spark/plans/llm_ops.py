@@ -5351,3 +5351,71 @@ def q_card_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens_milli"),
         )
     )
+
+
+def _kcore_oracle(num_hashes: int = 16, k: int = 2, rounds: int = 8) -> str:
+    """Minhash-LSH candidate edges (the q_dedup_clusters edge chain)
+    feeding the unrolled k-core peel (operators/graph.kcore_oracle_sql)."""
+    from ..operators.graph import kcore_oracle_sql
+
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {dedup.MINHASH_P} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {dedup.MINHASH_P}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    edges AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+    ),
+    """
+        + kcore_oracle_sql(k=k, rounds=rounds)
+    )
+
+
+@query("q_kcore", oracle=_kcore_oracle(16, k=2, rounds=8))
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the minhash-LSH candidate graph (Seidman 1983,
+    iterative peeling): nodes surviving repeated deletion of degree-<2
+    nodes, with their in-core degrees — the dedup-graph PRUNING step
+    that separates mutually-supported duplicate clusters from
+    incidental single-edge LSH collisions before cluster membership is
+    trusted (a single shared bucket is weak evidence; membership in a
+    2-core means every doc is corroborated by >= 2 co-bucket
+    neighbors).  Complements q_dedup_clusters (components label
+    EVERYTHING reachable; the core keeps only the densely-supported
+    part).
+
+    Plan: each peel round is one map-side-combinable degree agg + two
+    left-semi joins on the node key, lineage-checkpointed; converges in
+    O(peel depth) rounds (near-dup graphs: 2-4).  The oracle unrolls 8
+    materialized peel rounds (the label-prop unrolling device — peeling
+    deletes rows, which recursive CTEs cannot), no-ops past the
+    fixpoint."""
+    from ..operators.graph import kcore
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    edges = dedup.lsh_candidate_pairs(bands)
+    return kcore(edges, k=2)

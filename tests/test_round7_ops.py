@@ -202,3 +202,49 @@ class TestEmbedLshTuning:
         # operator's output — same planes, same threshold, same corpus.
         n_pairs = QUERIES["q_dedup_embed_int"](spark, sf_dir).count()
         assert rows[3]["n_confirmed"] == n_pairs
+
+
+class TestKcore:
+    @pytest.fixture(scope="class")
+    def core(self, spark, sf_dir):
+        return {
+            r["doc_id"]: r["core_degree"]
+            for r in QUERIES["q_kcore"](spark, sf_dir).collect()
+        }
+
+    def test_every_core_degree_at_least_k(self, core):
+        assert core, "expected a non-empty 2-core at test SF"
+        assert all(d >= 2 for d in core.values())
+
+    def test_core_is_subset_of_components(self, core, spark, sf_dir):
+        # every 2-core member is in some near-dup cluster (the core is a
+        # pruning of the component graph, never an extension)
+        clustered = {
+            r["doc_id"]
+            for r in QUERIES["q_dedup_clusters"](spark, sf_dir).collect()
+        }
+        assert set(core) <= clustered
+
+    def test_peel_is_idempotent(self, spark, sf_dir):
+        # running the peel on the core's own edge set changes nothing:
+        # recompute edges restricted to core members and re-peel.
+        from nomad_event_streamer_spark.operators import dedup
+        from nomad_event_streamer_spark.operators.graph import kcore
+        from nomad_event_streamer_spark.tables import load
+
+        import pyspark.sql.functions as F
+
+        docs = load(spark, sf_dir, "documents")
+        sh = dedup.shingles(docs, n=3)
+        sig = dedup.minhash_signatures(sh, num_hashes=16)
+        bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+        edges = dedup.lsh_candidate_pairs(bands)
+        core1 = kcore(edges, k=2)
+        members = core1.select(F.col("doc_id").alias("m"))
+        core_edges = edges.join(
+            members, edges["doc_a"] == F.col("m"), "left_semi"
+        ).join(members, edges["doc_b"] == F.col("m"), "left_semi")
+        core2 = kcore(core_edges, k=2)
+        r1 = {(r["doc_id"], r["core_degree"]) for r in core1.collect()}
+        r2 = {(r["doc_id"], r["core_degree"]) for r in core2.collect()}
+        assert r1 == r2
