@@ -77,6 +77,7 @@ HEADLINE = [
     "q_card_dedup_yield",
     "q_perplexity_buckets",
     "q_embed_lsh_tuning",
+    "q_kcore",
 ]
 
 

@@ -1,7 +1,9 @@
-"""Round-7 operator tests (VERDICT r06 item #7): the MCC / kappa
-scorecard rows and the dataset-card × dedup-yield drill-down, plus
-invariants tying them to the existing q_knn_eval / q_dataset_card /
-q_dedup_stats surfaces they extend.
+"""Round-7 operator tests: the MCC / kappa scorecard rows and the
+dataset-card × dedup-yield drill-down (VERDICT r06 item #7), the CCNet
+perplexity buckets, the embedding-LSH OR-amplification tuning table,
+and the k-core peel — each with invariants tying it to the existing
+surface it extends (q_knn_eval / q_dataset_card / q_dedup_stats /
+q_stupid_backoff / q_dedup_embed_int / q_dedup_clusters).
 """
 
 from __future__ import annotations
