@@ -271,17 +271,7 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        und = e.select("s", "d").union(
-            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        )
-        deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select("s")
-        e2 = (
-            e.join(keep, "s", "left_semi")
-            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
-            .select("s", "d")
-            .localCheckpoint(eager=False)
-        )
+        e2 = _peel_once(e, k).localCheckpoint(eager=False)
         n_before = e.count()
         n_after = e2.count()
         e = e2
@@ -295,6 +285,24 @@ def kcore(
                 .select(F.col("s").alias("doc_id"), "core_degree")
             )
     raise RuntimeError(f"kcore did not converge in {max_iter} peels")
+
+
+def _peel_once(e: DataFrame, k: int) -> DataFrame:
+    """One peel round on an (s, d) edge list: drop edges touching any
+    node of degree < k.  A named seam so the plan shape (degree agg +
+    two LEFT SEMI joins on the node key — never an inner-join
+    neighborhood materialization) is pin-testable per round, which the
+    checkpointed full loop hides from its final executed plan."""
+    und = e.select("s", "d").union(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    keep = deg.where(F.col("deg") >= k).select("s")
+    return (
+        e.join(keep, "s", "left_semi")
+        .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+        .select("s", "d")
+    )
 
 
 def kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:

@@ -306,3 +306,77 @@ def test_priority_sample_topk_is_heap_bounded(spark, sf_dir):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in phys
     assert "Exchange rangepartitioning" not in phys
+
+
+ROUND7_OPS = [
+    "q_eval_mcc",
+    "q_eval_kappa",
+    "q_card_dedup_yield",
+    "q_perplexity_buckets",
+    "q_embed_lsh_tuning",
+    "q_kcore",
+]
+
+
+@pytest.mark.parametrize("name", ROUND7_OPS)
+def test_round7_ops_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_eval_mcc_confusion_grid_is_broadcast(spark, sf_dir):
+    """q_eval_mcc inherits q_knn_eval's pinned posture: the per-class
+    confusion grid is a BroadcastNestedLoopJoin building the ~10-class
+    side, never a CartesianProduct."""
+    plan = plan_of(spark, sf_dir, "q_eval_mcc")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
+def test_eval_kappa_crosses_are_broadcast(spark, sf_dir):
+    """q_eval_kappa's 1x1 overall-by-sum_pt combination must be a
+    broadcast nested loop (both sides single-row aggregates), and the
+    label-keyed pc x tc join stays an equi hash join."""
+    plan = plan_of(spark, sf_dir, "q_eval_kappa")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_window_is_lang_partitioned(spark, sf_dir):
+    """The ntile quartile window must be partitioned by lang — a
+    partitionless global rank here would single-task the corpus at
+    scale (the class of shape test_no_partitionless_window exists
+    for)."""
+    df = QUERIES["q_perplexity_buckets"](spark, sf_dir)
+    specs = _partitionless_window_specs(df)
+    assert not specs, f"partitionless window in q_perplexity_buckets: {specs}"
+
+
+def test_embed_lsh_tuning_planes_are_broadcast(spark, sf_dir):
+    """The plane table (tables x planes x dims literals) and the 3-row
+    config relation must both ride broadcast joins; the candidate
+    bucket join stays an equi join on (t, bucket)."""
+    plan = plan_of(spark, sf_dir, "q_embed_lsh_tuning")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kcore_peel_joins_are_semi(spark, sf_dir):
+    """Each peel round thins the edge list with LEFT SEMI joins on the
+    node key — an inner-join materialization of neighborhoods would
+    change the complexity class on dense graphs.  The full loop's
+    checkpoints hide round internals from the final executed plan, so
+    the pin targets one round via the _peel_once seam."""
+    import pyspark.sql.functions as F
+
+    from nomad_event_streamer_spark.operators.graph import _peel_once
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "s long, d long"
+    )
+    plan = (
+        _peel_once(e, 2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("LeftSemi") == 2
+    assert "CartesianProduct" not in plan
+    # and the degree aggregation is map-side partial
+    assert plan.count("HashAggregate") >= 2
