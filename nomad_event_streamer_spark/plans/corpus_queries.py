@@ -2130,7 +2130,8 @@ def q_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT correct, total, sum_pt,
            CAST(correct * total - sum_pt AS BIGINT) AS kappa_num,
            CAST(total * total - sum_pt AS BIGINT) AS kappa_den,
-           CAST(CASE WHEN correct * total - sum_pt >= 0
+           CAST(CASE WHEN total * total - sum_pt = 0 THEN 1000
+                WHEN correct * total - sum_pt >= 0
                 THEN ((correct * total - sum_pt) * 1000)
                      // (total * total - sum_pt)
                 ELSE -(((sum_pt - correct * total) * 1000)
@@ -2185,8 +2186,12 @@ def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total") * F.col("total") - F.col("sum_pt"))
         .cast("long")
         .alias("kappa_den"),
+        # den = 0 only on the degenerate all-one-label corpus, where
+        # observed == chance == 1 exactly — emit kappa = 1.000 instead
+        # of a divide-by-zero (guard mirrored literally in the oracle).
         F.expr(
-            "CAST(CASE WHEN correct * total - sum_pt >= 0"
+            "CAST(CASE WHEN total * total - sum_pt = 0 THEN 1000"
+            " WHEN correct * total - sum_pt >= 0"
             " THEN ((correct * total - sum_pt) * 1000)"
             "      div (total * total - sum_pt)"
             " ELSE -(((sum_pt - correct * total) * 1000)"
