@@ -78,7 +78,8 @@ def _write_batches(spark: SparkSession, rows, assignment, n_batches: int) -> str
     return out
 
 
-def _expected(rows, assignment, n_batches: int, delay_us: int):
+def _expected(rows, assignment, n_batches: int, delay_us: int,
+              win_us: int = HOUR_US):
     """Replay the pinned protocol in plain Python."""
     by_batch: dict[int, list[int]] = {b: [] for b in range(n_batches)}
     for e, _u, ts_ns in rows:
@@ -99,8 +100,8 @@ def _expected(rows, assignment, n_batches: int, delay_us: int):
         else:
             wm = run_max[b - 2] - delay_us
         for us in by_batch[b]:
-            ws = (us // HOUR_US) * HOUR_US
-            if wm is None or ws + HOUR_US > wm:
+            ws = (us // win_us) * win_us
+            if wm is None or ws + win_us > wm:
                 kept_ws.append(ws)
     # append-mode emission boundary after the trailing empty batch
     if run_max[-1] is None:
@@ -108,16 +109,18 @@ def _expected(rows, assignment, n_batches: int, delay_us: int):
     wm_all = run_max[-1] - delay_us
     counts: dict[int, int] = {}
     for ws in kept_ws:
-        if ws + HOUR_US <= wm_all:
+        if ws + win_us <= wm_all:
             counts[ws] = counts.get(ws, 0) + 1
     return counts
 
 
-def _actual(spark: SparkSession, d: str, delay_us: int):
+def _actual(spark: SparkSession, d: str, delay_us: int,
+            win_us: int = HOUR_US):
     from nomad_event_streamer_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
     delay_min = delay_us // 60_000_000
+    win_min = win_us // 60_000_000
     stream = (
         spark.readStream.schema("event_id long, user_id long, ts long")
         .option("maxFilesPerTrigger", "1")
@@ -126,7 +129,7 @@ def _actual(spark: SparkSession, d: str, delay_us: int):
     )
     agg = (
         stream.withWatermark("ts_t", f"{delay_min} minutes")
-        .groupBy(F.window("ts_t", "1 hour"))
+        .groupBy(F.window("ts_t", f"{win_min} minutes"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     name = f"latefuzz_{uuid.uuid4().hex[:12]}"
@@ -159,6 +162,7 @@ def main() -> int:
         rng = random.Random(seed)
         n_batches = rng.choice([2, 3, 3, 4])
         delay_us = rng.choice([5, 10, 10, 20]) * 60_000_000
+        win_us = rng.choice([30, 60, 60, 120]) * 60_000_000
         # weighted assignment, sometimes leaving a batch empty
         weights = [rng.random() + 0.05 for _ in range(n_batches)]
         if n_batches >= 3 and rng.random() < 0.2:
@@ -174,8 +178,8 @@ def main() -> int:
             assignment[e] = next(i for i, c in enumerate(cum) if x <= c)
         d = _write_batches(spark, rows, assignment, n_batches)
         try:
-            exp = _expected(rows, assignment, n_batches, delay_us)
-            act = _actual(spark, d, delay_us)
+            exp = _expected(rows, assignment, n_batches, delay_us, win_us)
+            act = _actual(spark, d, delay_us, win_us)
             ok = exp == act
         finally:
             shutil.rmtree(d, ignore_errors=True)
@@ -185,12 +189,13 @@ def main() -> int:
             only_act = {k: v for k, v in act.items() if exp.get(k) != v}
             print(
                 f"seed {seed}: MISMATCH B={n_batches} delay={delay_us}"
-                f" exp_diff={only_exp} act_diff={only_act}"
+                f" win={win_us} exp_diff={only_exp} act_diff={only_act}"
             )
         results[str(seed)] = {
             "status": "match" if ok else "mismatch",
             "n_batches": n_batches,
             "delay_min": delay_us // 60_000_000,
+            "window_min": win_us // 60_000_000,
             "n_windows": len(exp),
         }
         if (seed + 1) % 10 == 0:
