@@ -190,9 +190,12 @@ def bfs_hops(
     the seed set over directed ``edges(src, dst)``.  Returns
     ``(node, hops)`` for reached nodes only.
 
-    Spark lacks recursive CTEs; the iterative-join loop with
-    per-round ``localCheckpoint`` lineage cuts (same discipline as
-    ``pagerank``) is the idiomatic replacement.  DELTA frontier: each
+    The SQL surface for this workload is Spark 4's recursive CTE
+    (``q_recursive_cte`` runs the same seeds/rounds/graph through
+    ``WITH RECURSIVE`` and the two are cross-checked in tests); this
+    iterative-join loop with per-round ``localCheckpoint`` lineage cuts
+    (same discipline as ``pagerank``) is the DataFrame-API twin, and
+    adds the delta-frontier cut recursion cannot express.  DELTA frontier: each
     round joins edges against only the vertices discovered in the
     PREVIOUS round (in unweighted BFS a settled vertex can never
     improve), so total join work is O(|reached| × avg-degree) across

@@ -22,6 +22,7 @@ from . import timeseries_queries  # noqa: E402,F401
 from . import analytics_queries  # noqa: E402,F401
 from . import corpus_queries  # noqa: E402,F401
 from . import retrieval_queries  # noqa: E402,F401
+from . import sql_features  # noqa: E402,F401
 
 
 # The verification driver records hard CORRECTNESS rows for only the FIRST
@@ -44,7 +45,11 @@ from . import retrieval_queries  # noqa: E402,F401
 # stale-evidence refresh, not window-stuffing; the documented RE_VERIFY
 # allowance in tests/test_driver_window.py names exactly these).
 # Every slug below is hash-oracled — no window slot is spent on a
-# rows-only check.  Registry at HEAD: 300 queries / 289 oracled.
+# rows-only check.  Registry at HEAD: 307 queries / 296 oracled
+# (the 7 post-rotation round-7 additions — the q_recursive_cte /
+# q_lateral_topk / q_null_safe_join / q_sql_udf / q_pipe_syntax /
+# q_collation_filter SQL-surface family and q_pr_curve — carry sim
+# oracle evidence this round and rotate into the r08 window next).
 # Cumulative hard driver-PASS target after this window: 289 = every
 # hash-oracled slug in the registry.
 # tests/test_driver_window.py::test_ledger_comment_matches_registry

@@ -2200,6 +2200,129 @@ def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pr_curve",
+    oracle="""
+    WITH pz AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS pv
+        FROM embeddings WHERE vec_id = 0
+    ),
+    sc AS (
+        SELECT vec_id, CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
+               CAST(list_dot_product(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)), pv) AS BIGINT) AS score
+        FROM embeddings, pz WHERE vec_id > 0
+    ),
+    th AS (
+        SELECT unnest([20, 40, 60, 80]) AS pct,
+               unnest([
+                   percentile_disc(0.2) WITHIN GROUP (ORDER BY score),
+                   percentile_disc(0.4) WITHIN GROUP (ORDER BY score),
+                   percentile_disc(0.6) WITHIN GROUP (ORDER BY score),
+                   percentile_disc(0.8) WITHIN GROUP (ORDER BY score)
+               ]) AS threshold
+        FROM sc
+    )
+    SELECT pct, threshold,
+           CAST(sum(CASE WHEN score >= threshold THEN pos ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN score >= threshold THEN 1 - pos ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN score < threshold THEN pos ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN score >= threshold THEN pos ELSE 0 END)
+                * 1000000
+                // (sum(CASE WHEN score >= threshold THEN pos ELSE 0 END)
+                    + sum(CASE WHEN score >= threshold THEN 1 - pos
+                          ELSE 0 END)) AS BIGINT) AS precision_ppm,
+           CAST(sum(CASE WHEN score >= threshold THEN pos ELSE 0 END)
+                * 1000000
+                // (sum(CASE WHEN score >= threshold THEN pos ELSE 0 END)
+                    + sum(CASE WHEN score < threshold THEN pos ELSE 0 END))
+                AS BIGINT) AS recall_ppm
+    FROM sc CROSS JOIN th GROUP BY pct, threshold
+    """,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve at quintile score thresholds for a binary
+    relevance task (label 0 vs rest), scored by the integer-exact
+    quantized dot product against the vec_id-0 probe.  Thresholds are
+    exact order statistics via percentile_disc (the q_percentile_disc
+    cross-engine-exact device — no partitionless row_number sort), the
+    confusion counts are integer sums per threshold, and precision /
+    recall are emitted as integer-division ppm so the whole row is
+    hash-exact.  Positives exist at every threshold by construction
+    (thresholds are data values), so neither ppm denominator is 0.
+
+    Scale: one scored pass (probe broadcast as a 1-row vector), one
+    sort-based threshold aggregate, then a broadcast of the 4-row
+    threshold grid — the q_eval_mcc confusion-grid posture; no
+    per-pair join, no global window."""
+    vecs = load(spark, sf_dir, "embeddings")
+    qz = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("long"),
+    )
+    probe = vecs.where(F.col("vec_id") == 0).select(qz.alias("pv"))
+    scored = (
+        vecs.where(F.col("vec_id") > 0)
+        .select(
+            "vec_id",
+            (F.col("label") == 0).cast("int").alias("pos"),
+            qz.alias("qv"),
+        )
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "pos",
+            F.aggregate(
+                F.zip_with("qv", "pv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    ths = scored.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY score)"
+            ).alias(f"t{i}")
+            for i, p in enumerate(("0.2", "0.4", "0.6", "0.8"))
+        ]
+    )
+    th = ths.select(
+        F.expr("stack(4, 20, t0, 40, t1, 60, t2, 80, t3) AS (pct, t)")
+    ).select("pct", F.col("t").cast("long").alias("threshold"))
+    hit = F.col("score") >= F.col("threshold")
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("pct", "threshold")
+        .agg(
+            F.sum(F.when(hit, F.col("pos")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(hit, 1 - F.col("pos")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(~hit, F.col("pos")).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+        )
+        .select(
+            "pct",
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            F.expr("tp * 1000000 div (tp + fp)").alias("precision_ppm"),
+            F.expr("tp * 1000000 div (tp + fn)").alias("recall_ppm"),
+        )
+    )
+
+
 def _auc_signs(dim: int = 64) -> list[int]:
     """Deterministic ±1 weight per dimension (md5-parity — the
     _deterministic_planes device): a fixed content-free linear scorer

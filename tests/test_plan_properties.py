@@ -380,3 +380,63 @@ def test_kcore_peel_joins_are_semi(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # and the degree aggregation is map-side partial
     assert plan.count("HashAggregate") >= 2
+
+
+ROUND7B_OPS = [
+    "q_recursive_cte",
+    "q_lateral_topk",
+    "q_null_safe_join",
+    "q_sql_udf",
+    "q_pipe_syntax",
+    "q_collation_filter",
+    "q_pr_curve",
+]
+
+
+@pytest.mark.parametrize("name", ROUND7B_OPS)
+def test_round7b_ops_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_lateral_topk_is_decorrelated_to_window(spark, sf_dir):
+    """The correlated LATERAL + LIMIT must decorrelate into a ranked
+    window over the orders side joined hash-wise to the customer keys —
+    NEVER a per-row nested-loop re-execution of the subquery (the
+    difference between one shuffle and |customers| scans at 100 TB)."""
+    plan = plan_of(spark, sf_dir, "q_lateral_topk")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recursive_cte_runs_in_unionloop(spark, sf_dir):
+    """q_recursive_cte must execute through Spark 4's recursion
+    operator (UnionLoop), and the recursive step's frontier-edge join
+    must stay an equi join — recursion is bounded by the hop guard, not
+    by an exploding cross product."""
+    plan = plan_of(spark, sf_dir, "q_recursive_cte")
+    assert "UnionLoop" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pr_curve_grids_are_broadcast(spark, sf_dir):
+    """Both pocket-sized sides of q_pr_curve — the 1-row quantized
+    probe vector and the 4-row threshold grid — must ride broadcast
+    nested-loop joins (the q_eval_mcc confusion-grid posture); the
+    scored pass itself stays scan-shaped."""
+    plan = plan_of(spark, sf_dir, "q_pr_curve")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_null_safe_join_is_hash_join_on_aggregates(spark, sf_dir):
+    """eqNullSafe must plan as a hash join (null-safe equality is
+    hashable via key coalescing) between two ALREADY-AGGREGATED 5-row
+    inputs — the pre-aggregation is what keeps the NULL group 1-to-1
+    instead of |null-rows|^2."""
+    plan = plan_of(spark, sf_dir, "q_null_safe_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # both inputs aggregate BEFORE the join: partial+final pairs x 2
+    assert plan.count("HashAggregate") >= 4
