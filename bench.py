@@ -78,6 +78,12 @@ HEADLINE = [
     "q_perplexity_buckets",
     "q_embed_lsh_tuning",
     "q_kcore",
+    # round-7 SQL-surface family (the two non-trivial members: the
+    # recursive edge build is fact-join-bound; the lateral decorrelates
+    # to a fact-sized window) + the PR-curve eval row
+    "q_recursive_cte",
+    "q_lateral_topk",
+    "q_pr_curve",
 ]
 
 
