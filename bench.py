@@ -84,6 +84,20 @@ HEADLINE = [
     "q_recursive_cte",
     "q_lateral_topk",
     "q_pr_curve",
+    # round-7c batch (the members with fact-scale cost: the SCC edge
+    # projection is five joins + a threshold agg; gopher/vocab walk the
+    # full token stream; OHLC and nearest-as-of shuffle the event
+    # stream — the cheap scan-shaped ops (xml/hof/prf rollup) stay
+    # un-benched)
+    "q_scc",
+    "q_gopher_rules",
+    "q_vocab_coverage",
+    "q_tumbling_ohlc",
+    "q_asof_nearest",
+    # 7d pair: drift_tri walks the full token stream against the vocab
+    # grid; rbo runs BOTH rankers (exact + IVF) over the corpus
+    "q_drift_tri",
+    "q_rbo_overlap",
 ]
 
 

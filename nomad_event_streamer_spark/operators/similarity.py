@@ -68,13 +68,18 @@ def _int_dot(a, b):
     )
 
 
-def _quantized_score_topk(joined: DataFrame, k: int) -> DataFrame:
+def _quantized_score_topk(
+    joined: DataFrame, k: int, keep_rank: bool = False
+) -> DataFrame:
     """Shared tail of the quantized-exact similarity family: score
     (query_id, neighbor_id, q_vec, c_vec) candidate rows with the
     integer-dot cosine, rank per query (score desc, id asc), keep top-k,
     and half-up-round the score at 6dp.  One definition so the
     brute-force (cosine_topk_quantized) and LSH (ann_topk_int) paths
-    can never drift in rounding, tie-break, or zero-norm handling."""
+    can never drift in rounding, tie-break, or zero-norm handling.
+    ``keep_rank`` additionally emits the PRE-rounding rank ``rn`` (the
+    window position) for rank-weighted consumers (q_rbo_overlap) —
+    default off so existing plans are untouched."""
     from pyspark.sql import Window
 
     dot = _int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
@@ -88,12 +93,12 @@ def _quantized_score_topk(joined: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcos").desc(), F.col("neighbor_id").asc()
     )
+    out_cols = ["query_id", "neighbor_id"] + (["rn"] if keep_rank else [])
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(
-            "query_id",
-            "neighbor_id",
+            *out_cols,
             # half-up at 6dp via exact double ops (see quantize_vec)
             (
                 F.floor(F.col("qcos") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
@@ -109,6 +114,7 @@ def cosine_topk_quantized(
     scale: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Exact top-k over QUANTIZED cosine: vectors round to integer grids
     (1/scale resolution), similarity = int-dot / (sqrt(int-norm²) ×
@@ -130,7 +136,9 @@ def cosine_topk_quantized(
         F.col(id_col).alias("neighbor_id"),
         quantize_vec(F.col(vec_col), scale).alias("c_vec"),
     )
-    return _quantized_score_topk(c.crossJoin(F.broadcast(q)), k)
+    return _quantized_score_topk(
+        c.crossJoin(F.broadcast(q)), k, keep_rank=keep_rank
+    )
 
 
 def _dot(a, b):
@@ -308,6 +316,7 @@ def ivf_topk_int(
     scale: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_rank: bool = False,
 ) -> DataFrame:
     """IVF ANN with FULLY integer cell routing and scoring — the
     inverted-file layout under the complete value-hash gate (the float
@@ -395,7 +404,9 @@ def ivf_topk_int(
             )
         ),
     ).select("query_id", "q_vec", "cell")
-    return _quantized_score_topk(cand.join(F.broadcast(qprobe), "cell"), k)
+    return _quantized_score_topk(
+        cand.join(F.broadcast(qprobe), "cell"), k, keep_rank=keep_rank
+    )
 
 
 def near_dup_pairs(

@@ -1025,3 +1025,116 @@ def q_embed_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade SCALE.md documents."""
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
     return similarity.lsh_amplification_table(vecs, num_planes=6)
+
+
+@query(
+    "q_asof_nearest",
+    oracle="""
+    WITH cd AS (
+        SELECT user_id, epoch_us(ts) AS cts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+        SELECT p.event_id, cd.click_id, cd.cts,
+               abs(cd.cts - p.ts_us) AS delta,
+               CASE WHEN cd.cts <= p.ts_us THEN 0 ELSE 1 END AS dirpref
+        FROM p JOIN cd ON cd.user_id = p.user_id
+                       AND cd.cts BETWEEN p.ts_us - 3600000000
+                                      AND p.ts_us + 3600000000
+    ),
+    best AS (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY delta, dirpref) AS rn
+        FROM cand
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           b.click_id AS near_click_id,
+           b.cts AS near_click_ts,
+           CAST(b.delta AS BIGINT) AS near_delta_us
+    FROM p LEFT JOIN best b ON b.event_id = p.event_id AND b.rn = 1
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join with tolerance (pandas ``merge_asof
+    direction='nearest', tolerance=1h`` semantics): each purchase
+    matches the click minimizing |click_ts - ts| within ±1 hour, ties
+    broken toward the backward (at-or-before) candidate — completing
+    the as-of family's third direction (backward q_asof_join, forward
+    q_asof_forward).
+
+    Composition, not a new operator: the nearest match is by
+    construction either the backward winner or the forward winner, so
+    the plan runs the SAME tagged-union running-window device twice
+    (once on ts, once on -ts) and picks per row with a CASE on the two
+    deltas — two linear shuffles on the key and an equi-join on the
+    purchase id, never a range-join expansion; the tolerance stays a
+    post-hoc null-out.  The oracle states the semantics independently
+    as a bounded range join + (delta, direction) rank over the SAME
+    deduped click set (max event_id per (user, ts), the operator's
+    documented tiebreak)."""
+    from ..operators.asof import asof_join
+
+    ev = events(spark, sf_dir)
+    tol = 3_600_000_000
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    back = asof_join(
+        purchases,
+        clicks.select(
+            "user_id", "ts_us", "event_id",
+            F.col("ts_us").alias("click_ts"),
+        ),
+        key="user_id",
+        ts="ts_us",
+        right_value="click_ts",
+        right_id="event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("asof_event_id").alias("b_id"),
+        F.col("asof_click_ts").alias("b_ts"),
+    )
+    fwd = asof_join(
+        purchases.withColumn("nts", -F.col("ts_us")),
+        clicks.select(
+            "user_id",
+            (-F.col("ts_us")).alias("nts"),
+            "event_id",
+            F.col("ts_us").alias("click_ts"),
+        ),
+        key="user_id",
+        ts="nts",
+        right_value="click_ts",
+        right_id="event_id",
+    ).select(
+        "event_id",
+        F.col("asof_event_id").alias("f_id"),
+        F.col("asof_click_ts").alias("f_ts"),
+    )
+    j = back.join(fwd, "event_id")
+    d_b = F.col("ts_us") - F.col("b_ts")
+    d_f = F.col("f_ts") - F.col("ts_us")
+    b_ok = F.col("b_ts").isNotNull() & (d_b <= tol)
+    f_ok = F.col("f_ts").isNotNull() & (d_f <= tol)
+    take_b = b_ok & (~f_ok | (d_b <= d_f))
+    take_f = ~take_b & f_ok
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(take_b, F.col("b_id"))
+        .when(take_f, F.col("f_id"))
+        .alias("near_click_id"),
+        F.when(take_b, F.col("b_ts"))
+        .when(take_f, F.col("f_ts"))
+        .alias("near_click_ts"),
+        F.when(take_b, d_b).when(take_f, d_f).alias("near_delta_us"),
+    )

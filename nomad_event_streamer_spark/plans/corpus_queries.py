@@ -2800,3 +2800,342 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021 §A.1.1, public): word-count
+# bounds, mean-word-length band (milli-scaled), alphabetic-word fraction,
+# and the distinct-stopword floor.  Shared with the oracle via
+# interpolation so both engines gate on the same literals.
+_GOPHER_WC_MIN, _GOPHER_WC_MAX = 50, 100_000
+_GOPHER_MWL_MIN_MILLI, _GOPHER_MWL_MAX_MILLI = 3_000, 10_000
+_GOPHER_ALPHA_PCT = 80
+_GOPHER_STOPS = ("the", "a", "of", "and", "to")
+_GOPHER_MIN_STOPS = 2
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH feats AS (
+        SELECT source,
+               len(l) AS n_tok,
+               CASE WHEN len(l) > 0
+                    THEN (list_sum(list_transform(l, x -> length(x)))
+                          * 1000) // len(l)
+                    ELSE 0 END AS mwl_milli,
+               len(list_filter(l, x -> regexp_matches(x, '[a-z]')))
+                   AS n_alpha,
+               len(list_intersect(list_distinct(l),
+                   ['{_GOPHER_STOPS[0]}', '{_GOPHER_STOPS[1]}',
+                    '{_GOPHER_STOPS[2]}', '{_GOPHER_STOPS[3]}',
+                    '{_GOPHER_STOPS[4]}'])) AS n_stop
+        FROM (SELECT source, string_split(text, ' ') AS l FROM documents)
+    ),
+    flags AS (
+        SELECT source,
+               CASE WHEN n_tok BETWEEN {_GOPHER_WC_MIN} AND {_GOPHER_WC_MAX}
+                    THEN 1 ELSE 0 END AS ok_wc,
+               CASE WHEN mwl_milli BETWEEN {_GOPHER_MWL_MIN_MILLI}
+                                       AND {_GOPHER_MWL_MAX_MILLI}
+                    THEN 1 ELSE 0 END AS ok_mwl,
+               CASE WHEN n_alpha * 100 >= n_tok * {_GOPHER_ALPHA_PCT}
+                    THEN 1 ELSE 0 END AS ok_alpha,
+               CASE WHEN n_stop >= {_GOPHER_MIN_STOPS} THEN 1 ELSE 0 END
+                   AS ok_stop,
+               mwl_milli
+        FROM feats
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ok_wc * ok_mwl * ok_alpha * ok_stop) AS BIGINT)
+               AS n_pass,
+           CAST(sum(1 - ok_wc) AS BIGINT) AS n_fail_wordcount,
+           CAST(sum(1 - ok_mwl) AS BIGINT) AS n_fail_meanlen,
+           CAST(sum(1 - ok_alpha) AS BIGINT) AS n_fail_alpha,
+           CAST(sum(1 - ok_stop) AS BIGINT) AS n_fail_stopword,
+           CAST(min(mwl_milli) AS BIGINT) AS min_mwl_milli,
+           CAST(max(mwl_milli) AS BIGINT) AS max_mwl_milli
+    FROM flags GROUP BY source
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality ruleset (Rae et al. 2021 §A.1.1,
+    public): per-document word-count bounds, mean-word-length band,
+    alphabetic-word fraction, and distinct-stopword floor, rolled up to
+    a per-source pass/fail scorecard — the FIRST filter stage a 100 TB
+    crawl-curation pipeline runs, complementing q_repetition_signals
+    (the repetition half of the same paper's rules) and q_quality_score
+    (the composite ranking).  All thresholds are integer-scaled (milli
+    mean word length, percent alpha fraction) so the scorecard is
+    bit-exact under the full hash gate.
+
+    Scale shape: every per-document feature is an ARRAY expression on
+    the row (size / aggregate / filter / array_intersect — JVM
+    whole-stage codegen, no explode, no shuffle, no UDF); the only
+    shuffle is the final per-source partial aggregate.  This is the
+    cheapest possible plan: one scan, one 5-group agg.  (Reference has
+    no text analytics; EXT row, SURVEY.md §2.12.)"""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    mwl_milli = F.when(
+        n_tok > 0, F.expr(
+            "aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))"
+            " * 1000 div size(split(text, ' '))"
+        )
+    ).otherwise(F.lit(0)).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[a-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        )
+    ).cast("long")
+    feats = docs.select(
+        "source",
+        n_tok.alias("n_tok"),
+        mwl_milli.alias("mwl_milli"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+    )
+    ok_wc = (
+        F.col("n_tok").between(_GOPHER_WC_MIN, _GOPHER_WC_MAX)
+    ).cast("long")
+    ok_mwl = (
+        F.col("mwl_milli").between(
+            _GOPHER_MWL_MIN_MILLI, _GOPHER_MWL_MAX_MILLI
+        )
+    ).cast("long")
+    ok_alpha = (
+        F.col("n_alpha") * 100 >= F.col("n_tok") * _GOPHER_ALPHA_PCT
+    ).cast("long")
+    ok_stop = (F.col("n_stop") >= _GOPHER_MIN_STOPS).cast("long")
+    flags = feats.select(
+        "source",
+        ok_wc.alias("ok_wc"),
+        ok_mwl.alias("ok_mwl"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        "mwl_milli",
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.col("ok_wc") * F.col("ok_mwl") * F.col("ok_alpha")
+            * F.col("ok_stop")
+        ).cast("long").alias("n_pass"),
+        F.sum(1 - F.col("ok_wc")).cast("long").alias("n_fail_wordcount"),
+        F.sum(1 - F.col("ok_mwl")).cast("long").alias("n_fail_meanlen"),
+        F.sum(1 - F.col("ok_alpha")).cast("long").alias("n_fail_alpha"),
+        F.sum(1 - F.col("ok_stop")).cast("long").alias("n_fail_stopword"),
+        F.min("mwl_milli").alias("min_mwl_milli"),
+        F.max("mwl_milli").alias("max_mwl_milli"),
+    )
+
+
+_VOCAB_TOP_K = 20
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    vocab AS (
+        SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT {_VOCAB_TOP_K}
+    ),
+    j AS (
+        SELECT t.source, t.tok,
+               CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS in_vocab
+        FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(sum(in_vocab) AS BIGINT) AS n_covered,
+           CAST(sum(1 - in_vocab) AS BIGINT) AS n_oov,
+           CAST(count(DISTINCT CASE WHEN in_vocab = 0 THEN tok END)
+                AS BIGINT) AS distinct_oov,
+           CAST((sum(in_vocab) * 1000) // count(*) AS BIGINT)
+               AS coverage_milli
+    FROM j GROUP BY source
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-K vocabulary
+    by global frequency (deterministic count-desc/token-asc tiebreak),
+    then per source report occurrence coverage and out-of-vocabulary
+    mass — the go/no-go check run before committing a tokenizer to a
+    100 TB corpus (an OOV-heavy source inflates fertility and UNK
+    rates; complements q_bpe_fertility, which measures the same risk
+    AFTER tokenization).  All outputs are integer counts and an
+    integer-milli ratio: full hash oracle.
+
+    Scale shape: the token stream shuffles once on token for the global
+    counts; the top-K selection is TakeOrderedAndProject over the
+    DISTINCT-token aggregate (partial top-K per partition, never a
+    global sort of the stream); the vocabulary (K rows) broadcasts back
+    onto the stream, so the coverage join is shuffle-free; the
+    per-source rollup is the second and last shuffle, on ~sources
+    keys.  Hot tokens skew the count shuffle but partial aggregation
+    absorbs them map-side.  (EXT row, SURVEY.md §2.12.)"""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(_VOCAB_TOP_K)
+        .select("tok", F.lit(1).alias("in_vocab_tag"))
+    )
+    j = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "source",
+        "tok",
+        F.coalesce(F.col("in_vocab_tag"), F.lit(0)).alias("in_vocab"),
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum("in_vocab").cast("long").alias("n_covered"),
+        F.sum(1 - F.col("in_vocab")).cast("long").alias("n_oov"),
+        F.countDistinct(
+            F.when(F.col("in_vocab") == 0, F.col("tok"))
+        ).cast("long").alias("distinct_oov"),
+        F.expr("(sum(in_vocab) * 1000) div count(1)")
+        .cast("long")
+        .alias("coverage_milli"),
+    )
+
+
+@query(
+    "q_eval_prf_macro",
+    oracle=_KNN_PRED_CTE
+    + f"""
+    , classes AS (SELECT DISTINCT CAST(label AS BIGINT) AS class
+                FROM embeddings WHERE vec_id < {_KNN_EVAL_N_QUERIES}),
+    m AS (
+        SELECT c.class,
+               CAST(sum(CASE WHEN p.true_label = c.class
+                             AND p.pred_label = c.class
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN p.true_label = c.class
+                             AND p.pred_label <> c.class
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN p.true_label <> c.class
+                             AND p.pred_label = c.class
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        FROM classes c CROSS JOIN pred p
+        GROUP BY 1
+    ),
+    per_class AS (
+        SELECT class, tp, fn, fp, tp + fn AS support,
+               CASE WHEN tp + fp > 0 THEN (tp * 1000) // (tp + fp)
+                    ELSE 0 END AS prec_milli,
+               CASE WHEN tp + fn > 0 THEN (tp * 1000) // (tp + fn)
+                    ELSE 0 END AS rec_milli,
+               CASE WHEN 2 * tp + fp + fn > 0
+                    THEN (2 * tp * 1000) // (2 * tp + fp + fn)
+                    ELSE 0 END AS f1_milli
+        FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(support) AS BIGINT) AS n_eval,
+           CAST((sum(tp) * 1000) // sum(support) AS BIGINT)
+               AS micro_acc_milli,
+           CAST(sum(prec_milli) // count(*) AS BIGINT)
+               AS macro_prec_milli,
+           CAST(sum(rec_milli) // count(*) AS BIGINT) AS macro_rec_milli,
+           CAST(sum(f1_milli) // count(*) AS BIGINT) AS macro_f1_milli,
+           CAST(sum(support * f1_milli) // sum(support) AS BIGINT)
+               AS weighted_f1_milli
+    FROM per_class
+    """,
+)
+def q_eval_prf_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro / micro / weighted classifier scorecard rollup: collapse
+    q_knn_eval's per-class precision-recall-F1 table to the ONE row a
+    pipeline gates on — micro accuracy, macro-averaged P/R/F1 (each
+    class weighted equally, the imbalance-robust aggregate), and
+    support-weighted F1.  Completes the eval family (per-class PRF,
+    MCC, kappa, AUC, calibration) with the summary layer; every number
+    is an integer division of integer sums (milli per-class values
+    averaged with `div`), so the whole scorecard is under the full
+    hash gate.
+
+    Scale shape: inherits q_knn_eval's broadcast-classes confusion
+    grid; the rollup adds one class-cardinality aggregate (~10 rows) —
+    free.  (EXT row, SURVEY.md §2.12.)"""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    pred = _knn_predictions(vecs)
+    classes = (
+        vecs.where(F.col("vec_id") < _KNN_EVAL_N_QUERIES)
+        .select(F.col("label").cast("long").alias("class"))
+        .distinct()
+    )
+    m = (
+        pred.crossJoin(F.broadcast(classes))
+        .groupBy("class")
+        .agg(
+            F.sum(
+                (
+                    (F.col("true_label") == F.col("class"))
+                    & (F.col("pred_label") == F.col("class"))
+                ).cast("long")
+            ).alias("tp"),
+            F.sum(
+                (
+                    (F.col("true_label") == F.col("class"))
+                    & (F.col("pred_label") != F.col("class"))
+                ).cast("long")
+            ).alias("fn"),
+            F.sum(
+                (
+                    (F.col("true_label") != F.col("class"))
+                    & (F.col("pred_label") == F.col("class"))
+                ).cast("long")
+            ).alias("fp"),
+        )
+    )
+    per_class = m.select(
+        "class",
+        "tp",
+        "fn",
+        "fp",
+        (F.col("tp") + F.col("fn")).alias("support"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("(tp * 1000) div (tp + fp)"),
+        ).otherwise(F.lit(0)).alias("prec_milli"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("(tp * 1000) div (tp + fn)"),
+        ).otherwise(F.lit(0)).alias("rec_milli"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.expr("(2 * tp * 1000) div (2 * tp + fp + fn)"),
+        ).otherwise(F.lit(0)).alias("f1_milli"),
+    )
+    return per_class.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("support").cast("long").alias("n_eval"),
+        F.expr("(sum(tp) * 1000) div sum(support)")
+        .cast("long")
+        .alias("micro_acc_milli"),
+        F.expr("sum(prec_milli) div count(1)")
+        .cast("long")
+        .alias("macro_prec_milli"),
+        F.expr("sum(rec_milli) div count(1)")
+        .cast("long")
+        .alias("macro_rec_milli"),
+        F.expr("sum(f1_milli) div count(1)")
+        .cast("long")
+        .alias("macro_f1_milli"),
+        F.expr("sum(support * f1_milli) div sum(support)")
+        .cast("long")
+        .alias("weighted_f1_milli"),
+    )

@@ -20,6 +20,7 @@ from ..tables import (
     events,
     load,
     quantize_units,
+    rebalance_for_cpu,
     round2,
 )
 from .registry import query
@@ -1840,4 +1841,123 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double")
             / F.sum("cents").over(w_all).cast("double")
         ).alias("share_of_total"),
+    )
+
+
+@query(
+    "q_xml_parse",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest surface (Spark 4 ``from_xml``): render each order as
+    an XML fragment, parse it back with a typed schema, and aggregate
+    the PARSED fields — the self-certifying roundtrip device the repo
+    uses for every interchange format (CSV q_csv_roundtrip, ORC
+    q_orc_roundtrip, JSON q_json_parse/q_struct_json): the oracle
+    computes the same aggregate from the raw columns, so a hash match
+    proves encode → parse → extract is lossless, exercising the one
+    semi-structured codec the registry didn't yet cover.
+
+    Scale shape: render and parse are per-row JVM expressions inside
+    one whole-stage-codegen scan (no UDF, no shuffle); the only
+    shuffle is the 5-group rollup.  Cents are quantized half-up BEFORE
+    encode so the XML carries integers end-to-end."""
+    orders = rebalance_for_cpu(load(spark, sf_dir, "orders"))
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p><t>"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        F.lit("</t></o>"),
+    )
+    parsed = orders.select(
+        F.from_xml(xml, "k LONG, p STRING, t LONG").alias("x")
+    )
+    return parsed.groupBy(F.col("x.p").alias("prio")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x.t").cast("long").alias("sum_cents"),
+        F.min("x.k").alias("min_key"),
+        F.max("x.k").alias("max_key"),
+    )
+
+
+@query(
+    "q_hof_reduce",
+    oracle="""
+    WITH z AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id < 200
+    )
+    SELECT vec_id, label,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT)
+               AS l1_milli,
+           CAST(len(list_filter(qv, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(CASE WHEN len(list_filter(qv, x -> abs(x) >= 300)) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_big,
+           CAST(CASE WHEN len(list_filter(qv, x -> abs(x) >= 250)) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS all_small,
+           CAST(list_dot_product(qv, list_reverse(qv)) AS BIGINT)
+               AS pal_dot
+    FROM z
+    """,
+)
+def q_hof_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface breadth in ONE query: transform
+    (milli quantization), aggregate (L1 fold), filter (positive
+    count), exists / forall (threshold flags), and zip_with + reverse
+    (palindromic dot product) over the embedding arrays — the §2.8
+    lambda-expression family q_array_funcs's element-wise ops don't
+    reach.  DuckDB replays each lambda with its independent list-
+    function engine (list_transform / list_sum / list_filter /
+    list_dot_product / list_reverse), so a hash match pins Spark's HOF
+    evaluation semantics, not just its API shape.  All-integer
+    outputs (quantize-then-fold, exact BIGINT arithmetic).
+
+    Scale shape: every HOF is a per-row JVM expression — one scan, no
+    shuffle, no UDF; the vec_id filter is pushed to the parquet scan.
+    Array length (64) bounds per-row cost; nothing accumulates
+    driver-side."""
+    vecs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000.0 + 0.5).cast("long"),
+    )
+    z = vecs.select(
+        "vec_id", F.col("label").cast("long").alias("label"), qv.alias("qv")
+    )
+    zero = F.lit(0).cast("long")
+    return z.select(
+        "vec_id",
+        "label",
+        F.aggregate("qv", zero, lambda a, x: a + F.abs(x)).alias(
+            "l1_milli"
+        ),
+        F.size(F.filter("qv", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists("qv", lambda x: F.abs(x) >= 300)
+        .cast("long")
+        .alias("has_big"),
+        F.forall("qv", lambda x: F.abs(x) < 250)
+        .cast("long")
+        .alias("all_small"),
+        F.aggregate(
+            F.zip_with("qv", F.reverse("qv"), lambda x, y: x * y),
+            zero,
+            lambda a, x: a + x,
+        ).alias("pal_dot"),
     )

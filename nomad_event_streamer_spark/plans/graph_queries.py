@@ -9,7 +9,7 @@ oracle — the DuckDB side unrolls the same ten rounds as chained CTEs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators import graph
 from ..tables import load
@@ -170,3 +170,144 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return graph.bfs_hops(nodes, edges, seeds=["NATION_3", "NATION_17"], rounds=3)
+
+
+_SCC_THRESHOLD = 170
+_SCC_EDGES_SQL = f"""
+    SELECT sn.n_nationkey AS src, cn.n_nationkey AS dst
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer cu ON cu.c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = cu.c_nationkey
+    WHERE sn.n_nationkey <> cn.n_nationkey
+    GROUP BY 1, 2 HAVING count(*) >= {_SCC_THRESHOLD}
+"""
+
+
+@query(
+    "q_scc",
+    oracle=f"""
+    WITH RECURSIVE w AS ({_SCC_EDGES_SQL}),
+    closure(src, dst) AS (
+        SELECT src, dst FROM w
+        UNION
+        SELECT c.src, e.dst FROM closure c JOIN w e ON e.src = c.dst
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS v FROM w
+        UNION SELECT DISTINCT dst FROM w
+    ),
+    scc AS (
+        SELECT n.v,
+               least(n.v, coalesce(min(CASE WHEN c2.src IS NOT NULL
+                                            THEN c1.dst END), n.v))
+                   AS scc_id
+        FROM nodes n
+        LEFT JOIN closure c1 ON c1.src = n.v
+        LEFT JOIN closure c2 ON c2.src = c1.dst AND c2.dst = n.v
+        GROUP BY n.v
+    )
+    SELECT CAST(s.v AS BIGINT) AS nationkey,
+           nat.n_name AS n_name,
+           CAST(s.scc_id AS BIGINT) AS scc_id,
+           CAST(count(*) OVER (PARTITION BY s.scc_id) AS BIGINT)
+               AS scc_size
+    FROM scc s JOIN nation nat ON nat.n_nationkey = s.v
+    """,
+)
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed heavy-trade graph
+    (edges = nation pairs shipping >= 170 lineitems): each node's
+    SCC id (min nationkey among mutually reachable nodes) and SCC
+    size — the cycle-structure analysis (circular trade dependencies)
+    the undirected component operators (q_dedup_clusters min-label,
+    large-star/small-star) cannot answer, because direction matters.
+
+    Spark-first shape: CONTRACT FIRST — the fact-scale work is the
+    edge projection (five joins + one (src,dst) count-threshold
+    aggregate, identical posture to q_recursive_cte's edge build);
+    the transitive closure then runs on the contracted nation graph
+    (<= 25 nodes, <= 625 closure pairs) via O(log diameter) path-
+    doubling rounds (5 rounds cover diameter 32 > any 25-node path),
+    each a self-join + distinct with per-round localCheckpoint lineage
+    cuts — the same bounded-iteration discipline as q_dedup_clusters /
+    q_label_prop, never a per-node driver loop.  Mutual-reachability
+    pairs (closure ∩ reversed closure) then give scc_id = min partner.
+    The oracle replays the SAME edges with DuckDB's independent
+    recursive-CTE fixpoint engine, so the doubling device is checked
+    against true reachability semantics, not a twin of itself.
+
+    At 100 TB the contracted-graph posture is the point: closure cost
+    depends on the DOMAIN graph (nations), not the fact table; a
+    billion-node graph would swap in the large-star/small-star device —
+    documented, not needed for the declared domain."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    edges = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= _SCC_THRESHOLD)
+        .select("src", "dst")
+    )
+    closure = edges.localCheckpoint(eager=True)
+    for _ in range(5):
+        step = (
+            closure.alias("a")
+            .join(
+                closure.alias("b"), F.col("a.dst") == F.col("b.src")
+            )
+            .select(
+                F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+            )
+        )
+        closure = (
+            closure.unionByName(step).distinct().localCheckpoint(eager=True)
+        )
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    rev = closure.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = closure.intersect(rev)
+    scc = (
+        nodes.join(mutual, nodes.v == mutual.src, "left")
+        .groupBy("v")
+        .agg(
+            F.least(
+                F.col("v"), F.coalesce(F.min("dst"), F.col("v"))
+            ).alias("scc_id")
+        )
+    )
+    wsz = Window.partitionBy("scc_id")
+    return (
+        scc.join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").cast("long").alias("v"), "n_name"
+                )
+            ),
+            "v",
+        )
+        .select(
+            F.col("v").alias("nationkey"),
+            "n_name",
+            "scc_id",
+            F.count(F.lit(1)).over(wsz).alias("scc_size"),
+        )
+    )

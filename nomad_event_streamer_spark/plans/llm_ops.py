@@ -5419,3 +5419,260 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
     edges = dedup.lsh_candidate_pairs(bands)
     return kcore(edges, k=2)
+
+
+@query(
+    "q_drift_tri",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    a AS (SELECT source, tok, count(*) AS a FROM toks GROUP BY 1, 2),
+    g AS (SELECT tok, count(*) AS g FROM toks GROUP BY 1),
+    s AS (SELECT source, count(*) AS a_tot FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM toks),
+    grid AS (
+        SELECT s.source, g.tok,
+               coalesce(a.a, 0) AS a, s.a_tot AS at,
+               g.g - coalesce(a.a, 0) AS b, n.n - s.a_tot AS bt
+        FROM s CROSS JOIN g CROSS JOIN n
+        LEFT JOIN a ON a.source = s.source AND a.tok = g.tok
+    ),
+    terms AS (
+        SELECT source,
+               CASE WHEN CAST(a AS HUGEINT)*bt + CAST(b AS HUGEINT)*at > 0
+                    THEN CAST(((CAST(a AS HUGEINT)*bt
+                                - CAST(b AS HUGEINT)*at)
+                               * (CAST(a AS HUGEINT)*bt
+                                  - CAST(b AS HUGEINT)*at)
+                               * 1000000)
+                         // (CAST(at AS HUGEINT) * bt
+                             * (CAST(a AS HUGEINT)*bt
+                                + CAST(b AS HUGEINT)*at))
+                         AS BIGINT)
+                    ELSE 0 END AS term_ppm,
+               CASE WHEN a > 0 THEN 1 ELSE 0 END AS present
+        FROM grid
+    )
+    SELECT source, CAST(sum(term_ppm) AS BIGINT) AS div_ppm,
+           CAST(sum(present) AS BIGINT) AS n_present
+    FROM terms GROUP BY source
+    """,
+)
+def q_drift_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift as TRIANGULAR DISCRIMINATION
+    (Topsøe 2000, public): Δ(P,Q) = Σ (p−q)²/(p+q) between each
+    source's unigram distribution P and the rest-of-corpus Q — the
+    bounded (≤2) symmetric f-divergence that, unlike JS divergence, is
+    a RATIONAL function of the counts: every term is
+    (a·B − b·A)²·10⁶ div (A·B·(a·B + b·A)) in DECIMAL(38,0) — exact
+    integer flooring both engines, no transcendental ln whose last-ulp
+    differences between libm implementations would break the hash.
+    Completes the drift family (chi2 buckets, KS, embedding drift,
+    quantile normalization) with the distribution-vs-rest monitor.
+
+    Scale shape: one (source, tok) count shuffle + two tiny rollups;
+    the sources × vocabulary grid restores zero cells (divergence
+    needs them) and is |S|·|V| rows distributed — and for tokens
+    ABSENT from a source the term collapses to b/B, so at extreme
+    vocabulary the zero side can be folded into one closed-form
+    per-source correction instead of the grid (documented scale
+    valve; at declared scales the grid is exact and cheap).  The
+    int128-ish headroom: DECIMAL(38,0) carries (a·B)²·10⁶ ≲ 10²⁶ at
+    sf1 — 12 digits of slack."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    a = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("a"))
+    g = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("g"))
+    s = toks.groupBy("source").agg(F.count(F.lit(1)).alias("a_tot"))
+    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        s.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(n))
+        .join(a, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            F.col("a_tot").alias("at"),
+            (F.col("g") - F.coalesce(F.col("a"), F.lit(0))).alias("b"),
+            (F.col("n") - F.col("a_tot")).alias("bt"),
+        )
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    ab = f"({d.format('a')} * bt)"
+    ba = f"({d.format('b')} * at)"
+    term = (
+        f"CASE WHEN {ab} + {ba} > 0 THEN "
+        f"CAST((({ab} - {ba}) * ({ab} - {ba}) * 1000000) "
+        f"div ({d.format('at')} * bt * ({ab} + {ba})) AS BIGINT) "
+        "ELSE 0 END"
+    )
+    terms = grid.select(
+        "source",
+        F.expr(term).alias("term_ppm"),
+        (F.col("a") > 0).cast("long").alias("present"),
+    )
+    return terms.groupBy("source").agg(
+        F.sum("term_ppm").cast("long").alias("div_ppm"),
+        F.sum("present").cast("long").alias("n_present"),
+    )
+
+
+# RBO rank weights, power-of-two geometric decay (p = 1/2) truncated at
+# depth 10, pre-scaled by 2^9 * 2520 (= lcm(1..10)) so every term is an
+# exact integer: w_d = 2^(10-d) * (2520 / d); W(m) = sum_{d>=m} w_d is
+# the per-common-item weight at first-co-occurrence depth m; PERFECT =
+# sum_d W(d) is the identical-rankings total.
+_RBO_K = 10
+_RBO_W = [2 ** (_RBO_K - d) * 2520 // d for d in range(1, _RBO_K + 1)]
+_RBO_SUFFIX = [
+    sum(_RBO_W[m - 1 :]) for m in range(1, _RBO_K + 1)
+]
+_RBO_PERFECT = sum(_RBO_SUFFIX)
+
+
+def _rbo_oracle(num_cells: int = 16, num_probe: int = 3) -> str:
+    k = _RBO_K
+    d = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    wlist = ", ".join(str(x) for x in _RBO_SUFFIX)
+    return f"""
+    WITH {_QZ_CTE},
+    qs AS (SELECT vec_id, qv FROM qz WHERE vec_id < 20),
+    ex_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                         * sqrt(list_dot_product(c.qv, c.qv)) > 0
+                    THEN list_dot_product(q.qv, c.qv)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(c.qv, c.qv)))
+                    ELSE 0.0 END AS qcos
+        FROM qz c CROSS JOIN qs q
+        WHERE q.vec_id <> c.vec_id
+    ),
+    ex_top AS (
+        SELECT query_id, neighbor_id, rn FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, neighbor_id) AS rn
+            FROM ex_scored
+        ) WHERE rn <= {k}
+    ),
+    seeds AS (
+        SELECT CAST(row_number() OVER w - 1 AS BIGINT) AS cell, qv AS cv
+        FROM qz
+        WINDOW w AS (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        QUALIFY row_number() OVER w <= {num_cells}
+    ),
+    assign AS (
+        SELECT v.vec_id, s.cell, {d.format(a="v.qv", b="s.cv")} AS d
+        FROM qz v CROSS JOIN seeds s
+    ),
+    cellof AS (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rn
+            FROM assign
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rn
+            FROM assign WHERE vec_id < 20
+        ) WHERE rn <= {num_probe}
+    ),
+    ivf_scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                         * sqrt(list_dot_product(n.qv, n.qv)) > 0
+                    THEN list_dot_product(q.qv, n.qv)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(n.qv, n.qv)))
+                    ELSE 0.0 END AS qcos
+        FROM probes p
+        JOIN cellof c USING (cell)
+        JOIN qz q ON q.vec_id = p.query_id
+        JOIN qz n ON n.vec_id = c.neighbor_id
+        WHERE p.query_id <> c.neighbor_id
+    ),
+    ivf_top AS (
+        SELECT query_id, neighbor_id, rn FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, neighbor_id) AS rn
+            FROM ivf_scored
+        ) WHERE rn <= {k}
+    ),
+    common AS (
+        SELECT e.query_id,
+               [{wlist}][greatest(e.rn, i.rn)] AS w
+        FROM ex_top e JOIN ivf_top i
+          ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    ),
+    qids AS (SELECT DISTINCT query_id FROM ex_top)
+    SELECT q.query_id,
+           CAST(coalesce(count(c.w), 0) AS BIGINT) AS n_common,
+           CAST(coalesce(sum(c.w), 0) AS BIGINT) AS rbo_scaled,
+           CAST((coalesce(sum(c.w), 0) * 1000) // {_RBO_PERFECT}
+                AS BIGINT) AS agreement_milli
+    FROM qids q LEFT JOIN common c ON c.query_id = q.query_id
+    GROUP BY q.query_id
+    """
+
+
+@query("q_rbo_overlap", oracle=_rbo_oracle())
+def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the EXACT
+    quantized-cosine ranking and the IVF ANN ranking, depth 10 — the
+    rank-weighted ranker-agreement measure that recall@k flattens:
+    recall counts shared members, RBO pays more for agreement at the
+    TOP.  Geometric weights at p = 1/2 pre-scaled by 2^9·lcm(1..10)
+    make every weight an exact integer (no float powers), so the whole
+    agreement table is under the full hash gate: a common item first
+    co-appearing at depth m contributes W(m) = Σ_{{d≥m}} 2^(10−d)·2520/d,
+    and identical rankings sum to the PERFECT literal — agreement_milli
+    is the integer-division ratio.
+
+    Plan: both rankers run their existing posture (broadcast queries ×
+    streamed corpus; IVF cell equi-join), keep_rank exposes each
+    window's position, and the agreement is ONE (query, neighbor)
+    equi-join + a per-query aggregate over ≤ k·|Q| rows.  The qids
+    left join restores all-disagreement queries as zero rows (RBO = 0
+    is a finding, not an absence)."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < 20)
+    ex = similarity.cosine_topk_quantized(
+        vecs, queries, k=_RBO_K, keep_rank=True
+    ).select("query_id", "neighbor_id", F.col("rn").alias("rn_ex"))
+    iv = similarity.ivf_topk_int(
+        vecs, queries, k=_RBO_K, num_cells=16, num_probe=3, keep_rank=True
+    ).select("query_id", "neighbor_id", F.col("rn").alias("rn_iv"))
+    warr = F.array(*[F.lit(x).cast("long") for x in _RBO_SUFFIX])
+    common = ex.join(iv, ["query_id", "neighbor_id"]).select(
+        "query_id",
+        F.element_at(warr, F.greatest("rn_ex", "rn_iv").cast("int")).alias(
+            "w"
+        ),
+    )
+    qids = ex.select("query_id").distinct()
+    agg = common.groupBy("query_id").agg(
+        F.count("w").cast("long").alias("n_common"),
+        F.sum("w").cast("long").alias("rbo_scaled"),
+    )
+    return qids.join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.coalesce("rbo_scaled", F.lit(0)).cast("long").alias("rbo_scaled"),
+        F.expr(
+            f"coalesce(rbo_scaled, 0L) * 1000 div {_RBO_PERFECT}"
+        ).cast("long").alias("agreement_milli"),
+    )

@@ -885,3 +885,125 @@ def q_stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+_UPSERT_DIRS: dict[str, str] = {}
+
+
+def _upsert_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Three deterministic micro-batch files (event_id % 3), mtime-ordered
+    so the file source replays them as batches 0, 1, 2 — each batch
+    carries a slice of every user's history, so the upsert target is
+    OVERWRITTEN with merged state on every round (the path that
+    distinguishes upsert from blind append)."""
+    if sf_dir not in _UPSERT_DIRS:
+        import glob
+        import shutil
+
+        ev = canonicalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("ts div 1000").alias("ts_us"),
+        )
+        work = tempfile.mkdtemp(prefix="nes_upsert_work_")
+        out = tempfile.mkdtemp(prefix="nes_upsert_in_")
+        for b in range(3):
+            ev.where(F.col("event_id") % 3 == b).coalesce(1).write.parquet(
+                f"{work}/b{b}"
+            )
+            part = glob.glob(f"{work}/b{b}/part-*.parquet")[0]
+            dst = os.path.join(out, f"{chr(97 + b)}_{b}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1000 + b * 100, 1000 + b * 100))
+        _UPSERT_DIRS[sf_dir] = out
+    return _UPSERT_DIRS[sf_dir]
+
+
+@query(
+    "q_stream_foreachbatch_upsert",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               printf('%020d-%010d', epoch_us(ts), event_id) AS ord
+        FROM events
+    )
+    SELECT user_id,
+           arg_max(event_id, ord) AS last_event_id,
+           max(ts_us) AS last_ts_us,
+           arg_max(event_type, ord) AS last_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM e GROUP BY user_id
+    """,
+)
+def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` UPSERT sink: the merge-into-target pattern every
+    lakehouse streaming pipeline runs (Structured Streaming guide's
+    documented foreachBatch use case) — each micro-batch merges into a
+    keyed parquet target (latest row per user by (ts, id), plus a
+    running per-user event count), implemented as read-current +
+    union + max_by re-aggregate, written to a VERSIONED target path
+    per round (v0 -> v1 -> v2; never overwrite-while-reading).  Three
+    mtime-ordered batch files with maxFilesPerTrigger=1 force three
+    real merge rounds, so batch 2's merge reads state produced by
+    batches 0-1 — hash-matching the all-at-once oracle proves the
+    merge is associative under arbitrary batch boundaries (the same
+    replay-invariance contract as q_stream_session_dedup).
+
+    Scale shape: each merge is one co-partitioned groupBy(user) over
+    target+batch; target size is bounded by key cardinality, not
+    stream length.  The zero-padded (ts,id) string key is the shared
+    argmax device (q_tumbling_ohlc).  At 100 TB the versioned-dir
+    rewrite becomes a real MERGE INTO on a table format with row-level
+    ops (Delta/Iceberg, not in this container) — the foreachBatch
+    merge logic is identical; documented, not stubbed."""
+    ensure_runtime_confs(spark)
+    d = _upsert_batches_dir(spark, sf_dir)
+    schema = "event_id long, user_id long, event_type string, ts_us long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    root = tempfile.mkdtemp(prefix="nes_upsert_tgt_")
+    state = {"path": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        b = batch_df.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("event_type").alias("last_type"),
+            F.lit(1).cast("long").alias("n_events"),
+        )
+        if state["path"] is not None:
+            cur = sess.read.parquet(state["path"])
+            b = cur.unionByName(b)
+        ordk = F.format_string(
+            "%020d-%010d", "last_ts_us", "last_event_id"
+        )
+        merged = b.groupBy("user_id").agg(
+            F.max_by("last_event_id", ordk).alias("last_event_id"),
+            F.max("last_ts_us").alias("last_ts_us"),
+            F.max_by("last_type", ordk).alias("last_type"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        nxt = os.path.join(root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["path"] = nxt
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="nes_ckpt_"), "cp"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None
+    return spark.read.parquet(state["path"])

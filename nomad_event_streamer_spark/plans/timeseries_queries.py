@@ -573,3 +573,57 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den_x"),
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("den_y"),
     )
+
+
+@query(
+    "q_tumbling_ohlc",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS bucket,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               printf('%020d-%010d', epoch_us(ts), event_id) AS ord
+        FROM events
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           arg_min(cents, ord) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           arg_max(cents, ord) AS close_cents
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window OHLC candles (the market-data downsampling
+    aggregate, and the general shape of any first/last/min/max
+    rollup): per (event_type, 1-hour bucket) the opening value
+    (earliest row), high, low, and close (latest row), cents-exact.
+    First/last are argmin/argmax aggregates over a zero-padded
+    ``(ts, id)`` string key — lexicographic order equals the numeric
+    composite order, a device both engines share exactly (DuckDB has
+    no struct-keyed arg_min), so ties at equal timestamps resolve
+    identically without a window pass.
+
+    Scale shape: ONE partial-aggregated shuffle on (type, bucket) —
+    min_by/max_by combine map-side like any other agg, so this beats
+    the two-window formulation (sort + full-frame window) that
+    shuffles the raw stream; bucket count grows with time span, not
+    row count.  (EXT row, SURVEY.md §2.12; reference has no windowed
+    aggregates beyond the running max, app.rb:157-160.)"""
+    ev = events(spark, sf_dir)
+    e = ev.select(
+        "event_type",
+        F.expr("ts_us div 3600000000").alias("bucket"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.format_string("%020d-%010d", "ts_us", "event_id").alias("ord"),
+    )
+    return e.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by("cents", "ord").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", "ord").alias("close_cents"),
+    )

@@ -440,3 +440,121 @@ def test_null_safe_join_is_hash_join_on_aggregates(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # both inputs aggregate BEFORE the join: partial+final pairs x 2
     assert plan.count("HashAggregate") >= 4
+
+
+ROUND7C_OPS = [
+    "q_gopher_rules",
+    "q_vocab_coverage",
+    "q_eval_prf_macro",
+    "q_asof_nearest",
+    "q_xml_parse",
+    "q_hof_reduce",
+    "q_tumbling_ohlc",
+    "q_scc",
+    "q_drift_tri",
+    "q_rbo_overlap",
+]
+
+
+@pytest.mark.parametrize("name", ROUND7C_OPS)
+def test_round7c_ops_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_is_scan_plus_one_agg(spark, sf_dir):
+    """Every Gopher rule is a per-row array expression — the plan must
+    be one scan and one partial+final aggregate pair, with no join, no
+    window, no explode (generator)."""
+    plan = plan_of(spark, sf_dir, "q_gopher_rules")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_vocab_coverage_vocab_is_broadcast_topk(spark, sf_dir):
+    """The top-K vocabulary must come from TakeOrderedAndProject (a
+    partial per-partition top-K, never a global sort of the token
+    stream) and must re-join the stream as a broadcast."""
+    plan = plan_of(spark, sf_dir, "q_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_eval_prf_macro_confusion_grid_is_broadcast(spark, sf_dir):
+    """The classes × predictions grid inherits q_knn_eval's broadcast
+    posture; the final rollup is a single-row aggregate."""
+    plan = plan_of(spark, sf_dir, "q_eval_prf_macro")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_is_windowed_not_range_joined(spark, sf_dir):
+    """Both directional passes must run the tagged-union running-window
+    device (two key-partitioned windows), and the only joins are equi
+    joins (the purchase-id recombination) — never a range join."""
+    plan = plan_of(spark, sf_dir, "q_asof_nearest")
+    assert plan.count("Window") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_xml_parse_is_scan_shaped(spark, sf_dir):
+    """Render + from_xml + extract are row expressions: no join, no
+    window; one aggregate pair for the 5-group rollup."""
+    plan = plan_of(spark, sf_dir, "q_xml_parse")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_hof_reduce_is_pure_projection(spark, sf_dir):
+    """The HOF breadth query is a projection over one pushed-filter
+    scan: no shuffle at all (no aggregate, no join, no window)."""
+    plan = plan_of(spark, sf_dir, "q_hof_reduce")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_tumbling_ohlc_is_one_aggregate_no_window(spark, sf_dir):
+    """OHLC candles are min_by/max_by aggregates — ONE partial+final
+    pair on (type, bucket), never the sort+full-frame-window
+    formulation that shuffles the raw stream."""
+    plan = plan_of(spark, sf_dir, "q_tumbling_ohlc")
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read)
+    # min_by/max_by are TypedImperative -> sort-based aggregate; what
+    # matters is the map-side partial pair, not the hash strategy
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+
+
+def test_scc_closure_joins_stay_equi(spark, sf_dir):
+    """The path-doubling closure and the mutual-pair intersection must
+    be equi joins on the contracted node keys; the nation-name attach
+    is broadcast.  No cartesian anywhere despite the self-joins."""
+    plan = plan_of(spark, sf_dir, "q_scc")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_drift_tri_grid_restores_zeros_without_cartesian(spark, sf_dir):
+    """The sources x vocabulary grid comes from broadcast crossJoins of
+    the two TINY rollups (vocab counts, corpus total) onto the per-source
+    totals — BroadcastNestedLoopJoin, never CartesianProduct — and the
+    per-(source,tok) counts attach by equi join.  No window anywhere."""
+    plan = plan_of(spark, sf_dir, "q_drift_tri")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_rbo_overlap_inherits_ranker_postures(spark, sf_dir):
+    """Both rankers keep their pinned shape (broadcast query side, window
+    top-k); the agreement join and zero-restore join are equi joins."""
+    plan = plan_of(spark, sf_dir, "q_rbo_overlap")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the broadcast query sides
