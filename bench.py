@@ -98,6 +98,10 @@ HEADLINE = [
     # grid; rbo runs BOTH rankers (exact + IVF) over the corpus
     "q_drift_tri",
     "q_rbo_overlap",
+    # 7e: the LSH-candidate + Levenshtein verify stage is the one
+    # fact-scale member (guards the AQE single-task regression); the
+    # scan-shaped statistics trio stays un-benched
+    "q_dedup_verify_editdist",
 ]
 
 

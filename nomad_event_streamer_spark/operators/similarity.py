@@ -256,7 +256,12 @@ def hyperplane_buckets(
     planes = _deterministic_planes(num_planes, dim)
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
+        # one expr string per plane (the per-element F.lit py4j calls
+        # dominate plan build at planes x dim literals — the
+        # ivf_topk_int lesson); ±1.0 doubles render exactly
+        plane_col = F.expr(
+            "array(" + ",".join(f"{v:.1f}D" for v in plane) + ")"
+        )
         bit = F.when(_dot(F.col(vec_col), plane_col) > 0, F.lit(1)).otherwise(
             F.lit(0)
         )
@@ -291,7 +296,9 @@ def ann_topk_int(
     def bucket_of(vcol):
         b = F.lit(0).cast("long")
         for p, plane in enumerate(planes):
-            pl = F.array(*[F.lit(int(v)).cast("long") for v in plane])
+            pl = F.expr(
+                "array(" + ",".join(f"{int(v)}L" for v in plane) + ")"
+            )
             d = _int_dot(vcol, pl)
             b = b + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
         return b
@@ -360,22 +367,26 @@ def ivf_topk_int(
     )
     cents = [[int(x) for x in r["c_vec"]] for r in seeds]
 
-    def _d2(vcol, cent):
-        cl = F.array(*[F.lit(v).cast("long") for v in cent])
-        return F.aggregate(
-            F.zip_with(vcol, cl, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    def _d2(vcol_sql: str, cent):
+        # ONE expr string per centroid — per-element F.lit plus the
+        # zip_with/aggregate lambda wrappers cost a py4j round-trip
+        # each and dominated PLAN BUILD (measured 5.9 s of a 7.3 s
+        # query at 16 cells x 64 dims x 2 uses before this)
+        cl = "array(" + ",".join(f"{v}L" for v in cent) + ")"
+        return F.expr(
+            f"aggregate(zip_with({vcol_sql}, {cl},"
+            " (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
 
-    def _dists(vcol):
-        return F.array(*[_d2(vcol, cent) for cent in cents])
+    def _dists(vcol_sql: str):
+        return F.array(*[_d2(vcol_sql, cent) for cent in cents])
 
     # Two-step projection so the 16-distance array is computed ONCE per
     # row (CollapseProject keeps non-cheap aliases used twice; physical
     # subexpression elimination backstops it), then argmin over it.
     cand = (
-        c.withColumn("dists", _dists(F.col("c_vec")))
+        c.withColumn("dists", _dists("c_vec"))
         .withColumn(
             "cell",
             (
@@ -389,7 +400,7 @@ def ivf_topk_int(
         F.array(
             *[
                 F.struct(
-                    _d2(F.col("q_vec"), cent).alias("d"),
+                    _d2("q_vec", cent).alias("d"),
                     F.lit(i).cast("long").alias("c"),
                 )
                 for i, cent in enumerate(cents)

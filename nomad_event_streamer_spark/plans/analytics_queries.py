@@ -1106,3 +1106,82 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("mx") - F.col("mn")).cast("long").alias("max_island_us"),
         F.sum("n_ev").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+    WITH c AS (
+        SELECT event_type AS et, user_id % 8 AS cohort, count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT et, sum(o) AS r FROM c GROUP BY 1),
+    ct AS (SELECT cohort, sum(o) AS cc FROM c GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM c),
+    grid AS (
+        SELECT rt.et, ct.cohort, coalesce(c.o, 0) AS o, rt.r, ct.cc, n.n
+        FROM rt CROSS JOIN ct CROSS JOIN n
+        LEFT JOIN c ON c.et = rt.et AND c.cohort = ct.cohort
+    ),
+    t AS (
+        SELECT CAST((CAST(o AS HUGEINT)*n - r*cc)
+                    * (CAST(o AS HUGEINT)*n - r*cc) * 1000000
+                    // (CAST(n AS HUGEINT) * r * cc) AS BIGINT) AS term,
+               n
+        FROM grid
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(term) AS BIGINT) AS chi2_ppm,
+           CAST(sum(term) * 1000 // (max(n) * 4) AS BIGINT) AS v2_ppb
+    FROM t
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association audit between event type and user cohort
+    (user_id mod 8): the chi-square contingency statistic normalized to
+    [0,1] — the "is this categorical feature independent of that one"
+    check a feature-selection / leakage audit runs.  Integer-exact by
+    the q_drift_tri device: each chi² term is
+    (o·n − r·c)²·10⁶ div (n·r·c) in DECIMAL(38,0) (identical flooring
+    both engines), chi2_ppm sums them, and v2_ppb = chi²/(n·(k−1)) with
+    k−1 = min(5,8)−1 = 4 — V² in parts-per-billion, sqrt-free so the
+    hash gate holds (V itself is the caller's one sqrt).
+
+    Scale shape: ONE (type, cohort) fact aggregate (40 cells), then
+    everything is cell-table-sized: marginals are 5- and 8-row
+    broadcasts, the zero-restoring grid is 40 rows.  Contingency
+    cardinality, not event count, bounds all post-scan work."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("event_type").alias("et"),
+        (F.col("user_id") % 8).alias("cohort"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = c.groupBy("et").agg(F.sum("o").alias("r"))
+    ct = c.groupBy("cohort").agg(F.sum("o").alias("cc"))
+    n = c.agg(F.sum("o").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(c, ["et", "cohort"], "left")
+        .select(
+            "et",
+            "cohort",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "r",
+            "cc",
+            "n",
+        )
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    num = f"({d.format('o')} * n - {d.format('r')} * cc)"
+    term = f"CAST(({num} * {num} * 1000000) div ({d.format('n')} * r * cc) AS BIGINT)"
+    return (
+        grid.select(F.expr(term).alias("term"), "n")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum("term").cast("long").alias("chi2_ppm"),
+            F.expr("sum(term) * 1000 div (max(n) * 4)")
+            .cast("long")
+            .alias("v2_ppb"),
+        )
+    )

@@ -3139,3 +3139,66 @@ def q_eval_prf_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weighted_f1_milli"),
     )
+
+
+@query(
+    "q_spearman_sources",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    m AS (
+        SELECT source, count(*) AS w, count(DISTINCT tok) AS vocab
+        FROM toks GROUP BY source
+    ),
+    r AS (
+        SELECT source,
+               row_number() OVER (ORDER BY w, source) AS rw,
+               row_number() OVER (ORDER BY vocab, source) AS rv
+        FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum((rw - rv) * (rw - rv)) AS BIGINT) AS sum_d2,
+           CAST(1000 - 6000 * sum((rw - rv) * (rw - rv))
+                // (count(*) * (count(*)*count(*) - 1)) AS BIGINT)
+               AS rho_milli
+    FROM r
+    """,
+)
+def q_spearman_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two per-source corpus metrics —
+    token volume vs vocabulary size — answering "do bigger sources just
+    repeat themselves?" (the monotone-association twin of q_corr's
+    Pearson, robust to the metrics' wildly different scales).  Ranks
+    are made deterministic under ties by the (metric, source) composite
+    order in BOTH engines, so rho_milli = 1000 − 6000·Σd² div n(n²−1)
+    is exact integer arithmetic under the full hash gate.
+
+    Scale shape: the fact-scale work is one (source, tok) distinct-ish
+    aggregate (map-side combined); ranking runs on the SOURCE-cardinality
+    table (the same domain-table-window posture as q_mann_whitney), and
+    the result is one row."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    m = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.countDistinct("tok").alias("vocab"),
+    )
+    r = m.select(
+        F.row_number().over(Window.orderBy("w", "source")).alias("rw"),
+        F.row_number().over(Window.orderBy("vocab", "source")).alias("rv"),
+    )
+    d2 = (F.col("rw") - F.col("rv")) * (F.col("rw") - F.col("rv"))
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+        F.expr(
+            "1000 - 6000 * sum((rw - rv) * (rw - rv)) "
+            "div (count(1) * (count(1)*count(1) - 1))"
+        )
+        .cast("long")
+        .alias("rho_milli"),
+    )

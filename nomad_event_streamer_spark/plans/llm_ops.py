@@ -4330,15 +4330,17 @@ def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = [[int(x) for x in r["qv"]] for r in seeds]
 
-    def _d2(vcol, cent):
-        cl = F.array(*[F.lit(v).cast("long") for v in cent])
-        return F.aggregate(
-            F.zip_with(vcol, cl, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    def _d2(vcol_sql, cent):
+        # one expr string per centroid (the ivf_topk_int plan-build
+        # lesson: per-element F.lit + lambda wrappers are py4j calls)
+        cl = "array(" + ",".join(f"{v}L" for v in cent) + ")"
+        return F.expr(
+            f"aggregate(zip_with({vcol_sql}, {cl},"
+            " (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
 
-    dists = F.array(*[_d2(F.col("qv"), cent) for cent in cents])
+    dists = F.array(*[_d2("qv", cent) for cent in cents])
     assigned = (
         qz.withColumn("dists", dists)
         .withColumn("d", F.array_min(F.col("dists")))
@@ -5647,7 +5649,10 @@ def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's position, and the agreement is ONE (query, neighbor)
     equi-join + a per-query aggregate over ≤ k·|Q| rows.  The qids
     left join restores all-disagreement queries as zero rows (RBO = 0
-    is a finding, not an absence)."""
+    is a finding, not an absence); qids comes from the QUERY SET, not
+    from ex (the corpus always holds ≥ k candidates per query, and
+    deriving it from ex would execute the exact-ranker DAG a second
+    time — measured 2× the query's whole cost)."""
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
     queries = vecs.where(F.col("vec_id") < 20)
     ex = similarity.cosine_topk_quantized(
@@ -5663,7 +5668,7 @@ def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w"
         ),
     )
-    qids = ex.select("query_id").distinct()
+    qids = queries.select(F.col("vec_id").alias("query_id"))
     agg = common.groupBy("query_id").agg(
         F.count("w").cast("long").alias("n_common"),
         F.sum("w").cast("long").alias("rbo_scaled"),
@@ -5675,4 +5680,169 @@ def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"coalesce(rbo_scaled, 0L) * 1000 div {_RBO_PERFECT}"
         ).cast("long").alias("agreement_milli"),
+    )
+
+
+def _editdist_oracle(prefix: int = 160, threshold: int = 40) -> str:
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup.minhash_params(16))
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {dedup.MINHASH_P} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {dedup.MINHASH_P}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a
+        JOIN sig b ON a.seed = b.seed AND a.mh = b.mh
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(substring(da.text, 1, {prefix}),
+                            substring(db.text, 1, {prefix})) AS BIGINT)
+               AS dist,
+           CAST(CASE WHEN levenshtein(substring(da.text, 1, {prefix}),
+                                      substring(db.text, 1, {prefix}))
+                          <= {threshold}
+                     THEN 1 ELSE 0 END AS BIGINT) AS verified
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """
+    )
+
+
+@query("q_dedup_verify_editdist", oracle=_editdist_oracle())
+def q_dedup_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-verify dedup: HIGH-RECALL LSH candidates (16 bands x 1
+    row — OR-amplification, any shared min-hash pairs the docs) pruned
+    by the EXACT edit distance on a 160-char prefix — the classic
+    two-stage near-dup pipeline (cheap sketch recall, exact-verify
+    precision).  Both engines evaluate their NATIVE Levenshtein
+    (unit-cost insert/delete/substitute — Spark `levenshtein`, DuckDB
+    `levenshtein`), so the verify stage itself is cross-engine checked,
+    not just the candidate set.  On this corpus the distance is
+    bimodal (true near-dups <= 4, false candidates >= 63), so the
+    threshold-40 verdict is robustly inside the gap.
+
+    Scale shape: candidates come from the bucket group-and-expand
+    (never a self-join; `max_bucket` skew guard available), and the
+    verify joins ship only (pair ids + 160-char prefixes) — the O(L^2)
+    Levenshtein is bounded by the PREFIX length, embarrassingly
+    parallel, and paid once per candidate, not per doc pair.  The
+    explicit pair-key repartition before scoring matters: AQE
+    coalesces the byte-small join output to ONE partition, which
+    serializes the verify CPU (measured 36 s single-task vs ~3 s
+    spread at sf0.1) — expensive-expression stages must be
+    partitioned by CPU, not by shuffle bytes."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=1)
+    pairs = dedup.lsh_candidate_pairs(bands)
+    pref = docs.select("doc_id", F.substring("text", 1, 160).alias("t"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    return (
+        pairs.join(
+            pref.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            pref.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")),
+            "doc_b",
+        )
+        .repartition(int(spark.sparkContext.defaultParallelism), "doc_a", "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("dist"),
+            (dist <= F.lit(40)).cast("long").alias("verified"),
+        )
+    )
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH wc AS (
+        SELECT len(string_split(text, ' ')) AS v,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+        FROM documents
+    ),
+    vals AS (SELECT v, count(*) AS c, sum(in_a) AS a_c FROM wc GROUP BY v),
+    ranked AS (
+        SELECT v, c, a_c, 2 * sum(c) OVER (ORDER BY v) - c + 1 AS dr
+        FROM vals
+    ),
+    tot AS (SELECT sum(in_a) AS n1, count(*) - sum(in_a) AS n2 FROM wc)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(2*n1*n2 + n1*(n1+1) - sum(a_c * dr) AS BIGINT) AS u2,
+           CAST((2*n1*n2 + n1*(n1+1) - sum(a_c * dr)) * 1000
+                // (2*n1*n2) AS BIGINT) AS cles_milli
+    FROM ranked CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the even- and odd-id
+    halves of the corpus on document word count — the NON-PARAMETRIC
+    two-sample drift test (no normality assumption, unlike a t-test;
+    no binning choice, unlike q_drift_chi2; rank-based where q_ks_test
+    is sup-of-CDF).  Tie-corrected via midranks kept INTEGER by the
+    double-rank device: dr = min_rank + max_rank (= 2x the midrank),
+    so 2U = 2*n1*n2 + n1(n1+1) - sum(a_c * dr) is exact in both
+    engines, and cles_milli = U/(n1*n2) in milli is the common-language
+    effect size (= P(sample_A > sample_B), the AUC identity).
+
+    Scale shape: ONE value-domain aggregate (word counts are a bounded
+    integer domain, <=100 distinct at any corpus size by construction)
+    then the rank cumsum runs on that TINY table — the same
+    domain-table-window posture as the bucketed-prefix-sum offset
+    tables; the fact-scale work is one map-side-combined groupBy."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    wc = docs.select(
+        F.size(F.split("text", " ")).alias("v"),
+        (F.col("doc_id") % 2 == 0).cast("long").alias("in_a"),
+    )
+    vals = wc.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("in_a").alias("a_c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.withColumn(
+        "dr", 2 * F.sum("c").over(w) - F.col("c") + F.lit(1)
+    )
+    tot = wc.agg(
+        F.sum("in_a").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("in_a")).alias("n2"),
+    )
+    return (
+        ranked.agg(F.sum(F.col("a_c") * F.col("dr")).alias("rsum"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            (
+                2 * F.col("n1") * F.col("n2")
+                + F.col("n1") * (F.col("n1") + 1)
+                - F.col("rsum")
+            )
+            .cast("long")
+            .alias("u2"),
+            F.expr(
+                "(2*n1*n2 + n1*(n1+1) - rsum) * 1000 div (2*n1*n2)"
+            )
+            .cast("long")
+            .alias("cles_milli"),
+        )
     )

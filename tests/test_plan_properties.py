@@ -558,3 +558,54 @@ def test_rbo_overlap_inherits_ranker_postures(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 2
     assert "BroadcastNestedLoopJoin" in plan  # the broadcast query sides
+
+
+ROUND7E_OPS = [
+    "q_dedup_verify_editdist",
+    "q_mann_whitney",
+    "q_cramers_v",
+    "q_spearman_sources",
+]
+
+
+@pytest.mark.parametrize("name", ROUND7E_OPS)
+def test_round7e_ops_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_editdist_candidates_are_bucket_expanded(spark, sf_dir):
+    """Candidates come from the group-and-expand (collect_list bucket
+    aggregate), never a bands self-join or an all-pairs nested loop;
+    the Levenshtein verify joins are equi joins on pair ids."""
+    plan = plan_of(spark, sf_dir, "q_dedup_verify_editdist")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ObjectHashAggregate" in plan  # the collect_list bucket agg
+    assert "Window" not in plan
+
+
+def test_mann_whitney_window_is_domain_table_only(spark, sf_dir):
+    """The rank cumsum runs on the bounded word-count domain table —
+    exactly ONE window, fed by an aggregate (never the raw corpus)."""
+    plan = plan_of(spark, sf_dir, "q_mann_whitney")
+    assert plan.count("Window") == 1
+    # the window's input is the post-aggregate value table: an
+    # aggregate must appear below the window in the plan tree
+    assert "HashAggregate" in plan
+
+
+def test_cramers_v_grid_is_broadcast(spark, sf_dir):
+    """Marginals and the n scalar re-attach as broadcasts onto the
+    40-cell table; no window, no sort-merge join anywhere."""
+    plan = plan_of(spark, sf_dir, "q_cramers_v")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_spearman_ranks_join_free(spark, sf_dir):
+    """Both rank windows run on the source-cardinality aggregate; the
+    whole query has no join node at all."""
+    plan = plan_of(spark, sf_dir, "q_spearman_sources")
+    assert "Join" not in plan
+    assert plan.count("Window") == 2
