@@ -102,6 +102,11 @@ HEADLINE = [
     # fact-scale member (guards the AQE single-task regression); the
     # scan-shaped statistics trio stays un-benched
     "q_dedup_verify_editdist",
+    # 7g: phrase search and RAKE walk the token stream; the
+    # changepoint windows the full event stream
+    "q_phrase_search",
+    "q_changepoint_binseg",
+    "q_rake_keyphrases",
 ]
 
 

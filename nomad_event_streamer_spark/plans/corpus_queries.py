@@ -3202,3 +3202,128 @@ def q_spearman_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rho_milli"),
     )
+
+
+_RAKE_STOPS = ("the", "a", "of", "and", "to")
+_RAKE_MIN_LEN, _RAKE_MAX_LEN = 2, 6
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    runs AS (
+        SELECT doc_id, pos, tok, st,
+               sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        FROM (SELECT doc_id, pos, tok,
+                     CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END AS st
+              FROM toks)
+    ),
+    members AS (SELECT doc_id, run_id, pos, tok FROM runs WHERE st = 0),
+    cand AS (
+        SELECT doc_id, run_id,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               count(*) AS plen
+        FROM members GROUP BY 1, 2
+        HAVING count(*) BETWEEN {_RAKE_MIN_LEN} AND {_RAKE_MAX_LEN}
+    ),
+    wscore AS (
+        SELECT m.tok, sum(c.plen) * 1000 // count(*) AS ws
+        FROM members m JOIN cand c USING (doc_id, run_id)
+        GROUP BY 1
+    ),
+    pscore AS (
+        SELECT c.phrase, CAST(sum(w.ws) AS BIGINT) AS score_milli
+        FROM cand c
+        JOIN members m USING (doc_id, run_id)
+        JOIN wscore w ON w.tok = m.tok
+        GROUP BY c.doc_id, c.run_id, c.phrase
+    ),
+    ph AS (
+        SELECT phrase, max(score_milli) AS score_milli,
+               CAST(count(*) AS BIGINT) AS n_occ
+        FROM pscore GROUP BY 1
+    )
+    SELECT phrase, score_milli, n_occ,
+           CAST(row_number() OVER (ORDER BY score_milli DESC, phrase)
+                AS BIGINT) AS r
+    FROM ph QUALIFY r <= 10
+    """
+
+
+@query("q_rake_keyphrases", oracle=_rake_oracle())
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, public): candidate
+    phrases are maximal stopword-delimited token runs (length 2-6),
+    word scores are degree/frequency over candidate members (degree =
+    Σ phrase-length across a word's phrases), phrase score = Σ member
+    word scores — the top-10 corpus keyphrases.  Word scores are
+    quantized to milli BEFORE the phrase sum (integer floor, identical
+    both engines), so the whole ranking is under the full hash gate.
+
+    Scale shape: run segmentation is a doc-partitioned running sum
+    (linear, the q_sessionize posture); the word-score table is
+    vocabulary-sized and joins members by token key (map-side combined
+    aggregates on both sides); the final top-10 is orderBy+limit —
+    physically TakeOrderedAndProject (per-partition heaps), never a
+    global sort, with the rank attached to the 10 survivors (the
+    q_path_topk device)."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    flagged = toks.withColumn(
+        "st", F.col("tok").isin(*_RAKE_STOPS).cast("long")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    members = (
+        flagged.withColumn("run_id", F.sum("st").over(wd))
+        .where(F.col("st") == 0)
+        .select("doc_id", "run_id", "pos", "tok")
+    )
+    cand = (
+        members.groupBy("doc_id", "run_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .where(
+            F.col("plen").between(_RAKE_MIN_LEN, _RAKE_MAX_LEN)
+        )
+    )
+    wscore = (
+        members.join(cand.select("doc_id", "run_id", "plen"), ["doc_id", "run_id"])
+        .groupBy("tok")
+        .agg(F.expr("sum(plen) * 1000 div count(1)").alias("ws"))
+    )
+    pscore = (
+        cand.join(members, ["doc_id", "run_id"])
+        .join(wscore, "tok")
+        .groupBy("doc_id", "run_id", "phrase")
+        .agg(F.sum("ws").cast("long").alias("score_milli"))
+    )
+    ph = pscore.groupBy("phrase").agg(
+        F.max("score_milli").alias("score_milli"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+    )
+    top = ph.orderBy(F.col("score_milli").desc(), "phrase").limit(10)
+    wr = Window.orderBy(F.col("score_milli").desc(), "phrase")
+    return top.select(
+        "phrase",
+        "score_milli",
+        "n_occ",
+        F.row_number().over(wr).cast("long").alias("r"),
+    )

@@ -5846,3 +5846,79 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cles_milli"),
         )
     )
+
+
+@query(
+    "q_phrase_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT a.tok AS w1, b.tok AS w2, count(*) AS c
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    ),
+    phrases AS (
+        SELECT w1, w2,
+               row_number() OVER (ORDER BY c DESC, w1, w2) AS phrase_rank
+        FROM bg QUALIFY phrase_rank <= 3
+    )
+    SELECT CAST(p.phrase_rank AS BIGINT) AS phrase_rank, p.w1, p.w2,
+           a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM phrases p
+    JOIN toks a ON a.tok = p.w1
+    JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                AND b.tok = p.w2
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase query — the inverted-index feature
+    q_inverted_index/q_search_topk (bag-of-words postings) cannot
+    answer: per-document occurrence counts of exact ADJACENT bigram
+    phrases (the corpus's own top-3 bigrams as deterministic query
+    phrases).  Adjacency comes from token POSITIONS, the thing a
+    positional index stores beyond doc ids.
+
+    Spark-first shape: the bigram stream is materialized ONCE by a
+    doc-partitioned `lead` window (one linear shuffle — the oracle's
+    pos+1 self-join replayed without the join), then serves BOTH
+    consumers: the top-3 phrase selection (partial top-k via
+    TakeOrderedAndProject on the bigram aggregate) and the hit count
+    (3-row broadcast equi-join back onto the stream).  At 100 TB the
+    posting stream shuffles once on doc_id and the phrase table is
+    always query-sized."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id", "pos", F.col("tok").alias("w1"),
+            F.lead("tok").over(wd).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    top3 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(3)
+    )
+    w3 = Window.orderBy(F.col("c").desc(), "w1", "w2")
+    phrases = top3.select(
+        F.row_number().over(w3).cast("long").alias("phrase_rank"),
+        "w1",
+        "w2",
+    )
+    return (
+        bigrams.join(F.broadcast(phrases), ["w1", "w2"])
+        .groupBy("phrase_rank", "w1", "w2", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )

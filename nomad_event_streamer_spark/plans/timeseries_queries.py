@@ -627,3 +627,98 @@ def q_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("low_cents"),
         F.max_by("cents", "ord").alias("close_cents"),
     )
+
+
+@query(
+    "q_changepoint_binseg",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY epoch_us(ts), event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY event_type
+                         ORDER BY epoch_us(ts), event_id) AS l1,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY event_type) AS ltot
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, rn, ts_us,
+               CAST((CAST(l1 AS HUGEINT) * l1 * (n - rn) * 1000000
+                     + CAST(ltot - l1 AS HUGEINT) * (ltot - l1)
+                       * rn * 1000000)
+                    // (CAST(rn AS HUGEINT) * (n - rn))
+                    - (CAST(ltot AS HUGEINT) * ltot * 1000000 // n)
+                    AS BIGINT) AS gain_micro
+        FROM e WHERE rn < n
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS split_rn,
+           ts_us AS split_ts_us, gain_micro
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY gain_micro DESC, rn) AS rr
+          FROM g)
+    WHERE rr = 1
+    """,
+)
+def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split changepoint detection (the first round of binary
+    segmentation, Scott & Knott 1974 lineage — public): per event type,
+    the split position maximizing the between-segment sum-of-squares
+    gain G(t) = L1²/t + L2²/(n−t) − L²/n over the cents-quantized value
+    series — where the series mean shifts, G peaks.  The CUSUM twin
+    (q_cusum) accumulates deviation; this op picks the argmax split
+    with an EXACT integer gain: every term is rational in the prefix
+    sums, evaluated in DECIMAL(38,0)/HUGEINT with identical flooring
+    (micro-scaled), so argmax and gain are both under the full hash
+    gate.  Headroom: L²·(n−t)·10⁶ ≲ 10³¹ at sf1 — 7 digits of slack.
+
+    Scale shape: prefix sums and ranks are type-partitioned running
+    windows (linear, the q_window_runsum posture); the argmax is a
+    type-partitioned rank — no joins, no grids, one pass."""
+    ev = events(spark, sf_dir)
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("ts_us", "event_id")
+    e = ev.select(
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).select(
+        "event_type",
+        "ts_us",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("l1"),
+        F.sum("cents").over(wt).alias("ltot"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    gain = (
+        f"CAST(({d.format('l1')} * l1 * (n - rn) * 1000000"
+        f" + {d.format('(ltot - l1)')} * (ltot - l1) * rn * 1000000)"
+        f" div ({d.format('rn')} * (n - rn))"
+        f" - ({d.format('ltot')} * ltot * 1000000 div n) AS BIGINT)"
+    )
+    g = e.where(F.col("rn") < F.col("n")).select(
+        "event_type",
+        "rn",
+        "ts_us",
+        F.expr(gain).alias("gain_micro"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("gain_micro").desc(), F.col("rn")
+    )
+    return (
+        g.withColumn("rr", F.row_number().over(wr))
+        .where(F.col("rr") == 1)
+        .select(
+            "event_type",
+            F.col("rn").cast("long").alias("split_rn"),
+            F.col("ts_us").alias("split_ts_us"),
+            "gain_micro",
+        )
+    )

@@ -609,3 +609,52 @@ def test_spearman_ranks_join_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_spearman_sources")
     assert "Join" not in plan
     assert plan.count("Window") == 2
+
+
+ROUND7G_OPS = [
+    "q_phrase_search",
+    "q_changepoint_binseg",
+    "q_rake_keyphrases",
+]
+
+
+@pytest.mark.parametrize("name", ROUND7G_OPS)
+def test_round7g_ops_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phrase_search_phrases_broadcast_topk(spark, sf_dir):
+    """The top-3 phrase table comes from TakeOrderedAndProject (never a
+    global sort of the bigram aggregate) and re-joins the bigram stream
+    as a broadcast; adjacency is a doc-partitioned lead window, not the
+    oracle's pos+1 self-join."""
+    plan = plan_of(spark, sf_dir, "q_phrase_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_changepoint_is_pure_windows(spark, sf_dir):
+    """One pass: type-partitioned prefix sums + the argmax rank — no
+    join node anywhere, no partitionless window (every spec carries the
+    event_type partition key)."""
+    df = QUERIES["q_changepoint_binseg"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert not _partitionless_window_specs(df)
+
+
+def test_rake_topk_is_heap_not_sort(spark, sf_dir):
+    """The final top-10 must be TakeOrderedAndProject over the phrase
+    table (per-partition heaps); the only partitionless window runs on
+    the 10 survivors (the q_path_topk device)."""
+    df = QUERIES["q_rake_keyphrases"](spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit 10" in opt
+    assert opt.index("Window") < opt.index("GlobalLimit"), (
+        "the rank window must sit above the 10-row limit"
+    )
