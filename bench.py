@@ -107,6 +107,8 @@ HEADLINE = [
     "q_phrase_search",
     "q_changepoint_binseg",
     "q_rake_keyphrases",
+    # 7h: the quantization audit scans every embedding cell twice
+    "q_embed_quantize_int8",
 ]
 
 

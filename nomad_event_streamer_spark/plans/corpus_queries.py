@@ -3327,3 +3327,99 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occ",
         F.row_number().over(wr).cast("long").alias("r"),
     )
+
+
+@query(
+    "q_kendall_tau",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    m AS (
+        SELECT source, count(*) AS w, count(DISTINCT tok) AS vocab
+        FROM toks GROUP BY source
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.w - b.w) * (a.vocab - b.vocab) > 0
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.w - b.w) * (a.vocab - b.vocab) < 0
+                    THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.w = b.w THEN 1 ELSE 0 END AS tie_w,
+               CASE WHEN a.vocab = b.vocab THEN 1 ELSE 0 END AS tie_v
+        FROM m a JOIN m b ON a.source < b.source
+    ),
+    agg AS (
+        SELECT count(*) AS n0, sum(conc) AS c, sum(disc) AS d,
+               sum(tie_w) AS tw, sum(tie_v) AS tv
+        FROM pairs
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_pairs, CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           CAST(tw AS BIGINT) AS ties_w, CAST(tv AS BIGINT) AS ties_vocab,
+           CAST(CASE WHEN (n0 - tw) * (n0 - tv) = 0 THEN 0
+                ELSE (CASE WHEN c >= d THEN 1 ELSE -1 END
+                      * ((c - d) * (c - d) * 1000000)
+                      // ((n0 - tw) * (n0 - tv))) END AS BIGINT)
+               AS tau2_sign_ppm
+    FROM agg
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between the q_spearman_sources metric pair
+    (token volume vs vocabulary size per source) — the concordant/
+    discordant-pair view of monotone association, tie-corrected.  The
+    sqrt in tau_b = (C−D)/√((n0−Tw)(n0−Tv)) is kept OUT of the hash
+    gate by reporting sign(C−D)·(C−D)²·10⁶ div ((n0−Tw)(n0−Tv)) — the
+    signed square, exact in integers (the q_corr device), plus the raw
+    C/D/tie counts so the caller owns the one sqrt.
+
+    Scale shape: the fact-scale work is the same (source, tok) agg as
+    Spearman; the pair join runs on the SOURCE-cardinality table (20
+    rows → 190 pairs, broadcast) — domain-sized, never corpus-sized."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    m = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.countDistinct("tok").alias("vocab"),
+    )
+    a = m.select(
+        F.col("source").alias("sa"), F.col("w").alias("wa"),
+        F.col("vocab").alias("va"),
+    )
+    b = m.select(
+        F.col("source").alias("sb"), F.col("w").alias("wb"),
+        F.col("vocab").alias("vb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("sa") < F.col("sb")).select(
+        ((F.col("wa") - F.col("wb")) * (F.col("va") - F.col("vb")) > 0)
+        .cast("long")
+        .alias("conc"),
+        ((F.col("wa") - F.col("wb")) * (F.col("va") - F.col("vb")) < 0)
+        .cast("long")
+        .alias("disc"),
+        (F.col("wa") == F.col("wb")).cast("long").alias("tie_w"),
+        (F.col("va") == F.col("vb")).cast("long").alias("tie_v"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("conc").alias("c"),
+        F.sum("disc").alias("d"),
+        F.sum("tie_w").alias("tw"),
+        F.sum("tie_v").alias("tv"),
+    )
+    return agg.select(
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.col("tw").cast("long").alias("ties_w"),
+        F.col("tv").cast("long").alias("ties_vocab"),
+        F.expr(
+            "CAST(CASE WHEN (n0 - tw) * (n0 - tv) = 0 THEN 0 "
+            "ELSE (CASE WHEN c >= d THEN 1 ELSE -1 END "
+            "* ((c - d) * (c - d) * 1000000)) "
+            "div ((n0 - tw) * (n0 - tv)) END AS BIGINT)"
+        ).alias("tau2_sign_ppm"),
+    )

@@ -5922,3 +5922,77 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase_rank", "w1", "w2", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
+
+
+@query(
+    "q_embed_quantize_int8",
+    oracle="""
+    WITH cells AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    scales AS (SELECT dim, max(abs(q)) AS s FROM cells GROUP BY dim),
+    quant AS (
+        SELECT c.dim, c.q, s.s,
+               CASE WHEN s.s = 0 THEN 0
+                    ELSE CASE WHEN c.q >= 0 THEN 1 ELSE -1 END
+                         * ((2 * abs(c.q) * 127 + s.s) // (2 * s.s))
+               END AS v
+        FROM cells c JOIN scales s USING (dim)
+    )
+    SELECT dim, CAST(max(s) AS BIGINT) AS scale_milli,
+           CAST(sum(abs(127 * q - v * s)) AS BIGINT) AS sum_err_127,
+           CAST(max(abs(127 * q - v * s)) AS BIGINT) AS max_err_127,
+           CAST(max(abs(v)) AS BIGINT) AS max_code
+    FROM quant GROUP BY dim
+    """,
+)
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 absmax quantization audit — the embedding-
+    compression pass every vector store runs before serving, with its
+    reconstruction error made EXACT: symmetric absmax scale s_d =
+    max|q| per dimension, code v = sign(q)·⌊(2·|q|·127 + s)/(2·s)⌋
+    (half-up rounding built from nonneg floor-div only, because Spark's
+    integer `div` truncates toward zero while DuckDB's `//` floors —
+    the sign split makes both engines agree bit-for-bit), and the error
+    ledger |127·q − v·s| stays in the exact 127×milli integer grid (no
+    dequant division at all).  max_code ≤ 127 certifies no clipping.
+
+    Scale shape: one posexplode → (dim, q) stream with TWO map-side-
+    combined 64-group aggregates (scales, then the error rollup) and a
+    64-row broadcast join between them — the fact-scale work is the
+    cell scan, twice."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    cells = vecs.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    scales = cells.groupBy("dim").agg(F.max(F.abs("q")).alias("s"))
+    quant = cells.join(F.broadcast(scales), "dim").select(
+        "dim",
+        "q",
+        "s",
+        F.expr(
+            "CASE WHEN s = 0 THEN 0 ELSE "
+            "CASE WHEN q >= 0 THEN 1 ELSE -1 END "
+            "* ((2 * abs(q) * 127 + s) div (2 * s)) END"
+        ).alias("v"),
+    )
+    return quant.groupBy("dim").agg(
+        F.max("s").cast("long").alias("scale_milli"),
+        F.sum(F.abs(127 * F.col("q") - F.col("v") * F.col("s")))
+        .cast("long")
+        .alias("sum_err_127"),
+        F.max(F.abs(127 * F.col("q") - F.col("v") * F.col("s")))
+        .cast("long")
+        .alias("max_err_127"),
+        F.max(F.abs("v")).cast("long").alias("max_code"),
+    )

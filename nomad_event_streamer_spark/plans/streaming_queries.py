@@ -1007,3 +1007,65 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     assert state["path"] is not None
     return spark.read.parquet(state["path"])
+
+
+@query(
+    "q_stream_ohlc",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               printf('%020d-%010d', epoch_us(ts), event_id) AS ord
+        FROM events
+    )
+    SELECT event_type, window_start_us,
+           CAST(count(*) AS BIGINT) AS n,
+           arg_min(cents, ord) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           arg_max(cents, ord) AS close_cents
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_tumbling_ohlc: the SAME min_by/max_by candle
+    aggregate as a complete-mode streaming window over the bounded file
+    stream — hash-matching the batch oracle proves the candle agg is
+    replay-safe (prefix consistency: micro-batch boundaries cannot
+    change first/last/min/max when the ordering key is carried in the
+    data, not in arrival order).  The zero-padded (ts,id) string key is
+    what makes that true — arrival-order first()/last() would NOT
+    replay (that's the q_stream_late_data rows-only lesson).
+
+    Scale: identical partial-agg shuffle posture to the batch twin;
+    complete-mode state is candle-cardinality (types × hours), bounded
+    by time span, not stream length."""
+    stream = _stream_events(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    e = stream.select(
+        "event_type",
+        F.timestamp_micros(F.col("ts_us")).alias("ts_t"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.format_string("%020d-%010d", "ts_us", "event_id").alias("ord"),
+    )
+    agg = e.groupBy("event_type", F.window("ts_t", "1 hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min_by("cents", "ord").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", "ord").alias("close_cents"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "n",
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+    )

@@ -722,3 +722,127 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gain_micro",
         )
     )
+
+
+@query(
+    "q_sax_symbols",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS bucket,
+               arg_max(CAST(floor(value * 100.0 + 0.5) AS BIGINT),
+                       printf('%020d-%010d', epoch_us(ts), event_id))
+                   AS close_cents
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, close_cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY bucket) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+    ),
+    paa AS (
+        SELECT event_type, (rn - 1) * 8 // n AS seg,
+               sum(close_cents) // count(*) AS paa_cents
+        FROM series GROUP BY 1, 2
+    ),
+    bp AS (
+        SELECT event_type,
+               CAST(percentile_disc(0.25)
+                    WITHIN GROUP (ORDER BY paa_cents) AS BIGINT) AS b1,
+               CAST(percentile_disc(0.50)
+                    WITHIN GROUP (ORDER BY paa_cents) AS BIGINT) AS b2,
+               CAST(percentile_disc(0.75)
+                    WITHIN GROUP (ORDER BY paa_cents) AS BIGINT) AS b3
+        FROM paa GROUP BY 1
+    )
+    SELECT p.event_type,
+           string_agg(CASE WHEN p.paa_cents <= b.b1 THEN 'a'
+                           WHEN p.paa_cents <= b.b2 THEN 'b'
+                           WHEN p.paa_cents <= b.b3 THEN 'c'
+                           ELSE 'd' END, '' ORDER BY p.seg) AS sax_word,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(min(p.paa_cents) AS BIGINT) AS min_paa_cents,
+           CAST(max(p.paa_cents) AS BIGINT) AS max_paa_cents
+    FROM paa p JOIN bp b USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic aggregate approximation (Lin et al. 2003, public)
+    of each event type's hourly close series: 8-segment PAA (integer
+    floor-div means over equal row ranges) symbolized against EXACT
+    discrete quartiles of the PAA distribution (percentile_disc picks
+    actual data values — no interpolation, no Gaussian-table floats),
+    yielding the 8-letter SAX word a time-series index stores.  The
+    hourly series reuses the q_tumbling_ohlc close device (max_by over
+    the zero-padded (ts,id) key), so every stage is hash-gated.
+
+    Scale shape: the candle agg is the only fact-scale term; the
+    series/PAA/breakpoint stages run on candle-cardinality tables with
+    type-partitioned windows, and the word assembly is 8 rows per
+    type."""
+    ev = events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("ts_us div 3600000000").alias("bucket"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.format_string("%020d-%010d", "ts_us", "event_id").alias("ord"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max_by("cents", "ord").alias("close_cents"))
+    )
+    wt = Window.partitionBy("event_type")
+    series = hourly.select(
+        "event_type",
+        "close_cents",
+        F.row_number().over(wt.orderBy("bucket")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    paa = (
+        series.groupBy(
+            "event_type",
+            F.expr("(rn - 1) * 8 div n").alias("seg"),
+        )
+        .agg(F.expr("sum(close_cents) div count(1)").alias("paa_cents"))
+    )
+    bp = paa.groupBy("event_type").agg(
+        F.expr(
+            "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY paa_cents)"
+            " AS BIGINT)"
+        ).alias("b1"),
+        F.expr(
+            "CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY paa_cents)"
+            " AS BIGINT)"
+        ).alias("b2"),
+        F.expr(
+            "CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY paa_cents)"
+            " AS BIGINT)"
+        ).alias("b3"),
+    )
+    sym = paa.join(F.broadcast(bp), "event_type").select(
+        "event_type",
+        "seg",
+        "paa_cents",
+        F.expr(
+            "CASE WHEN paa_cents <= b1 THEN 'a' "
+            "WHEN paa_cents <= b2 THEN 'b' "
+            "WHEN paa_cents <= b3 THEN 'c' ELSE 'd' END"
+        ).alias("sym"),
+    )
+    return sym.groupBy("event_type").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                lambda s: s["sym"],
+            ),
+        ).alias("sax_word"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.min("paa_cents").cast("long").alias("min_paa_cents"),
+        F.max("paa_cents").cast("long").alias("max_paa_cents"),
+    )

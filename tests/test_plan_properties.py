@@ -658,3 +658,39 @@ def test_rake_topk_is_heap_not_sort(spark, sf_dir):
     assert opt.index("Window") < opt.index("GlobalLimit"), (
         "the rank window must sit above the 10-row limit"
     )
+
+
+def test_embed_quantize_scales_broadcast(spark, sf_dir):
+    """The 64-row per-dim scale table re-attaches to the cell stream as
+    a broadcast; both aggregates are map-side-combined hash aggregates;
+    no window, no cartesian."""
+    plan = plan_of(spark, sf_dir, "q_embed_quantize_int8")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 aggs
+
+
+def test_kendall_pair_join_is_domain_sized(spark, sf_dir):
+    """The theta pair join (sa < sb) is a BroadcastNestedLoopJoin over
+    the SOURCE-cardinality aggregate — legal here because both sides
+    are domain tables (the eval-grid precedent), never the corpus."""
+    plan = plan_of(spark, sf_dir, "q_kendall_tau")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the pair join's inputs are aggregates, not scans: two partial+
+    # final pairs (metric agg) must sit below it
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_sax_post_candle_stages_are_domain_sized(spark, sf_dir):
+    """The candle agg is the only fact-scale term; PAA/breakpoint/word
+    stages join on broadcast type-keyed tables — no cartesian, no
+    sort-merge join, and every window spec carries the event_type
+    partition key."""
+    df = QUERIES["q_sax_symbols"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert not _partitionless_window_specs(df)
