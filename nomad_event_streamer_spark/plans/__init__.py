@@ -45,8 +45,8 @@ from . import sql_features  # noqa: E402,F401
 # stale-evidence refresh, not window-stuffing; the documented RE_VERIFY
 # allowance in tests/test_driver_window.py names exactly these).
 # Every slug below is hash-oracled — no window slot is spent on a
-# rows-only check.  Registry at HEAD: 329 queries / 318 oracled
-# (the 29 post-rotation round-7 additions — the q_recursive_cte /
+# rows-only check.  Registry at HEAD: 331 queries / 320 oracled
+# (the 31 post-rotation round-7 additions — the q_recursive_cte /
 # q_lateral_topk / q_null_safe_join / q_sql_udf / q_pipe_syntax /
 # q_collation_filter SQL-surface family, q_pr_curve, the 7c batch
 # q_gopher_rules / q_vocab_coverage / q_eval_prf_macro /
@@ -55,10 +55,11 @@ from . import sql_features  # noqa: E402,F401
 # q_drift_tri / q_rbo_overlap, the 7e statistics/verify quartet
 # q_dedup_verify_editdist / q_mann_whitney / q_cramers_v /
 # q_spearman_sources, the 7g text/series trio q_phrase_search /
-# q_changepoint_binseg / q_rake_keyphrases, and the 7h trio
+# q_changepoint_binseg / q_rake_keyphrases, the 7h quartet
 # q_stream_ohlc / q_embed_quantize_int8 / q_kendall_tau /
-# q_sax_symbols — carry sim oracle evidence this round and rotate
-# into the r08 window next).
+# q_sax_symbols, and the 7i eval pair q_eval_mrr /
+# q_langid_confusion — carry sim oracle evidence this round and
+# rotate into the r08 window next).
 # Cumulative hard driver-PASS target after this window: 289 = every
 # hash-oracled slug in the registry.
 # tests/test_driver_window.py::test_ledger_comment_matches_registry

@@ -5996,3 +5996,69 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_err_127"),
         F.max(F.abs("v")).cast("long").alias("max_code"),
     )
+
+
+@query(
+    "q_langid_confusion",
+    oracle=None,  # assigned below: composes q_lang_id's registered oracle
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: the confusion matrix of q_lang_id's
+    rule-based prediction against the corpus's TRUE ``lang`` column —
+    per (true, predicted) cell count plus per-true-class support and
+    integer recall (the diagonal cell's share, milli).  This is the
+    audit that decides whether the cheap marker-token classifier is
+    good enough to gate a crawl, and it composes q_lang_id's oracle
+    verbatim (the q_rrf_fusion device), so the two can never drift.
+
+    Scale shape: one scan through the classifier's array-expression
+    scoring (no explode, no shuffle) into a (true, pred) cell aggregate
+    — cells are |langs|², the support re-attach is a broadcast of the
+    |langs|-row marginal."""
+    pred = q_lang_id(spark, sf_dir).select(
+        F.col("lang").alias("true_lang"), "predicted_lang"
+    )
+    cells = pred.groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    support = cells.groupBy("true_lang").agg(
+        F.sum("n").cast("long").alias("support")
+    )
+    return cells.join(F.broadcast(support), "true_lang").select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        "support",
+        F.expr(
+            "CASE WHEN true_lang = predicted_lang "
+            "THEN n * 1000 div support ELSE 0 END"
+        )
+        .cast("long")
+        .alias("recall_milli"),
+    )
+
+
+# Compose the registered q_lang_id oracle so the confusion matrix and
+# the classifier can never drift (the ORACLES dict is populated by the
+# decorator above, so this assignment must follow both registrations).
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["q_langid_confusion"] = f"""
+    WITH pred AS (
+        SELECT lang AS true_lang, predicted_lang
+        FROM ({_ORACLES["q_lang_id"]})
+    ),
+    cells AS (
+        SELECT true_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    sup AS (
+        SELECT true_lang, CAST(sum(n) AS BIGINT) AS support
+        FROM cells GROUP BY 1
+    )
+    SELECT c.true_lang, c.predicted_lang, c.n, s.support,
+           CAST(CASE WHEN c.true_lang = c.predicted_lang
+                THEN c.n * 1000 // s.support ELSE 0 END AS BIGINT)
+               AS recall_milli
+    FROM cells c JOIN sup s USING (true_lang)
+    """

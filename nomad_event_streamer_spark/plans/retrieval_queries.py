@@ -579,3 +579,79 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxsim_micro",
         "mmr10_micro",
     )
+
+
+def _mrr_oracle() -> str:
+    return f"""
+    WITH {_sem_topk_cte(f"vec_id < {_NDCG_N_QUERIES}", _NDCG_K)},
+    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS l FROM embeddings
+            WHERE label IS NOT NULL),
+    firsts AS (
+        SELECT r.query_id, min(r.sem_rank) AS first_rank
+        FROM sem_ranked r
+        JOIN lab nl ON nl.vec_id = r.neighbor_id
+        JOIN lab ql ON ql.vec_id = r.query_id
+        WHERE nl.l = ql.l
+        GROUP BY 1
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(coalesce(f.first_rank, 0) AS BIGINT) AS first_rel_rank,
+           CAST(CASE WHEN f.first_rank IS NULL THEN 0
+                ELSE 1000000 // f.first_rank END AS BIGINT) AS rr_micro
+    FROM (SELECT vec_id FROM lab WHERE vec_id < {_NDCG_N_QUERIES}) q
+    LEFT JOIN firsts f ON f.query_id = q.vec_id
+    """
+
+
+@query("q_eval_mrr", oracle=_mrr_oracle())
+def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank scorecard on the shared retrieval scaffold
+    (same 50 queries, same quantized-exact top-10, same class-label
+    relevance as q_ndcg_int): per query the rank of the FIRST relevant
+    result and its reciprocal in exact micro units (10⁶ div rank — the
+    harmonic ladder 1e6, 5e5, 333333, ... is integer-identical in both
+    engines), 0 when no relevant result lands in the top 10.  MRR is
+    the metric navigational retrieval reads where NDCG reads graded
+    gain — one row per query so the driver hash-gates the whole ladder,
+    and the caller's mean is a trivial integer sum.
+
+    Scale: identical posture to q_ndcg_int — broadcast queries x one
+    corpus scan, label joins keyed by vec_id, k rows per query."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < _NDCG_N_QUERIES)
+    ranked = _sem_topk_spark(vecs, queries, k=_NDCG_K)
+    lab = vecs.where(F.col("label").isNotNull()).select(
+        F.col("vec_id"), F.col("label").cast("long").alias("l")
+    )
+    firsts = (
+        ranked.join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("l").alias("nl")
+            ),
+            "neighbor_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("query_id"), F.col("l").alias("ql")
+            ),
+            "query_id",
+        )
+        .where(F.col("nl") == F.col("ql"))
+        .groupBy("query_id")
+        .agg(F.min("sem_rank").alias("first_rank"))
+    )
+    qs = lab.where(F.col("vec_id") < _NDCG_N_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return qs.join(firsts, "query_id", "left").select(
+        "query_id",
+        F.coalesce("first_rank", F.lit(0))
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.expr(
+            "CASE WHEN first_rank IS NULL THEN 0 "
+            "ELSE 1000000 div first_rank END"
+        )
+        .cast("long")
+        .alias("rr_micro"),
+    )

@@ -694,3 +694,24 @@ def test_sax_post_candle_stages_are_domain_sized(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert not _partitionless_window_specs(df)
+
+
+def test_eval_mrr_inherits_retrieval_posture(spark, sf_dir):
+    """Same scaffold as q_ndcg_int: broadcast query side (the
+    crossJoin-broadcast BroadcastNestedLoopJoin), label joins keyed by
+    vec_id, no cartesian."""
+    plan = plan_of(spark, sf_dir, "q_eval_mrr")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the broadcast query side
+    assert "Window" in plan  # the per-query rank
+
+
+def test_langid_confusion_is_scan_plus_cell_aggs(spark, sf_dir):
+    """The classifier is array expressions (no Generate); the confusion
+    rollup is two cell-table aggregates and one broadcast marginal
+    join."""
+    plan = plan_of(spark, sf_dir, "q_langid_confusion")
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
