@@ -273,12 +273,19 @@ def kcore(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # Carry the previous round's edge count forward — re-counting the
+    # prior edge list each round doubled the count jobs (ADVICE r07).
+    n_before = e.count()
+    for rounds in range(1, max_iter + 1):
         e2 = _peel_once(e, k).localCheckpoint(eager=False)
-        n_before = e.count()
         n_after = e2.count()
         e = e2
         if n_after == n_before:
+            # Convergence round, observable by callers/tests so the
+            # oracle's fixed unroll count can be asserted >= the
+            # measured peel depth (ADVICE r07: a graph deeper than the
+            # unroll would silently yield a partially-peeled oracle).
+            kcore.last_peel_rounds = rounds
             und = e.select("s", "d").union(
                 e.select(F.col("d").alias("s"), F.col("s").alias("d"))
             )
@@ -287,6 +294,7 @@ def kcore(
                 .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
                 .select(F.col("s").alias("doc_id"), "core_degree")
             )
+        n_before = n_after
     raise RuntimeError(f"kcore did not converge in {max_iter} peels")
 
 

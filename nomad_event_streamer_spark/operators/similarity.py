@@ -1105,7 +1105,12 @@ def lsh_amplification_table(
     configs = spark.range(1, num_tables + 1).select(
         F.col("id").cast("long").alias("num_tables")
     )
-    per_t = (
+    # Aggregate from the configs relation via LEFT join so a
+    # configuration whose first T tables surface ZERO candidate pairs
+    # still emits an explicit (T, 0, 0) row — groupBy over the pair set
+    # alone omits empty groups, silently dropping tuning-table rows
+    # (ADVICE r07).  The DuckDB oracle mirrors the same LEFT join.
+    per_t_nonempty = (
         scored.crossJoin(F.broadcast(configs))
         .where(F.col("min_t") < F.col("num_tables"))
         .groupBy("num_tables")
@@ -1115,6 +1120,11 @@ def lsh_amplification_table(
             .cast("long")
             .alias("n_confirmed"),
         )
+    )
+    per_t = configs.join(per_t_nonempty, "num_tables", "left").select(
+        "num_tables",
+        F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce("n_confirmed", F.lit(0)).cast("long").alias("n_confirmed"),
     )
     full = scored.agg(
         F.sum((F.col("cos_milli") >= threshold_milli).cast("long"))

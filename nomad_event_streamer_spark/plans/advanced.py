@@ -989,12 +989,15 @@ def _lsh_amplification_oracle(
         JOIN z zb ON zb.vec_id = id_b
     ),
     cfg(num_tables) AS (SELECT * FROM (VALUES {cfg_rows})),
+    -- LEFT JOIN from cfg so a zero-candidate configuration still emits
+    -- an explicit (T, 0, 0) row (mirrors the operator's configs-side
+    -- left join; ADVICE r07).
     per_t AS (
-        SELECT CAST(num_tables AS BIGINT) AS num_tables,
-               CAST(count(*) AS BIGINT) AS n_candidates,
-               CAST(sum(CASE WHEN cos_milli >= {threshold_milli}
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed
-        FROM scored JOIN cfg ON min_t < num_tables
+        SELECT CAST(cfg.num_tables AS BIGINT) AS num_tables,
+               CAST(count(scored.id_a) AS BIGINT) AS n_candidates,
+               CAST(coalesce(sum(CASE WHEN cos_milli >= {threshold_milli}
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_confirmed
+        FROM cfg LEFT JOIN scored ON min_t < cfg.num_tables
         GROUP BY 1
     ),
     full_ AS (

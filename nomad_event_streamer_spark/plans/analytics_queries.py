@@ -1127,12 +1127,15 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST((CAST(o AS HUGEINT)*n - r*cc)
                     * (CAST(o AS HUGEINT)*n - r*cc) * 1000000
                     // (CAST(n AS HUGEINT) * r * cc) AS BIGINT) AS term,
-               n
+               n, et, cohort
         FROM grid
     )
     SELECT CAST(max(n) AS BIGINT) AS n,
            CAST(sum(term) AS BIGINT) AS chi2_ppm,
-           CAST(sum(term) * 1000 // (max(n) * 4) AS BIGINT) AS v2_ppb
+           CAST(sum(term) * 1000
+                // (max(n) * (least(count(DISTINCT et),
+                                    count(DISTINCT cohort)) - 1))
+                AS BIGINT) AS v2_ppb
     FROM t
     """,
 )
@@ -1144,8 +1147,11 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     the q_drift_tri device: each chi² term is
     (o·n − r·c)²·10⁶ div (n·r·c) in DECIMAL(38,0) (identical flooring
     both engines), chi2_ppm sums them, and v2_ppb = chi²/(n·(k−1)) with
-    k−1 = min(5,8)−1 = 4 — V² in parts-per-billion, sqrt-free so the
-    hash gate holds (V itself is the caller's one sqrt).
+    k−1 = least(|et|, |cohort|) − 1 COMPUTED from the data in both
+    engines (ADVICE r07: a hardcoded 4 would misstate V² consistently
+    in both engines if event-type cardinality ever changed — invisible
+    to the hash gate) — V² in parts-per-billion, sqrt-free so the hash
+    gate holds (V itself is the caller's one sqrt).
 
     Scale shape: ONE (type, cohort) fact aggregate (40 cells), then
     everything is cell-table-sized: marginals are 5- and 8-row
@@ -1176,11 +1182,14 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = f"({d.format('o')} * n - {d.format('r')} * cc)"
     term = f"CAST(({num} * {num} * 1000000) div ({d.format('n')} * r * cc) AS BIGINT)"
     return (
-        grid.select(F.expr(term).alias("term"), "n")
+        grid.select(F.expr(term).alias("term"), "n", "et", "cohort")
         .agg(
             F.max("n").cast("long").alias("n"),
             F.sum("term").cast("long").alias("chi2_ppm"),
-            F.expr("sum(term) * 1000 div (max(n) * 4)")
+            F.expr(
+                "sum(term) * 1000 div (max(n)"
+                " * (least(count(DISTINCT et), count(DISTINCT cohort)) - 1))"
+            )
             .cast("long")
             .alias("v2_ppb"),
         )

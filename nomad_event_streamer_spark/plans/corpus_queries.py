@@ -2040,8 +2040,11 @@ def q_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((tp+fp)(tp+fn)(tn+fp)(tn+fn)) — the float sqrt is left to the
     reader so every emitted value is an exact integer under the hash
     gate — and balanced accuracy ((sensitivity+specificity)/2) in
-    integer milli (all divisions on non-negative ints, so Spark's
-    truncating ``div`` and DuckDB's flooring ``//`` agree).
+    integer milli (all divisions on non-negative ints, where truncating
+    and flooring division coincide — Spark's ``div`` and DuckDB's
+    ``//`` in fact BOTH truncate toward zero (DuckDB 1.0: -7//2 = -3),
+    but keeping operands non-negative also guards engines/versions
+    that floor).
 
     Plan: same posture as q_knn_eval — predictions reuse the shared
     scaffold, the confusion grid is a broadcast nested-loop over the
@@ -2146,9 +2149,11 @@ def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_pt = Σ_k (#predicted k)·(#true k), kappa = (c·s - sum_pt) /
     (s² - sum_pt), so numerator and denominator are integer-exact and
     the milli quantization handles a negative numerator (worse than
-    chance) by dividing magnitudes and re-applying the sign — the one
-    formulation where Spark's truncating ``div`` and DuckDB's flooring
-    ``//`` provably agree.
+    chance) by dividing magnitudes and re-applying the sign.  (Note:
+    Spark's ``div`` and DuckDB's ``//`` in fact BOTH truncate toward
+    zero — DuckDB 1.0: -7//2 = -3 — so the sign split is defense in
+    depth against engines/versions that floor, not a requirement of
+    these two; the magnitudes-only form is provably engine-agnostic.)
 
     Plan: two label-keyed counts over the 100-row prediction set joined
     on the ~10-label key, one global sum, one broadcast 1x1 cross —

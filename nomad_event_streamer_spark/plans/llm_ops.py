@@ -5955,9 +5955,11 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression pass every vector store runs before serving, with its
     reconstruction error made EXACT: symmetric absmax scale s_d =
     max|q| per dimension, code v = sign(q)·⌊(2·|q|·127 + s)/(2·s)⌋
-    (half-up rounding built from nonneg floor-div only, because Spark's
-    integer `div` truncates toward zero while DuckDB's `//` floors —
-    the sign split makes both engines agree bit-for-bit), and the error
+    (half-up rounding built from nonneg div only — on non-negative
+    operands truncation and flooring coincide, so the sign split makes
+    ANY engine pair agree bit-for-bit; Spark's `div` and DuckDB's `//`
+    in fact both truncate toward zero, DuckDB 1.0: -7//2 = -3, so the
+    split is defense in depth, not a requirement), and the error
     ledger |127·q − v·s| stays in the exact 127×milli integer grid (no
     dequant division at all).  max_code ≤ 127 certifies no clipping.
 

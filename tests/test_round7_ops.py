@@ -250,3 +250,20 @@ class TestKcore:
         r1 = {(r["doc_id"], r["core_degree"]) for r in core1.collect()}
         r2 = {(r["doc_id"], r["core_degree"]) for r in core2.collect()}
         assert r1 == r2
+
+    def test_peel_depth_within_oracle_unroll(self, core, spark, sf_dir):
+        # ADVICE r07: the DuckDB oracle unrolls a FIXED 8 peel rounds
+        # while the operator iterates to a verified fixpoint; a graph
+        # with peel depth > 8 would silently yield a partially-peeled
+        # oracle result and a latent parity mismatch.  The operator
+        # records its convergence round — pin it under the unroll count
+        # (the `core` fixture has already materialized q_kcore, so
+        # last_peel_rounds reflects the oracled corpus/parameters).
+        from nomad_event_streamer_spark.operators.graph import kcore
+
+        depth = getattr(kcore, "last_peel_rounds", None)
+        assert depth is not None, "kcore never converged / never ran"
+        assert depth <= 8, (
+            f"measured peel depth {depth} exceeds the oracle's 8 "
+            "unrolled rounds — raise kcore_oracle_sql(rounds=...)"
+        )
