@@ -20,6 +20,53 @@ import time
 from nomad_event_streamer_spark.plans import all_queries
 from nomad_event_streamer_spark.session import get_spark
 
+# FROZEN cross-round comparison core (VERDICT r07 item #2): exactly the 37
+# queries BENCH_r06.json measured, in its order.  The full HEADLINE set
+# grows every round (37 -> 67 -> ...), which makes round-over-round totals a
+# set-diff exercise; this list NEVER changes, so `core37_wall_sec` in any
+# two BENCH_r*.json artifacts (r08+) is directly comparable forever.
+# Deliberately a separate literal, not HEADLINE[:37] — reordering or
+# curating HEADLINE must not be able to silently redefine the core.
+CORE37 = [
+    "q_scan_project",
+    "q_agg_groupby",
+    "q_count_distinct",
+    "q_agg_rollup",
+    "q_dedup_latest",
+    "q_window_rank",
+    "q_window_runsum",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_range",
+    "q_topk",
+    "q_explode_tokens",
+    "q_time_bucket",
+    "q_case_when_state",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_ngram_jaccard",
+    "q_simhash",
+    "q_text_stats",
+    "q_sim_topk",
+    "q_sim_ann",
+    "q_multimodal_decode",
+    "q_sessionize",
+    "q_tfidf_top3",
+    "q_minhash_est",
+    "q_dedup_embed",
+    "q_join_agg_topk",
+    "q_star_join",
+    "q_sim_topk_int",
+    "q_hll_registers",
+    "q_triangles",
+    "q_funnel",
+    "q_mix_budget",
+    "q_quantile_hist",
+    "q_dataset_shuffle",
+    "q_unigram_surprisal",
+    "q_curation_pipeline",
+]
+
 HEADLINE = [
     "q_scan_project",
     "q_agg_groupby",
@@ -186,11 +233,16 @@ def main() -> None:
     # evidence-laden single line truncated the headline away
     # (BENCH_r05.json "parsed": null).  The LAST stdout line must stay the
     # compact r04-shaped object.
+    missing_core = [q for q in CORE37 if q not in timings]
+    assert not missing_core, f"frozen core queries absent from HEADLINE: {missing_core}"
+    core_total = sum(timings[q] for q in CORE37)
+
     evidence = {
         "stat": "median",
         "runs_per_query": runs_per_query,
         "runs": all_runs,
         "plan_fp": plan_fps,
+        "core37_wall_sec": round(core_total, 3),
         "sf": sf,
     }
     evidence_path = os.environ.get(
@@ -208,6 +260,10 @@ def main() -> None:
                 "metric": "headline_queries_wall_sec",
                 "value": round(total, 3),
                 "unit": "sec",
+                # frozen r06 37-query core (VERDICT r07 item #2): the
+                # round-over-round comparable number; `value` covers the
+                # growing full set.
+                "core37_wall_sec": round(core_total, 3),
                 "queries": timings,
                 "sf": sf,
             }
