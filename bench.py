@@ -156,6 +156,14 @@ HEADLINE = [
     "q_rake_keyphrases",
     # 7h: the quantization audit scans every embedding cell twice
     "q_embed_quantize_int8",
+    # round-8 curation ops with fact-scale cost: the canonicalizer is
+    # the regex-heaviest per-row pipeline (9 regexes + HOF sort), the
+    # PII scorecard runs 3 regexp_extract_all over the full text, and
+    # Kneser-Ney walks the bigram stream into three count tables (the
+    # cheap rollup/sharding ops stay un-benched)
+    "q_url_canon",
+    "q_pii_scorecard",
+    "q_kneser_ney",
 ]
 
 

@@ -23,6 +23,7 @@ from . import analytics_queries  # noqa: E402,F401
 from . import corpus_queries  # noqa: E402,F401
 from . import retrieval_queries  # noqa: E402,F401
 from . import sql_features  # noqa: E402,F401
+from . import curation_queries  # noqa: E402,F401
 
 
 # The verification driver records hard CORRECTNESS rows for only the FIRST
@@ -31,119 +32,107 @@ from . import sql_features  # noqa: E402,F401
 # time-series / sketches / hard LLM ops; round 4 covered storage/CDC, set
 # ops, scalar-function and agg/window families; round 5 covered the round-4
 # corpus/analytics families plus the promoted IVF/PQ/BPE oracles; round 6
-# covered the round-5 retrieval/eval/sketch + streaming families — six
-# consecutive 50/50-PASS windows, cumulative hard driver-PASS after r06:
-# 246 distinct slugs.
-# Round 7 (VERDICT r06 item #1) FINISHES the driver-verification program:
-# the window leads with all 37 never-driver-verified slugs (the 19-slug
-# round-6 op family + the 18 older sim-only extras/streaming slugs — every
-# one judge-run-oracle-verified green in the r06 verdict session), then the
-# 6 NEW round-7 ops (q_eval_mcc, q_eval_kappa, q_card_dedup_yield,
-# q_perplexity_buckets, q_embed_lsh_tuning, q_kcore), and fills the last
-# 7 slots re-verifying the CPU-heavy dedup family whose physical plans changed
-# THIS round (rebalance_for_cpu factor 2 -> 1, tables.py —
-# stale-evidence refresh, not window-stuffing; the documented RE_VERIFY
-# allowance in tests/test_driver_window.py names exactly these).
-# Every slug below is hash-oracled — no window slot is spent on a
-# rows-only check.  Registry at HEAD: 331 queries / 320 oracled
-# (the 31 post-rotation round-7 additions — the q_recursive_cte /
-# q_lateral_topk / q_null_safe_join / q_sql_udf / q_pipe_syntax /
-# q_collation_filter SQL-surface family, q_pr_curve, the 7c batch
-# q_gopher_rules / q_vocab_coverage / q_eval_prf_macro /
-# q_asof_nearest / q_xml_parse / q_hof_reduce / q_tumbling_ohlc /
-# q_scc / q_stream_foreachbatch_upsert, the 7d pair
-# q_drift_tri / q_rbo_overlap, the 7e statistics/verify quartet
-# q_dedup_verify_editdist / q_mann_whitney / q_cramers_v /
-# q_spearman_sources, the 7g text/series trio q_phrase_search /
-# q_changepoint_binseg / q_rake_keyphrases, the 7h quartet
-# q_stream_ohlc / q_embed_quantize_int8 / q_kendall_tau /
-# q_sax_symbols, and the 7i eval pair q_eval_mrr /
-# q_langid_confusion — carry sim oracle evidence this round and
-# rotate into the r08 window next).
-# Cumulative hard driver-PASS target after this window: 289 = every
-# hash-oracled slug in the registry.
-# tests/test_driver_window.py::test_ledger_comment_matches_registry
-# pins these counts so this comment can never go stale again.
+# covered the round-5 retrieval/eval/sketch + streaming families; round 7
+# covered the 37 previously never-driver-seen slugs + the 6 new round-7 ops
+# + a 7-slug plan-change re-verify — seven consecutive 50/50-PASS windows,
+# cumulative hard driver hash-PASS after r07: 289 distinct slugs.
+# Round 8 (VERDICT r07 item #1) COMPLETES the program: the window holds
+# every slug without hard driver evidence —
+#   - the 31 round-7 additions judge-oracle-verified green in the r07
+#     verdict session (SQL-surface family, 7c/7d/7e/7g/7h/7i batches),
+#   - the 8 NEW round-8 curation ops (q_url_canon, q_domain_rollup,
+#     q_mojibake, q_pii_scorecard, q_license_detect, q_kneser_ney,
+#     q_hhi_concentration, q_shard_plan — all hash-oracled on arrival),
+#   - and, for the first time, the 11 rows-only-BY-DESIGN slugs
+#     (float/HLL/arrival-order semantics; each has a hash-oracled twin)
+#     so they collect the driver's rows>0 evidence and the cumulative
+#     ledger reaches the full registry: 339/339 driver-seen
+#     (328 hash + 11 rows-only).
+# Registry at HEAD: 339 queries / 328 oracled.
+# tests/test_driver_window.py pins: the counts in this comment, the
+# 50-slug shape, the rows-only allowance (exactly ROWS_ONLY_R08), the
+# no-re-verify rule, and the rotation-completeness rule (every slug
+# without cumulative driver evidence must sit in the window head —
+# VERDICT r07 item #6).
 DRIVER_WINDOW: list[str] = [
-    # round-6 op family — never driver-seen (judge-oracle-verified r06) — 19
-    "q_asof_forward",
-    "q_cdc_time_travel",
-    "q_audio_resample",
-    "q_image_resize",
-    "q_theta_intersect",
-    "q_theta_anotb",
-    "q_dedup_bloom",
-    "q_stream_session_dedup",
-    "q_ivf_append",
-    "q_hashtext_classify",
-    "q_stupid_backoff",
-    "q_chunk_sliding",
-    "q_lsh_tuning",
-    "q_ks_test",
-    "q_quantile_normalize",
-    "q_bpe_fertility",
-    "q_embed_drift",
-    "q_dataset_card",
-    "q_csv_roundtrip",
-    # older sim-only slugs — never driver-seen (judge-oracle-verified
-    # r06): extras scalar/window/setop family + the two r06-promoted
-    # oracles — 18
-    "q_bpe_token_count",
-    "q_corr",
-    "q_cross_join_grid",
-    "q_first_last",
-    "q_ratio_to_report",
-    "q_skew_join_salted",
-    "q_stack_inline",
-    "q_stream_late_metrics",
-    "q_stream_nomad_pipeline",
-    "q_subquery_correlated",
-    "q_subquery_scalar",
-    "q_unpivot",
-    "q_webhook_payload",
-    "q_window_misc",
-    "q_window_ntile",
-    "q_window_range",
-    "q_winsorize",
-    "q_zscore",
-    # NEW round-7 ops (VERDICT r06 item #7 + the CCNet bucketing,
-    # OR-amplification, and k-core seams) — 6
-    "q_eval_mcc",
-    "q_eval_kappa",
-    "q_card_dedup_yield",
-    "q_perplexity_buckets",
-    "q_embed_lsh_tuning",
-    "q_kcore",
-    # re-verify: CPU-heavy dedup/corpus family whose physical plans
-    # changed this round (rebalance_for_cpu factor 2 -> 1) — 7
-    # (q_dedup_stats yielded its slot to q_perplexity_buckets — its
-    # cluster path is re-verified via q_dedup_clusters and exercised by
-    # the new q_card_dedup_yield; q_simhash yielded to
-    # q_embed_lsh_tuning — smallest measured A/B delta of the family;
-    # q_dedup_incremental yielded to q_kcore — its minhash chain is
-    # re-verified via q_dedup_minhash and its own logic is unchanged)
-    "q_dedup_minhash",
-    "q_minhash_est",
-    "q_ngram_jaccard",
-    "q_curation_pipeline",
-    "q_tfidf_top3",
-    "q_multimodal_decode",
-    "q_dedup_clusters",
+    # round-7 additions, judge-oracle-verified r07, never driver-seen - 31
+    "q_asof_nearest",
+    "q_changepoint_binseg",
+    "q_collation_filter",
+    "q_cramers_v",
+    "q_dedup_verify_editdist",
+    "q_drift_tri",
+    "q_embed_quantize_int8",
+    "q_eval_mrr",
+    "q_eval_prf_macro",
+    "q_gopher_rules",
+    "q_hof_reduce",
+    "q_kendall_tau",
+    "q_langid_confusion",
+    "q_lateral_topk",
+    "q_mann_whitney",
+    "q_null_safe_join",
+    "q_phrase_search",
+    "q_pipe_syntax",
+    "q_pr_curve",
+    "q_rake_keyphrases",
+    "q_rbo_overlap",
+    "q_recursive_cte",
+    "q_sax_symbols",
+    "q_scc",
+    "q_spearman_sources",
+    "q_sql_udf",
+    "q_stream_foreachbatch_upsert",
+    "q_stream_ohlc",
+    "q_tumbling_ohlc",
+    "q_vocab_coverage",
+    "q_xml_parse",
+    # NEW round-8 curation ops (hash-oracled on arrival) - 8
+    "q_url_canon",
+    "q_domain_rollup",
+    "q_mojibake",
+    "q_pii_scorecard",
+    "q_license_detect",
+    "q_kneser_ney",
+    "q_hhi_concentration",
+    "q_shard_plan",
+    # rows-only by design (driver records the rows>0 check) - 11
+    "q_approx_count_distinct",
+    "q_approx_quantiles",
+    "q_dedup_embed",
+    "q_hll_rollup",
+    "q_pca_gram",
+    "q_sim_ann",
+    "q_sim_ivf",
+    "q_sim_ivfpq",
+    "q_sim_pq",
+    "q_sim_topk",
+    "q_stream_late_data",
 ]
 
-# Round-7 re-verification allowance (the ONLY slugs the window may spend
-# slots on despite a prior driver-PASS row): their optimized plans changed
-# this round via the rebalance_for_cpu factor change, so the old evidence
-# describes a plan that no longer exists.
-RE_VERIFY_R07: frozenset[str] = frozenset(
+# Round-8 re-verification allowance: EMPTY — no optimized plan changed in a
+# way that stales prior driver evidence this round, so the window spends no
+# slot on an already-PASS slug.
+RE_VERIFY_R08: frozenset[str] = frozenset()
+
+# The rows-only slugs the round-8 window deliberately carries (VERDICT r07
+# item #1: their rows>0 driver check completes the 339/339 cumulative
+# ledger).  Each is rows-only BY DESIGN (float cosine membership,
+# DataSketches HLL internals, arrival-order late-data) and each has a
+# hash-oracled integer/deterministic twin in the registry.
+ROWS_ONLY_R08: frozenset[str] = frozenset(
     {
-        "q_dedup_minhash",
-        "q_minhash_est",
-        "q_ngram_jaccard",
-        "q_curation_pipeline",
-        "q_tfidf_top3",
-        "q_multimodal_decode",
-        "q_dedup_clusters",
+        "q_approx_count_distinct",
+        "q_approx_quantiles",
+        "q_dedup_embed",
+        "q_hll_rollup",
+        "q_pca_gram",
+        "q_sim_ann",
+        "q_sim_ivf",
+        "q_sim_ivfpq",
+        "q_sim_pq",
+        "q_sim_topk",
+        "q_stream_late_data",
     }
 )
 

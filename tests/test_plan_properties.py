@@ -715,3 +715,93 @@ def test_langid_confusion_is_scan_plus_cell_aggs(spark, sf_dir):
     assert "Generate" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+ROUND8_OPS = [
+    "q_url_canon",
+    "q_domain_rollup",
+    "q_mojibake",
+    "q_pii_scorecard",
+    "q_license_detect",
+    "q_kneser_ney",
+    "q_hhi_concentration",
+    "q_shard_plan",
+]
+
+
+@pytest.mark.parametrize("name", ROUND8_OPS)
+def test_round8_ops_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_url_canon_is_pure_map(spark, sf_dir):
+    """The canonicalizer is regexp/array-HOF Column work only: no join,
+    no aggregate, no Generate (the HOFs stay scalar), and the only
+    Exchange is rebalance_for_cpu's round-robin — nothing hash-shuffles
+    a per-row pipeline."""
+    plan = plan_of(spark, sf_dir, "q_url_canon")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q_mojibake", "q_pii_scorecard", "q_license_detect"]
+)
+def test_scan_rollups_are_partial_single_exchange(spark, sf_dir, name):
+    """The regex-scan rollups are one partial+final aggregate pair
+    around a single hash exchange on the rollup key — the scan-bound
+    shape that holds at any corpus size."""
+    plan = plan_of(spark, sf_dir, name)
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_domain_rollup_share_join_is_broadcast(spark, sf_dir):
+    """Domain aggregate is map-side partial; the 1-row total rides a
+    broadcast nested loop — the fact scan never re-shuffles for the
+    share computation."""
+    plan = plan_of(spark, sf_dir, "q_domain_rollup")
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_kneser_ney_topk_is_heap_bounded(spark, sf_dir):
+    """The model top-40 must be the heap-based TakeOrderedAndProject
+    (never a range-partitioned global sort), with the rank window
+    running over the 40 bounded survivors (q_path_topk device); the
+    type-total is a broadcast 1-row cross."""
+    df = QUERIES["q_kneser_ney"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit 40" in opt
+    assert opt.index("Window") < opt.index("GlobalLimit"), (
+        "limit must bound the window input"
+    )
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    assert "Exchange rangepartitioning" not in phys
+    assert "BroadcastNestedLoopJoin" in phys
+    assert "CartesianProduct" not in phys
+
+
+def test_hhi_totals_are_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_hhi_concentration")
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_shard_plan_prefix_sum_is_bucketed(spark, sf_dir):
+    """q_shard_plan inherits the q_systematic_sample posture: the only
+    partitionless window is the 16-row bucket-offset accumulation
+    (its distinctive `unboundedpreceding$(), -1` frame); the per-group
+    cumsum windows are grp-partitioned and the totals ride broadcast
+    joins."""
+    df = QUERIES["q_shard_plan"](spark, sf_dir)
+    offset_frame = "specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)"
+    bad = [w for w in _partitionless_window_specs(df) if offset_frame not in w]
+    assert not bad, f"full-input partitionless window in q_shard_plan: {bad}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
