@@ -15,8 +15,11 @@ Shapes (seeded random):
 - recursive_series: WITH RECURSIVE arithmetic iteration — random
   length 5-40, multiplier/modulus, sum/max aggregate; exercises the
   recursion operator's per-step expression evaluation.
-- lateral_topk: random customer-segment filter, k in 1-3, order
+- lateral_topk: random customer-segment filter, k in 1-5, order
   column (price cents / date / key), ASC or DESC, unique tiebreak.
+- lateral_agg (r08): correlated LATERAL aggregate (count + sum/max
+  cents over a random date bound) — the decorrelate-to-grouped-join
+  path, vs DuckDB's nested-loop LATERAL.
 - nullsafe_join: random modulus 3-11 and folded residue for the
   nullif bucket, IS NOT DISTINCT FROM join of two pre-aggregated
   sides (customer x supplier).
@@ -55,7 +58,13 @@ def gen_sql(seed: int) -> tuple[str, str]:
     """Return (shape, sql) for this seed."""
     rng = random.Random(seed)
     shape = rng.choice(
-        ["recursive_graph", "recursive_series", "lateral_topk", "nullsafe_join"]
+        [
+            "recursive_graph",
+            "recursive_series",
+            "lateral_topk",
+            "lateral_agg",
+            "nullsafe_join",
+        ]
     )
     if shape == "recursive_graph":
         # Respect Spark's default recursion row-limit guard
@@ -83,7 +92,10 @@ def gen_sql(seed: int) -> tuple[str, str]:
             FROM reach GROUP BY node
         """
     elif shape == "recursive_series":
-        length = rng.randint(5, 40)
+        # r08 deepening (VERDICT r07 item #5): lengths up to 120 steps
+        # exercise the recursion operator well past the prior 40-step
+        # ceiling.
+        length = rng.randint(5, 120)
         mult = rng.randint(2, 9)
         mod = rng.choice([97, 101, 1009, 9973])
         a0 = rng.randint(1, mod - 1)
@@ -103,7 +115,8 @@ def gen_sql(seed: int) -> tuple[str, str]:
         seg = rng.choice(
             ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
         )
-        k = rng.randint(1, 3)
+        # r08 deepening: k widened from 1-3 to 1-5
+        k = rng.randint(1, 5)
         order_expr = rng.choice(
             [
                 "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)",
@@ -122,6 +135,40 @@ def gen_sql(seed: int) -> tuple[str, str]:
                      FROM orders o WHERE o.o_custkey = c.c_custkey
                      ORDER BY {order_expr} {direction}, o_orderkey
                      LIMIT {k}) t
+        """
+    elif shape == "lateral_agg":
+        # r08 addition: correlated LATERAL AGGREGATE (no LIMIT) — the
+        # decorrelation path Catalyst rewrites to a grouped join rather
+        # than a ranked window; random segment filter, random aggregate
+        # pair, random date lower bound.  Identical text on DuckDB's
+        # nested-loop LATERAL.
+        seg = rng.choice(
+            ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+        )
+        year = rng.randint(1992, 1997)
+        aggs = rng.choice(
+            [
+                (
+                    "CAST(count(*) AS BIGINT)",
+                    "CAST(coalesce(sum(CAST(floor(o_totalprice * 100.0 + 0.5)"
+                    " AS BIGINT)), 0) AS BIGINT)",
+                ),
+                (
+                    "CAST(count(*) AS BIGINT)",
+                    "CAST(coalesce(max(CAST(floor(o_totalprice * 100.0 + 0.5)"
+                    " AS BIGINT)), 0) AS BIGINT)",
+                ),
+            ]
+        )
+        sql = f"""
+            SELECT c.c_custkey, t.n_orders, t.cents_agg
+            FROM (SELECT c_custkey FROM customer
+                  WHERE c_mktsegment = '{seg}') c,
+            LATERAL (SELECT {aggs[0]} AS n_orders,
+                            {aggs[1]} AS cents_agg
+                     FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderdate >= DATE '{year}-01-01') t
         """
     else:  # nullsafe_join
         mod = rng.choice([3, 5, 7, 11])
@@ -200,7 +247,9 @@ def run(n_seeds: int, out_path: str | None, sf_dir: str = SF) -> int:
             "IDENTICAL SQL text on Spark 4 and DuckDB (no per-engine "
             "rendering): recursive CTE over the nation trade graph "
             "(random seeds/bound/direction) + recursive arithmetic "
-            "series + LATERAL top-k (random segment/k/order) + "
+            "series (5-120 steps) + LATERAL top-k (random "
+            "segment/k<=5/order) + correlated LATERAL aggregate "
+            "(random segment/aggregate/date bound) + "
             "IS NOT DISTINCT FROM join (random modulus/fold)"
         ),
         "by_shape": by_shape,

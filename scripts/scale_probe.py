@@ -158,6 +158,24 @@ PROBES = [
     "q_dedup_eval",
     "q_pca_power_int",
     "q_tdigest_merge",
+    # round-7g/7h/7i additions (VERDICT r07 item #4)
+    "q_phrase_search",
+    "q_changepoint_binseg",
+    "q_rake_keyphrases",
+    "q_sax_symbols",
+    "q_kendall_tau",
+    "q_eval_mrr",
+    "q_langid_confusion",
+    "q_embed_quantize_int8",
+    # round-8 curation additions
+    "q_url_canon",
+    "q_domain_rollup",
+    "q_mojibake",
+    "q_pii_scorecard",
+    "q_license_detect",
+    "q_kneser_ney",
+    "q_hhi_concentration",
+    "q_shard_plan",
 ]
 
 
@@ -243,6 +261,46 @@ def synthesize(spark, reps: int) -> None:
     open(f"{DST}/_done4", "w").write("ok")
 
 
+# Queries whose semantics hinge on a FIXED function-word list
+# (q_rake_keyphrases' stopword delimiters): the disjoint-vocabulary
+# text rewrite suffixes every token, so 'the' -> 'the_3' stops being a
+# stopword and the candidate set collapses to zero at x10 (caught by
+# the silent-empty guard on this family's first probe).  These probe
+# against a replica set whose rewrite PRESERVES the five RAKE
+# stopwords: cross-replica shingle collisions then require three
+# consecutive stopwords (rare, bounded), so the linear-scaling property
+# the disjoint rewrite exists for still holds while the delimiter
+# structure survives.
+STOPSAFE_PROBES = {"q_rake_keyphrases"}
+_STOPSAFE_WORDS = ("the", "a", "of", "and", "to")  # = corpus _RAKE_STOPS
+
+
+def synthesize_stopsafe(spark, reps: int) -> str:
+    dst = dst_for(reps) + "_stopsafe"
+    if os.path.exists(f"{dst}/_done1"):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    r = spark.range(reps).select(F.col("id").alias("rep"))
+    keep = ", ".join(f"'{w}'" for w in _STOPSAFE_WORDS)
+    df = (
+        spark.read.parquet(f"{SRC}/documents.parquet")
+        .crossJoin(r)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .withColumn(
+            "text",
+            F.expr(
+                f"array_join(transform(split(text, ' '), t -> "
+                f"CASE WHEN t IN ({keep}) THEN t "
+                f"ELSE concat(t, '_', CAST(rep AS STRING)) END), ' ')"
+            ),
+        )
+        .drop("rep")
+    )
+    df.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    open(f"{dst}/_done1", "w").write("ok")
+    return dst
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=10)
@@ -278,7 +336,12 @@ def main() -> None:
         for run_label in runs:
             times = {}
             empty = []
-            for label, sf in [("small", SRC), ("big", dst_for(args.reps))]:
+            big_dir = (
+                synthesize_stopsafe(spark, args.reps)
+                if name in STOPSAFE_PROBES
+                else dst_for(args.reps)
+            )
+            for label, sf in [("small", SRC), ("big", big_dir)]:
                 t0 = time.perf_counter()
                 queries[name](spark, sf).write.format("noop").mode("overwrite").save()
                 times[label] = time.perf_counter() - t0
