@@ -136,10 +136,15 @@ def canonicalize_sql(source_cte: str = "raw", carry: str = "doc_id, url") -> str
                     WHEN scheme = 'http' AND port = '80' THEN ''
                     ELSE ':' || port END AS port_suffix,
                CASE WHEN stripped = '' THEN '/' ELSE stripped END AS path,
-               array_to_string(
+               -- coalesce: DuckDB's array_to_string([]) is NULL where
+               -- Spark's array_join([]) is '' — latent NULL-propagation
+               -- divergence found by scripts/fuzz_url.py (the registered
+               -- corpus URLs always keep >= 2 params, so the hash gate
+               -- alone never hits the empty-kept branch)
+               coalesce(array_to_string(
                    list_sort(list_filter(all_params,
                        p -> NOT starts_with(p, '{TRACKING_PREFIX}'))),
-                   '&') AS params_kept,
+                   '&'), '') AS params_kept,
                CAST(len(list_filter(all_params,
                        p -> NOT starts_with(p, '{TRACKING_PREFIX}')))
                     AS BIGINT) AS n_params_kept,
@@ -153,10 +158,10 @@ def canonicalize_sql(source_cte: str = "raw", carry: str = "doc_id, url") -> str
                            WHEN scheme = 'http' AND port = '80' THEN ''
                            ELSE ':' || port END
                    || CASE WHEN stripped = '' THEN '/' ELSE stripped END
-                   || CASE WHEN array_to_string(
+                   || CASE WHEN coalesce(array_to_string(
                                list_sort(list_filter(all_params,
                                    p -> NOT starts_with(p, '{TRACKING_PREFIX}'))),
-                               '&') = '' THEN ''
+                               '&'), '') = '' THEN ''
                            ELSE '?' || array_to_string(
                                list_sort(list_filter(all_params,
                                    p -> NOT starts_with(p, '{TRACKING_PREFIX}'))),

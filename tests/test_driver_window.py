@@ -133,10 +133,16 @@ def test_every_unverified_slug_is_in_the_window():
     rule."""
     rows = _driver_rows()
     hash_passed = _hash_passed(rows)
+    # A rows-only slug counts as driver-seen if it has ANY clean row —
+    # the driver's rows-only row shape is weaker than the hash rows
+    # (and may not carry spark_rows), so require only err-free presence
+    # plus a non-zero row count when one is recorded.
     rows_only_seen = {
         k
         for k, v in rows.items()
-        if not v.get("err") and (v.get("spark_rows") or 0) > 0
+        if not v.get("err")
+        and (v.get("spark_rows") is None or v.get("spark_rows") > 0)
+        and (v.get("rows") is None or v.get("rows") > 0)
     }
     unverified = [
         s
