@@ -92,10 +92,17 @@ def gen_sql(seed: int) -> tuple[str, str]:
             FROM reach GROUP BY node
         """
     elif shape == "recursive_series":
-        # r08 deepening (VERDICT r07 item #5): lengths up to 120 steps
+        # r08 deepening (VERDICT r07 item #5): lengths up to 95 steps
         # exercise the recursion operator well past the prior 40-step
-        # ceiling.
-        length = rng.randint(5, 120)
+        # ceiling while respecting Spark's default recursion LEVEL
+        # guard (spark.sql.cteRecursionLevelLimit = 100): the first
+        # 240-seed sweep at lengths <= 120 tripped
+        # RECURSION_LEVEL_LIMIT_EXCEEDED on every length > 100 — the
+        # engine guard firing as designed (the per-step semantics are
+        # what this shape tests; raising the limit needs Spark-only
+        # `MAX RECURSION LEVEL` syntax, which would break the
+        # identical-text discipline).
+        length = rng.randint(5, 95)
         mult = rng.randint(2, 9)
         mod = rng.choice([97, 101, 1009, 9973])
         a0 = rng.randint(1, mod - 1)
