@@ -49,6 +49,13 @@ from . import curation_queries  # noqa: E402,F401
 #     ledger reaches the full registry: 339/339 driver-seen
 #     (328 hash + 11 rows-only).
 # Registry at HEAD: 339 queries / 328 oracled.
+# Plan-change note (BENCH_EVIDENCE plan_fp diff r07 -> r08): exactly ONE
+# previously driver-PASSed slug changed optimized plan this round —
+# q_embed_lsh_tuning (ADVICE r07: configs-side LEFT join so
+# zero-candidate rows emit explicitly).  The window is fully spent on
+# never-verified slugs, so its refreshed evidence is DRIVER_SIM_r08
+# (hash MATCH) rather than a window slot; rotate it into a window
+# RE_VERIFY allowance next round if hard driver evidence is wanted.
 # tests/test_driver_window.py pins: the counts in this comment, the
 # 50-slug shape, the rows-only allowance (exactly ROWS_ONLY_R08), the
 # no-re-verify rule, and the rotation-completeness rule (every slug
