@@ -671,39 +671,17 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the q_systematic_sample 16-nibble-group distributed prefix
     sum (per-group window cumsums + a broadcast 16-row offset table —
     NO single-partition global window), one 1-row total broadcast, one
-    8-group aggregate.  Int64 envelope: cum·S ≤ total_bytes·8."""
-    docs = load(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string"))
-    base = docs.select(
-        "doc_id",
-        h.alias("h"),
-        F.col("n_chars").cast("long").alias("bytes"),
-        F.conv(F.substring(h, 1, 1), 16, 10).cast("long").alias("grp"),
+    8-group aggregate.  Int64 envelope: cum·S ≤ total_bytes·8.  The
+    assignment lives in ``operators/sharding.py`` (shared with
+    ``write_balanced_shards``, the writer that materializes this plan
+    as path/shard=K/ parquet directories)."""
+    from ..operators import sharding
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("bytes")
     )
-    w_in = (
-        Window.partitionBy("grp")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum_in = base.withColumn("cum_in", F.sum("bytes").over(w_in))
-    totals = base.groupBy("grp").agg(F.sum("bytes").alias("tot"))
-    w_off = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "grp", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
-    )
-    tw = base.agg(F.sum("bytes").cast("long").alias("wtot"))
-    assigned = (
-        cum_in.join(F.broadcast(offsets), "grp")
-        .withColumn("cum", F.col("off") + F.col("cum_in"))
-        .crossJoin(F.broadcast(tw))
-        .select(
-            "doc_id",
-            "bytes",
-            "wtot",
-            F.expr(f"((cum - bytes) * {_SHARDS}) div wtot")
-            .cast("long")
-            .alias("shard"),
-        )
+    assigned = sharding.assign_shards(
+        docs, id_col="doc_id", bytes_col="bytes", num_shards=_SHARDS
     )
     return assigned.groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

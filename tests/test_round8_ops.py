@@ -428,3 +428,59 @@ class TestShardPlan:
             cum += n
         for r in rows:
             assert shards[r["shard"]] == [r["n_docs"], r["bytes_sum"]]
+
+
+class TestWriteBalancedShards:
+    def test_writes_equal_mass_partition_dirs(self, spark, sf_dir, tmp_path):
+        import os
+
+        from nomad_event_streamer_spark.operators import sharding
+        from nomad_event_streamer_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", F.col("n_chars").cast("long").alias("bytes")
+        )
+        path = os.path.join(str(tmp_path), "shards")
+        sharding.write_balanced_shards(docs, path, num_shards=8)
+        back = spark.read.parquet(path)
+        # lossless: every doc in exactly one shard
+        assert back.count() == docs.count()
+        assert back.select("doc_id").distinct().count() == docs.count()
+        per = {
+            r["shard"]: r["b"]
+            for r in back.groupBy("shard")
+            .agg(F.sum("bytes").alias("b"))
+            .collect()
+        }
+        assert sorted(per) == list(range(8))
+        # the written shards realize the plan's byte sums exactly
+        plan = {
+            r["shard"]: r["bytes_sum"]
+            for r in QUERIES["q_shard_plan"](spark, sf_dir).collect()
+        }
+        assert per == plan
+        # one data file per shard directory (repartition-by-shard write)
+        for k in range(8):
+            files = [
+                f
+                for f in os.listdir(os.path.join(path, f"shard={k}"))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1
+
+    def test_assignment_is_partitioning_invariant(self, spark, sf_dir):
+        from nomad_event_streamer_spark.operators import sharding
+        from nomad_event_streamer_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", F.col("n_chars").cast("long").alias("bytes")
+        )
+        a = {
+            (r["doc_id"], r["shard"])
+            for r in sharding.assign_shards(docs).collect()
+        }
+        b = {
+            (r["doc_id"], r["shard"])
+            for r in sharding.assign_shards(docs.repartition(13)).collect()
+        }
+        assert a == b
