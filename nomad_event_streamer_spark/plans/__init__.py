@@ -24,6 +24,7 @@ from . import corpus_queries  # noqa: E402,F401
 from . import retrieval_queries  # noqa: E402,F401
 from . import sql_features  # noqa: E402,F401
 from . import curation_queries  # noqa: E402,F401
+from . import pipeline_queries  # noqa: E402,F401
 
 
 # The verification driver records hard CORRECTNESS rows for only the FIRST
@@ -48,7 +49,13 @@ from . import curation_queries  # noqa: E402,F401
 #     so they collect the driver's rows>0 evidence and the cumulative
 #     ledger reaches the full registry: 339/339 driver-seen
 #     (328 hash + 11 rows-only).
-# Registry at HEAD: 339 queries / 328 oracled.
+# Registry at HEAD: 343 queries / 332 oracled.
+# R09 OVERFLOW (the escape hatch tests/test_driver_window.py documents):
+# the round-8 window is fully spent on the 50-slug ledger-completing
+# rotation above, so round-8b additions past window capacity sit in the
+# explicit R09_QUEUE below — ordered immediately AFTER the window in
+# all_queries(), each sim-hash-verified on arrival (DRIVER_SIM), and
+# first in line for the r09 window rotation.
 # Plan-change note (BENCH_EVIDENCE plan_fp diff r07 -> r08): exactly ONE
 # previously driver-PASSed slug changed optimized plan this round —
 # q_embed_lsh_tuning (ADVICE r07: configs-side LEFT join so
@@ -117,6 +124,16 @@ DRIVER_WINDOW: list[str] = [
     "q_stream_late_data",
 ]
 
+# Round-8b additions past window capacity: the documented overflow queue.
+# Every member must carry committed sim hash evidence (DRIVER_SIM) and is
+# rotated into the NEXT round's driver window ahead of newer work.
+R09_QUEUE: list[str] = [
+    "q_line_dedup",
+    "q_quality_classifier",
+    "q_robots_gate",
+    "q_contamination_matrix",
+]
+
 # Round-8 re-verification allowance: EMPTY — no optimized plan changed in a
 # way that stales prior driver evidence this round, so the window spends no
 # slot on an already-PASS slug.
@@ -145,10 +162,11 @@ ROWS_ONLY_R08: frozenset[str] = frozenset(
 
 
 def _rotated(mapping):
-    """Window slugs first (in DRIVER_WINDOW order), rest in registration
-    order.  Applied identically to queries and oracles so the driver's
+    """Window slugs first (in DRIVER_WINDOW order), then the R09_QUEUE
+    overflow (next round's window head), rest in registration order.
+    Applied identically to queries and oracles so the driver's
     side-by-side compare sees one consistent ordering."""
-    head = {s: mapping[s] for s in DRIVER_WINDOW if s in mapping}
+    head = {s: mapping[s] for s in DRIVER_WINDOW + R09_QUEUE if s in mapping}
     tail = {s: fn for s, fn in mapping.items() if s not in head}
     return {**head, **tail}
 

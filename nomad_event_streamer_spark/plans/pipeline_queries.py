@@ -1,0 +1,537 @@
+"""Round-8b pipeline-curation operators (the documented r09-queue
+overflow batch, SURVEY.md §2.12): CCNet-style line-level dedup with
+byte-exact document reassembly, a fixed-weight integer quality
+classifier, a robots/blocklist gate over canonical URLs, and the full
+cross-split contamination matrix.
+
+None of this exists in the reference (a single-stream Ruby event relay,
+`app.rb:1-278`); these are the EXT LLM-data-pipeline operators
+BASELINE.json mandates.  Every query ships a FULL DuckDB hash oracle.
+
+Window note: the round-8 driver window is fully spent on the 50-slug
+rotation that completes the cumulative ledger, so these slugs sit in
+the explicit ``R09_QUEUE`` overflow (plans/__init__.py) — sim-verified
+on arrival, rotated into the real driver window next round (the escape
+hatch tests/test_driver_window.py documents).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators import dedup, urls
+from ..tables import load, rebalance_for_cpu
+from .curation_queries import URL_EXPR
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# 1. Line-level dedup (CCNet paragraph dedup at sub-document granularity)
+# ---------------------------------------------------------------------------
+
+_LINE_WORDS = 10  # positional line width (the corpus has no newlines)
+_LINE_MAX_FREQ = 1  # a line is kept iff its corpus frequency <= this
+
+
+@query(
+    "q_line_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    l AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+               array_to_string(
+                   toks[i*{_LINE_WORDS}+1 : i*{_LINE_WORDS}+{_LINE_WORDS}],
+                   ' ') AS line
+        FROM t, unnest(range(0, (len(toks) + {_LINE_WORDS - 1})
+                                 // {_LINE_WORDS})) AS u(i)
+    ),
+    f AS (SELECT line, count(*) AS c FROM l GROUP BY 1),
+    k AS (
+        SELECT l.doc_id,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(l.line, ' ' ORDER BY l.line_no) AS clean_text
+        FROM l JOIN f USING (line)
+        WHERE f.c <= {_LINE_MAX_FREQ}
+        GROUP BY l.doc_id
+    ),
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+          FROM l GROUP BY 1)
+    SELECT n.doc_id,
+           n.n_lines,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(n.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
+           coalesce(k.clean_text, '') AS clean_text
+    FROM n LEFT JOIN k USING (doc_id)
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LINE-level dedup (Wenzek et al. 2020 §3.1: drop
+    duplicated paragraphs/lines across the corpus, keep the rest of the
+    document) — the sub-document granularity the chunk family skips.
+    The corpus has no newlines, so "lines" are positional 10-word
+    segments of the token stream (deterministic in both engines); a
+    line is dropped when its exact text occurs more than once
+    corpus-wide, and each document is reassembled BYTE-EXACTLY from its
+    surviving lines in order — the reassembled text itself sits under
+    the value-hash gate.
+
+    Scale shape: the line split is a per-row array HOF (no shuffle);
+    the frequency pass is ONE map-side-combinable groupBy on the line
+    text (line bytes move once — exactly the CCNet sharded-hash layout)
+    and reassembly is one doc_id-keyed aggregation.  No pair joins, no
+    windows; linear in corpus bytes at any scale."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.expr(
+        f"(size(split(text, ' ')) + {_LINE_WORDS - 1}) div {_LINE_WORDS}"
+    )
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), (n_lines - F.lit(1)).cast("int")),
+        lambda i: F.array_join(
+            F.slice(toks, i * _LINE_WORDS + 1, _LINE_WORDS), " "
+        ),
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(lines_arr).alias("line_no", "line")
+    ).withColumn("line_no", F.col("line_no").cast("long"))
+    freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("c"))
+    kept = (
+        lines.join(freq, "line")
+        .where(F.col("c") <= _LINE_MAX_FREQ)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s.getField("line"),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    base = docs.select("doc_id", n_lines.cast("long").alias("n_lines"))
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Quality classifier (fixed-weight integer logistic)
+# ---------------------------------------------------------------------------
+
+# fasttext-classifier shape without the model dependency: a fixed-weight
+# linear scorer over the existing quality features, all milli-integer.
+# logit_milli = B + W_TOK*min(n_tok,CAP) - W_STOP*stop_milli
+#               + W_TTR*ttr_milli - W_AWL*awl_milli
+_QC_B = 2500
+_QC_W_TOK = 20
+_QC_TOK_CAP = 120
+_QC_W_STOP = 3
+_QC_W_TTR = 2
+_QC_W_AWL = 1
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x = 'a' OR x = 'the')) AS BIGINT) AS n_stop,
+               CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS n_uniq,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, n_tok,
+               n_stop * 1000 // n_tok AS stop_milli,
+               n_uniq * 1000 // n_tok AS ttr_milli,
+               (n_chars - n_tok + 1) * 1000 // n_tok AS awl_milli
+        FROM f
+    )
+    SELECT doc_id, n_tok,
+           CAST(stop_milli AS BIGINT) AS stop_milli,
+           CAST(ttr_milli AS BIGINT) AS ttr_milli,
+           CAST(awl_milli AS BIGINT) AS awl_milli,
+           CAST({_QC_B} + {_QC_W_TOK} * least(n_tok, {_QC_TOK_CAP})
+                - {_QC_W_STOP} * stop_milli + {_QC_W_TTR} * ttr_milli
+                - {_QC_W_AWL} * awl_milli AS BIGINT) AS logit_milli,
+           CAST(CASE WHEN {_QC_B} + {_QC_W_TOK} * least(n_tok, {_QC_TOK_CAP})
+                - {_QC_W_STOP} * stop_milli + {_QC_W_TTR} * ttr_milli
+                - {_QC_W_AWL} * awl_milli > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS pred_keep,
+           CASE WHEN {_QC_B} + {_QC_W_TOK} * least(n_tok, {_QC_TOK_CAP})
+                     - {_QC_W_STOP} * stop_milli + {_QC_W_TTR} * ttr_milli
+                     - {_QC_W_AWL} * awl_milli >= 1000 THEN 'high'
+                WHEN {_QC_B} + {_QC_W_TOK} * least(n_tok, {_QC_TOK_CAP})
+                     - {_QC_W_STOP} * stop_milli + {_QC_W_TTR} * ttr_milli
+                     - {_QC_W_AWL} * awl_milli >= 0 THEN 'mid'
+                WHEN {_QC_B} + {_QC_W_TOK} * least(n_tok, {_QC_TOK_CAP})
+                     - {_QC_W_STOP} * stop_milli + {_QC_W_TTR} * ttr_milli
+                     - {_QC_W_AWL} * awl_milli >= -1000 THEN 'low'
+                ELSE 'reject' END AS band
+    FROM m
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-CLASSIFIER scoring: a fixed-weight logistic scorer over
+    the length/stopword/type-token/word-length features (the
+    fasttext-style keep/reject classifier every curation pipeline runs,
+    minus the model dependency — weights are literals), with the logit
+    integer-quantized to milli units so the decision boundary is
+    bit-reproducible under the hash gate.  Emits the feature vector,
+    the logit, the keep decision, and a confidence band.
+
+    Scale: pure per-row Column arithmetic over one scan — whole-stage
+    codegen, no shuffle, no Python boundary; at 100 TB this is the
+    cheapest pass in the pipeline (exactly why classifiers run first
+    after dedup)."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: (x == "a") | (x == "the"))
+    ).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text").cast("long")
+    # integer floor-div throughout (operands non-negative, so Spark's
+    # truncating div == floor == DuckDB //)
+    feats = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (n_stop * 1000).alias("_s"),
+        (n_uniq * 1000).alias("_u"),
+        ((n_chars - n_tok + 1) * 1000).alias("_c"),
+    ).selectExpr(
+        "doc_id",
+        "n_tok",
+        "_s div n_tok AS stop_milli",
+        "_u div n_tok AS ttr_milli",
+        "_c div n_tok AS awl_milli",
+    )
+    logit = (
+        F.lit(_QC_B)
+        + F.lit(_QC_W_TOK) * F.least(F.col("n_tok"), F.lit(_QC_TOK_CAP))
+        - F.lit(_QC_W_STOP) * F.col("stop_milli")
+        + F.lit(_QC_W_TTR) * F.col("ttr_milli")
+        - F.lit(_QC_W_AWL) * F.col("awl_milli")
+    ).cast("long")
+    return feats.select(
+        "doc_id",
+        "n_tok",
+        F.col("stop_milli").cast("long").alias("stop_milli"),
+        F.col("ttr_milli").cast("long").alias("ttr_milli"),
+        F.col("awl_milli").cast("long").alias("awl_milli"),
+        logit.alias("logit_milli"),
+        (logit > 0).cast("long").alias("pred_keep"),
+        F.when(logit >= 1000, F.lit("high"))
+        .when(logit >= 0, F.lit("mid"))
+        .when(logit >= -1000, F.lit("low"))
+        .otherwise(F.lit("reject"))
+        .alias("band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Robots / blocklist gate over canonical URLs
+# ---------------------------------------------------------------------------
+
+# (rule_id, domain-or-*, path prefix, allow) — ONE Python literal table
+# rendered into both engines; longest-prefix wins, domain-specific beats
+# wildcard on ties, allow beats deny on full ties (Google robots.txt
+# precedence), rule_id is the final total-order tiebreak.
+ROBOTS_RULES: list[tuple[int, str, str, int]] = [
+    (0, "*", "/", 1),
+    (1, "src1.org", "/Docs", 0),
+    (2, "src1.org", "/Docs/Page-3", 1),
+    (3, "*", "/Docs/Page-5", 0),
+    (4, "src13.net", "/", 0),
+    (5, "src2.org", "/Docs/Page", 0),
+    (6, "src2.org", "/Docs/Page-1", 1),
+    (7, "src0.org", "/Docs", 0),
+]
+
+_ROBOTS_VALUES = ", ".join(
+    f"({rid}, '{dom}', '{pre}', {allow})"
+    for rid, dom, pre, allow in ROBOTS_RULES
+)
+
+
+@query(
+    "q_robots_gate",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {URL_EXPR} AS url FROM documents
+    ),
+    {urls.canonicalize_sql("raw", "doc_id, url")}
+    , rules(rule_id, rdom, prefix, allow_) AS (VALUES {_ROBOTS_VALUES}),
+    m AS (
+        SELECT u.doc_id, u.domain, u.path, r.rule_id, r.prefix, r.allow_,
+               row_number() OVER (
+                   PARTITION BY u.doc_id
+                   ORDER BY length(r.prefix) DESC,
+                            CASE WHEN r.rdom <> '*' THEN 1 ELSE 0 END DESC,
+                            r.allow_ DESC, r.rule_id
+               ) AS rn
+        FROM uc3 u
+        JOIN rules r
+          ON (r.rdom = u.domain OR r.rdom = '*')
+         AND starts_with(u.path, r.prefix)
+    )
+    SELECT doc_id, domain, path,
+           CAST(rule_id AS BIGINT) AS rule_id,
+           prefix AS matched_prefix,
+           CAST(allow_ AS BIGINT) AS allowed
+    FROM m WHERE rn = 1
+    """,
+)
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/blocklist GATE over canonical URLs: each document's
+    (domain, path) is matched against a rule table of (domain-or-*,
+    path-prefix, allow/deny) entries with robots.txt precedence —
+    longest prefix wins, a domain-specific rule beats a wildcard on
+    ties, allow beats deny on full ties.  Composes with q_url_canon
+    (the gate runs on CANONICAL urls, so rule matching is insensitive
+    to tracking params, ports, and case games).  The rule table is ONE
+    Python literal rendered into both engines.
+
+    Scale: the rule table is KB-sized at any corpus scale, so the match
+    is a broadcast nested-loop join (8 rules x per-row prefix test —
+    cheaper than any shuffle) followed by a doc_id-partitioned
+    row_number over the handful of matched rules per document; work is
+    linear in documents with rule-count as a small constant."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    raw = docs.select("doc_id", F.expr(URL_EXPR).alias("url"))
+    c = urls.canonicalize(F.col("url"))
+    u = raw.select(
+        "doc_id", c["domain"].alias("domain"), c["path"].alias("path")
+    )
+    rules = spark.createDataFrame(
+        ROBOTS_RULES, "rule_id INT, rdom STRING, prefix STRING, allow_ INT"
+    )
+    m = u.join(
+        F.broadcast(rules),
+        ((F.col("rdom") == F.col("domain")) | (F.col("rdom") == "*"))
+        & F.col("path").startswith(F.col("prefix")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc(),
+        (F.col("rdom") != "*").cast("int").desc(),
+        F.col("allow_").desc(),
+        F.col("rule_id"),
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "domain",
+            "path",
+            F.col("rule_id").cast("long").alias("rule_id"),
+            F.col("prefix").alias("matched_prefix"),
+            F.col("allow_").cast("long").alias("allowed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Cross-split contamination matrix
+# ---------------------------------------------------------------------------
+
+_CONTAM_K = 3  # shared distinct shingles for a doc to count as contaminated
+_SPLIT_PAIRS = [
+    ("train", "val"),
+    ("train", "test"),
+    ("val", "train"),
+    ("val", "test"),
+    ("test", "train"),
+    ("test", "val"),
+]
+
+_PAIRS_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in _SPLIT_PAIRS)
+
+
+@query(
+    "q_contamination_matrix",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(toks[i:i+2], ' ')
+             FOR i IN range(1, greatest(len(toks) - 1, 1))]
+        )) AS shingle
+        FROM t
+    ),
+    spl AS (
+        SELECT doc_id,
+               CASE WHEN b < 8 THEN 'train'
+                    WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) % 10 AS b
+            FROM documents
+        )
+    ),
+    shs AS (SELECT sh.doc_id, spl.split, sh.shingle
+            FROM sh JOIN spl USING (doc_id)),
+    pres AS (
+        SELECT shingle,
+               max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+               max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val,
+               max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+        FROM shs GROUP BY shingle
+    ),
+    pairs(src_split, dst_split) AS (VALUES {_PAIRS_VALUES}),
+    cnt AS (
+        SELECT s.doc_id, s.split,
+               CAST(sum(p.in_train) AS BIGINT) AS n_train,
+               CAST(sum(p.in_val) AS BIGINT) AS n_val,
+               CAST(sum(p.in_test) AS BIGINT) AS n_test
+        FROM shs s JOIN pres p USING (shingle)
+        GROUP BY 1, 2
+    ),
+    contam AS (
+        SELECT pr.src_split, pr.dst_split,
+               CAST(count(*) AS BIGINT) AS n_docs_dst,
+               CAST(sum(CASE WHEN (CASE pr.src_split
+                                   WHEN 'train' THEN c.n_train
+                                   WHEN 'val' THEN c.n_val
+                                   ELSE c.n_test END) >= {_CONTAM_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        FROM cnt c JOIN pairs pr ON c.split = pr.dst_split
+        GROUP BY 1, 2
+    ),
+    shared AS (
+        SELECT pr.src_split, pr.dst_split,
+               CAST(sum(CASE WHEN
+                   (CASE pr.src_split WHEN 'train' THEN p.in_train
+                        WHEN 'val' THEN p.in_val ELSE p.in_test END) = 1
+                   AND
+                   (CASE pr.dst_split WHEN 'train' THEN p.in_train
+                        WHEN 'val' THEN p.in_val ELSE p.in_test END) = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_shingles
+        FROM pres p CROSS JOIN pairs pr
+        GROUP BY 1, 2
+    )
+    SELECT c.src_split, c.dst_split, s.n_shared_shingles,
+           c.n_docs_dst, c.n_contaminated,
+           CAST(c.n_contaminated * 1000000 // c.n_docs_dst AS BIGINT)
+               AS contam_ppm
+    FROM contam c JOIN shared s USING (src_split, dst_split)
+    """,
+)
+def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split CONTAMINATION MATRIX: the full src x dst grid of
+    n-gram overlap between the deterministic 80/10/10 hash splits —
+    distinct shared shingles per ordered pair, plus how many dst-split
+    documents share >= K distinct shingles with the src split (the
+    doc-level contamination count q_split_leakage reports for one pair,
+    here for every pair, both directions).  Extends q_contamination's
+    single train->eval check to the release-audit table a dataset card
+    publishes.
+
+    Scale: shingle presence per split is ONE groupBy(shingle) with
+    three conditional max aggregates (map-side combinable — no pair
+    join, no per-split re-scan); the doc-level roll-up joins each doc's
+    shingles to that presence table once (equi-join on shingle), and
+    the 6-row pair grid is a broadcast.  Linear in total shingles at
+    any corpus size."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 10
+    )
+    spl = docs.select(
+        "doc_id",
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    shs = sh.join(spl, "doc_id")
+    pres = shs.groupBy("shingle").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "in_train"
+        ),
+        F.max(F.when(F.col("split") == "val", 1).otherwise(0)).alias("in_val"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+            "in_test"
+        ),
+    )
+    pairs = spark.createDataFrame(
+        _SPLIT_PAIRS, "src_split STRING, dst_split STRING"
+    )
+    src_flag = (
+        "CASE src_split WHEN 'train' THEN in_train"
+        " WHEN 'val' THEN in_val ELSE in_test END"
+    )
+    dst_flag = (
+        "CASE dst_split WHEN 'train' THEN in_train"
+        " WHEN 'val' THEN in_val ELSE in_test END"
+    )
+    shared = (
+        pres.crossJoin(F.broadcast(pairs))
+        .groupBy("src_split", "dst_split")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ({src_flag}) = 1 AND ({dst_flag}) = 1"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_shared_shingles")
+        )
+    )
+    cnt = (
+        shs.join(pres, "shingle")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.sum("in_train").cast("long").alias("n_train"),
+            F.sum("in_val").cast("long").alias("n_val"),
+            F.sum("in_test").cast("long").alias("n_test"),
+        )
+    )
+    src_cnt = (
+        "CASE src_split WHEN 'train' THEN n_train"
+        " WHEN 'val' THEN n_val ELSE n_test END"
+    )
+    contam = (
+        cnt.join(
+            F.broadcast(pairs), cnt["split"] == pairs["dst_split"]
+        )
+        .groupBy("src_split", "dst_split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_dst"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ({src_cnt}) >= {_CONTAM_K} THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+    return contam.join(shared, ["src_split", "dst_split"]).select(
+        "src_split",
+        "dst_split",
+        "n_shared_shingles",
+        "n_docs_dst",
+        "n_contaminated",
+        F.expr("(n_contaminated * 1000000) div n_docs_dst")
+        .cast("long")
+        .alias("contam_ppm"),
+    )

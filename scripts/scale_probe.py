@@ -176,6 +176,11 @@ PROBES = [
     "q_kneser_ney",
     "q_hhi_concentration",
     "q_shard_plan",
+    # round-8b additions (R09_QUEUE)
+    "q_line_dedup",
+    "q_quality_classifier",
+    "q_robots_gate",
+    "q_contamination_matrix",
 ]
 
 

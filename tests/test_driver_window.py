@@ -22,6 +22,7 @@ from nomad_event_streamer_spark.plans import (
     DRIVER_WINDOW,
     ORACLES,
     QUERIES,
+    R09_QUEUE,
     RE_VERIFY_R08,
     ROWS_ONLY_R08,
     all_oracles,
@@ -101,10 +102,13 @@ def test_rotation_is_consistent_and_lossless():
     q = list(all_queries())
     o = list(all_oracles())
     assert q[:50] == DRIVER_WINDOW
+    # the overflow queue sits contiguously after the window: next
+    # round's rotation takes it as the new window head.
+    assert q[50 : 50 + len(R09_QUEUE)] == R09_QUEUE
     # driver compares side-by-side: oracle ordering must agree on the
     # oracled prefix (rows-only slugs have no oracle entry).
-    oracled_window = [s for s in DRIVER_WINDOW if s in ORACLES]
-    assert o[: len(oracled_window)] == oracled_window
+    oracled_head = [s for s in DRIVER_WINDOW + R09_QUEUE if s in ORACLES]
+    assert o[: len(oracled_head)] == oracled_head
     assert set(q) == set(QUERIES) and len(q) == len(QUERIES)
     assert set(o) == set(ORACLES) and len(o) == len(ORACLES)
 
@@ -152,14 +156,47 @@ def test_every_unverified_slug_is_in_the_window():
             or (s not in ORACLES and s in rows_only_seen)
         )
     ]
-    assert len(unverified) <= 50, (
-        f"{len(unverified)} unverified slugs exceed window capacity — "
-        "rotate a subset and extend this test with an overflow ledger"
+    # The documented overflow ledger (the extension this docstring
+    # prescribes): round-8b additions past window capacity sit in
+    # R09_QUEUE, contiguously after the window in all_queries() order,
+    # each carrying committed sim hash evidence (pinned below by
+    # test_overflow_queue_has_sim_evidence), and are first in line for
+    # the next round's window rotation.
+    assert len(unverified) <= 50 + len(R09_QUEUE), (
+        f"{len(unverified)} unverified slugs exceed window + overflow — "
+        "rotate a subset and extend the overflow ledger"
     )
-    outside = [s for s in unverified if s not in DRIVER_WINDOW]
+    outside = [
+        s for s in unverified if s not in DRIVER_WINDOW and s not in R09_QUEUE
+    ]
     assert not outside, (
-        f"never-driver-verified slugs left outside the window: {outside}"
+        f"never-driver-verified slugs left outside the window and the "
+        f"overflow queue: {outside}"
     )
+
+
+def test_overflow_queue_has_sim_evidence():
+    """Every R09_QUEUE member must be hash-oracled (no rows-only slugs
+    hide in the overflow) and must carry a hash MATCH row in the LATEST
+    committed DRIVER_SIM artifact — the arrival-evidence rule that makes
+    the overflow a ledger rather than a loophole."""
+    import re
+
+    for s in R09_QUEUE:
+        assert s in ORACLES, f"overflow slug {s} is not hash-oracled"
+    root = pathlib.Path(__file__).resolve().parents[1]
+    sims = sorted(
+        root.glob("DRIVER_SIM_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    rows = json.loads(sims[-1].read_text())
+    per_query = rows.get("queries", rows)
+    for s in R09_QUEUE:
+        row = per_query.get(s)
+        assert row is not None, f"overflow slug {s} missing from {sims[-1].name}"
+        assert row.get("status") == "match", (
+            f"overflow slug {s} lacks sim hash MATCH: {row}"
+        )
 
 
 def test_sim_artifact_covers_registry():

@@ -805,3 +805,73 @@ def test_shard_plan_prefix_sum_is_bucketed(spark, sf_dir):
     assert not bad, f"full-input partitionless window in q_shard_plan: {bad}"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-8b pipeline-curation ops (the R09_QUEUE overflow batch)
+# ---------------------------------------------------------------------------
+
+ROUND8B_OPS = [
+    "q_line_dedup",
+    "q_quality_classifier",
+    "q_robots_gate",
+    "q_contamination_matrix",
+]
+
+
+@pytest.mark.parametrize("name", ROUND8B_OPS)
+def test_round8b_ops_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_is_pure_map(spark, sf_dir):
+    """The classifier is per-row Column arithmetic only: no join, no
+    aggregate, no Generate, no window — the only Exchange is
+    rebalance_for_cpu's round-robin.  A shuffle appearing here means
+    someone broke the cheapest pass in the pipeline."""
+    plan = plan_of(spark, sf_dir, "q_quality_classifier")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate" not in plan
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_line_dedup_no_window_aggregation_shaped(spark, sf_dir):
+    """Line dedup is aggregation-shaped: the frequency pass and the
+    reassembly are partial+final aggregates and reassembly order comes
+    from array_sort inside the agg — no Window operator anywhere (a
+    partitionless window here would serialize the corpus).  Joins stay
+    equi-joins on (line) and (doc_id); whether the aggregated frequency
+    table rides an AQE broadcast is a runtime SIZE decision we leave to
+    AQE (at 100 TB it exceeds the threshold and falls back to shuffle),
+    so only the join TYPE is pinned."""
+    df = QUERIES["q_line_dedup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 4
+    assert "partial_count" in plan  # map-side combine on the line key
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert not _partitionless_window_specs(df)
+
+
+def test_robots_gate_rules_ride_broadcast(spark, sf_dir):
+    """The 8-row rule table joins via BroadcastNestedLoopJoin (the
+    right plan for a KB-sized non-equi predicate), and the winner pick
+    is a doc_id-partitioned window — never partitionless."""
+    df = QUERIES["q_robots_gate"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert not _partitionless_window_specs(df)
+
+
+def test_contamination_matrix_fact_joins_are_keyed(spark, sf_dir):
+    """The shingle-presence join is an equi-join on the shingle key
+    (shuffle or broadcast-by-AQE at test scale — but never a nested
+    loop), the 6-row pair grid rides BroadcastNestedLoopJoin, and the
+    presence aggregation is partial+final."""
+    plan = plan_of(spark, sf_dir, "q_contamination_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 6-row pairs grid
+    assert plan.count("HashAggregate") >= 4
