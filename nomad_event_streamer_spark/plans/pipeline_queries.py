@@ -535,3 +535,214 @@ def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("contam_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. Tokenizer-compare scorecard (BPE vocab A vs B)
+# ---------------------------------------------------------------------------
+
+
+def _tokenizer_compare_oracle() -> str:
+    from .llm_ops import _bpe_fertility_oracle
+
+    return f"""
+    SELECT a.source,
+           a.n_bpe AS n_bpe_a,
+           b.n_bpe AS n_bpe_b,
+           a.n_words,
+           a.fertility_milli AS fert_a_milli,
+           b.fertility_milli AS fert_b_milli,
+           CAST(a.fertility_milli - b.fertility_milli AS BIGINT)
+               AS delta_milli,
+           CAST((a.n_bpe - b.n_bpe) * 1000000 // a.n_bpe AS BIGINT)
+               AS saving_ppm
+    FROM ({_bpe_fertility_oracle(10)}) a
+    JOIN ({_bpe_fertility_oracle(20)}) b USING (source)
+    """
+
+
+@query("q_tokenizer_compare", oracle=_tokenizer_compare_oracle())
+def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer A/B scorecard: the same corpus greedy-encoded with a
+    10-merge and a 20-merge BPE table (vocab A = a coarser tokenizer,
+    vocab B = the candidate upgrade), rolled up per source into exact
+    token counts, milli fertilities, their delta, and the token-budget
+    saving in ppm — the decision table a pipeline publishes before
+    swapping tokenizers (q_bpe_fertility's metric, promoted to the A/B
+    comparison that actually drives the decision).
+
+    Scale: two passes of the q_bpe_token_count shape (one Arrow-batched
+    encode UDF each, merge tables riding the closure), then everything
+    is source-cardinality.  The inherently-sequential training collects
+    one row per merge round over a word-frequency table, never the
+    corpus."""
+    from ..operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+
+    def fert(num_merges: int, suffix: str) -> DataFrame:
+        merges = bpe.bpe_train(docs, num_merges=num_merges, min_pair_count=2)
+        enc = bpe.bpe_token_counts(docs, merges)
+        per_doc = enc.select(
+            "source",
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe"),
+            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+            .cast("long")
+            .alias("n_words"),
+        )
+        agg = per_doc.groupBy("source").agg(
+            F.sum("n_bpe").cast("long").alias(f"n_bpe_{suffix}"),
+            F.sum("n_words").cast("long").alias("n_words"),
+        )
+        return agg.where(F.col("n_words") > 0).select(
+            "source",
+            f"n_bpe_{suffix}",
+            "n_words",
+            F.expr(f"(n_bpe_{suffix} * 1000) div n_words")
+            .cast("long")
+            .alias(f"fert_{suffix}_milli"),
+        )
+
+    a = fert(10, "a")
+    b = fert(20, "b").drop("n_words")
+    return a.join(b, "source").select(
+        "source",
+        "n_bpe_a",
+        "n_bpe_b",
+        "n_words",
+        "fert_a_milli",
+        "fert_b_milli",
+        (F.col("fert_a_milli") - F.col("fert_b_milli"))
+        .cast("long")
+        .alias("delta_milli"),
+        F.expr("((n_bpe_a - n_bpe_b) * 1000000) div n_bpe_a")
+        .cast("long")
+        .alias("saving_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. PQ recall-vs-codebook-size sweep
+# ---------------------------------------------------------------------------
+
+_PQ_SWEEP_NCODES = (8, 32)
+
+
+def _pq_recall_sweep_oracle() -> str:
+    from .llm_ops import _pq_int_oracle
+    from .registry import ORACLES
+
+    exact = ORACLES["q_sim_topk_int"]
+    cells = []
+    for n in _PQ_SWEEP_NCODES:
+        cells.append(
+            f"""
+    SELECT CAST({n} AS BIGINT) AS ncodes, e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(floor(sum(CASE WHEN p.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) * 1000.0
+                      / count(*) + 0.5) AS BIGINT) AS recall_milli
+    FROM (SELECT query_id, neighbor_id FROM ({exact})) e
+    LEFT JOIN (SELECT query_id, neighbor_id
+               FROM ({_pq_int_oracle(8, n, 5)})) p
+           USING (query_id, neighbor_id)
+    GROUP BY e.query_id"""
+        )
+    return " UNION ALL ".join(cells)
+
+
+@query("q_pq_recall_sweep", oracle=_pq_recall_sweep_oracle())
+def q_pq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall vs CODEBOOK SIZE: the integer PQ tier (q_sim_pq_int's
+    exact machinery) swept over ncodes in {8, 32} per subspace, each
+    configuration scored as recall@5 against the exact quantized cosine
+    top-5 (q_sim_recall's convention) — the compression-knob table that
+    answers 'how many centroids buy how much recall' before committing
+    a codebook size at serving scale.  Every input is integer-exact, so
+    the whole sweep is hash-gated.
+
+    Scale: per config, encode is one shuffle-free UDF pass and ADC
+    tables ride the closure; the exact side broadcasts the 20-query
+    sample.  Sweep cost is linear in configurations — and at 100 TB you
+    run it on a sampled slice, which this plan is by construction
+    (queries are a key-range sample)."""
+    from ..operators import pq, similarity
+
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries_df = vecs.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk_quantized(vecs, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    parts = []
+    for ncodes in _PQ_SWEEP_NCODES:
+        ann = (
+            pq.pq_topk_int(vecs, queries_df, k=5, m=8, ncodes=ncodes)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+        parts.append(
+            exact.join(ann, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                n_hits.alias("n_hits"),
+                F.floor(
+                    n_hits.cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(1000.0)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("recall_milli"),
+            )
+            .withColumn("ncodes", F.lit(ncodes).cast("long"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("ncodes", "query_id", "n_exact", "n_hits", "recall_milli")
+
+
+# ---------------------------------------------------------------------------
+# 7. WARC-ish record parse (crawl-dump ingest)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_warc_parse",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {URL_EXPR} AS url, text FROM documents)
+    SELECT doc_id,
+           'response' AS rec_type,
+           url AS target_uri,
+           CAST(length(text) AS BIGINT) AS declared_len,
+           CAST(length(text) AS BIGINT) AS payload_len,
+           md5(text) AS payload_md5,
+           CAST(4 AS BIGINT) AS n_headers,
+           CAST(1 AS BIGINT) AS length_ok
+    FROM raw
+    """,
+)
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-record ROUND TRIP — the crawl-dump ingest shape: each
+    document is serialized into a real WARC-style record (version line,
+    four CRLF headers, CRLFCRLF separator, byte payload), and the
+    Arrow-batched parser (`operators/warc.py`) splits the actual byte
+    stream, validates the version magic, folds the header block, digests
+    the payload, and checks the declared Content-Length.  The oracle
+    recomputes every field from the source columns directly, so any
+    framing bug — wrong split point, header-order dependence, off-by-one
+    on the separator — breaks the value hash (the BMP/PGM codec device
+    applied to crawl records).
+
+    Scale: encode and parse are both per-row Arrow batches with no
+    shuffle; at 100 TB this is the scan-side ingest pass, and the only
+    movement is the record bytes themselves, once."""
+    from ..operators import warc
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    raw = docs.select("doc_id", F.expr(URL_EXPR).alias("url"), "text")
+    return warc.parse_warc(warc.synthesize_warc(raw))

@@ -1069,3 +1069,151 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low_cents",
         "close_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup dedup with state TTL (round-8b, R09_QUEUE)
+# ---------------------------------------------------------------------------
+
+# 100-minute sliding lease per LSH bucket: the corpus's same-bucket
+# re-arrival gaps start at 16 min and spread past 7 h, so this TTL
+# exercises BOTH verdicts (renewed bursts and expired leases) at every
+# tested sf — a lease shorter than the minimum gap would make every
+# arrival a keeper and the state machine untestable.
+_TTL_US = 6_000_000_000
+_TTL_DIRS: dict[str, str] = {}
+
+
+def _doc_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Three deterministic micro-batch files of (doc_id, text), split by
+    contiguous doc_id RANGE (not modulo — the TTL state machine's
+    verdicts are split-invariant only when batches are monotone in
+    doc_id, the arrival order both engines replay) and mtime-ordered so
+    the file-stream source reads them as batches 0, 1, 2."""
+    if sf_dir not in _TTL_DIRS:
+        import glob
+        import shutil
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        cuts = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+        work = tempfile.mkdtemp(prefix="nes_ttl_work_")
+        out = tempfile.mkdtemp(prefix="nes_ttl_in_")
+        for b, (lo, hi) in enumerate(cuts):
+            docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.parquet(f"{work}/b{b}")
+            part = glob.glob(f"{work}/b{b}/part-*.parquet")[0]
+            dst = os.path.join(out, f"{chr(97 + b)}_{b}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1000 + b * 100, 1000 + b * 100))
+        _TTL_DIRS[sf_dir] = out
+    return _TTL_DIRS[sf_dir]
+
+
+def _ttl_dedup_oracle() -> str:
+    """Gaps-and-islands twin of the sliding-TTL state machine: per
+    band-0 bucket in doc_id (= arrival) order, an arrival within TTL of
+    the PREVIOUS arrival is a duplicate; a later one starts a new burst
+    whose first doc is the keeper."""
+    from ..operators.dedup import MINHASH_P, minhash_params
+    from .llm_ops import _SHINGLE_CTE
+
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(16)[:2])
+    )
+    p = MINHASH_P
+    return (
+        _SHINGLE_CTE
+        + f""",
+    based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {p} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {p}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),
+    b0 AS (
+        SELECT doc_id,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed))
+                   AS bucket
+        FROM sig GROUP BY doc_id
+    ),
+    d AS (
+        SELECT doc.doc_id, b0.bucket,
+               {_SESSION_DEDUP_BASE_US} + doc.doc_id * 60000000 AS ts_us
+        FROM documents doc LEFT JOIN b0 ON doc.doc_id = b0.doc_id
+    ),
+    g AS (
+        SELECT doc_id, bucket, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NOT NULL
+                         AND ts_us - lag(ts_us) OVER w <= {_TTL_US}
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM d
+        WINDOW w AS (PARTITION BY bucket ORDER BY doc_id)
+    ),
+    s AS (
+        SELECT doc_id, bucket, is_dup,
+               sum(1 - is_dup) OVER (PARTITION BY bucket ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS burst
+        FROM g
+    )
+    SELECT bucket, doc_id,
+           CAST(is_dup AS BIGINT) AS is_dup,
+           min(doc_id) OVER (PARTITION BY bucket, burst) AS keeper_doc
+    FROM s"""
+    )
+
+
+@query("q_stream_dedup_ttl", oracle=_ttl_dedup_oracle())
+def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MinHash dedup with a sliding state TTL
+    (applyInPandasWithState) — the stream side of the maintained-index
+    story q_dedup_incremental tells in batch: documents arrive over
+    three doc_id-monotone micro-batches (maxFilesPerTrigger=1), band
+    themselves row-locally into their band-0 LSH bucket (no shuffle to
+    compute the key), and one (last_seen, keeper) state tuple per bucket
+    classifies each arrival — within TTL of the bucket's last arrival =
+    duplicate of the current burst keeper; past the TTL = the lease
+    expired, state renews with the arrival as the new keeper.  The
+    sliding lease (last_seen advances on EVERY arrival) is the re-crawl
+    policy "a cluster stays deduped for as long as it keeps
+    re-appearing".  Replayed to completion the per-document verdict
+    stream equals a per-bucket gaps-and-islands scan, so the full
+    stateful plan carries a hash oracle (streaming/ttl_dedup.py holds
+    the state machine; cross-batch state is exercised for real — batch
+    boundaries fall mid-burst).
+
+    Scale shape: the only shuffle key is (bucket) and state is one
+    2-long tuple per LIVE bucket — the TTL is precisely what keeps the
+    state store bounded by the active working set instead of the
+    stream's history."""
+    from ..operators import dedup
+    from ..streaming.ttl_dedup import ttl_dedup_stream
+
+    ensure_runtime_confs(spark)
+    schema = "doc_id BIGINT, text STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_doc_batches_dir(spark, sf_dir))
+    )
+    banded = dedup.minhash_bands_rowlocal(
+        stream, n=3, num_hashes=16, rows_per_band=2
+    )
+    keyed = banded.select(
+        "doc_id",
+        F.element_at("bands", 1).getField("bucket").alias("bucket"),
+        (
+            F.lit(_SESSION_DEDUP_BASE_US) + F.col("doc_id") * F.lit(60_000_000)
+        ).alias("ts_us"),
+    )
+    verdicts = ttl_dedup_stream(keyed.groupBy("bucket"), _TTL_US)
+    sink = _run_to_memory(verdicts, "append")
+    return sink.select("bucket", "doc_id", "is_dup", "keeper_doc")

@@ -181,6 +181,10 @@ PROBES = [
     "q_quality_classifier",
     "q_robots_gate",
     "q_contamination_matrix",
+    "q_tokenizer_compare",
+    "q_pq_recall_sweep",
+    "q_warc_parse",
+    "q_stream_dedup_ttl",
 ]
 
 

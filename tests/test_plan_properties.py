@@ -875,3 +875,47 @@ def test_contamination_matrix_fact_joins_are_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 6-row pairs grid
     assert plan.count("HashAggregate") >= 4
+
+
+ROUND8B_OPS_2 = [
+    "q_tokenizer_compare",
+    "q_pq_recall_sweep",
+    "q_warc_parse",
+]
+
+
+@pytest.mark.parametrize("name", ROUND8B_OPS_2)
+def test_round8b_batch2_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_warc_parse_is_pure_arrow_map(spark, sf_dir):
+    """Encode + parse are one Arrow-batched map over the scan: no join,
+    no aggregate, no window, no hash exchange — record bytes move once."""
+    plan = plan_of(spark, sf_dir, "q_warc_parse")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_tokenizer_compare_is_two_arrow_encodes(spark, sf_dir):
+    """Both vocab arms are Arrow-batched encode passes (merge tables in
+    the closure — broadcast-dim pattern, never a shuffle of the corpus
+    against the merge table); the rollup is partial+final per source."""
+    plan = plan_of(spark, sf_dir, "q_tokenizer_compare")
+    assert plan.count("ArrowEvalPython") >= 2  # the two pandas_udf encodes
+    assert "BatchEvalPython" not in plan  # never a row-at-a-time UDF
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_recall_sweep_configs_are_independent_arrow_scans(spark, sf_dir):
+    """Each swept configuration is its own encode+ADC Arrow pass with
+    tables in the closure; the exact arm reuses the broadcast-queries
+    posture; hits are equi-joins — never a corpus x corpus product."""
+    plan = plan_of(spark, sf_dir, "q_pq_recall_sweep")
+    assert plan.count("MapInPandas") >= 2
+    assert "CartesianProduct" not in plan

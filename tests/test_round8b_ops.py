@@ -240,3 +240,192 @@ class TestContaminationMatrix:
                 1 for d in docs_b if len(shingles[d] & union[a]) >= _CONTAM_K
             )
             assert r["n_contaminated"] == contam
+
+
+class TestTokenizerCompare:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["source"]: r
+            for r in QUERIES["q_tokenizer_compare"](spark, sf_dir).collect()
+        }
+
+    def test_one_row_per_source(self, rows, spark, sf_dir):
+        n_sources = (
+            load(spark, sf_dir, "documents").select("source").distinct().count()
+        )
+        assert len(rows) == n_sources
+
+    def test_more_merges_never_inflate_the_budget(self, rows):
+        for r in rows.values():
+            assert r["n_bpe_b"] <= r["n_bpe_a"]
+            assert r["delta_milli"] == r["fert_a_milli"] - r["fert_b_milli"]
+            assert (
+                r["saving_ppm"]
+                == (r["n_bpe_a"] - r["n_bpe_b"]) * 1_000_000 // r["n_bpe_a"]
+            )
+
+    def test_b_side_equals_the_oracled_fertility_query(self, rows, spark, sf_dir):
+        # internal consistency: vocab B IS q_bpe_fertility's tokenizer
+        fert = {
+            r["source"]: r
+            for r in QUERIES["q_bpe_fertility"](spark, sf_dir).collect()
+        }
+        for src, r in rows.items():
+            assert r["n_bpe_b"] == fert[src]["n_bpe"]
+            assert r["fert_b_milli"] == fert[src]["fertility_milli"]
+
+    def test_fertility_floor(self, rows):
+        # a BPE tokenizer can never emit fewer than one token per word
+        for r in rows.values():
+            assert r["fert_b_milli"] >= 1000
+            assert r["fert_a_milli"] >= r["fert_b_milli"]
+
+
+class TestPqRecallSweep:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return QUERIES["q_pq_recall_sweep"](spark, sf_dir).collect()
+
+    def test_grid_shape(self, rows):
+        assert {(r["ncodes"], r["query_id"]) for r in rows} == {
+            (n, q) for n in (8, 32) for q in range(20)
+        }
+
+    def test_recall_bounds_and_formula(self, rows):
+        for r in rows:
+            assert 0 <= r["n_hits"] <= r["n_exact"] == 5
+            assert (
+                r["recall_milli"]
+                == int(r["n_hits"] * 1000.0 / r["n_exact"] + 0.5)
+            )
+
+    def test_bigger_codebook_buys_recall(self, rows):
+        avg = {}
+        for n in (8, 32):
+            vals = [r["recall_milli"] for r in rows if r["ncodes"] == n]
+            avg[n] = sum(vals) / len(vals)
+        assert avg[32] >= avg[8]
+
+
+class TestWarcParse:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["doc_id"]: r
+            for r in QUERIES["q_warc_parse"](spark, sf_dir).collect()
+        }
+
+    def test_round_trip_fields(self, rows, spark, sf_dir):
+        texts = _doc_texts(spark, sf_dir)
+        assert set(rows) == set(texts)
+        for doc_id, t in texts.items():
+            r = rows[doc_id]
+            assert r["rec_type"] == "response"
+            assert r["declared_len"] == r["payload_len"] == len(t)
+            assert r["payload_md5"] == hashlib.md5(t.encode()).hexdigest()
+            assert r["n_headers"] == 4
+            assert r["length_ok"] == 1
+            assert r["target_uri"].lower().startswith("http")
+            assert f"id={doc_id}&" in r["target_uri"]
+
+    def test_malformed_framing_raises(self, spark):
+        from pyspark.sql import Row
+
+        from nomad_event_streamer_spark.operators import warc
+
+        bad = spark.createDataFrame(
+            [Row(record=bytearray(b"WARC/1.0\r\nonly-header-no-separator"))]
+        )
+        with pytest.raises(Exception, match="CRLFCRLF|PythonException"):
+            warc.parse_warc(bad).collect()
+
+    def test_wrong_magic_raises(self, spark):
+        from pyspark.sql import Row
+
+        from nomad_event_streamer_spark.operators import warc
+
+        bad = spark.createDataFrame(
+            [Row(record=bytearray(b"HTTP/1.1 200\r\nA: b\r\n\r\nbody"))]
+        )
+        with pytest.raises(Exception, match="version|PythonException"):
+            warc.parse_warc(bad).collect()
+
+
+class TestStreamDedupTtl:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["doc_id"]: r
+            for r in QUERIES["q_stream_dedup_ttl"](spark, sf_dir).collect()
+        }
+
+    def test_every_doc_gets_a_verdict(self, rows, spark, sf_dir):
+        assert len(rows) == load(spark, sf_dir, "documents").count()
+
+    def test_keeper_invariants(self, rows):
+        for r in rows.values():
+            assert r["keeper_doc"] <= r["doc_id"]
+            if r["is_dup"] == 0:
+                assert r["keeper_doc"] == r["doc_id"]
+
+    def test_both_verdict_classes_fire(self, rows):
+        dups = sum(r["is_dup"] for r in rows.values())
+        assert 0 < dups < len(rows)
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        """Full oracle-independent replay: md5-minhash band-0 buckets,
+        then the sliding-TTL gaps-and-islands scan in doc_id order."""
+        from nomad_event_streamer_spark.operators.dedup import (
+            MINHASH_P,
+            minhash_params,
+        )
+        from nomad_event_streamer_spark.plans.streaming_queries import _TTL_US
+
+        texts = _doc_texts(spark, sf_dir)
+        params = minhash_params(16)[:2]
+        buckets: dict[int, str] = {}
+        for doc_id, t in texts.items():
+            toks = t.split(" ")
+            sh = {
+                " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+            }
+            hbs = [
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+                for s in sh
+            ]
+            mins = [min((a * h + b) % MINHASH_P for h in hbs) for a, b in params]
+            buckets[doc_id] = hashlib.md5(
+                "|".join(str(m) for m in mins).encode()
+            ).hexdigest()
+        by_bucket: dict[str, list[int]] = {}
+        for doc_id in sorted(texts):
+            by_bucket.setdefault(buckets[doc_id], []).append(doc_id)
+        for bucket, ids in by_bucket.items():
+            last_ts, keeper = None, None
+            for doc_id in ids:
+                ts = doc_id * 60_000_000
+                if keeper is not None and ts - last_ts <= _TTL_US:
+                    is_dup = 1
+                else:
+                    is_dup = 0
+                    keeper = doc_id
+                last_ts = ts
+                r = rows[doc_id]
+                assert r["bucket"] == bucket
+                assert r["is_dup"] == is_dup
+                assert r["keeper_doc"] == keeper
+
+    def test_state_carries_across_micro_batches(self, rows, spark, sf_dir):
+        """At least one duplicate verdict must depend on state written in
+        an EARLIER micro-batch (the burst straddles a doc_id-range batch
+        cut) — otherwise the test exercises only within-batch logic."""
+        n = load(spark, sf_dir, "documents").count()
+        cuts = [n // 3, 2 * n // 3]
+        straddling = [
+            r
+            for r in rows.values()
+            if r["is_dup"] == 1
+            and any(r["keeper_doc"] < c <= r["doc_id"] for c in cuts)
+        ]
+        assert straddling
