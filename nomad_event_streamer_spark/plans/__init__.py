@@ -49,7 +49,7 @@ from . import pipeline_queries  # noqa: E402,F401
 #     so they collect the driver's rows>0 evidence and the cumulative
 #     ledger reaches the full registry: 339/339 driver-seen
 #     (328 hash + 11 rows-only).
-# Registry at HEAD: 347 queries / 336 oracled.
+# Registry at HEAD: 355 queries / 344 oracled.
 # R09 OVERFLOW (the escape hatch tests/test_driver_window.py documents):
 # the round-8 window is fully spent on the 50-slug ledger-completing
 # rotation above, so round-8b additions past window capacity sit in the
@@ -136,6 +136,14 @@ R09_QUEUE: list[str] = [
     "q_pq_recall_sweep",
     "q_warc_parse",
     "q_stream_dedup_ttl",
+    "q_url_dedup",
+    "q_soft_dedup_weight",
+    "q_lm_interp",
+    "q_vocab_prune",
+    "q_temporal_split",
+    "q_hashed_ngram_score",
+    "q_jaccard_threshold_sweep",
+    "q_langid_margin",
 ]
 
 # Round-8 re-verification allowance: EMPTY — no optimized plan changed in a

@@ -746,3 +746,636 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     raw = docs.select("doc_id", F.expr(URL_EXPR).alias("url"), "text")
     return warc.parse_warc(warc.synthesize_warc(raw))
+
+
+# ---------------------------------------------------------------------------
+# 8. Canonical-URL page dedup (round-8b batch 3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_url_dedup",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {URL_EXPR} AS url FROM documents
+    ),
+    {urls.canonicalize_sql("raw", "doc_id, url")}
+    SELECT domain, path,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(count(DISTINCT canon_url) AS BIGINT) AS n_variants
+    FROM uc3 GROUP BY 1, 2
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dedup at PAGE granularity: canonical (domain, path) as the
+    page key (ports and surviving query params are delivery variants of
+    the same page), keep the smallest doc_id per page, count collapsed
+    fetches and distinct canonical-URL variants — the crawl-side dedup
+    that runs BEFORE any content hashing, on keys a thousandth the size
+    of the documents.  Composes q_url_canon with q_dedup_exact's
+    survivorship rule.
+
+    Scale: per-row canonicalization then ONE map-side-combinable
+    groupBy on (domain, path) — page-key bytes shuffle, documents never
+    move."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    raw = docs.select("doc_id", F.expr(URL_EXPR).alias("url"))
+    c = urls.canonicalize(F.col("url"))
+    u = raw.select(
+        "doc_id",
+        c["domain"].alias("domain"),
+        c["path"].alias("path"),
+        c["canon_url"].alias("canon_url"),
+    )
+    return u.groupBy("domain", "path").agg(
+        F.min("doc_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        F.countDistinct("canon_url").cast("long").alias("n_variants"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 9. SoftDeDup sampling weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_soft_dedup_weight",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    g AS (SELECT h, CAST(count(*) AS BIGINT) AS n_copies FROM f GROUP BY 1)
+    SELECT f.doc_id, g.n_copies,
+           CAST(1000 // g.n_copies AS BIGINT) AS weight_milli,
+           f.n_tok,
+           CAST(f.n_tok * 1000 // g.n_copies AS BIGINT) AS eff_tok_milli
+    FROM f JOIN g USING (h)
+    """,
+)
+def q_soft_dedup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup REWEIGHTING (She et al. 2024: down-weight duplicated
+    documents instead of dropping them — keeps the distributional mass
+    while killing the gradient over-count): every document gets weight
+    1/n_copies of its duplicate group in milli units, plus its
+    effective token contribution under that weight.  The group key is
+    the ORDER-INSENSITIVE bag-of-words fingerprint (q_fingerprint's
+    fp_sorted — this corpus's duplicates are token reorderings, so the
+    raw-byte md5 finds nothing while the bag fingerprint collapses the
+    real groups); the soft alternative to q_dedup_exact's hard
+    survivorship.
+
+    Scale: one digest aggregate + one digest-keyed join back — the
+    32-byte hash shuffles twice, documents never move; weights are a
+    per-row multiply."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    h = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "h"
+        ),
+        F.size(toks).cast("long").alias("n_tok"),
+    )
+    g = h.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
+    return h.join(g, "h").select(
+        "doc_id",
+        "n_copies",
+        F.expr("1000 div n_copies").cast("long").alias("weight_milli"),
+        "n_tok",
+        F.expr("(n_tok * 1000) div n_copies")
+        .cast("long")
+        .alias("eff_tok_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. Jelinek-Mercer interpolated bigram LM
+# ---------------------------------------------------------------------------
+
+_JM_LAMBDA_MILLI = 700  # λ = 0.7 on the bigram ML term
+_JM_TOPK = 40
+
+
+@query(
+    "q_lm_interp",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+        SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+    ),
+    cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_vw
+           FROM b GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c_vw) AS BIGINT) AS c_v FROM cb GROUP BY 1),
+    u AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c_w
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS t_tok
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    p AS (
+        SELECT cb.w1, cb.w2, cb.c_vw, ctx.c_v, u.c_w,
+               CAST((cb.c_vw * {_JM_LAMBDA_MILLI} * 1000) // ctx.c_v
+                    + (u.c_w * {1000 - _JM_LAMBDA_MILLI} * 1000) // tot.t_tok
+                    AS BIGINT) AS jm_micro
+        FROM cb JOIN ctx USING (w1) JOIN u ON u.w = cb.w2 CROSS JOIN tot
+    )
+    SELECT w1, w2, c_vw, c_v, c_w, jm_micro,
+           CAST(row_number() OVER (ORDER BY jm_micro DESC, w1, w2)
+                AS BIGINT) AS rnk
+    FROM (
+        SELECT * FROM p ORDER BY jm_micro DESC, w1, w2 LIMIT {_JM_TOPK}
+    )
+    """,
+)
+def q_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer INTERPOLATED bigram LM (Jelinek & Mercer 1980;
+    Chen & Goodman 1999 §2.3): P(w|v) = λ·c(vw)/c(v) + (1-λ)·c(w)/T in
+    exact micro units — the fixed-weight linear-interpolation smoothing
+    beside q_kneser_ney's continuation-count smoothing, so the two
+    classic LM smoothers can be regression-compared on one corpus.
+    Top-40 model rows with every component count hash-gated.
+
+    Scale: identical posture to q_kneser_ney — one bigram stream into
+    vocabulary-scale count tables, a 1-row token-total broadcast, and a
+    heap top-k (TakeOrderedAndProject), never a global sort."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    b = t.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 "
+                "THEN sequence(1, size(toks) - 1) ELSE array() END"
+            )
+        ).alias("i"),
+        "toks",
+    ).select(
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
+    )
+    cb = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c_vw"))
+    ctx = cb.groupBy("w1").agg(F.sum("c_vw").cast("long").alias("c_v"))
+    toks = t.select(F.explode("toks").alias("w"))
+    u = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("t_tok"))
+    p = (
+        cb.join(ctx, "w1")
+        .join(u, cb["w2"] == u["w"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_vw",
+            "c_v",
+            "c_w",
+            F.expr(
+                f"(c_vw * {_JM_LAMBDA_MILLI} * 1000) div c_v"
+                f" + (c_w * {1000 - _JM_LAMBDA_MILLI} * 1000) div t_tok"
+            )
+            .cast("long")
+            .alias("jm_micro"),
+        )
+    )
+    top = p.orderBy(
+        F.col("jm_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(_JM_TOPK)
+    w = Window.orderBy(
+        F.col("jm_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# 11. Vocabulary pruning by document frequency
+# ---------------------------------------------------------------------------
+
+_VP_MIN_DF_PPM = 100_000  # below 10% of docs -> cut_low (rare/noise)
+_VP_MAX_DF_PPM = 780_000  # above 78% of docs -> cut_high (stop-like)
+
+
+@query(
+    "q_vocab_prune",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    d AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1)
+    SELECT token, df,
+           CAST(df * 1000000 // n_docs AS BIGINT) AS df_ppm,
+           CASE WHEN df * 1000000 // n_docs < {_VP_MIN_DF_PPM}
+                THEN 'cut_low'
+                WHEN df * 1000000 // n_docs > {_VP_MAX_DF_PPM}
+                THEN 'cut_high'
+                ELSE 'keep' END AS action
+    FROM d CROSS JOIN n
+    """,
+)
+def q_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary PRUNING by document frequency (the min_df/max_df cut
+    every bag-of-words / TF-IDF / topic pipeline applies before
+    featurization): per token its document frequency, corpus share in
+    ppm, and the keep / cut_low (rare) / cut_high (stop-like) action at
+    fixed ppm thresholds — scale-free thresholds so the rule is the
+    same at any corpus size.
+
+    Scale: within-doc distinct is a per-row array op (no shuffle), the
+    df pass is ONE map-side-combinable groupBy(token) to
+    vocabulary-cardinality rows, and the total is a 1-row broadcast."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    d = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ppm = F.expr("(df * 1000000) div n_docs")
+    return d.crossJoin(F.broadcast(n)).select(
+        "token",
+        "df",
+        ppm.cast("long").alias("df_ppm"),
+        F.when(ppm < _VP_MIN_DF_PPM, F.lit("cut_low"))
+        .when(ppm > _VP_MAX_DF_PPM, F.lit("cut_high"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. Temporal train/test split with user-leakage audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_temporal_split",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    c AS (SELECT min(us) + (max(us) - min(us)) * 49 // 50 AS cut FROM e)
+    SELECT user_id,
+           CAST(sum(CASE WHEN us < cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+           CAST(sum(CASE WHEN us >= cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test,
+           CAST(CASE WHEN sum(CASE WHEN us < cut THEN 1 ELSE 0 END) > 0
+                      AND sum(CASE WHEN us >= cut THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS spans_cut
+    FROM e CROSS JOIN c
+    GROUP BY user_id
+    """,
+)
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL train/test split with the user-leakage audit: the cut is
+    the 98% point of the observed time range (integer usec, the
+    reproducible alternative to calendar constants — holding out the
+    trailing 2% of time; an earlier cut makes every user span it in
+    this uniformly-active corpus and the audit column degenerates), each user's events
+    are counted on both sides, and ``spans_cut`` flags the users whose
+    history leaks across the boundary — the entity-level leakage a
+    time-split evaluation must either group away or report.
+
+    Scale: one min/max aggregate (1-row broadcast) + one user-keyed
+    partial aggregate; no window, no join on the fact table."""
+    from ..tables import load as load_tbl
+
+    ev = load_tbl(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("us")
+    )
+    c = ev.agg(
+        F.expr("min(us) + ((max(us) - min(us)) * 49) div 50").alias("cut")
+    )
+    is_train = F.when(F.col("us") < F.col("cut"), 1).otherwise(0)
+    return (
+        ev.crossJoin(F.broadcast(c))
+        .groupBy("user_id")
+        .agg(
+            F.sum(is_train).cast("long").alias("n_train"),
+            F.sum(1 - is_train).cast("long").alias("n_test"),
+        )
+        .select(
+            "user_id",
+            "n_train",
+            "n_test",
+            ((F.col("n_train") > 0) & (F.col("n_test") > 0))
+            .cast("long")
+            .alias("spans_cut"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. Hashed n-gram linear scorer (hashing-trick features)
+# ---------------------------------------------------------------------------
+
+# 16-bucket hashing-trick weight table (milli units), ONE Python literal
+# rendered into both engines.
+_HNG_W = [37, -52, 11, -8, 90, -41, 23, -17, 5, -63, 48, -29, 71, -94, 33, -12]
+_HNG_W_SQL = ", ".join(str(w) for w in _HNG_W)
+_HNG_K = len(_HNG_W)
+
+_HNG_BIGRAMS_SPARK = (
+    "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),"
+    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    " ELSE array() END"
+)
+
+
+@query(
+    "q_hashed_ngram_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2 THEN
+                   [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+               ELSE [] END AS bigrams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_feats,
+           CAST(coalesce(list_sum(list_transform(bigrams,
+                b -> [{_HNG_W_SQL}][
+                    CAST(CAST(concat('0x', substring(md5(b), 1, 15))
+                         AS BIGINT) % {_HNG_K} AS INT) + 1])), 0)
+                AS BIGINT) AS score_milli,
+           CAST(CASE WHEN coalesce(list_sum(list_transform(bigrams,
+                b -> [{_HNG_W_SQL}][
+                    CAST(CAST(concat('0x', substring(md5(b), 1, 15))
+                         AS BIGINT) % {_HNG_K} AS INT) + 1])), 0) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS pred_keep
+    FROM g
+    """,
+)
+def q_hashed_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick n-gram LINEAR SCORER (the fasttext feature layout:
+    Weinberger et al. 2009 feature hashing + a fixed weight vector):
+    every consecutive bigram hashes into one of 16 weight buckets
+    (md5-int — the engine's one portable string hash) and the document
+    score is the exact integer sum of its bigram-bucket weights — the
+    model-free stand-in for an n-gram classifier, with collisions and
+    all, entirely hash-gated.  Complements q_quality_classifier's dense
+    features with the sparse hashed-feature shape.
+
+    Scale: bigram build, hash, table lookup, and sum are ONE per-row
+    higher-order-function chain — no explode, no shuffle, no Python;
+    the 16-weight table is a literal in the expression (codegen), which
+    is exactly how a 2^18-bucket table ships at 100 TB (broadcast
+    literal, never a join)."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    score = F.expr(
+        f"aggregate({_HNG_BIGRAMS_SPARK}, 0L, (acc, b) -> acc +"
+        f" element_at(array({_HNG_W_SQL}),"
+        f" CAST(CAST(conv(substring(md5(b), 1, 15), 16, 10) AS BIGINT)"
+        f" % {_HNG_K} AS INT) + 1))"
+    )
+    n_feats = F.expr(f"size({_HNG_BIGRAMS_SPARK})")
+    return docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id",
+        n_feats.cast("long").alias("n_feats"),
+        score.cast("long").alias("score_milli"),
+        (score > 0).cast("long").alias("pred_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. Jaccard threshold sweep over LSH candidates
+# ---------------------------------------------------------------------------
+
+# Operating points chosen against the corpus's observed candidate
+# distribution (band-collision noise at <=43 milli, the true near-dup
+# cluster at 900-989): each threshold cuts a DIFFERENT pair count, so
+# the sweep is informative instead of four copies of one number.
+_JT_THRESHOLDS = (10, 500, 960, 980)
+
+
+def _jaccard_sweep_oracle() -> str:
+    from .llm_ops import _minhash_oracle
+
+    th_values = ", ".join(f"({t})" for t in _JT_THRESHOLDS)
+    return f"""
+    WITH cand AS (
+        SELECT doc_a, doc_b FROM ({_minhash_oracle(16)})
+    ),
+    sh2 AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(toks[i:i+2], ' ')
+             FOR i IN range(1, greatest(len(toks) - 1, 1))]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM sh2 GROUP BY 1),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh2 sa ON sa.doc_id = c.doc_a
+        JOIN sh2 sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT c.doc_a, c.doc_b,
+               (coalesce(i.i, 0) * 1000)
+                   // (na.n + nb.n - coalesce(i.i, 0)) AS jacc
+        FROM cand c
+        JOIN cnt na ON na.doc_id = c.doc_a
+        JOIN cnt nb ON nb.doc_id = c.doc_b
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    ),
+    th(thresh_milli) AS (VALUES {th_values}),
+    pairs_t AS (
+        SELECT th.thresh_milli, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM j CROSS JOIN th WHERE j.jacc >= th.thresh_milli GROUP BY 1
+    ),
+    flat AS (
+        SELECT th.thresh_milli, j.doc_a AS d
+        FROM j CROSS JOIN th WHERE j.jacc >= th.thresh_milli
+        UNION ALL
+        SELECT th.thresh_milli, j.doc_b
+        FROM j CROSS JOIN th WHERE j.jacc >= th.thresh_milli
+    ),
+    docs_t AS (
+        SELECT thresh_milli, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        FROM flat GROUP BY 1
+    )
+    SELECT CAST(t.thresh_milli AS BIGINT) AS thresh_milli,
+           CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(dd.n_docs, 0) AS BIGINT) AS n_docs
+    FROM th t
+    LEFT JOIN pairs_t p ON p.thresh_milli = t.thresh_milli
+    LEFT JOIN docs_t dd ON dd.thresh_milli = t.thresh_milli
+    """
+
+
+@query("q_jaccard_threshold_sweep", oracle=_jaccard_sweep_oracle())
+def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard THRESHOLD sweep over the LSH candidate set: for each
+    dedup cut-off (300/500/700/850 milli) the number of confirmed
+    near-dup pairs and of documents touched — the operating-point table
+    that turns 'pick a similarity threshold' from a guess into a read
+    (q_lsh_tuning tunes the index; this tunes the DECISION).  Zero-pair
+    thresholds emit explicit zero rows (the ADVICE r07 q_embed_lsh_tuning
+    rule: a tuning table must never silently omit a configuration).
+
+    Scale: candidates come from the bucketed LSH path (never
+    all-pairs), the exact verify join touches only candidate shingles,
+    and the sweep itself is a 4-row broadcast over the verified pair
+    table — thresholds add zero passes over the corpus."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    cand = dedup.lsh_candidate_pairs(bands)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = (
+        cand.join(
+            cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "(coalesce(i, 0) * 1000) div (na + nb - coalesce(i, 0))"
+            ).alias("jacc"),
+        )
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _JT_THRESHOLDS], "thresh_milli INT"
+    )
+    hits = j.crossJoin(F.broadcast(th)).where(
+        F.col("jacc") >= F.col("thresh_milli")
+    )
+    pairs_t = hits.groupBy("thresh_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    docs_t = (
+        hits.select(
+            "thresh_milli",
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+        )
+        .groupBy("thresh_milli")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    return (
+        th.join(pairs_t, "thresh_milli", "left")
+        .join(docs_t, "thresh_milli", "left")
+        .select(
+            F.col("thresh_milli").cast("long").alias("thresh_milli"),
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 15. Language-ID confidence margin
+# ---------------------------------------------------------------------------
+
+
+def _langid_margin_oracle() -> str:
+    from ..operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        in_list = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(string_split(text, ' '),"
+            f" x -> x IN ({in_list}))) AS BIGINT) AS s_{lang}"
+        )
+    # predict_lang's tie rule: earlier alphabetical language wins on >=
+    pred_chain = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = [f"s_{o}" for o in langs[i + 1 :]]
+        rest_max = rest[0] if len(rest) == 1 else f"greatest({', '.join(rest)})"
+        pred_chain.append(f"WHEN s_{lang} >= {rest_max} THEN '{lang}'")
+    pred_sql = "CASE " + " ".join(pred_chain) + f" ELSE '{langs[-1]}' END"
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+    WITH s AS (
+        SELECT doc_id, {", ".join(score_cols)}
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, {pred_sql} AS pred_lang,
+               list_sort([{all_scores}])[{len(langs)}]
+                   - list_sort([{all_scores}])[{len(langs) - 1}] AS margin
+        FROM s
+    )
+    SELECT pred_lang,
+           CASE WHEN margin = 0 THEN 'tie'
+                WHEN margin <= 2 THEN 'narrow'
+                WHEN margin <= 5 THEN 'clear'
+                ELSE 'strong' END AS margin_band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(margin) AS BIGINT) AS min_margin,
+           CAST(max(margin) AS BIGINT) AS max_margin
+    FROM m GROUP BY 1, 2
+    """
+
+
+@query("q_langid_margin", oracle=_langid_margin_oracle())
+def q_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confidence MARGIN audit: per predicted language, how
+    far the winning marker score sits above the runner-up (top1 - top2
+    over the sorted score vector), banded into tie / narrow / clear /
+    strong — the confidence profile that tells a pipeline which
+    language buckets need a second-pass classifier (q_langid_confusion
+    audits WHERE the errors go; this audits how close the calls were).
+
+    Scale: scores, sort, margin, and band are per-row array ops (no
+    explode, no shuffle); the rollup is one (lang, band)-keyed partial
+    aggregate to at most 20 rows."""
+    from ..operators import text as text_ops
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    langs = sorted(text_ops.LANG_MARKERS)
+    scored = text_ops.lang_scores(docs).withColumn(
+        "pred_lang", text_ops.predict_lang()
+    )
+    arr = F.array_sort(F.array(*[F.col(f"s_{lang}") for lang in langs]))
+    margin = (
+        F.element_at(arr, len(langs)) - F.element_at(arr, len(langs) - 1)
+    ).cast("long")
+    m = scored.select("doc_id", "pred_lang", margin.alias("margin"))
+    return (
+        m.select(
+            "pred_lang",
+            F.when(F.col("margin") == 0, F.lit("tie"))
+            .when(F.col("margin") <= 2, F.lit("narrow"))
+            .when(F.col("margin") <= 5, F.lit("clear"))
+            .otherwise(F.lit("strong"))
+            .alias("margin_band"),
+            "margin",
+        )
+        .groupBy("pred_lang", "margin_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("margin").cast("long").alias("min_margin"),
+            F.max("margin").cast("long").alias("max_margin"),
+        )
+    )

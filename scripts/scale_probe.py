@@ -185,6 +185,14 @@ PROBES = [
     "q_pq_recall_sweep",
     "q_warc_parse",
     "q_stream_dedup_ttl",
+    "q_url_dedup",
+    "q_soft_dedup_weight",
+    "q_lm_interp",
+    "q_vocab_prune",
+    "q_temporal_split",
+    "q_hashed_ngram_score",
+    "q_jaccard_threshold_sweep",
+    "q_langid_margin",
 ]
 
 

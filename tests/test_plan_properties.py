@@ -919,3 +919,76 @@ def test_pq_recall_sweep_configs_are_independent_arrow_scans(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_pq_recall_sweep")
     assert plan.count("MapInPandas") >= 2
     assert "CartesianProduct" not in plan
+
+
+ROUND8B_OPS_3 = [
+    "q_url_dedup",
+    "q_soft_dedup_weight",
+    "q_lm_interp",
+    "q_vocab_prune",
+    "q_temporal_split",
+    "q_hashed_ngram_score",
+    "q_jaccard_threshold_sweep",
+    "q_langid_margin",
+]
+
+
+@pytest.mark.parametrize("name", ROUND8B_OPS_3)
+def test_round8b_batch3_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_hashed_ngram_score_is_pure_hof_map(spark, sf_dir):
+    """Bigram build, hash, weight lookup, and sum are ONE per-row HOF
+    chain: no explode, no join, no aggregate operator, no Python."""
+    plan = plan_of(spark, sf_dir, "q_hashed_ngram_score")
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "EvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_langid_margin_is_scan_plus_one_rollup(spark, sf_dir):
+    """Scores, sort, margin, and band are per-row array ops; the only
+    shuffle is the (lang, band) rollup's single hash exchange."""
+    plan = plan_of(spark, sf_dir, "q_langid_margin")
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lm_interp_topk_is_heap_bounded(spark, sf_dir):
+    """The q_kneser_ney posture: rank attaches to the 40 limit
+    survivors (bounded window input), physical top-k is the heap
+    operator, totals ride broadcast."""
+    df = QUERIES["q_lm_interp"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit 40" in opt
+    assert opt.index("Window") < opt.index("GlobalLimit"), (
+        "limit must bound the window input"
+    )
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    assert "Exchange rangepartitioning" not in phys
+    assert "CartesianProduct" not in phys
+
+
+def test_soft_dedup_weight_joins_on_digest(spark, sf_dir):
+    """The join back is an equi-join on the 32-byte fingerprint (never
+    a nested loop) and there is no window operator."""
+    plan = plan_of(spark, sf_dir, "q_soft_dedup_weight")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_temporal_split_is_agg_plus_one_row_broadcast(spark, sf_dir):
+    """The cut is a 1-row broadcast (BroadcastNestedLoopJoin over one
+    row is the cheapest possible plan); the per-user rollup is
+    partial+final; no window, no fact-table equi-join."""
+    plan = plan_of(spark, sf_dir, "q_temporal_split")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan

@@ -429,3 +429,334 @@ class TestStreamDedupTtl:
             and any(r["keeper_doc"] < c <= r["doc_id"] for c in cuts)
         ]
         assert straddling
+
+
+class TestUrlDedup:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            (r["domain"], r["path"]): r
+            for r in QUERIES["q_url_dedup"](spark, sf_dir).collect()
+        }
+
+    def test_groups_partition_docs(self, rows, spark, sf_dir):
+        n = load(spark, sf_dir, "documents").count()
+        assert sum(r["n_dups"] for r in rows.values()) == n
+
+    def test_python_replay_groups(self, rows, spark, sf_dir):
+        canon = QUERIES["q_url_canon"](spark, sf_dir).collect()
+        groups: dict[tuple, list] = {}
+        for r in canon:
+            from urllib.parse import urlsplit
+
+            s = urlsplit(r["canon_url"])
+            groups.setdefault((r["domain"], r["path"]), []).append(
+                (r["doc_id"], r["canon_url"])
+            )
+        assert set(rows) == set(groups)
+        for key, members in groups.items():
+            r = rows[key]
+            assert r["keep_id"] == min(d for d, _ in members)
+            assert r["n_dups"] == len(members)
+            assert r["n_variants"] == len({c for _, c in members})
+
+    def test_variants_bounded_by_dups(self, rows):
+        for r in rows.values():
+            assert 1 <= r["n_variants"] <= r["n_dups"]
+
+
+class TestSoftDedupWeight:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["doc_id"]: r
+            for r in QUERIES["q_soft_dedup_weight"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        texts = _doc_texts(spark, sf_dir)
+        fps = {
+            doc_id: hashlib.md5(
+                " ".join(sorted(set(t.split(" ")))).encode()
+            ).hexdigest()
+            for doc_id, t in texts.items()
+        }
+        sizes = Counter(fps.values())
+        for doc_id, t in texts.items():
+            r = rows[doc_id]
+            n = sizes[fps[doc_id]]
+            n_tok = len(t.split(" "))
+            assert r["n_copies"] == n
+            assert r["weight_milli"] == 1000 // n
+            assert r["n_tok"] == n_tok
+            assert r["eff_tok_milli"] == n_tok * 1000 // n
+
+    def test_duplicate_groups_exist(self, rows):
+        assert any(r["n_copies"] > 1 for r in rows.values())
+        assert any(r["n_copies"] == 1 for r in rows.values())
+
+    def test_group_mass_bounded(self, rows):
+        by_copies: dict[int, list] = {}
+        for r in rows.values():
+            by_copies.setdefault(r["n_copies"], []).append(r)
+        for n, members in by_copies.items():
+            assert len(members) % n == 0  # whole groups
+            # per group the weights sum to <= 1000 (floor rounding)
+            assert 1000 - n < (1000 // n) * n <= 1000
+
+
+class TestLmInterp:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return QUERIES["q_lm_interp"](spark, sf_dir).collect()
+
+    def test_python_replay_full_model(self, rows, spark, sf_dir):
+        texts = _doc_texts(spark, sf_dir)
+        cb: Counter = Counter()
+        u: Counter = Counter()
+        t_tok = 0
+        for t in texts.values():
+            toks = t.split(" ")
+            u.update(toks)
+            t_tok += len(toks)
+            cb.update(zip(toks, toks[1:]))
+        c_v: Counter = Counter()
+        for (v, _), c in cb.items():
+            c_v[v] += c
+        model = []
+        for (v, w), c_vw in cb.items():
+            jm = (c_vw * 700 * 1000) // c_v[v] + (u[w] * 300 * 1000) // t_tok
+            model.append((-jm, v, w, c_vw))
+        model.sort()
+        top = model[:40]
+        assert len(rows) == 40
+        got = sorted(rows, key=lambda r: r["rnk"])
+        for r, (neg_jm, v, w, c_vw) in zip(got, top):
+            assert (r["w1"], r["w2"]) == (v, w)
+            assert r["jm_micro"] == -neg_jm
+            assert r["c_vw"] == c_vw
+
+    def test_rank_dense(self, rows):
+        assert sorted(r["rnk"] for r in rows) == list(range(1, 41))
+
+
+class TestVocabPrune:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["token"]: r
+            for r in QUERIES["q_vocab_prune"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        texts = _doc_texts(spark, sf_dir)
+        df: Counter = Counter()
+        for t in texts.values():
+            df.update(set(t.split(" ")))
+        n_docs = len(texts)
+        assert set(rows) == set(df)
+        for token, d in df.items():
+            r = rows[token]
+            ppm = d * 1_000_000 // n_docs
+            assert r["df"] == d
+            assert r["df_ppm"] == ppm
+            expect = (
+                "cut_low"
+                if ppm < 100_000
+                else "cut_high" if ppm > 780_000 else "keep"
+            )
+            assert r["action"] == expect
+
+    def test_all_actions_present(self, rows):
+        assert {r["action"] for r in rows.values()} == {
+            "keep",
+            "cut_low",
+            "cut_high",
+        }
+
+
+class TestTemporalSplit:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["user_id"]: r
+            for r in QUERIES["q_temporal_split"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        ev = (
+            load(spark, sf_dir, "events")
+            .selectExpr("user_id", "ts div 1000 AS us")
+            .collect()
+        )
+        us = [r["us"] for r in ev]
+        cut = min(us) + (max(us) - min(us)) * 49 // 50
+        per: dict[int, list[int]] = {}
+        for r in ev:
+            per.setdefault(r["user_id"], []).append(r["us"])
+        assert set(rows) == set(per)
+        for uid, times in per.items():
+            r = rows[uid]
+            n_train = sum(1 for t in times if t < cut)
+            assert r["n_train"] == n_train
+            assert r["n_test"] == len(times) - n_train
+            assert r["spans_cut"] == (
+                1 if 0 < n_train < len(times) else 0
+            )
+
+    def test_both_leak_classes_present(self, rows):
+        flags = {r["spans_cut"] for r in rows.values()}
+        assert flags == {0, 1}
+
+
+class TestHashedNgramScore:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["doc_id"]: r
+            for r in QUERIES["q_hashed_ngram_score"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        from nomad_event_streamer_spark.plans.pipeline_queries import _HNG_W
+
+        texts = _doc_texts(spark, sf_dir)
+        for doc_id, t in texts.items():
+            toks = t.split(" ")
+            bigrams = [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ] if len(toks) >= 2 else []
+            score = sum(
+                _HNG_W[
+                    int(hashlib.md5(b.encode()).hexdigest()[:15], 16)
+                    % len(_HNG_W)
+                ]
+                for b in bigrams
+            )
+            r = rows[doc_id]
+            assert r["n_feats"] == len(bigrams)
+            assert r["score_milli"] == score
+            assert r["pred_keep"] == (1 if score > 0 else 0)
+
+    def test_classes_not_degenerate(self, rows):
+        kept = sum(r["pred_keep"] for r in rows.values())
+        assert 0 < kept < len(rows)
+
+
+class TestJaccardThresholdSweep:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["thresh_milli"]: r
+            for r in QUERIES["q_jaccard_threshold_sweep"](spark, sf_dir).collect()
+        }
+
+    def test_all_thresholds_emit(self, rows):
+        assert set(rows) == {10, 500, 960, 980}
+
+    def test_monotone_in_threshold(self, rows):
+        ts = sorted(rows)
+        for lo, hi in zip(ts, ts[1:]):
+            assert rows[lo]["n_pairs"] >= rows[hi]["n_pairs"]
+            assert rows[lo]["n_docs"] >= rows[hi]["n_docs"]
+
+    def test_docs_bounded_by_pairs(self, rows):
+        for r in rows.values():
+            assert r["n_docs"] <= 2 * r["n_pairs"]
+            if r["n_pairs"] > 0:
+                assert r["n_docs"] >= 2
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        """Full oracle-independent replay: 16-seed md5 minhash, 8 bands
+        of 2 rows, bucket pairs, exact Jaccard, threshold counts."""
+        from nomad_event_streamer_spark.operators.dedup import (
+            MINHASH_P,
+            minhash_params,
+        )
+
+        texts = _doc_texts(spark, sf_dir)
+        params = minhash_params(16)
+        shingles: dict[int, set] = {}
+        bands: dict[tuple, list] = {}
+        for doc_id, t in texts.items():
+            toks = t.split(" ")
+            sh = {
+                " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+            }
+            shingles[doc_id] = sh
+            hbs = [
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+                for s in sh
+            ]
+            sig = [min((a * h + b) % MINHASH_P for h in hbs) for a, b in params]
+            for band in range(8):
+                bucket = hashlib.md5(
+                    "|".join(
+                        str(m) for m in sig[band * 2 : band * 2 + 2]
+                    ).encode()
+                ).hexdigest()
+                bands.setdefault((band, bucket), []).append(doc_id)
+        cand = set()
+        for members in bands.values():
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for b in ms[i + 1 :]:
+                    cand.add((a, b))
+        jacc = {}
+        for a, b in cand:
+            i = len(shingles[a] & shingles[b])
+            jacc[(a, b)] = i * 1000 // (len(shingles[a]) + len(shingles[b]) - i)
+        for t, r in rows.items():
+            hits = [p for p, j in jacc.items() if j >= t]
+            assert r["n_pairs"] == len(hits)
+            assert r["n_docs"] == len({d for p in hits for d in p})
+
+
+class TestLangidMargin:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            (r["pred_lang"], r["margin_band"]): r
+            for r in QUERIES["q_langid_margin"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        from nomad_event_streamer_spark.operators.text import LANG_MARKERS
+
+        texts = _doc_texts(spark, sf_dir)
+        langs = sorted(LANG_MARKERS)
+        agg: dict[tuple, list[int]] = {}
+        for t in texts.values():
+            toks = t.split(" ")
+            scores = {
+                lang: sum(1 for x in toks if x in LANG_MARKERS[lang])
+                for lang in langs
+            }
+            pred = None
+            for i, lang in enumerate(langs[:-1]):
+                rest = max(scores[o] for o in langs[i + 1 :])
+                if scores[lang] >= rest:
+                    pred = lang
+                    break
+            pred = pred or langs[-1]
+            vals = sorted(scores.values())
+            margin = vals[-1] - vals[-2]
+            band = (
+                "tie"
+                if margin == 0
+                else "narrow"
+                if margin <= 2
+                else "clear" if margin <= 5 else "strong"
+            )
+            agg.setdefault((pred, band), []).append(margin)
+        assert set(rows) == set(agg)
+        for key, margins in agg.items():
+            r = rows[key]
+            assert r["n"] == len(margins)
+            assert r["min_margin"] == min(margins)
+            assert r["max_margin"] == max(margins)
+
+    def test_band_counts_cover_corpus(self, rows, spark, sf_dir):
+        assert sum(r["n"] for r in rows.values()) == load(
+            spark, sf_dir, "documents"
+        ).count()
