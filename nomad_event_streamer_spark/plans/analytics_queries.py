@@ -1194,3 +1194,86 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v2_ppb"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round-8b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS r_us,
+               CAST(count(*) AS BIGINT) AS f,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS m_cents
+        FROM events GROUP BY user_id
+    ),
+    th AS (
+        SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY r_us) AS rt,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY f) AS ft,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY m_cents) AS mt
+        FROM per_user
+    )
+    SELECT concat('R', CASE WHEN r_us > rt THEN 1 ELSE 0 END,
+                  'F', CASE WHEN f > ft THEN 1 ELSE 0 END,
+                  'M', CASE WHEN m_cents > mt THEN 1 ELSE 0 END) AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(f) AS BIGINT) AS sum_events,
+           CAST(sum(m_cents) AS BIGINT) AS sum_cents
+    FROM per_user CROSS JOIN th
+    GROUP BY 1
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION (recency / frequency / monetary, the classic
+    customer-value grid): per user the last-seen time, event count, and
+    cents mass; each dimension split at its exact median
+    (``percentile_disc`` — a real data value, so the cut is
+    float-exact in both engines) into above/below, yielding the 8
+    R{0,1}F{0,1}M{0,1} segments with user counts and mass rollups.
+
+    The median-threshold broadcast is deliberately NOT an ntile window:
+    a partitionless ntile over the user table is the single-task shape
+    that dies at a billion users, while percentile_disc is one
+    sort-based aggregate to a 1-row threshold table.
+
+    Scale: one user-keyed partial aggregate, a 1-row broadcast, and an
+    8-group rollup."""
+    ev = events(spark, sf_dir).select(
+        "user_id",
+        "ts_us",
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts_us").cast("long").alias("r_us"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum("cents").cast("long").alias("m_cents"),
+    )
+    th = per_user.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r_us)").alias("rt"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY f)").alias("ft"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY m_cents)").alias(
+            "mt"
+        ),
+    )
+    seg = F.concat(
+        F.lit("R"),
+        F.when(F.col("r_us") > F.col("rt"), 1).otherwise(0).cast("string"),
+        F.lit("F"),
+        F.when(F.col("f") > F.col("ft"), 1).otherwise(0).cast("string"),
+        F.lit("M"),
+        F.when(F.col("m_cents") > F.col("mt"), 1).otherwise(0).cast("string"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(th))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("f").cast("long").alias("sum_events"),
+            F.sum("m_cents").cast("long").alias("sum_cents"),
+        )
+    )

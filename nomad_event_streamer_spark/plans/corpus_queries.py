@@ -3428,3 +3428,126 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div ((n0 - tw) * (n0 - tv)) END AS BIGINT)"
         ).alias("tau2_sign_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired-classifier test (round-8b)
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_oracle() -> str:
+    from ..operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_a, score_b = [], []
+    for lang in langs:
+        full = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        first = LANG_MARKERS[lang][0]
+        score_a.append(
+            f"len(list_filter(string_split(text, ' '),"
+            f" x -> x IN ({full}))) AS a_{lang}"
+        )
+        score_b.append(
+            f"len(list_filter(string_split(text, ' '),"
+            f" x -> x = '{first}')) AS b_{lang}"
+        )
+
+    def chain(prefix: str) -> str:
+        parts = []
+        for i, lang in enumerate(langs[:-1]):
+            rest = [f"{prefix}_{o}" for o in langs[i + 1 :]]
+            rest_max = (
+                rest[0] if len(rest) == 1 else f"greatest({', '.join(rest)})"
+            )
+            parts.append(f"WHEN {prefix}_{lang} >= {rest_max} THEN '{lang}'")
+        return "CASE " + " ".join(parts) + f" ELSE '{langs[-1]}' END"
+
+    return f"""
+    WITH s AS (
+        SELECT lang, {", ".join(score_a)}, {", ".join(score_b)}
+        FROM documents
+    ),
+    v AS (
+        SELECT CASE WHEN {chain("a")} = lang THEN 1 ELSE 0 END AS a_ok,
+               CASE WHEN {chain("b")} = lang THEN 1 ELSE 0 END AS b_ok
+        FROM s
+    )
+    SELECT CAST(sum(a_ok * b_ok) AS BIGINT) AS n_both_right,
+           CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS n_a_only,
+           CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS n_b_only,
+           CAST(sum((1 - a_ok) * (1 - b_ok)) AS BIGINT) AS n_both_wrong,
+           CAST(CASE WHEN sum(a_ok * (1 - b_ok)) + sum((1 - a_ok) * b_ok) = 0
+                THEN 0
+                ELSE (sum(a_ok * (1 - b_ok)) - sum((1 - a_ok) * b_ok))
+                     * (sum(a_ok * (1 - b_ok)) - sum((1 - a_ok) * b_ok))
+                     * 1000
+                     // (sum(a_ok * (1 - b_ok)) + sum((1 - a_ok) * b_ok))
+                END AS BIGINT) AS chi2_milli
+    FROM v
+    """
+
+
+@query("q_mcnemar", oracle=_mcnemar_oracle())
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR's paired test (McNemar 1947) comparing two language-ID
+    classifiers on the SAME documents against the gold ``lang`` column:
+    classifier A = the full marker-set argmax (q_lang_id's rule),
+    classifier B = a first-marker-only ablation.  Emits the 2x2
+    agreement table (both right / A only / B only / both wrong) and the
+    McNemar chi-square statistic (b-c)²/(b+c) in milli units — the
+    correct significance test for "is A actually better than B" on
+    paired predictions, where the independent-samples chi-square
+    (q_drift_chi2) would be wrong.
+
+    Scale: both classifiers are per-row conditional aggregations over
+    the token array (no explode, no shuffle); the whole test is ONE
+    global aggregate to a single row."""
+    from ..operators.text import LANG_MARKERS, lang_scores, predict_lang
+
+    langs = sorted(LANG_MARKERS)
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    scored = lang_scores(docs).withColumn("pred_a", predict_lang())
+    for lang in langs:
+        first = LANG_MARKERS[lang][0]
+        # NOTE: a two-parameter lambda here would make F.filter bind its
+        # optional INDEX argument — render the one-arg lambda as SQL.
+        scored = scored.withColumn(
+            f"b_{lang}",
+            F.expr(
+                f"CAST(size(filter(split(text, ' '),"
+                f" x -> x = '{first}')) AS BIGINT)"
+            ),
+        )
+    pred_b = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        rest = [F.col(f"b_{o}") for o in langs[i + 1 :]]
+        rest_max = F.greatest(*rest) if len(rest) > 1 else rest[0]
+        pred_b = F.when(
+            F.col(f"b_{langs[i]}") >= rest_max, F.lit(langs[i])
+        ).otherwise(pred_b)
+    v = scored.select(
+        (F.col("pred_a") == F.col("lang")).cast("int").alias("a_ok"),
+        (pred_b == F.col("lang")).cast("int").alias("b_ok"),
+    )
+    a_only = F.sum(F.col("a_ok") * (1 - F.col("b_ok"))).cast("long")
+    b_only = F.sum((1 - F.col("a_ok")) * F.col("b_ok")).cast("long")
+    return v.agg(
+        F.sum(F.col("a_ok") * F.col("b_ok")).cast("long").alias("n_both_right"),
+        a_only.alias("n_a_only"),
+        b_only.alias("n_b_only"),
+        F.sum((1 - F.col("a_ok")) * (1 - F.col("b_ok")))
+        .cast("long")
+        .alias("n_both_wrong"),
+    ).select(
+        "n_both_right",
+        "n_a_only",
+        "n_b_only",
+        "n_both_wrong",
+        F.expr(
+            "CASE WHEN n_a_only + n_b_only = 0 THEN 0"
+            " ELSE (n_a_only - n_b_only) * (n_a_only - n_b_only) * 1000"
+            "      div (n_a_only + n_b_only) END"
+        )
+        .cast("long")
+        .alias("chi2_milli"),
+    )

@@ -311,3 +311,132 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(wsz).alias("scc_size"),
         )
     )
+
+
+_LP_TOPK = 20
+_LP_MIN_CELLS = 3  # co-activity cells for an edge (scale-free: cells, not counts)
+
+
+@query(
+    "q_link_predict",
+    oracle=f"""
+    WITH cell AS (
+        SELECT DISTINCT user_id, event_type,
+               epoch_us(ts) // 3600000000 AS h
+        FROM events
+    ),
+    pair AS (
+        SELECT ca.user_id AS u, cb.user_id AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM cell ca
+        JOIN cell cb ON ca.event_type = cb.event_type AND ca.h = cb.h
+                    AND ca.user_id < cb.user_id
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT u AS a, v AS b FROM pair WHERE c >= {_LP_MIN_CELLS}),
+    nb AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY x),
+    wedge AS (
+        SELECT j1.y AS a, j2.y AS b, CAST(count(*) AS BIGINT) AS n_common
+        FROM nb j1 JOIN nb j2 ON j1.x = j2.x AND j1.y < j2.y
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT w.a, w.b, w.n_common
+        FROM wedge w LEFT JOIN e ON e.a = w.a AND e.b = w.b
+        WHERE e.a IS NULL
+    ),
+    scored AS (
+        SELECT c.a, c.b, c.n_common,
+               CAST(c.n_common * 1000 // (da.d + db.d - c.n_common)
+                    AS BIGINT) AS jacc_milli
+        FROM cand c JOIN deg da ON da.x = c.a JOIN deg db ON db.x = c.b
+    )
+    SELECT a, b, n_common, jacc_milli,
+           CAST(row_number() OVER (ORDER BY n_common DESC, jacc_milli DESC,
+                                   a, b) AS BIGINT) AS rnk
+    FROM (
+        SELECT * FROM scored
+        ORDER BY n_common DESC, jacc_milli DESC, a, b LIMIT {_LP_TOPK}
+    )
+    """,
+)
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by common-neighbor count + neighborhood Jaccard
+    (Liben-Nowell & Kleinberg 2003) over the user CO-ACTIVITY graph —
+    an edge joins users sharing >= 3 distinct (event_type, hour)
+    activity cells (a cell-count rule, so the edge definition is
+    scale-free; the nation trade graph is complete and predicts
+    nothing): for every NON-adjacent pair reachable through a shared
+    neighbor, the common-neighbor count and neighborhood Jaccard in
+    milli units — top-20 predicted links, fully integer, hash-gated.
+
+    Scale: the edge builder is the LSH-bucket shape (cell equi-join
+    group-and-expand, never user x user), candidates come from the
+    wedge equi-join on the middle vertex (the q_triangles posture),
+    adjacency is removed with one anti join, degrees ride vertex-keyed
+    joins, and top-k is the heap operator."""
+    from ..tables import events
+
+    cell = (
+        events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts_us div 3600000000").alias("h"),
+        )
+        .distinct()
+    )
+    ca = cell.select(
+        F.col("user_id").alias("u"), "event_type", "h"
+    )
+    cb = cell.select(
+        F.col("user_id").alias("v"), "event_type", "h"
+    )
+    pair = (
+        ca.join(cb, ["event_type", "h"])
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    e = pair.where(F.col("c") >= _LP_MIN_CELLS).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    j1 = nb.select(F.col("x").alias("m"), F.col("y").alias("a"))
+    j2 = nb.select(F.col("x").alias("m"), F.col("y").alias("b"))
+    wedge = (
+        j1.join(j2, "m")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    cand = wedge.join(e, ["a", "b"], "left_anti")
+    scored = (
+        cand.join(deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.expr("(n_common * 1000) div (da + db - n_common)")
+            .cast("long")
+            .alias("jacc_milli"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("n_common").desc(),
+        F.col("jacc_milli").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+    ).limit(_LP_TOPK)
+    w = Window.orderBy(
+        F.col("n_common").desc(),
+        F.col("jacc_milli").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -655,3 +655,134 @@ def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Precision/recall at k (round-8b)
+# ---------------------------------------------------------------------------
+
+_PAK_KS = (1, 3, 5, 10)
+
+
+def _prec_at_k_oracle() -> str:
+    ks_values = ", ".join(f"({k})" for k in _PAK_KS)
+    return f"""
+    WITH {_sem_topk_cte(f"vec_id < {_NDCG_N_QUERIES}", _NDCG_K)},
+    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS l FROM embeddings
+            WHERE label IS NOT NULL),
+    rel AS (
+        SELECT r.query_id, r.sem_rank
+        FROM sem_ranked r
+        JOIN lab nl ON nl.vec_id = r.neighbor_id
+        JOIN lab ql ON ql.vec_id = r.query_id
+        WHERE nl.l = ql.l
+    ),
+    tot AS (
+        SELECT q.vec_id AS query_id,
+               CAST(count(*) AS BIGINT) AS n_rel_total
+        FROM lab q JOIN lab c ON c.l = q.l AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_NDCG_N_QUERIES}
+        GROUP BY 1
+    ),
+    ks(k) AS (VALUES {ks_values}),
+    hits AS (
+        SELECT rel.query_id, ks.k, CAST(count(*) AS BIGINT) AS n_hits
+        FROM rel CROSS JOIN ks
+        WHERE rel.sem_rank <= ks.k
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT q.vec_id AS query_id, ks.k
+        FROM lab q CROSS JOIN ks WHERE q.vec_id < {_NDCG_N_QUERIES}
+    )
+    SELECT g.query_id, CAST(g.k AS BIGINT) AS k,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000 // g.k AS BIGINT)
+               AS prec_milli,
+           CAST(CASE WHEN coalesce(t.n_rel_total, 0) = 0 THEN 0
+                ELSE coalesce(h.n_hits, 0) * 1000 // t.n_rel_total END
+                AS BIGINT) AS recall_milli
+    FROM grid g
+    LEFT JOIN hits h ON h.query_id = g.query_id AND h.k = g.k
+    LEFT JOIN tot t ON t.query_id = g.query_id
+    """
+
+
+@query("q_prec_at_k", oracle=_prec_at_k_oracle())
+def q_prec_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION@k / RECALL@k curve on the shared retrieval scaffold
+    (same 50 queries, same quantized-exact top-10, same class-label
+    relevance as q_ndcg_int / q_eval_mrr): for every cut-off k in
+    {1, 3, 5, 10} the per-query hit count, precision, and recall (vs
+    the query's TOTAL relevant pool) in exact milli units — the
+    operating-point curve that chooses k for a retrieval-augmented
+    pipeline, where NDCG summarizes one number.  Every (query, k) cell
+    emits (zero-hit cells explicitly), so the driver hash-gates the
+    full 200-row grid.
+
+    Scale: the ranked lists are the scaffold's broadcast-queries x one
+    corpus scan; the k sweep is a 4-row broadcast over k-bounded rows —
+    cut-offs add zero corpus passes."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") < _NDCG_N_QUERIES)
+    ranked = _sem_topk_spark(vecs, queries, k=_NDCG_K)
+    lab = vecs.where(F.col("label").isNotNull()).select(
+        F.col("vec_id"), F.col("label").cast("long").alias("l")
+    )
+    rel = (
+        ranked.join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("l").alias("nl")
+            ),
+            "neighbor_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("query_id"), F.col("l").alias("ql")
+            ),
+            "query_id",
+        )
+        .where(F.col("nl") == F.col("ql"))
+        .select("query_id", "sem_rank")
+    )
+    tot = (
+        lab.where(F.col("vec_id") < _NDCG_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("l").alias("ql"))
+        .join(lab.select(F.col("vec_id").alias("c_id"), F.col("l").alias("cl")),
+              F.col("cl") == F.col("ql"))
+        .where(F.col("c_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel_total"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _PAK_KS], "k INT")
+    hits = (
+        rel.crossJoin(F.broadcast(ks))
+        .where(F.col("sem_rank") <= F.col("k"))
+        .groupBy("query_id", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    grid = (
+        lab.where(F.col("vec_id") < _NDCG_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
+        .crossJoin(F.broadcast(ks))
+    )
+    return (
+        grid.join(hits, ["query_id", "k"], "left")
+        .join(tot, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("k").cast("long").alias("k"),
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr("(coalesce(n_hits, 0) * 1000) div k")
+            .cast("long")
+            .alias("prec_milli"),
+            F.expr(
+                "CASE WHEN coalesce(n_rel_total, 0) = 0 THEN 0"
+                " ELSE (coalesce(n_hits, 0) * 1000) div n_rel_total END"
+            )
+            .cast("long")
+            .alias("recall_milli"),
+        )
+    )

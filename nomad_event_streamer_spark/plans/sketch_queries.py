@@ -900,3 +900,168 @@ def q_theta_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter false-positive audit (round-8b)
+# ---------------------------------------------------------------------------
+
+_BF_M = 4096  # bits
+_BF_K = 3  # hash functions
+
+
+@query(
+    "q_bloom_fpr",
+    oracle=f"""
+    WITH mem AS (
+        SELECT c_custkey AS key FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ),
+    probe AS (
+        SELECT c_custkey AS key FROM customer
+        WHERE c_mktsegment <> 'BUILDING'
+    ),
+    hj AS (SELECT unnest(range(0, {_BF_K})) AS j),
+    bits AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substring(md5('b' || j || ':' || key),
+                    1, 15)) AS BIGINT) % {_BF_M} AS bit
+        FROM mem CROSS JOIN hj
+    ),
+    pb AS (
+        SELECT key, j,
+               CAST(concat('0x', substring(md5('b' || j || ':' || key),
+                    1, 15)) AS BIGINT) % {_BF_M} AS bit
+        FROM probe CROSS JOIN hj
+    ),
+    hits AS (
+        SELECT p.key, CAST(count(b.bit) AS BIGINT) AS n_hit
+        FROM pb p LEFT JOIN bits b USING (bit)
+        GROUP BY p.key
+    ),
+    mb AS (
+        SELECT m.key, j,
+               CAST(concat('0x', substring(md5('b' || j || ':' || m.key),
+                    1, 15)) AS BIGINT) % {_BF_M} AS bit
+        FROM mem m CROSS JOIN hj
+    ),
+    mhits AS (
+        SELECT p.key, CAST(count(b.bit) AS BIGINT) AS n_hit
+        FROM mb p LEFT JOIN bits b USING (bit)
+        GROUP BY p.key
+    )
+    SELECT CAST({_BF_M} AS BIGINT) AS m_bits,
+           CAST({_BF_K} AS BIGINT) AS k_hashes,
+           (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           (SELECT CAST(count(*) AS BIGINT) FROM mhits
+            WHERE n_hit = {_BF_K}) AS n_members_positive,
+           (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probes,
+           (SELECT CAST(count(*) AS BIGINT) FROM hits
+            WHERE n_hit = {_BF_K}) AS n_false_positives,
+           CAST((SELECT count(*) FROM hits WHERE n_hit = {_BF_K})
+                * 1000000 // (SELECT count(*) FROM probe)
+                AS BIGINT) AS fpr_ppm
+    """,
+)
+def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM FILTER built from scratch and audited for its measured
+    false-positive rate (Bloom 1970): k=3 md5-derived bit positions per
+    key into an m=4096-bit space, membership = every position set.
+    Reports the set-bit count, the zero-false-negative check (every
+    member must test positive — the Bloom guarantee, hash-gated), and
+    the measured FPR in ppm over the non-member probes — the number a
+    pipeline compares against the m/k design point before shipping the
+    filter to a join pruner (q_bloom_prune_join uses the engine's
+    built-in; this one is bit-transparent to both engines).
+
+    Scale: the bit table is bounded by m (KB-sized at any corpus
+    cardinality — exactly why blooms ship as broadcast join pruners);
+    build and probe are each one scan with a 3-row position expansion,
+    and the verdict join is an equi-join on the bit index."""
+    cust = load(spark, sf_dir, "customer")
+    mem = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    probe = cust.where(F.col("c_mktsegment") != "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    hj = spark.range(_BF_K).select(F.col("id").alias("j"))
+
+    def positions(df: DataFrame) -> DataFrame:
+        bit = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("b"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("key").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BF_M
+        )
+        return df.crossJoin(F.broadcast(hj)).select("key", bit.alias("bit"))
+
+    bits = positions(mem).select("bit").distinct()
+    probe_hits = (
+        positions(probe)
+        .join(bits.withColumn("present", F.lit(1)), "bit", "left")
+        .groupBy("key")
+        .agg(F.sum(F.coalesce(F.col("present"), F.lit(0))).alias("n_hit"))
+    )
+    member_hits = (
+        positions(mem)
+        .join(bits.withColumn("present", F.lit(1)), "bit", "left")
+        .groupBy("key")
+        .agg(F.sum(F.coalesce(F.col("present"), F.lit(0))).alias("n_hit"))
+    )
+    # One Catalyst DAG: every count is a 1-row aggregate crossJoined
+    # (broadcast) into the single output row — no driver-side actions.
+    hit = F.when(F.col("n_hit") == _BF_K, 1).otherwise(0)
+    stats = (
+        mem.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .crossJoin(
+            F.broadcast(
+                bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                member_hits.agg(
+                    F.sum(hit).cast("long").alias("n_members_positive")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                probe.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                probe_hits.agg(
+                    F.sum(hit).cast("long").alias("n_false_positives")
+                )
+            )
+        )
+    )
+    return stats.select(
+        F.lit(_BF_M).cast("long").alias("m_bits"),
+        F.lit(_BF_K).cast("long").alias("k_hashes"),
+        "n_members",
+        "n_bits_set",
+        "n_members_positive",
+        "n_probes",
+        "n_false_positives",
+        F.expr("(n_false_positives * 1000000) div n_probes")
+        .cast("long")
+        .alias("fpr_ppm"),
+    )

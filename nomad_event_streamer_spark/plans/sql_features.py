@@ -275,3 +275,30 @@ def q_collation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+_GBA_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders{sfx}
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY ALL
+"""
+
+
+@query("q_group_by_all", oracle=_GBA_SQL.format(sfx=""))
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (the infer-the-keys grouping shorthand both
+    Spark and DuckDB ship): every non-aggregate select item becomes a
+    grouping key.  The IDENTICAL SQL text runs on both engines — no
+    per-engine rendering step to share a bug with (the
+    fuzz_sql_surface discipline) — so a hash match proves the two
+    front ends resolve the shorthand to the same grouping set.
+
+    Scale: resolves to a plain two-key grouped aggregate — pushed
+    filter, partial aggregation, one shuffle on the (priority, status)
+    pair."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(_GBA_SQL.format(sfx="_gba"))

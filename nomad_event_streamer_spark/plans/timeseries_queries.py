@@ -846,3 +846,61 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("paa_cents").cast("long").alias("min_paa_cents"),
         F.max("paa_cents").cast("long").alias("max_paa_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VWAP (round-8b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_vwap",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               CAST(event_id % 7 + 1 AS BIGINT) AS vol
+        FROM events
+    )
+    SELECT event_type, CAST(hour_us AS BIGINT) AS hour_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vol) AS BIGINT) AS vol_sum,
+           CAST(sum(cents * vol) AS BIGINT) AS pv_sum,
+           CAST(sum(cents * vol) // sum(vol) AS BIGINT) AS vwap_cents
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP — volume-weighted average price per (instrument, hour), the
+    market-data rollup beside q_tumbling_ohlc's candles: price = the
+    cents-quantized value, volume = a deterministic per-event lot size
+    (event_id-derived, engine-portable), VWAP = Σpv/Σv as exact integer
+    floor division.  The weighted-mean shape every metering/billing
+    rollup shares.
+
+    Scale: ONE map-side-combinable aggregate on the (type, hour) key —
+    two sums and a count; the division happens on the
+    group-cardinality output."""
+    ev = events(spark, sf_dir).select(
+        "event_type",
+        F.expr("(ts_us div 3600000000) * 3600000000").alias("hour_us"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr("CAST(event_id % 7 + 1 AS BIGINT)").alias("vol"),
+    )
+    return (
+        ev.groupBy("event_type", "hour_us")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vol").cast("long").alias("vol_sum"),
+            F.sum(F.col("cents") * F.col("vol")).cast("long").alias("pv_sum"),
+        )
+        .select(
+            "event_type",
+            F.col("hour_us").cast("long").alias("hour_us"),
+            "n",
+            "vol_sum",
+            "pv_sum",
+            F.expr("pv_sum div vol_sum").cast("long").alias("vwap_cents"),
+        )
+    )

@@ -193,6 +193,13 @@ PROBES = [
     "q_hashed_ngram_score",
     "q_jaccard_threshold_sweep",
     "q_langid_margin",
+    "q_group_by_all",
+    "q_link_predict",
+    "q_bloom_fpr",
+    "q_mcnemar",
+    "q_rfm_segments",
+    "q_vwap",
+    "q_prec_at_k",
 ]
 
 

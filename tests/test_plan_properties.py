@@ -992,3 +992,66 @@ def test_temporal_split_is_agg_plus_one_row_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("HashAggregate") >= 2
     assert "Window" not in plan
+
+
+ROUND8B_OPS_4 = [
+    "q_group_by_all",
+    "q_link_predict",
+    "q_bloom_fpr",
+    "q_mcnemar",
+    "q_rfm_segments",
+    "q_vwap",
+    "q_prec_at_k",
+]
+
+
+@pytest.mark.parametrize("name", ROUND8B_OPS_4)
+def test_round8b_batch4_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_vwap_is_single_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_vwap")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_mcnemar_is_scan_plus_global_agg(spark, sf_dir):
+    """Both classifiers are per-row array ops; the whole test collapses
+    in ONE partial+final global aggregate — no join, no explode."""
+    plan = plan_of(spark, sf_dir, "q_mcnemar")
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_rfm_threshold_is_broadcast_not_window(spark, sf_dir):
+    """The median thresholds are a 1-row broadcast (percentile_disc
+    aggregate), never a partitionless ntile window over the user
+    table."""
+    df = QUERIES["q_rfm_segments"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row threshold join
+    assert not _partitionless_window_specs(df)
+
+
+def test_link_predict_stays_equi_join_shaped(spark, sf_dir):
+    """Edge building is the cell equi-join group-and-expand, wedges join
+    on the middle vertex, adjacency removal is an anti equi-join — no
+    nested loop anywhere (the top-20 heap needs no broadcast grid)."""
+    df = QUERIES["q_link_predict"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_fpr_bit_table_is_bounded_broadcastable(spark, sf_dir):
+    """The verdict joins are equi-joins on the bit index; the m-bounded
+    bit table may ride an AQE broadcast (it is KB-sized by design) but
+    the probe side must never nest-loop."""
+    plan = plan_of(spark, sf_dir, "q_bloom_fpr")
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,352 @@
+"""Round-8b batch-4 operator tests: GROUP BY ALL, link prediction,
+Bloom FPR audit, McNemar, RFM segmentation, VWAP, precision@k.
+
+Invariants + pure-Python replays (oracle-independent ground truth)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pyspark.sql.functions as F
+import pytest
+
+from nomad_event_streamer_spark.plans import QUERIES
+from nomad_event_streamer_spark.tables import events, load
+
+
+def _cents(v: float) -> int:
+    import math
+
+    return int(math.floor(v * 100.0 + 0.5))
+
+
+class TestGroupByAll:
+    def test_matches_explicit_group_by(self, spark, sf_dir):
+        got = {
+            (r["o_orderpriority"], r["o_orderstatus"]): (
+                r["n_orders"],
+                r["sum_cents"],
+            )
+            for r in QUERIES["q_group_by_all"](spark, sf_dir).collect()
+        }
+        explicit = (
+            load(spark, sf_dir, "orders")
+            .where(F.expr("o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'"))
+            .groupBy("o_orderpriority", "o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+                )
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        )
+        assert got == {
+            (r["o_orderpriority"], r["o_orderstatus"]): (r["n"], r["cents"])
+            for r in explicit
+        }
+        assert len(got) > 1
+
+
+class TestLinkPredict:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return QUERIES["q_link_predict"](spark, sf_dir).collect()
+
+    @pytest.fixture(scope="class")
+    def graph(self, spark, sf_dir):
+        ev = (
+            events(spark, sf_dir)
+            .selectExpr("user_id", "event_type", "ts_us div 3600000000 AS h")
+            .collect()
+        )
+        cells: dict[int, set] = {}
+        for r in ev:
+            cells.setdefault(r["user_id"], set()).add(
+                (r["event_type"], r["h"])
+            )
+        users = sorted(cells)
+        edges = set()
+        for i, u in enumerate(users):
+            for v in users[i + 1 :]:
+                if len(cells[u] & cells[v]) >= 3:
+                    edges.add((u, v))
+        nbrs: dict[int, set] = {}
+        for u, v in edges:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        return edges, nbrs
+
+    def test_python_replay_top20(self, rows, graph):
+        edges, nbrs = graph
+        scored = []
+        seen = set()
+        for m, ns in nbrs.items():
+            ns_sorted = sorted(ns)
+            for i, a in enumerate(ns_sorted):
+                for b in ns_sorted[i + 1 :]:
+                    if (a, b) in edges or (a, b) in seen:
+                        continue
+                    seen.add((a, b))
+                    cn = len(nbrs[a] & nbrs[b])
+                    jacc = cn * 1000 // (len(nbrs[a]) + len(nbrs[b]) - cn)
+                    scored.append((-cn, -jacc, a, b))
+        scored.sort()
+        expect = scored[:20]
+        got = sorted(rows, key=lambda r: r["rnk"])
+        assert len(got) == len(expect)
+        for r, (ncn, njacc, a, b) in zip(got, expect):
+            assert (r["a"], r["b"]) == (a, b)
+            assert r["n_common"] == -ncn
+            assert r["jacc_milli"] == -njacc
+
+    def test_predictions_are_non_edges(self, rows, graph):
+        edges, _ = graph
+        for r in rows:
+            assert (r["a"], r["b"]) not in edges
+            assert r["a"] < r["b"]
+
+    def test_rank_dense(self, rows):
+        assert sorted(r["rnk"] for r in rows) == list(range(1, len(rows) + 1))
+        assert rows  # the co-activity graph must yield predictions
+
+
+class TestBloomFpr:
+    @pytest.fixture(scope="class")
+    def row(self, spark, sf_dir):
+        rows = QUERIES["q_bloom_fpr"](spark, sf_dir).collect()
+        assert len(rows) == 1
+        return rows[0]
+
+    def test_python_replay(self, row, spark, sf_dir):
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ).collect()
+        mem = [r["c_custkey"] for r in cust if r["c_mktsegment"] == "BUILDING"]
+        probe = [
+            r["c_custkey"] for r in cust if r["c_mktsegment"] != "BUILDING"
+        ]
+
+        def bits_of(key):
+            return {
+                int(
+                    hashlib.md5(f"b{j}:{key}".encode()).hexdigest()[:15], 16
+                )
+                % 4096
+                for j in range(3)
+            }
+
+        filt = set()
+        for k in mem:
+            filt |= bits_of(k)
+        fp = sum(1 for k in probe if bits_of(k) <= filt)
+        assert row["n_members"] == len(mem)
+        assert row["n_probes"] == len(probe)
+        assert row["n_bits_set"] == len(filt)
+        assert row["n_false_positives"] == fp
+        assert row["fpr_ppm"] == fp * 1_000_000 // len(probe)
+
+    def test_no_false_negatives(self, row):
+        # the Bloom guarantee: every member tests positive
+        assert row["n_members_positive"] == row["n_members"]
+
+    def test_bits_bounded(self, row):
+        assert row["n_bits_set"] <= min(
+            row["m_bits"], row["n_members"] * row["k_hashes"]
+        )
+        # FPs are possible but never total (0 at sf0.001's sparse fill,
+        # 11/1198 measured at sf0.01)
+        assert 0 <= row["n_false_positives"] < row["n_probes"]
+
+
+class TestMcnemar:
+    @pytest.fixture(scope="class")
+    def row(self, spark, sf_dir):
+        rows = QUERIES["q_mcnemar"](spark, sf_dir).collect()
+        assert len(rows) == 1
+        return rows[0]
+
+    def test_python_replay(self, row, spark, sf_dir):
+        from nomad_event_streamer_spark.operators.text import LANG_MARKERS
+
+        langs = sorted(LANG_MARKERS)
+        docs = (
+            load(spark, sf_dir, "documents").select("text", "lang").collect()
+        )
+
+        def argmax(scores):
+            for i, lang in enumerate(langs[:-1]):
+                if scores[lang] >= max(scores[o] for o in langs[i + 1 :]):
+                    return lang
+            return langs[-1]
+
+        table = Counter()
+        for r in docs:
+            toks = r["text"].split(" ")
+            sa = {
+                lang: sum(1 for t in toks if t in LANG_MARKERS[lang])
+                for lang in langs
+            }
+            sb = {
+                lang: sum(1 for t in toks if t == LANG_MARKERS[lang][0])
+                for lang in langs
+            }
+            a_ok = argmax(sa) == r["lang"]
+            b_ok = argmax(sb) == r["lang"]
+            table[(a_ok, b_ok)] += 1
+        assert row["n_both_right"] == table[(True, True)]
+        assert row["n_a_only"] == table[(True, False)]
+        assert row["n_b_only"] == table[(False, True)]
+        assert row["n_both_wrong"] == table[(False, False)]
+        b, c = table[(True, False)], table[(False, True)]
+        expect = 0 if b + c == 0 else (b - c) * (b - c) * 1000 // (b + c)
+        assert row["chi2_milli"] == expect
+
+    def test_table_covers_corpus(self, row, spark, sf_dir):
+        total = (
+            row["n_both_right"]
+            + row["n_a_only"]
+            + row["n_b_only"]
+            + row["n_both_wrong"]
+        )
+        assert total == load(spark, sf_dir, "documents").count()
+
+    def test_discordant_pairs_exist(self, row):
+        # the test statistic is only meaningful if the classifiers
+        # actually disagree somewhere
+        assert row["n_a_only"] + row["n_b_only"] > 0
+
+
+class TestRfmSegments:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["segment"]: r
+            for r in QUERIES["q_rfm_segments"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        ev = events(spark, sf_dir).select("user_id", "ts_us", "value").collect()
+        per: dict[int, list] = {}
+        for r in ev:
+            per.setdefault(r["user_id"], []).append(r)
+        rfm = {
+            uid: (
+                max(r["ts_us"] for r in es),
+                len(es),
+                sum(_cents(r["value"]) for r in es),
+            )
+            for uid, es in per.items()
+        }
+
+        def disc_median(vals):
+            # smallest value whose cumulative share >= 0.5 (what both
+            # engines' percentile_disc(0.5) computes on this data)
+            s = sorted(vals)
+            import math
+
+            return s[math.ceil(0.5 * len(s)) - 1]
+
+        rt = disc_median([v[0] for v in rfm.values()])
+        ft = disc_median([v[1] for v in rfm.values()])
+        mt = disc_median([v[2] for v in rfm.values()])
+        agg: dict[str, list] = {}
+        for r_us, f, m in rfm.values():
+            seg = (
+                f"R{1 if r_us > rt else 0}"
+                f"F{1 if f > ft else 0}"
+                f"M{1 if m > mt else 0}"
+            )
+            agg.setdefault(seg, []).append((f, m))
+        assert set(rows) == set(agg)
+        for seg, members in agg.items():
+            r = rows[seg]
+            assert r["n_users"] == len(members)
+            assert r["sum_events"] == sum(f for f, _ in members)
+            assert r["sum_cents"] == sum(m for _, m in members)
+
+    def test_users_partitioned(self, rows, spark, sf_dir):
+        n_users = (
+            events(spark, sf_dir).select("user_id").distinct().count()
+        )
+        assert sum(r["n_users"] for r in rows.values()) == n_users
+
+    def test_multiple_segments(self, rows):
+        assert len(rows) >= 4
+
+
+class TestVwap:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            (r["event_type"], r["hour_us"]): r
+            for r in QUERIES["q_vwap"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        ev = events(spark, sf_dir).select(
+            "event_id", "event_type", "ts_us", "value"
+        ).collect()
+        agg: dict[tuple, list] = {}
+        for r in ev:
+            hour = (r["ts_us"] // 3_600_000_000) * 3_600_000_000
+            agg.setdefault((r["event_type"], hour), []).append(
+                (_cents(r["value"]), r["event_id"] % 7 + 1)
+            )
+        assert set(rows) == set(agg)
+        for key, items in agg.items():
+            r = rows[key]
+            vol = sum(v for _, v in items)
+            pv = sum(c * v for c, v in items)
+            assert r["n"] == len(items)
+            assert r["vol_sum"] == vol
+            assert r["pv_sum"] == pv
+            assert r["vwap_cents"] == pv // vol
+
+    def test_vwap_within_price_range(self, rows):
+        for r in rows.values():
+            assert r["vol_sum"] >= r["n"]  # volumes are >= 1
+
+
+class TestPrecAtK:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            (r["query_id"], r["k"]): r
+            for r in QUERIES["q_prec_at_k"](spark, sf_dir).collect()
+        }
+
+    def test_full_grid(self, rows):
+        qids = {q for q, _ in rows}
+        assert {k for _, k in rows} == {1, 3, 5, 10}
+        assert len(rows) == 4 * len(qids)
+
+    def test_hits_monotone_in_k(self, rows):
+        qids = {q for q, _ in rows}
+        for q in qids:
+            hits = [rows[(q, k)]["n_hits"] for k in (1, 3, 5, 10)]
+            assert hits == sorted(hits)
+            for k, h in zip((1, 3, 5, 10), hits):
+                assert 0 <= h <= k
+
+    def test_formulas(self, rows):
+        for (q, k), r in rows.items():
+            assert r["prec_milli"] == r["n_hits"] * 1000 // k
+
+    def test_consistent_with_mrr(self, rows, spark, sf_dir):
+        mrr = {
+            r["query_id"]: r["first_rel_rank"]
+            for r in QUERIES["q_eval_mrr"](spark, sf_dir).collect()
+        }
+        for q, first in mrr.items():
+            for k in (1, 3, 5, 10):
+                if first and first <= k:
+                    assert rows[(q, k)]["n_hits"] >= 1
+                elif first == 0 or first > k:
+                    pass
+            if first == 0:
+                assert rows[(q, 10)]["n_hits"] == 0
+            assert (rows[(q, 1)]["n_hits"] == 1) == (first == 1)
