@@ -3551,3 +3551,93 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chi2_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot IDF / document-frequency drift (round-8b)
+# ---------------------------------------------------------------------------
+
+_IDF_DRIFT_PPM = 20_000  # share-delta threshold for the drifted flag
+
+
+@query(
+    "q_idf_drift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+    ),
+    half AS (
+        SELECT token, doc_id % 2 = 0 AS is_a FROM tok
+    ),
+    n AS (
+        SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM documents
+    ),
+    d AS (
+        SELECT token,
+               CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+               CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df_b
+        FROM half GROUP BY token
+    )
+    SELECT token, df_a, df_b,
+           CAST(df_a * 1000000 // n_a AS BIGINT) AS share_a_ppm,
+           CAST(df_b * 1000000 // n_b AS BIGINT) AS share_b_ppm,
+           CAST(abs(df_a * 1000000 // n_a - df_b * 1000000 // n_b)
+                AS BIGINT) AS drift_ppm,
+           CAST(CASE WHEN abs(df_a * 1000000 // n_a
+                              - df_b * 1000000 // n_b) > {_IDF_DRIFT_PPM}
+                THEN 1 ELSE 0 END AS BIGINT) AS drifted
+    FROM d CROSS JOIN n
+    """,
+)
+def q_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency DRIFT between two corpus snapshots (even vs
+    odd doc_ids standing in for crawl N and crawl N+1): per token the
+    df in each half, the df share in ppm, the absolute share delta, and
+    a drifted flag at a fixed ppm threshold — the vocabulary-level
+    early-warning a pipeline checks before its IDF/BM25 tables go
+    stale (q_drift_chi2 tests the distribution wholesale; this names
+    the tokens).
+
+    Scale: within-doc distinct is per-row, the df pass is ONE
+    groupBy(token) with two conditional sums, halves' totals ride a
+    1-row broadcast — vocabulary-cardinality output."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    d = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("df_a"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("df_b"),
+    )
+    n = docs.agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    share_a = F.expr("(df_a * 1000000) div n_a")
+    share_b = F.expr("(df_b * 1000000) div n_b")
+    drift = F.abs(share_a - share_b)
+    return d.crossJoin(F.broadcast(n)).select(
+        "token",
+        "df_a",
+        "df_b",
+        share_a.cast("long").alias("share_a_ppm"),
+        share_b.cast("long").alias("share_b_ppm"),
+        drift.cast("long").alias("drift_ppm"),
+        (drift > _IDF_DRIFT_PPM).cast("long").alias("drifted"),
+    )

@@ -440,3 +440,76 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").asc(),
     )
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "q_degree_hist",
+    oracle=f"""
+    WITH cell AS (
+        SELECT DISTINCT user_id, event_type,
+               epoch_us(ts) // 3600000000 AS h
+        FROM events
+    ),
+    pair AS (
+        SELECT ca.user_id AS u, cb.user_id AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM cell ca
+        JOIN cell cb ON ca.event_type = cb.event_type AND ca.h = cb.h
+                    AND ca.user_id < cb.user_id
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT u AS a, v AS b FROM pair WHERE c >= {_LP_MIN_CELLS}),
+    nb AS (SELECT a AS x FROM e UNION ALL SELECT b FROM e),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY x)
+    SELECT CAST(length(bin(d)) AS BIGINT) AS degree_bitlen,
+           CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree,
+           CAST(sum(d) AS BIGINT) AS degree_mass
+    FROM deg GROUP BY 1
+    """,
+)
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE DISTRIBUTION of the user co-activity graph in log2
+    buckets (the q_dedup_stats size_bitlen device): per power-of-two
+    degree band the vertex count, degree range, and degree mass — the
+    skew profile that tells a graph pipeline whether hub mitigation
+    (orientation, salting) is needed BEFORE running wedge-shaped
+    operators like q_link_predict and q_triangles over it.
+
+    Scale: edge build is the cell equi-join; degrees are one
+    vertex-keyed aggregate; the histogram is a ~32-row rollup."""
+    from ..tables import events
+
+    cell = (
+        events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts_us div 3600000000").alias("h"),
+        )
+        .distinct()
+    )
+    ca = cell.select(F.col("user_id").alias("u"), "event_type", "h")
+    cb = cell.select(F.col("user_id").alias("v"), "event_type", "h")
+    pair = (
+        ca.join(cb, ["event_type", "h"])
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    e = pair.where(F.col("c") >= _LP_MIN_CELLS).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    nb = e.select(F.col("a").alias("x")).unionAll(
+        e.select(F.col("b").alias("x"))
+    )
+    deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    return deg.groupBy(
+        F.length(F.bin("d")).cast("long").alias("degree_bitlen")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum("d").cast("long").alias("degree_mass"),
+    )

@@ -1379,3 +1379,54 @@ def q_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("margin").cast("long").alias("max_margin"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 16. Boilerplate-prefix groups (round-8b batch 5)
+# ---------------------------------------------------------------------------
+
+_BP_PREFIX_WORDS = 8
+
+
+@query(
+    "q_boilerplate_prefix",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   (string_split(text, ' '))[1:{_BP_PREFIX_WORDS}],
+                   ' ')) AS prefix_h
+        FROM documents
+    )
+    SELECT prefix_h,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM p GROUP BY prefix_h
+    HAVING count(*) >= 2
+    """,
+)
+def q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE-PREFIX detection: documents sharing their first 8
+    tokens (the shared-header signature of templated pages — cookie
+    banners, license headers, nav blocks) grouped by prefix digest,
+    groups of >= 2 reported with survivorship — the positional
+    complement of q_line_dedup (which needs the duplicated text
+    ANYWHERE; headers are always at position 0 and cheaper to key on).
+
+    Scale: the prefix digest is a per-row slice+hash (no shuffle); ONE
+    map-side-combinable groupBy on the 16-byte digest — documents never
+    move."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    prefix_h = F.md5(
+        F.array_join(F.slice(F.split("text", " "), 1, _BP_PREFIX_WORDS), " ")
+    )
+    return (
+        docs.groupBy(prefix_h.alias("prefix_h"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

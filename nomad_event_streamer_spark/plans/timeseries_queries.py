@@ -904,3 +904,267 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("pv_sum div vol_sum").cast("long").alias("vwap_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (round-8b)
+# ---------------------------------------------------------------------------
+
+_HOLT_T = 30  # the corpus spans exactly 30 days at every sf
+_HOLT_ALPHA_MILLI = 300
+_HOLT_BETA_MILLI = 200
+
+
+def _holt_oracle() -> str:
+    """Unrolled per-step CTE chain (the pagerank device): each step t
+    computes (s_t, b_t) for all series at once from step t-1."""
+    a, na = _HOLT_ALPHA_MILLI, 1000 - _HOLT_ALPHA_MILLI
+    b, nb = _HOLT_BETA_MILLI, 1000 - _HOLT_BETA_MILLI
+    parts = [
+        f"""
+    WITH days AS (
+        SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us
+        FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+        SELECT event_type,
+               (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    x AS (
+        SELECT t.event_type,
+               CAST(row_number() OVER (PARTITION BY t.event_type
+                                       ORDER BY d.day_us) AS BIGINT) AS t,
+               CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        FROM types t CROSS JOIN days d
+        LEFT JOIN cnt c ON c.event_type = t.event_type
+                       AND c.day_us = d.day_us
+    ),
+    st_1 AS (
+        SELECT x1.event_type, x1.x,
+               CAST(x1.x * 1000 AS BIGINT) AS s,
+               CAST((x2.x - x1.x) * 1000 AS BIGINT) AS b
+        FROM (SELECT * FROM x WHERE t = 1) x1
+        JOIN (SELECT * FROM x WHERE t = 2) x2 USING (event_type)
+    )"""
+    ]
+    for t in range(2, _HOLT_T + 1):
+        parts.append(
+            f""",
+    st_{t} AS (
+        SELECT event_type, x, s,
+               ({b} * (s - s_prev) + {nb} * b_prev) // 1000 AS b
+        FROM (
+            SELECT p.event_type, xt.x,
+                   ({a} * xt.x * 1000 + {na} * (p.s + p.b)) // 1000 AS s,
+                   p.s AS s_prev, p.b AS b_prev
+            FROM st_{t - 1} p
+            JOIN x xt ON xt.event_type = p.event_type AND xt.t = {t}
+        )
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT event_type, CAST({t} AS BIGINT) AS t, x,"
+        f" CAST(s AS BIGINT) AS s_milli, CAST(b AS BIGINT) AS b_milli"
+        f" FROM st_{t}"
+        for t in range(1, _HOLT_T + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query("q_holt_linear", oracle=_holt_oracle())
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT's linear-trend double exponential smoothing (Holt 1957) over
+    each event type's daily-count series, in exact milli fixed point:
+    s_t = αx_t + (1-α)(s_{t-1}+b_{t-1}), b_t = β(s_t−s_{t-1}) +
+    (1-β)b_{t-1}, α=0.3 β=0.2, initialized s_1=x_1, b_1=x_2−x_1 — the
+    trend-aware complement of q_ewma's level-only smoother.  Emits the
+    FULL (level, trend) path per series, every step hash-gated against
+    an oracle that unrolls the 30 steps as chained CTEs (the pagerank
+    device — an inherently sequential recurrence under the complete
+    value-hash gate).
+
+    Scale: the recurrence is sequential in t but independent across
+    series, so the operator is one applyInPandas over series keys with
+    O(1) state per series and the day grid (30 x series) as its input —
+    series cardinality partitions the work; the corpus-sized scan
+    reduces to the grid in ONE map-side-combinable aggregate."""
+    import pandas as pd
+
+    from ..tables import events as events_tbl
+
+    ev = events_tbl(spark, sf_dir).select(
+        "event_type",
+        F.expr("(ts_us div 86400000000) * 86400000000").alias("day_us"),
+    )
+    cnt = ev.groupBy("event_type", "day_us").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    days = ev.select("day_us").distinct()
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "day_us"], "left")
+        .select(
+            "event_type",
+            "day_us",
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    a, na = _HOLT_ALPHA_MILLI, 1000 - _HOLT_ALPHA_MILLI
+    be, nbe = _HOLT_BETA_MILLI, 1000 - _HOLT_BETA_MILLI
+
+    def tdiv(p: int, q: int) -> int:
+        # truncate toward zero — Python // FLOORS, but Spark div and
+        # DuckDB // both truncate; a negative trend term diverges
+        # without this (caught by the hash gate on first sim run)
+        return -((-p) // q) if p < 0 else p // q
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_us")
+        xs = [int(v) for v in pdf["x"]]
+        et = pdf["event_type"].iloc[0]
+        s = xs[0] * 1000
+        b = (xs[1] - xs[0]) * 1000
+        out = [(et, 1, xs[0], s, b)]
+        for t in range(2, len(xs) + 1):
+            x = xs[t - 1]
+            s_new = tdiv(a * x * 1000 + na * (s + b), 1000)
+            b = tdiv(be * (s_new - s) + nbe * b, 1000)
+            s = s_new
+            out.append((et, t, x, s, b))
+        return pd.DataFrame(
+            out, columns=["event_type", "t", "x", "s_milli", "b_milli"]
+        )
+
+    return grid.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type STRING, t BIGINT, x BIGINT, s_milli BIGINT,"
+        " b_milli BIGINT",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-scoped rolling correlation (round-8b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rolling_corr",
+    oracle="""
+    WITH e AS (
+        SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+               (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+               event_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    h AS (
+        SELECT day_us, hour_us,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM e GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT day_us, hour_us, x, y,
+               CAST(count(*) OVER win AS BIGINT) AS n,
+               CAST(sum(x) OVER win AS BIGINT) AS sx,
+               CAST(sum(y) OVER win AS BIGINT) AS sy,
+               CAST(sum(x * y) OVER win AS BIGINT) AS sxy,
+               CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+               CAST(sum(y * y) OVER win AS BIGINT) AS syy
+        FROM h
+        WINDOW win AS (PARTITION BY day_us ORDER BY hour_us
+                       ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT day_us, hour_us, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                THEN 0
+                ELSE CAST(floor(
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                     * 1000000.0 + 0.5) AS BIGINT)
+                END AS BIGINT) AS r2_ppm,
+           CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                     WHEN n * sxy - sx * sy < 0 THEN -1
+                     ELSE 0 END AS BIGINT) AS corr_sign
+    FROM w
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-scoped ROLLING CORRELATION between the click and view hourly
+    series: per hour, the cumulative-from-day-start Pearson r² (in ppm,
+    via the portable floor(x·10⁶+0.5) float device over exact integer
+    window sums — the five sums are int64-exact; only the final ratio
+    is IEEE double, identical in both engines) plus the correlation
+    sign — the co-movement monitor beside q_corr's global coefficient
+    and q_autocorr's lag structure.
+
+    Scale: the window partitions by DAY (never partitionless — the
+    single-task global-series shape is the anti-pattern), so state per
+    partition is one day of hours; everything before the window is one
+    (day, hour) map-side-combinable aggregate."""
+    from ..tables import events as events_tbl
+
+    ev = (
+        events_tbl(spark, sf_dir)
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.expr("(ts_us div 86400000000) * 86400000000").alias("day_us"),
+            F.expr("(ts_us div 3600000000) * 3600000000").alias("hour_us"),
+            "event_type",
+        )
+    )
+    h = ev.groupBy("day_us", "hour_us").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    win = (
+        Window.partitionBy("day_us")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = h.select(
+        "day_us",
+        "hour_us",
+        F.count(F.lit(1)).over(win).cast("long").alias("n"),
+        F.sum("x").over(win).cast("long").alias("sx"),
+        F.sum("y").over(win).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return w.select(
+        "day_us",
+        "hour_us",
+        "n",
+        num.cast("long").alias("num"),
+        F.when(denx * deny == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                num.cast("double")
+                * num.cast("double")
+                / (denx.cast("double") * deny.cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+        .alias("r2_ppm"),
+        F.when(num > 0, 1).when(num < 0, -1).otherwise(0)
+        .cast("long")
+        .alias("corr_sign"),
+    )

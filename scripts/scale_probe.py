@@ -200,6 +200,11 @@ PROBES = [
     "q_rfm_segments",
     "q_vwap",
     "q_prec_at_k",
+    "q_holt_linear",
+    "q_rolling_corr",
+    "q_idf_drift",
+    "q_degree_hist",
+    "q_boilerplate_prefix",
 ]
 
 

