@@ -49,7 +49,7 @@ from . import pipeline_queries  # noqa: E402,F401
 #     so they collect the driver's rows>0 evidence and the cumulative
 #     ledger reaches the full registry: 339/339 driver-seen
 #     (328 hash + 11 rows-only).
-# Registry at HEAD: 367 queries / 356 oracled.
+# Registry at HEAD: 372 queries / 361 oracled.
 # R09 OVERFLOW (the escape hatch tests/test_driver_window.py documents):
 # the round-8 window is fully spent on the 50-slug ledger-completing
 # rotation above, so round-8b additions past window capacity sit in the
@@ -156,6 +156,11 @@ R09_QUEUE: list[str] = [
     "q_idf_drift",
     "q_degree_hist",
     "q_boilerplate_prefix",
+    "q_holt_forecast",
+    "q_stream_vwap",
+    "q_shard_dedup_cross",
+    "q_er_blocking",
+    "q_kanon_generalize",
 ]
 
 # Round-8 re-verification allowance: EMPTY — no optimized plan changed in a

@@ -1430,3 +1430,297 @@ def q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# 17. Cross-shard dedup audit (round-8b batch 6)
+# ---------------------------------------------------------------------------
+
+_SDX_SHARDS = 8
+
+
+def _shard_dedup_cross_oracle() -> str:
+    from .llm_ops import _minhash_oracle
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+               n_chars AS bytes
+        FROM documents
+    ),
+    tot AS (SELECT CAST(sum(bytes) AS BIGINT) AS wtot FROM base),
+    cum AS (
+        SELECT doc_id, bytes,
+               CAST(sum(bytes) OVER (ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum
+        FROM base
+    ),
+    assigned AS (
+        SELECT doc_id,
+               CAST(((cum - bytes) * {_SDX_SHARDS}) // wtot AS BIGINT)
+                   AS shard
+        FROM cum CROSS JOIN tot
+    ),
+    cand AS (
+        SELECT doc_a, doc_b FROM ({_minhash_oracle(16)})
+    ),
+    tagged AS (
+        SELECT c.doc_a, c.doc_b,
+               CASE WHEN sa.shard = sb.shard THEN 1 ELSE 0 END AS same_shard
+        FROM cand c
+        JOIN assigned sa ON sa.doc_id = c.doc_a
+        JOIN assigned sb ON sb.doc_id = c.doc_b
+    ),
+    tot_p AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tagged)
+    SELECT CAST(t.same_shard AS BIGINT) AS same_shard,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) * 1000000 // max(tp.n_total) AS BIGINT)
+               AS share_ppm
+    FROM tagged t CROSS JOIN tot_p tp
+    GROUP BY t.same_shard
+    """
+
+
+@query("q_shard_dedup_cross", oracle=_shard_dedup_cross_oracle())
+def q_shard_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SHARD dedup audit: how many LSH near-dup candidate pairs
+    land in the SAME balanced output shard (q_shard_plan's assignment)
+    vs across shards — the number that decides whether shard-local
+    dedup (cheap, embarrassingly parallel) is safe or a global pass is
+    required.  Hash-ordered sharding is content-free, so near-dups
+    scatter ~uniformly and the cross-shard share ≈ 1 − 1/S; the audit
+    hash-gates that expectation against the actual pair placement.
+
+    Scale: shard assignment is the q_shard_plan prefix-sum (never a
+    global single-task window), candidates are the bucketed LSH path,
+    and the audit is two doc_id equi-joins + a 2-group rollup."""
+    from ..operators import sharding
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    assigned = sharding.assign_shards(
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("bytes")),
+        id_col="doc_id",
+        bytes_col="bytes",
+        num_shards=_SDX_SHARDS,
+    ).select("doc_id", "shard")
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    cand = dedup.lsh_candidate_pairs(bands)
+    tagged = (
+        cand.join(
+            assigned.select(
+                F.col("doc_id").alias("doc_a"), F.col("shard").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            assigned.select(
+                F.col("doc_id").alias("doc_b"), F.col("shard").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.when(F.col("sa") == F.col("sb"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("same_shard")
+        )
+    )
+    tot_p = tagged.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        tagged.groupBy("same_shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot_p))
+        .select(
+            "same_shard",
+            "n_pairs",
+            F.expr("(n_pairs * 1000000) div n_total")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 18. Entity-resolution blocking audit
+# ---------------------------------------------------------------------------
+
+# (strategy name, DuckDB key expr, Spark Column factory) — key exprs are
+# written once per engine below; the STRATEGY LIST is the shared literal.
+_ER_STRATEGIES = ("name_suffix", "nation_segment", "balance_band")
+
+
+def _er_key_sql(strategy: str) -> str:
+    return {
+        "name_suffix": "right(c_name, 3)",
+        "nation_segment": "c_nationkey || ':' || c_mktsegment",
+        "balance_band": "CAST(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)"
+        " // 100000 AS VARCHAR)",
+    }[strategy]
+
+
+def _er_blocking_oracle() -> str:
+    cells = []
+    for s in _ER_STRATEGIES:
+        cells.append(
+            f"""
+    SELECT '{s}' AS strategy,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(max(b) AS BIGINT) AS max_block,
+           CAST(sum(b * (b - 1) // 2) AS BIGINT) AS n_candidates,
+           CAST(1000000 - sum(b * (b - 1) // 2) * 1000000
+                // (SELECT count(*) * (count(*) - 1) // 2 FROM customer)
+                AS BIGINT) AS reduction_ppm
+    FROM (SELECT {_er_key_sql(s)} AS k, CAST(count(*) AS BIGINT) AS b
+          FROM customer GROUP BY 1)"""
+        )
+    return " UNION ALL ".join(cells)
+
+
+@query("q_er_blocking", oracle=_er_blocking_oracle())
+def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution BLOCKING audit (the step before any fuzzy
+    match, Christen 2012): for three candidate blocking keys over the
+    customer table — name suffix, (nation, segment), account
+    balance band — the block count, the largest block, the candidate
+    pair count Σb(b−1)/2, and the reduction ratio vs the full n(n−1)/2
+    cross product in ppm.  The table that says which key makes
+    q_fuzzy_join-style matching affordable BEFORE anyone runs it.
+
+    Scale: per strategy ONE map-side-combinable groupBy on the block
+    key; candidate counts are arithmetic on block sizes — no pair is
+    ever materialized."""
+    cust = load(spark, sf_dir, "customer")
+    keys = {
+        "name_suffix": F.expr("right(c_name, 3)"),
+        "nation_segment": F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit(":"),
+            F.col("c_mktsegment"),
+        ),
+        "balance_band": F.expr(
+            "CAST(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)"
+            " div 100000 AS STRING)"
+        ),
+    }
+    total = cust.agg(
+        F.expr("(count(*) * (count(*) - 1)) div 2").alias("n_all_pairs")
+    )
+    parts = []
+    for s in _ER_STRATEGIES:
+        blocks = cust.groupBy(keys[s].alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("b")
+        )
+        parts.append(
+            blocks.agg(
+                F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                F.max("b").cast("long").alias("max_block"),
+                F.sum(F.expr("(b * (b - 1)) div 2"))
+                .cast("long")
+                .alias("n_candidates"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(s).alias("strategy"),
+                "n_blocks",
+                "max_block",
+                "n_candidates",
+                F.expr(
+                    "1000000 - (n_candidates * 1000000) div n_all_pairs"
+                )
+                .cast("long")
+                .alias("reduction_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 19. k-anonymity generalization ladder
+# ---------------------------------------------------------------------------
+
+_KG_K = 5
+
+
+@query(
+    "q_kanon_generalize",
+    oracle=f"""
+    WITH l0 AS (
+        SELECT 0 AS level, lang || '|' || source AS qi FROM documents
+    ),
+    l1 AS (SELECT 1 AS level, lang AS qi FROM documents),
+    l2 AS (SELECT 2 AS level, 'all' AS qi FROM documents),
+    u AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+          UNION ALL SELECT * FROM l2),
+    g AS (
+        SELECT level, qi, CAST(count(*) AS BIGINT) AS n
+        FROM u GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT level,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(n) AS BIGINT) AS min_group,
+               CAST(sum(CASE WHEN n < {_KG_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_below_k
+        FROM g GROUP BY level
+    ),
+    ch AS (
+        SELECT min(level) AS chosen_level FROM per WHERE n_below_k = 0
+    )
+    SELECT CAST(p.level AS BIGINT) AS level, p.n_groups, p.min_group,
+           p.n_below_k,
+           CAST(CASE WHEN p.level = c.chosen_level THEN 1 ELSE 0 END
+                AS BIGINT) AS chosen
+    FROM per p CROSS JOIN ch c
+    """,
+)
+def q_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY GENERALIZATION ladder (Sweeney 2002): evaluate the
+    quasi-identifier hierarchy (lang, source) -> (lang) -> (all) and
+    pick the LEAST generalized level where every group reaches k=5 —
+    the decision q_k_anonymity's flat audit feeds (that query reports
+    violations at one level; this one resolves the release policy).
+
+    Scale: the ladder is a 3-way union of keyed aggregates (each
+    map-side combinable), per-level stats are group-cardinality, and
+    the chosen level is a 1-row broadcast."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    u = (
+        docs.select(
+            F.lit(0).alias("level"),
+            F.concat(F.col("lang"), F.lit("|"), F.col("source")).alias("qi"),
+        )
+        .unionByName(
+            docs.select(F.lit(1).alias("level"), F.col("lang").alias("qi"))
+        )
+        .unionByName(
+            docs.select(F.lit(2).alias("level"), F.lit("all").alias("qi"))
+        )
+    )
+    g = u.groupBy("level", "qi").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per = g.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("n").cast("long").alias("min_group"),
+        F.sum(F.when(F.col("n") < _KG_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_k"),
+    )
+    ch = per.where(F.col("n_below_k") == 0).agg(
+        F.min("level").alias("chosen_level")
+    )
+    return per.crossJoin(F.broadcast(ch)).select(
+        F.col("level").cast("long").alias("level"),
+        "n_groups",
+        "min_group",
+        "n_below_k",
+        (F.col("level") == F.col("chosen_level"))
+        .cast("long")
+        .alias("chosen"),
+    )

@@ -1217,3 +1217,53 @@ def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts = ttl_dedup_stream(keyed.groupBy("bucket"), _TTL_US)
     sink = _run_to_memory(verdicts, "append")
     return sink.select("bucket", "doc_id", "is_dup", "keeper_doc")
+
+
+@query(
+    "q_stream_vwap",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               CAST(event_id % 7 + 1 AS BIGINT) AS vol
+        FROM events
+    )
+    SELECT event_type, CAST(hour_us AS BIGINT) AS hour_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vol) AS BIGINT) AS vol_sum,
+           CAST(sum(cents * vol) // sum(vol) AS BIGINT) AS vwap_cents
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING VWAP — q_vwap's weighted-mean rollup as a watermarked
+    tumbling-window streaming aggregation (the q_stream_ohlc pattern):
+    cents-quantized price x deterministic lot size summed per
+    (instrument, hour) window, VWAP divided on emit.  Replayed to
+    completion the windows equal the batch rollup exactly, so the
+    streaming plan carries the same full hash oracle as its batch twin
+    — the parity pair a migration from batch to streaming metering
+    regression-tests against.
+
+    Scale shape: the only shuffle key is (type, window); state per key
+    is three longs (sum-count-sum), bounded by the watermark horizon."""
+    ev = _stream_events(spark, sf_dir).select(
+        "event_type",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts_t"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr("CAST(event_id % 7 + 1 AS BIGINT)").alias("vol"),
+    ).withWatermark("ts_t", "1 hour")
+    agg = ev.groupBy("event_type", F.window("ts_t", "1 hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vol").cast("long").alias("vol_sum"),
+        F.sum(F.col("cents") * F.col("vol")).cast("long").alias("pv_sum"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("window.start")).alias("hour_us"),
+        "n",
+        "vol_sum",
+        F.expr("pv_sum div vol_sum").cast("long").alias("vwap_cents"),
+    )

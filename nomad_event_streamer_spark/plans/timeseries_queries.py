@@ -915,9 +915,10 @@ _HOLT_ALPHA_MILLI = 300
 _HOLT_BETA_MILLI = 200
 
 
-def _holt_oracle() -> str:
+def _holt_chain() -> str:
     """Unrolled per-step CTE chain (the pagerank device): each step t
-    computes (s_t, b_t) for all series at once from step t-1."""
+    computes (s_t, b_t) for all series at once from step t-1.  Ends at
+    ``st_{T}`` with no final SELECT (callers append their own)."""
     a, na = _HOLT_ALPHA_MILLI, 1000 - _HOLT_ALPHA_MILLI
     b, nb = _HOLT_BETA_MILLI, 1000 - _HOLT_BETA_MILLI
     parts = [
@@ -965,13 +966,17 @@ def _holt_oracle() -> str:
         )
     )"""
         )
+    return "".join(parts)
+
+
+def _holt_oracle() -> str:
     selects = " UNION ALL ".join(
         f"SELECT event_type, CAST({t} AS BIGINT) AS t, x,"
         f" CAST(s AS BIGINT) AS s_milli, CAST(b AS BIGINT) AS b_milli"
         f" FROM st_{t}"
         for t in range(1, _HOLT_T + 1)
     )
-    return "".join(parts) + "\n    " + selects
+    return _holt_chain() + "\n    " + selects
 
 
 @query("q_holt_linear", oracle=_holt_oracle())
@@ -1167,4 +1172,43 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(num > 0, 1).when(num < 0, -1).otherwise(0)
         .cast("long")
         .alias("corr_sign"),
+    )
+
+
+_HOLT_HORIZON = 7
+
+
+def _holt_forecast_oracle() -> str:
+    return (
+        _holt_chain()
+        + f""",
+    hz AS (SELECT unnest(range(1, {_HOLT_HORIZON + 1})) AS h)
+    SELECT event_type, CAST(h AS BIGINT) AS h,
+           CAST(s + h * b AS BIGINT) AS forecast_milli
+    FROM st_{_HOLT_T} CROSS JOIN hz"""
+    )
+
+
+@query("q_holt_forecast", oracle=_holt_forecast_oracle())
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h-step-ahead FORECAST from the Holt state (ŷ_{T+h} = s_T + h·b_T,
+    the linear-trend extrapolation): per series the next 7 daily-count
+    forecasts in exact milli units — the number a capacity/token-budget
+    planner actually consumes (q_holt_linear publishes the fitted path;
+    this publishes the plan).  Shares the smoother end-to-end, so the
+    forecast inherits the hash-gated recurrence.
+
+    Scale: the q_holt_linear pass + a 7-row horizon broadcast over the
+    series-cardinality final state."""
+    path = q_holt_linear(spark, sf_dir)
+    final = path.where(F.col("t") == _HOLT_T).select(
+        "event_type", "s_milli", "b_milli"
+    )
+    hz = spark.range(1, _HOLT_HORIZON + 1).select(F.col("id").alias("h"))
+    return final.crossJoin(F.broadcast(hz)).select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        (F.col("s_milli") + F.col("h") * F.col("b_milli"))
+        .cast("long")
+        .alias("forecast_milli"),
     )

@@ -205,6 +205,11 @@ PROBES = [
     "q_idf_drift",
     "q_degree_hist",
     "q_boilerplate_prefix",
+    "q_holt_forecast",
+    "q_stream_vwap",
+    "q_shard_dedup_cross",
+    "q_er_blocking",
+    "q_kanon_generalize",
 ]
 
 

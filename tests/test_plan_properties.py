@@ -1096,3 +1096,43 @@ def test_boilerplate_prefix_is_single_digest_agg(spark, sf_dir):
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+ROUND8B_OPS_6 = [
+    "q_holt_forecast",
+    "q_shard_dedup_cross",
+    "q_er_blocking",
+    "q_kanon_generalize",
+]
+
+
+@pytest.mark.parametrize("name", ROUND8B_OPS_6)
+def test_round8b_batch6_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_er_blocking_never_materializes_pairs(spark, sf_dir):
+    """Candidate counts are arithmetic on block sizes: per strategy one
+    groupBy + one 1-row aggregate — no join of the customer table with
+    itself anywhere."""
+    plan = plan_of(spark, sf_dir, "q_er_blocking")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("HashAggregate") >= 6  # 3 strategies x partial+final
+
+
+def test_shard_dedup_cross_offset_window_only(spark, sf_dir):
+    """Shard assignment inherits q_shard_plan's bucketed prefix sum: the
+    only partitionless window is the 16-row bucket-offset accumulation."""
+    df = QUERIES["q_shard_dedup_cross"](spark, sf_dir)
+    offset_frame = "specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)"
+    bad = [w for w in _partitionless_window_specs(df) if offset_frame not in w]
+    assert not bad, f"full-input partitionless window: {bad}"
+
+
+def test_kanon_generalize_is_union_of_aggs(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_kanon_generalize")
+    assert "Union" in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" not in plan

@@ -531,3 +531,148 @@ class TestBoilerplatePrefix:
 
     def test_groups_exist(self, rows):
         assert rows
+
+
+class TestHoltForecast:
+    def test_extrapolates_final_state(self, spark, sf_dir):
+        path = {
+            (r["event_type"], r["t"]): r
+            for r in QUERIES["q_holt_linear"](spark, sf_dir).collect()
+        }
+        fc = {
+            (r["event_type"], r["h"]): r["forecast_milli"]
+            for r in QUERIES["q_holt_forecast"](spark, sf_dir).collect()
+        }
+        types = {et for et, _ in path}
+        assert {h for _, h in fc} == set(range(1, 8))
+        for et in types:
+            final = path[(et, 30)]
+            for h in range(1, 8):
+                assert fc[(et, h)] == final["s_milli"] + h * final["b_milli"]
+
+    def test_forecast_is_linear_in_h(self, spark, sf_dir):
+        fc: dict = {}
+        for r in QUERIES["q_holt_forecast"](spark, sf_dir).collect():
+            fc.setdefault(r["event_type"], {})[r["h"]] = r["forecast_milli"]
+        for series in fc.values():
+            diffs = {series[h + 1] - series[h] for h in range(1, 7)}
+            assert len(diffs) == 1  # constant step = b_T
+
+
+class TestStreamVwap:
+    def test_matches_batch_twin(self, spark, sf_dir):
+        stream = {
+            (r["event_type"], r["hour_us"]): (
+                r["n"],
+                r["vol_sum"],
+                r["vwap_cents"],
+            )
+            for r in QUERIES["q_stream_vwap"](spark, sf_dir).collect()
+        }
+        batch = {
+            (r["event_type"], r["hour_us"]): (
+                r["n"],
+                r["vol_sum"],
+                r["vwap_cents"],
+            )
+            for r in QUERIES["q_vwap"](spark, sf_dir).collect()
+        }
+        assert stream == batch
+        assert stream
+
+
+class TestShardDedupCross:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["same_shard"]: r
+            for r in QUERIES["q_shard_dedup_cross"](spark, sf_dir).collect()
+        }
+
+    def test_shares_partition_pairs(self, rows):
+        total_ppm = sum(r["share_ppm"] for r in rows.values())
+        assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+
+    def test_hash_sharding_scatters_near_dups(self, rows):
+        # content-free sharding: cross-shard share ~ 1 - 1/S = 87.5%;
+        # a content-keyed sharding would invert this
+        if 0 in rows and 1 in rows:
+            assert rows[0]["n_pairs"] > rows[1]["n_pairs"]
+
+    def test_pair_total_matches_candidate_count(self, rows, spark, sf_dir):
+        n_cand = QUERIES["q_dedup_minhash"](spark, sf_dir).count()
+        assert sum(r["n_pairs"] for r in rows.values()) == n_cand
+
+
+class TestErBlocking:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["strategy"]: r
+            for r in QUERIES["q_er_blocking"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        import math
+
+        cust = load(spark, sf_dir, "customer").collect()
+        n = len(cust)
+        all_pairs = n * (n - 1) // 2
+        keys = {
+            "name_suffix": lambda r: r["c_name"][-3:],
+            "nation_segment": lambda r: f"{r['c_nationkey']}:{r['c_mktsegment']}",
+            # int() truncates toward zero like both engines' integer
+            # division (python // would FLOOR negative balances into a
+            # phantom '-1' band)
+            "balance_band": lambda r: str(
+                int(int(math.floor(r["c_acctbal"] * 100.0 + 0.5)) / 100000)
+            ),
+        }
+        for s, keyfn in keys.items():
+            blocks = Counter(keyfn(r) for r in cust)
+            cand = sum(b * (b - 1) // 2 for b in blocks.values())
+            r = rows[s]
+            assert r["n_blocks"] == len(blocks)
+            assert r["max_block"] == max(blocks.values())
+            assert r["n_candidates"] == cand
+            assert (
+                r["reduction_ppm"] == 1_000_000 - cand * 1_000_000 // all_pairs
+            )
+
+    def test_strategies_differ(self, rows):
+        assert len({r["n_candidates"] for r in rows.values()}) >= 2
+
+
+class TestKanonGeneralize:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["level"]: r
+            for r in QUERIES["q_kanon_generalize"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").select("lang", "source").collect()
+        levels = {
+            0: Counter(f"{r['lang']}|{r['source']}" for r in docs),
+            1: Counter(r["lang"] for r in docs),
+            2: Counter("all" for r in docs),
+        }
+        chosen = min(
+            lvl
+            for lvl, g in levels.items()
+            if all(v >= 5 for v in g.values())
+        )
+        for lvl, g in levels.items():
+            r = rows[lvl]
+            assert r["n_groups"] == len(g)
+            assert r["min_group"] == min(g.values())
+            assert r["n_below_k"] == sum(1 for v in g.values() if v < 5)
+            assert r["chosen"] == (1 if lvl == chosen else 0)
+
+    def test_ladder_monotone(self, rows):
+        # generalizing can only grow the minimum group size
+        assert (
+            rows[0]["min_group"] <= rows[1]["min_group"] <= rows[2]["min_group"]
+        )
+        assert sum(r["chosen"] for r in rows.values()) == 1
