@@ -164,6 +164,21 @@ HEADLINE = [
     "q_url_canon",
     "q_pii_scorecard",
     "q_kneser_ney",
+    # round-8b ops with fact-scale cost: line dedup moves the line bytes
+    # through a corpus-wide frequency pass + reassembly; the
+    # contamination matrix and threshold sweep ride the shingle/LSH
+    # machinery; tokenizer_compare runs BOTH BPE arms (the heaviest new
+    # op — exactly the one to regression-track); link_predict carries
+    # the Σd² wedge join; the PQ sweep guards the encode/ADC path; the
+    # TTL dedup is the stateful streaming twin.  Scan-shaped ops
+    # (classifier, robots, warc, vwap, drift) stay un-benched.
+    "q_line_dedup",
+    "q_contamination_matrix",
+    "q_tokenizer_compare",
+    "q_jaccard_threshold_sweep",
+    "q_link_predict",
+    "q_pq_recall_sweep",
+    "q_stream_dedup_ttl",
 ]
 
 
