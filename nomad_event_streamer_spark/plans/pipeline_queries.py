@@ -1730,3 +1730,526 @@ def q_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chosen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 20. BM25 k1 saturation sweep (round-8b batch 7)
+# ---------------------------------------------------------------------------
+
+_BM25_K1S = [("0.6", 600), ("1.2", 1200), ("2.0", 2000)]
+_BM25_TF_CAP = 4
+
+
+def _bm25_k1_sweep_oracle() -> str:
+    arms = []
+    for k1s, k1m in _BM25_K1S:
+        arms.append(
+            f"""
+    SELECT CAST({k1m} AS BIGINT) AS k1_milli,
+           CAST(least(tf, {_BM25_TF_CAP}) AS BIGINT) AS tf_bucket,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(s_micro) AS BIGINT) AS sum_s_micro,
+           CAST(sum(s_micro) // count(*) AS BIGINT) AS mean_s_micro
+    FROM (
+        SELECT tf.tf,
+               CAST(floor(
+                   (CAST(n_docs - df AS DOUBLE) * 1000.0
+                    / CAST(df AS DOUBLE))
+                   * (CAST(tf AS DOUBLE) * (1.0 + {k1s}))
+                   / (CAST(tf AS DOUBLE)
+                      + {k1s} * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                               * CAST(n_docs AS DOUBLE)
+                               / CAST(sum_dl AS DOUBLE))))
+                   * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (tok)
+        CROSS JOIN stats
+    ) GROUP BY 1, 2"""
+        )
+    return (
+        """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl
+              FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+           WHERE tok IN ('spark', 'query', 'join') GROUP BY 1, 2),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+    """
+        + " UNION ALL ".join(arms)
+    )
+
+
+@query("q_bm25_k1_sweep", oracle=_bm25_k1_sweep_oracle())
+def q_bm25_k1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 k1 SATURATION curve: q_bm25_lite's integerized per-term
+    scorer evaluated at k1 in {0.6, 1.2, 2.0}, rolled up by capped
+    term frequency (tf buckets 1, 2, 3, 4+) into the mean per-term
+    score.  The idf is the RATIO form (N−df)·1000/df (Robertson's idf
+    without the log): this corpus's vocabulary is so uniformly common
+    that the bit-length log-idf device rounds every query term to ZERO
+    bits and the scores degenerate — measured before swapping the
+    dampening for an exact monotone ratio the curve can move on.  The
+    table SHOWS the knob: low k1 flattens the curve
+    (tf 4 barely beats tf 1), high k1 keeps rewarding repetition.  A
+    top-k sweep was measured first and rejected: on this corpus the
+    rare-term idf dominates and the top-10 ORDER is k1-invariant, so a
+    ranking table would silently show nothing — the curve is the
+    statistic that actually moves (the q_jaccard_threshold_sweep
+    lesson: a tuning table must vary along its knob).
+
+    Scale: the tf/df/stats tables are computed once and shared by all
+    arms (query-term-bounded / broadcast-sized); each configuration
+    adds one scoring projection + a 12-row rollup, zero extra corpus
+    scans."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin("spark", "query", "join"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    base = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(stats))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    parts = []
+    for k1s, k1m in _BM25_K1S:
+        k1 = float(k1s)
+        s = (
+            ((F.col("n_docs") - F.col("df")).cast("double") * F.lit(1000.0)
+             / F.col("df").cast("double"))
+            * (tfd * F.lit(1.0 + k1))
+            / (
+                tfd
+                + F.lit(k1)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75)
+                    * (
+                        dld
+                        * F.col("n_docs").cast("double")
+                        / F.col("sum_dl").cast("double")
+                    )
+                )
+            )
+        )
+        s_micro = F.floor(s * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        parts.append(
+            base.select(
+                F.least(F.col("tf"), F.lit(_BM25_TF_CAP))
+                .cast("long")
+                .alias("tf_bucket"),
+                s_micro.alias("s_micro"),
+            )
+            .groupBy("tf_bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_terms"),
+                F.sum("s_micro").cast("long").alias("sum_s_micro"),
+                F.expr("sum(s_micro) div count(*)")
+                .cast("long")
+                .alias("mean_s_micro"),
+            )
+            .withColumn("k1_milli", F.lit(k1m).cast("long"))
+            .select(
+                "k1_milli", "tf_bucket", "n_terms", "sum_s_micro",
+                "mean_s_micro",
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 21. Label centroid distance matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_centroid_dist",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               unnest(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT))) AS qx,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings WHERE label IS NOT NULL
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(sum(qx) // count(*) AS BIGINT) AS c
+        FROM q GROUP BY 1, 2
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist_sq
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+)
+def q_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label CENTROID distance matrix: per class the floor-mean of the
+    micro-quantized embedding components (q_embed_drift's device), then
+    the exact integer squared-L2 between every class-centroid pair —
+    the class-separation audit that says whether the embedding space
+    can support the kNN/ANN classifiers at all (tight centroids with
+    small pairwise distances predict q_knn_eval's confusions).
+
+    Scale: ONE (label, dim) map-side-combinable aggregate off the
+    embedding scan; the centroid table is labels x dims rows (KB) so
+    the pairwise join is dimension-table work."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    q = vecs.where(F.col("label").isNotNull()).select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)"
+                " AS BIGINT))"
+            )
+        ).alias("dim0", "qx"),
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "qx")
+    cent = q.groupBy("label", "dim").agg(
+        F.expr("sum(qx) div count(*)").cast("long").alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("long")
+            .alias("dist_sq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 22. Integer z-test daily anomaly flags
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_daily_anomaly",
+    oracle="""
+    WITH cnt AS (
+        SELECT event_type,
+               (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM cnt GROUP BY 1
+    )
+    SELECT c.event_type, c.day_us, c.x,
+           CAST((c.x * s.n - s.sx) * (c.x * s.n - s.sx) AS BIGINT)
+               AS dev_sq_scaled,
+           CAST(4 * (s.n * s.sxx - s.sx * s.sx) AS BIGINT) AS bound_sq,
+           CAST(CASE WHEN (c.x * s.n - s.sx) * (c.x * s.n - s.sx)
+                          > 4 * (s.n * s.sxx - s.sx * s.sx)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM cnt c JOIN st s USING (event_type)
+    """,
+)
+def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count ANOMALY flags by an exact-integer z-test: a day is
+    anomalous when (x−μ)² > (2σ)², evaluated WITHOUT any float or sqrt
+    by clearing denominators — (x·n − Σx)² > 4(nΣx² − (Σx)²) is the
+    same inequality scaled by n², term-for-term exact in int64 — the
+    volume-monitoring alert every ingestion pipeline runs, made
+    bit-reproducible (q_mad_outliers flags by robust quantiles; this is
+    the parametric twin).
+
+    Scale: one (type, day) partial aggregate, one type-keyed moment
+    aggregate (broadcast-sized), one join back — never a window."""
+    from ..tables import events as events_tbl
+
+    cnt = (
+        events_tbl(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr("(ts_us div 86400000000) * 86400000000").alias("day_us"),
+        )
+        .groupBy("event_type", "day_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    st = cnt.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    dev = F.col("x") * F.col("n") - F.col("sx")
+    bound = F.lit(4) * (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return cnt.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day_us",
+        "x",
+        (dev * dev).cast("long").alias("dev_sq_scaled"),
+        bound.cast("long").alias("bound_sq"),
+        (dev * dev > bound).cast("long").alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 23. k-fold assignment balance audit
+# ---------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+
+@query(
+    "q_kfold_balance",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % {_KFOLDS} AS fold
+        FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+    per AS (
+        SELECT fold,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(max(ln) AS BIGINT) AS max_lang_n
+        FROM (
+            SELECT fold, lang, count(*) OVER (PARTITION BY fold, lang) AS ln
+            FROM f
+        ) GROUP BY fold
+    )
+    SELECT CAST(p.fold AS BIGINT) AS fold, p.n_docs, p.n_langs,
+           p.max_lang_n,
+           CAST(abs({_KFOLDS} * p.n_docs - n.total) * 1000000 // n.total
+                AS BIGINT) AS dev_ppm,
+           CAST(({_KFOLDS} * p.n_docs - n.total)
+                * ({_KFOLDS} * p.n_docs - n.total) * 1000
+                // ({_KFOLDS} * n.total) AS BIGINT) AS chi2_milli
+    FROM per p CROSS JOIN n
+    """,
+)
+def q_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-FOLD assignment + balance audit: the deterministic md5 5-fold
+    split (q_hash_split's device generalized), per fold its size,
+    language coverage, largest language block, the deviation from the
+    ideal N/k in ppm, and the fold's chi-square contribution
+    (ko−N)²/(kN) in milli — the cross-validation sanity table that
+    catches a skewed hash or a lost fold before any model trains.
+
+    Scale: assignment is a content-free per-row hash; the audit is one
+    (fold, lang) aggregate rolled up to k rows + a 1-row broadcast."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % _KFOLDS
+    )
+    fl = docs.select(fold.alias("fold"), "lang")
+    per_lang = fl.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("ln")
+    )
+    per = per_lang.groupBy("fold").agg(
+        F.sum("ln").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max("ln").cast("long").alias("max_lang_n"),
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return per.crossJoin(F.broadcast(n)).select(
+        F.col("fold").cast("long").alias("fold"),
+        "n_docs",
+        "n_langs",
+        "max_lang_n",
+        F.expr(
+            f"(abs({_KFOLDS} * n_docs - total) * 1000000) div total"
+        )
+        .cast("long")
+        .alias("dev_ppm"),
+        F.expr(
+            f"(({_KFOLDS} * n_docs - total) * ({_KFOLDS} * n_docs - total)"
+            f" * 1000) div ({_KFOLDS} * total)"
+        )
+        .cast("long")
+        .alias("chi2_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 24. Partition-skew audit with salt plan
+# ---------------------------------------------------------------------------
+
+_SKEW_SLOTS = 32  # target parallelism the salt plan sizes against
+
+
+def _skew_arm_sql(key: str) -> str:
+    return f"""
+    SELECT '{key}' AS key_col,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(m) AS BIGINT) AS total_rows,
+           CAST(max(m) AS BIGINT) AS max_key_rows,
+           CAST(max(m) * count(*) * 1000000 // sum(m) AS BIGINT)
+               AS skew_ppm,
+           CAST(greatest(1, (max(m) + sum(m) // {_SKEW_SLOTS} - 1)
+                            // greatest(sum(m) // {_SKEW_SLOTS}, 1))
+                AS BIGINT) AS salt_factor
+    FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS m
+          FROM documents GROUP BY 1)"""
+
+
+@query(
+    "q_skew_audit",
+    oracle=" UNION ALL ".join(_skew_arm_sql(k) for k in ("lang", "source")),
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-SKEW audit + salt plan: for each candidate shuffle key
+    (lang, source) the key cardinality, the heaviest key's row mass,
+    skew as max/mean in ppm, and the recommended SALT FACTOR —
+    ceil(max_key / ideal_per_slot) at 32-way parallelism — the number
+    q_skew_join_salted consumes; this table is how a pipeline DECIDES
+    which keys need salting before any shuffle runs (AQE fixes skewed
+    shuffle PARTITIONS at runtime; a single hot KEY still needs the
+    salt).
+
+    Scale: per key one map-side-combinable aggregate to key-cardinality
+    rows, then 1-row arithmetic."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    parts = []
+    for key in ("lang", "source"):
+        masses = docs.groupBy(key).agg(
+            F.count(F.lit(1)).cast("long").alias("m")
+        )
+        parts.append(
+            masses.agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("m").cast("long").alias("total_rows"),
+                F.max("m").cast("long").alias("max_key_rows"),
+            ).select(
+                F.lit(key).alias("key_col"),
+                "n_keys",
+                "total_rows",
+                "max_key_rows",
+                F.expr("(max_key_rows * n_keys * 1000000) div total_rows")
+                .cast("long")
+                .alias("skew_ppm"),
+                F.expr(
+                    f"greatest(1, (max_key_rows + total_rows div {_SKEW_SLOTS}"
+                    f" - 1) div greatest(total_rows div {_SKEW_SLOTS}, 1))"
+                )
+                .cast("long")
+                .alias("salt_factor"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 25. Duplicate token-mass inflation
+# ---------------------------------------------------------------------------
+
+
+def _dup_inflation_oracle() -> str:
+    from .llm_ops import _clusters_oracle
+
+    return f"""
+    WITH comp AS (SELECT * FROM ({_clusters_oracle(16)})),
+    full_ AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cid,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    keep AS (SELECT cid, min(doc_id) AS keep_id FROM full_ GROUP BY cid),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f.n_tok) AS BIGINT) AS total_tok,
+               CAST(sum(CASE WHEN f.doc_id = k.keep_id THEN f.n_tok
+                        ELSE 0 END) AS BIGINT) AS unique_tok,
+               CAST(sum(CASE WHEN f.doc_id = k.keep_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_keep
+        FROM full_ f JOIN keep k USING (cid)
+    )
+    SELECT n_docs, n_keep, total_tok, unique_tok,
+           CAST((total_tok - unique_tok) * 1000000 // total_tok AS BIGINT)
+               AS inflation_ppm
+    FROM agg
+    """
+
+
+@query("q_dup_inflation", oracle=_dup_inflation_oracle())
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate TOKEN-MASS inflation: how much of the corpus's token
+    budget is near-duplicate weight — total tokens vs the tokens of
+    each cluster's canonical representative, as an inflation ppm (the
+    'your 100 TB is really 88 TB' number that justifies the dedup pass
+    to whoever pays for the training run; q_card_dedup_yield counts
+    DOCS, this weighs TOKENS).
+
+    Scale: the q_dedup_clusters pipeline (bucketed LSH + checkpointed
+    min-label CC) + one doc-keyed join and a single global aggregate."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    edges = dedup.lsh_candidate_pairs(bands)
+    comp = dedup.connected_components(edges)
+    full = (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cid"),
+        )
+    )
+    keep = full.groupBy("cid").agg(F.min("doc_id").alias("keep_id"))
+    j = full.join(keep, "cid")
+    is_keep = (F.col("doc_id") == F.col("keep_id")).cast("long")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(is_keep).cast("long").alias("n_keep"),
+        F.sum("n_tok").cast("long").alias("total_tok"),
+        F.sum(F.col("n_tok") * is_keep).cast("long").alias("unique_tok"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_keep",
+        "total_tok",
+        "unique_tok",
+        F.expr("((total_tok - unique_tok) * 1000000) div total_tok")
+        .cast("long")
+        .alias("inflation_ppm"),
+    )

@@ -210,6 +210,12 @@ PROBES = [
     "q_shard_dedup_cross",
     "q_er_blocking",
     "q_kanon_generalize",
+    "q_bm25_k1_sweep",
+    "q_centroid_dist",
+    "q_daily_anomaly",
+    "q_kfold_balance",
+    "q_skew_audit",
+    "q_dup_inflation",
 ]
 
 
@@ -305,17 +311,23 @@ def synthesize(spark, reps: int) -> None:
 # consecutive stopwords (rare, bounded), so the linear-scaling property
 # the disjoint rewrite exists for still holds while the delimiter
 # structure survives.
-STOPSAFE_PROBES = {"q_rake_keyphrases"}
-_STOPSAFE_WORDS = ("the", "a", "of", "and", "to")  # = corpus _RAKE_STOPS
+# name -> the word tuple its semantics hinge on (preserved verbatim in
+# the replica rewrite).  q_bm25_k1_sweep joined in round 8b: its fixed
+# query terms vanish under the suffix rewrite and the probe returned
+# ZERO rows (the silent-empty guard fired on its first ×10 run).
+STOPSAFE_PROBES = {
+    "q_rake_keyphrases": ("the", "a", "of", "and", "to"),  # _RAKE_STOPS
+    "q_bm25_k1_sweep": ("spark", "query", "join"),  # the BM25 query
+}
 
 
-def synthesize_stopsafe(spark, reps: int) -> str:
-    dst = dst_for(reps) + "_stopsafe"
+def synthesize_stopsafe(spark, reps: int, words: tuple) -> str:
+    dst = dst_for(reps) + "_keep_" + "_".join(words)
     if os.path.exists(f"{dst}/_done1"):
         return dst
     os.makedirs(dst, exist_ok=True)
     r = spark.range(reps).select(F.col("id").alias("rep"))
-    keep = ", ".join(f"'{w}'" for w in _STOPSAFE_WORDS)
+    keep = ", ".join(f"'{w}'" for w in words)
     df = (
         spark.read.parquet(f"{SRC}/documents.parquet")
         .crossJoin(r)
@@ -371,7 +383,7 @@ def main() -> None:
             times = {}
             empty = []
             big_dir = (
-                synthesize_stopsafe(spark, args.reps)
+                synthesize_stopsafe(spark, args.reps, STOPSAFE_PROBES[name])
                 if name in STOPSAFE_PROBES
                 else dst_for(args.reps)
             )

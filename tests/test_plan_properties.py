@@ -1136,3 +1136,48 @@ def test_kanon_generalize_is_union_of_aggs(spark, sf_dir):
     assert "Union" in plan
     assert plan.count("HashAggregate") >= 4
     assert "Window" not in plan
+
+
+ROUND8B_OPS_7 = [
+    "q_bm25_k1_sweep",
+    "q_centroid_dist",
+    "q_daily_anomaly",
+    "q_kfold_balance",
+    "q_skew_audit",
+    "q_dup_inflation",
+]
+
+
+@pytest.mark.parametrize("name", ROUND8B_OPS_7)
+def test_round8b_batch7_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_sweep_shares_one_token_scan_per_arm_family(spark, sf_dir):
+    """The tf/df/stats tables are query-term-bounded or broadcast-sized;
+    no arm adds a window or a global sort."""
+    plan = plan_of(spark, sf_dir, "q_bm25_k1_sweep")
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Union" in plan
+
+
+def test_centroid_dist_join_is_dimension_sized(spark, sf_dir):
+    """The pairwise join runs on the labels x dims centroid table, an
+    equi-join on dim — never vectors x vectors."""
+    plan = plan_of(spark, sf_dir, "q_centroid_dist")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_daily_anomaly_is_agg_join_no_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_daily_anomaly")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_skew_audit_never_shuffles_twice_per_key(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_skew_audit")
+    assert "Join" not in plan
+    assert "Window" not in plan

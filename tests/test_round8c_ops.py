@@ -676,3 +676,222 @@ class TestKanonGeneralize:
             rows[0]["min_group"] <= rows[1]["min_group"] <= rows[2]["min_group"]
         )
         assert sum(r["chosen"] for r in rows.values()) == 1
+
+
+class TestBm25K1Sweep:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            (r["k1_milli"], r["tf_bucket"]): r
+            for r in QUERIES["q_bm25_k1_sweep"](spark, sf_dir).collect()
+        }
+
+    def test_grid(self, rows):
+        assert {k for k, _ in rows} == {600, 1200, 2000}
+        for k1 in (600, 1200, 2000):
+            buckets = {b for k, b in rows if k == k1}
+            assert buckets == {b for kk, b in rows if kk == 600}
+
+    def test_saturation_monotone(self, rows):
+        # higher k1 rewards repetition: mean score nondecreasing in k1
+        # within every bucket, and the k1 effect GROWS with tf
+        buckets = sorted({b for _, b in rows})
+        gains = []
+        for b in buckets:
+            means = [rows[(k, b)]["mean_s_micro"] for k in (600, 1200, 2000)]
+            assert means == sorted(means)
+            gains.append(means[-1] - means[0])
+        assert gains == sorted(gains)
+        assert gains[-1] > gains[0] > 0
+
+    def test_bucket_populations_k1_invariant(self, rows):
+        for b in {b for _, b in rows}:
+            ns = {rows[(k, b)]["n_terms"] for k in (600, 1200, 2000)}
+            assert len(ns) == 1
+
+    def test_mean_formula(self, rows):
+        for r in rows.values():
+            assert r["mean_s_micro"] == r["sum_s_micro"] // r["n_terms"]
+
+
+class TestCentroidDist:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            (r["label_a"], r["label_b"]): r
+            for r in QUERIES["q_centroid_dist"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        import math
+
+        vecs = (
+            load(spark, sf_dir, "embeddings")
+            .where(F.col("label").isNotNull())
+            .select("label", "embedding")
+            .collect()
+        )
+        by_label: dict[int, list] = {}
+        for r in vecs:
+            q = [
+                int(math.floor(float(x) * 1000000.0 + 0.5))
+                for x in r["embedding"]
+            ]
+            by_label.setdefault(r["label"], []).append(q)
+        cents = {}
+        for lab, qs in by_label.items():
+            n = len(qs)
+            cents[lab] = [
+                int(sum(col) / n) if sum(col) >= 0 else -((-sum(col)) // n)
+                for col in zip(*qs)
+            ]
+        labs = sorted(cents)
+        for i, a in enumerate(labs):
+            for b in labs[i + 1 :]:
+                d = sum(
+                    (ca - cb) * (ca - cb)
+                    for ca, cb in zip(cents[a], cents[b])
+                )
+                r = rows[(a, b)]
+                assert r["n_dims"] == len(cents[a])
+                assert r["dist_sq"] == d
+
+    def test_full_pair_grid(self, rows, spark, sf_dir):
+        n_labels = (
+            load(spark, sf_dir, "embeddings")
+            .where(F.col("label").isNotNull())
+            .select("label")
+            .distinct()
+            .count()
+        )
+        assert len(rows) == n_labels * (n_labels - 1) // 2
+
+    def test_distances_positive_and_spread(self, rows):
+        ds = [r["dist_sq"] for r in rows.values()]
+        assert min(ds) > 0 and len(set(ds)) > 1
+
+
+class TestDailyAnomaly:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            (r["event_type"], r["day_us"]): r
+            for r in QUERIES["q_daily_anomaly"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        ev = events(spark, sf_dir).selectExpr(
+            "event_type", "(ts_us div 86400000000) * 86400000000 AS day_us"
+        ).collect()
+        cnt = Counter((r["event_type"], r["day_us"]) for r in ev)
+        by_type: dict[str, list[int]] = {}
+        for (et, _), x in cnt.items():
+            by_type.setdefault(et, []).append(x)
+        for (et, d), x in cnt.items():
+            xs = by_type[et]
+            n, sx, sxx = len(xs), sum(xs), sum(v * v for v in xs)
+            dev2 = (x * n - sx) ** 2
+            bound = 4 * (n * sxx - sx * sx)
+            r = rows[(et, d)]
+            assert r["x"] == x
+            assert r["dev_sq_scaled"] == dev2
+            assert r["bound_sq"] == bound
+            assert r["is_anomaly"] == (1 if dev2 > bound else 0)
+
+    def test_anomalies_are_rare_but_present(self, rows):
+        flags = sum(r["is_anomaly"] for r in rows.values())
+        assert 0 < flags < len(rows) // 4
+
+
+class TestKfoldBalance:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["fold"]: r
+            for r in QUERIES["q_kfold_balance"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+        folds: dict[int, list] = {}
+        for r in docs:
+            f = (
+                int(
+                    hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15],
+                    16,
+                )
+                % 5
+            )
+            folds.setdefault(f, []).append(r["lang"])
+        total = len(docs)
+        assert set(rows) == set(folds)
+        for f, langs in folds.items():
+            r = rows[f]
+            c = Counter(langs)
+            assert r["n_docs"] == len(langs)
+            assert r["n_langs"] == len(c)
+            assert r["max_lang_n"] == max(c.values())
+            dev = 5 * len(langs) - total
+            assert r["dev_ppm"] == abs(dev) * 1_000_000 // total
+            assert r["chi2_milli"] == dev * dev * 1000 // (5 * total)
+
+    def test_folds_partition_corpus(self, rows, spark, sf_dir):
+        assert sum(r["n_docs"] for r in rows.values()) == load(
+            spark, sf_dir, "documents"
+        ).count()
+        assert len(rows) == 5
+
+
+class TestSkewAudit:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["key_col"]: r
+            for r in QUERIES["q_skew_audit"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").select("lang", "source").collect()
+        for key in ("lang", "source"):
+            c = Counter(r[key] for r in docs)
+            total, mx = sum(c.values()), max(c.values())
+            r = rows[key]
+            assert r["n_keys"] == len(c)
+            assert r["total_rows"] == total
+            assert r["max_key_rows"] == mx
+            assert r["skew_ppm"] == mx * len(c) * 1_000_000 // total
+            target = max(total // 32, 1)
+            assert r["salt_factor"] == max(1, (mx + target - 1) // target)
+
+    def test_low_cardinality_key_needs_more_salt(self, rows):
+        assert rows["lang"]["salt_factor"] > rows["source"]["salt_factor"]
+
+
+class TestDupInflation:
+    @pytest.fixture(scope="class")
+    def row(self, spark, sf_dir):
+        rows = QUERIES["q_dup_inflation"](spark, sf_dir).collect()
+        assert len(rows) == 1
+        return rows[0]
+
+    def test_consistent_with_cluster_and_token_queries(self, row, spark, sf_dir):
+        n_docs = load(spark, sf_dir, "documents").count()
+        assert row["n_docs"] == n_docs
+        assert 0 < row["n_keep"] <= n_docs
+        assert 0 < row["unique_tok"] <= row["total_tok"]
+        assert (
+            row["inflation_ppm"]
+            == (row["total_tok"] - row["unique_tok"])
+            * 1_000_000
+            // row["total_tok"]
+        )
+        # cross-check n_keep against the oracled dedup-stats cluster
+        # counts: keepers = clusters + singletons = distinct cids
+        stats = QUERIES["q_dedup_stats"](spark, sf_dir).collect()
+        n_clusters = sum(r["n_clusters"] for r in stats)
+        docs_in_clusters = sum(r["n_docs"] for r in stats)
+        singletons = n_docs - docs_in_clusters
+        assert row["n_keep"] == n_clusters + singletons
+
+    def test_inflation_nonzero(self, row):
+        assert row["inflation_ppm"] > 0
