@@ -1113,11 +1113,17 @@ def _doc_batches_dir(spark: SparkSession, sf_dir: str) -> str:
     return _TTL_DIRS[sf_dir]
 
 
-def _ttl_dedup_oracle() -> str:
+def _ttl_dedup_oracle(
+    ttl_us: int | None = None, spacing_us: int = 60_000_000
+) -> str:
     """Gaps-and-islands twin of the sliding-TTL state machine: per
     band-0 bucket in doc_id (= arrival) order, an arrival within TTL of
     the PREVIOUS arrival is a duplicate; a later one starts a new burst
-    whose first doc is the keeper."""
+    whose first doc is the keeper.  Parameterized over (ttl, spacing)
+    so scripts/fuzz_ttl.py can sweep the knob space the registered
+    literal oracle cannot reach."""
+    if ttl_us is None:
+        ttl_us = _TTL_US
     from ..operators.dedup import MINHASH_P, minhash_params
     from .llm_ops import _SHINGLE_CTE
 
@@ -1147,13 +1153,13 @@ def _ttl_dedup_oracle() -> str:
     ),
     d AS (
         SELECT doc.doc_id, b0.bucket,
-               {_SESSION_DEDUP_BASE_US} + doc.doc_id * 60000000 AS ts_us
+               {_SESSION_DEDUP_BASE_US} + doc.doc_id * {spacing_us} AS ts_us
         FROM documents doc LEFT JOIN b0 ON doc.doc_id = b0.doc_id
     ),
     g AS (
         SELECT doc_id, bucket, ts_us,
                CASE WHEN lag(ts_us) OVER w IS NOT NULL
-                         AND ts_us - lag(ts_us) OVER w <= {_TTL_US}
+                         AND ts_us - lag(ts_us) OVER w <= {ttl_us}
                     THEN 1 ELSE 0 END AS is_dup
         FROM d
         WINDOW w AS (PARTITION BY bucket ORDER BY doc_id)
@@ -1194,6 +1200,16 @@ def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-long tuple per LIVE bucket — the TTL is precisely what keeps the
     state store bounded by the active working set instead of the
     stream's history."""
+    return _ttl_pipeline(spark, sf_dir, _TTL_US, 60_000_000)
+
+
+def _ttl_pipeline(
+    spark: SparkSession, sf_dir: str, ttl_us: int, spacing_us: int
+) -> DataFrame:
+    """The q_stream_dedup_ttl dataflow with the (ttl, spacing) knobs
+    exposed — the registered query pins the declared literals;
+    scripts/fuzz_ttl.py replays the REAL streaming state machine across
+    the knob space."""
     from ..operators import dedup
     from ..streaming.ttl_dedup import ttl_dedup_stream
 
@@ -1211,10 +1227,11 @@ def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.element_at("bands", 1).getField("bucket").alias("bucket"),
         (
-            F.lit(_SESSION_DEDUP_BASE_US) + F.col("doc_id") * F.lit(60_000_000)
+            F.lit(_SESSION_DEDUP_BASE_US)
+            + F.col("doc_id") * F.lit(spacing_us)
         ).alias("ts_us"),
     )
-    verdicts = ttl_dedup_stream(keyed.groupBy("bucket"), _TTL_US)
+    verdicts = ttl_dedup_stream(keyed.groupBy("bucket"), ttl_us)
     sink = _run_to_memory(verdicts, "append")
     return sink.select("bucket", "doc_id", "is_dup", "keeper_doc")
 
