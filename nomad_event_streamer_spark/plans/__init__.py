@@ -49,7 +49,7 @@ from . import pipeline_queries  # noqa: E402,F401
 #     so they collect the driver's rows>0 evidence and the cumulative
 #     ledger reaches the full registry: 339/339 driver-seen
 #     (328 hash + 11 rows-only).
-# Registry at HEAD: 378 queries / 367 oracled.
+# Registry at HEAD: 382 queries / 371 oracled.
 # R09 OVERFLOW (the escape hatch tests/test_driver_window.py documents):
 # the round-8 window is fully spent on the 50-slug ledger-completing
 # rotation above, so round-8b additions past window capacity sit in the
@@ -167,6 +167,10 @@ R09_QUEUE: list[str] = [
     "q_kfold_balance",
     "q_skew_audit",
     "q_dup_inflation",
+    "q_brier_decomp",
+    "q_audit_sample",
+    "q_activity_lapse",
+    "q_chain_contamination",
 ]
 
 # Round-8 re-verification allowance: EMPTY — no optimized plan changed in a

@@ -3641,3 +3641,133 @@ def q_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         drift.cast("long").alias("drift_ppm"),
         (drift > _IDF_DRIFT_PPM).cast("long").alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier decomposition (round-8b)
+# ---------------------------------------------------------------------------
+
+
+def _brier_oracle() -> str:
+    sgn_values = ", ".join(
+        f"({d}, {s})" for d, s in enumerate(_auc_signs(64))
+    )
+    return f"""
+    WITH z AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    sgn(i, s) AS (SELECT * FROM (VALUES {sgn_values})),
+    comp AS (
+        SELECT vec_id, label, t.i, qv[t.i + 1] AS x
+        FROM z CROSS JOIN range(0, 64) t(i)
+    ),
+    sc AS (
+        SELECT vec_id, CAST(max(label) = 3 AS BIGINT) AS y,
+               CAST(sum(s * x) AS BIGINT) AS score
+        FROM comp JOIN sgn USING (i)
+        GROUP BY vec_id
+    ),
+    mm AS (SELECT min(score) AS mn, max(score) AS mx,
+                  CAST(count(*) AS BIGINT) AS n_total,
+                  CAST(sum(y) AS BIGINT) AS sy_total
+           FROM sc),
+    p AS (
+        SELECT y, CAST((score - mn) * 1000 // (mx - mn) AS BIGINT)
+                   AS p_milli
+        FROM sc CROSS JOIN mm
+    ),
+    b AS (
+        SELECT CAST(p_milli // 100 AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p_milli) AS BIGINT) AS sp,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(p_milli * p_milli) AS BIGINT) AS spp,
+               CAST(sum(p_milli * y) AS BIGINT) AS spy
+        FROM p GROUP BY 1
+    )
+    SELECT b.bin, b.n,
+           CAST(b.sp // b.n AS BIGINT) AS mean_p_milli,
+           CAST(b.sy * 1000 // b.n AS BIGINT) AS pos_rate_milli,
+           CAST((b.spp - 2000 * b.spy + 1000000 * b.sy) // mm.n_total
+                AS BIGINT) AS brier_micro,
+           CAST((b.sp - 1000 * b.sy) * (b.sp - 1000 * b.sy)
+                // (b.n * mm.n_total) AS BIGINT) AS rel_micro,
+           CAST((1000 * (b.sy * mm.n_total - mm.sy_total * b.n))
+                * (1000 * (b.sy * mm.n_total - mm.sy_total * b.n))
+                // (b.n * mm.n_total * mm.n_total) AS BIGINT) AS res_micro
+    FROM b CROSS JOIN mm
+    """
+
+
+@query("q_brier_decomp", oracle=_brier_oracle())
+def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE decomposition (Murphy 1973: brier = reliability −
+    resolution + uncertainty) for the fixed integer scorer on the
+    q_calibration scaffold: scores min-max-normalize to milli
+    pseudo-probabilities, bin into 10 fixed-width probability bands,
+    and each band reports its exact-integer Brier, reliability
+    ((p̄−ȳ)² weighted) and resolution ((ȳ_k−ȳ)² weighted)
+    contributions in micro units — where q_calibration shows the curve,
+    this prices HOW miscalibrated the scorer is and how much signal it
+    still carries.  Every term is integer arithmetic over bin sums, so
+    the decomposition regression-tests bit-for-bit.
+
+    Scale: one scoring pass (the fixed 64-sign projection), a 1-row
+    min/max broadcast, ONE bin aggregate — band-cardinality output."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    signs = _auc_signs(64)
+    score_expr = " + ".join(
+        f"({s}) * CAST(floor(CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        f" * 1000000.0 + 0.5) AS BIGINT)"
+        for i, s in enumerate(signs)
+    )
+    sc = vecs.select(
+        (F.col("label") == 3).cast("long").alias("y"),
+        F.expr(score_expr).cast("long").alias("score"),
+    )
+    mm = sc.agg(
+        F.min("score").alias("mn"),
+        F.max("score").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("y").cast("long").alias("sy_total"),
+    )
+    p = sc.crossJoin(F.broadcast(mm)).select(
+        "y",
+        F.expr("((score - mn) * 1000) div (mx - mn)")
+        .cast("long")
+        .alias("p_milli"),
+        "n_total",
+        "sy_total",
+    )
+    b = p.groupBy(F.expr("p_milli div 100").cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p_milli").cast("long").alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("p_milli") * F.col("p_milli")).cast("long").alias("spp"),
+        F.sum(F.col("p_milli") * F.col("y")).cast("long").alias("spy"),
+        F.max("n_total").alias("n_total"),
+        F.max("sy_total").alias("sy_total"),
+    )
+    return b.select(
+        "bin",
+        "n",
+        F.expr("sp div n").cast("long").alias("mean_p_milli"),
+        F.expr("(sy * 1000) div n").cast("long").alias("pos_rate_milli"),
+        F.expr("(spp - 2000 * spy + 1000000 * sy) div n_total")
+        .cast("long")
+        .alias("brier_micro"),
+        F.expr("((sp - 1000 * sy) * (sp - 1000 * sy)) div (n * n_total)")
+        .cast("long")
+        .alias("rel_micro"),
+        F.expr(
+            "((1000 * (sy * n_total - sy_total * n))"
+            " * (1000 * (sy * n_total - sy_total * n)))"
+            " div (n * n_total * n_total)"
+        )
+        .cast("long")
+        .alias("res_micro"),
+    )

@@ -2253,3 +2253,328 @@ def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("inflation_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 26. Dedup audit sample (round-8b batch 8)
+# ---------------------------------------------------------------------------
+
+_AUDIT_K = 20
+_AUDIT_JACC_MILLI = 500
+
+
+def _audit_sample_oracle() -> str:
+    from .llm_ops import _minhash_oracle
+
+    return f"""
+    WITH cand AS (SELECT doc_a, doc_b FROM ({_minhash_oracle(16)})),
+    sh2 AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(toks[i:i+2], ' ')
+             FOR i IN range(1, greatest(len(toks) - 1, 1))]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM sh2 GROUP BY 1),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh2 sa ON sa.doc_id = c.doc_a
+        JOIN sh2 sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST((coalesce(i.i, 0) * 1000)
+                   // (na.n + nb.n - coalesce(i.i, 0)) AS BIGINT) AS jacc
+        FROM cand c
+        JOIN cnt na ON na.doc_id = c.doc_a
+        JOIN cnt nb ON nb.doc_id = c.doc_b
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    ),
+    v AS (
+        SELECT doc_a, doc_b, jacc,
+               substring(md5(doc_a || ':' || doc_b), 1, 8) AS priority
+        FROM j WHERE jacc >= {_AUDIT_JACC_MILLI}
+    )
+    SELECT doc_a, doc_b, jacc AS jacc_milli, priority,
+           CAST(row_number() OVER (ORDER BY priority, doc_a, doc_b)
+                AS BIGINT) AS rnk
+    FROM (
+        SELECT * FROM v ORDER BY priority, doc_a, doc_b LIMIT {_AUDIT_K}
+    )
+    """
+
+
+@query("q_audit_sample", oracle=_audit_sample_oracle())
+def q_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP AUDIT SAMPLE: a content-free, reproducible top-20 of the
+    verified near-dup pairs (jaccard >= 0.5) ordered by the md5 of the
+    pair key — the unbiased labeling queue a human QA pass reviews
+    (hash order means the sample can't cherry-pick easy pairs, and the
+    same pairs come back every run/engine/partitioning — the
+    q_hash_split determinism device applied to sampling).
+
+    Scale: candidates and verification are the bucketed LSH path; the
+    sample is a heap top-k on the verified pairs — no extra corpus
+    work."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    cand = dedup.lsh_candidate_pairs(bands)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = (
+        cand.join(
+            cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(coalesce(i, 0) * 1000) div (na + nb - coalesce(i, 0))")
+            .cast("long")
+            .alias("jacc_milli"),
+        )
+    )
+    v = j.where(F.col("jacc_milli") >= _AUDIT_JACC_MILLI).select(
+        "doc_a",
+        "doc_b",
+        "jacc_milli",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_a").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ).alias("priority"),
+    )
+    top = v.orderBy(
+        F.col("priority").asc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(_AUDIT_K)
+    w = Window.orderBy(
+        F.col("priority").asc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# 27. Churn by signup cohort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_activity_lapse",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    g AS (
+        SELECT user_id, us,
+               us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+        FROM e
+    ),
+    pu AS (
+        SELECT user_id,
+               CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us,
+               CAST(min(us) // 86400000000 AS BIGINT) AS fd
+        FROM g GROUP BY user_id
+    ),
+    b AS (SELECT min(fd) AS d0 FROM pu)
+    SELECT CAST(fd - d0 AS BIGINT) AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN max_gap_us >= 172800000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_lapsed,
+           CAST(sum(CASE WHEN max_gap_us >= 172800000000
+                    THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS lapse_ppm,
+           CAST(max(max_gap_us // 3600000000) AS BIGINT) AS max_gap_hours
+    FROM pu CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def q_activity_lapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVITY-LAPSE audit by signup cohort: per user the LONGEST
+    inactivity gap in their event stream, lapsed = a gap of 48 h or
+    more, rolled up per first-seen-day cohort with the lapse rate in
+    ppm and the cohort's worst gap — the engagement-health number for a
+    corpus whose users are all continuously "retained" (a hard churn
+    cut is degenerate here — measured: every user stays active to the
+    window's end — while gap length splits the population ~60/40).
+
+    Scale: one lag window PARTITIONED BY user (never global), one
+    per-user aggregate, a 1-row broadcast, a cohort-cardinality
+    rollup."""
+    from ..tables import events as events_tbl
+
+    e = events_tbl(spark, sf_dir).select("user_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    g = e.withColumn("gap", F.col("ts_us") - F.lag("ts_us").over(w))
+    pu = g.groupBy("user_id").agg(
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_us"),
+        F.expr("min(ts_us) div 86400000000").cast("long").alias("fd"),
+    )
+    b = pu.agg(F.min("fd").alias("d0"))
+    lapsed = F.when(F.col("max_gap_us") >= 172_800_000_000, 1).otherwise(0)
+    return (
+        pu.crossJoin(F.broadcast(b))
+        .groupBy((F.col("fd") - F.col("d0")).cast("long").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(lapsed).cast("long").alias("n_lapsed"),
+            F.expr(
+                "(sum(CASE WHEN max_gap_us >= 172800000000 THEN 1 ELSE 0 END)"
+                " * 1000000) div count(*)"
+            )
+            .cast("long")
+            .alias("lapse_ppm"),
+            F.max(F.expr("max_gap_us div 3600000000"))
+            .cast("long")
+            .alias("max_gap_hours"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 28. Cluster-chaining contamination audit
+# ---------------------------------------------------------------------------
+
+_CHAIN_JACC_MILLI = 500
+
+
+def _chain_contamination_oracle() -> str:
+    from .llm_ops import _clusters_oracle, _minhash_oracle
+
+    return f"""
+    WITH comp AS (SELECT * FROM ({_clusters_oracle(16)})),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM comp a JOIN comp b
+          ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+    ),
+    cand AS (SELECT doc_a, doc_b FROM ({_minhash_oracle(16)})),
+    sh2 AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(toks[i:i+2], ' ')
+             FOR i IN range(1, greatest(len(toks) - 1, 1))]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM sh2 GROUP BY 1),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+        FROM pairs p
+        JOIN sh2 sa ON sa.doc_id = p.doc_a
+        JOIN sh2 sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST((coalesce(i.i, 0) * 1000)
+                   // (na.n + nb.n - coalesce(i.i, 0)) AS BIGINT) AS jacc,
+               CAST(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_direct
+        FROM pairs p
+        JOIN cnt na ON na.doc_id = p.doc_a
+        JOIN cnt nb ON nb.doc_id = p.doc_b
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        LEFT JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(is_direct) AS BIGINT) AS n_direct_edges,
+           CAST(sum(CASE WHEN jacc < {_CHAIN_JACC_MILLI} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_sim,
+           CAST(min(jacc) AS BIGINT) AS min_jacc_milli,
+           CAST(sum(CASE WHEN jacc < {_CHAIN_JACC_MILLI} THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS chain_ppm
+    FROM scored
+    """
+
+
+@query("q_chain_contamination", oracle=_chain_contamination_oracle())
+def q_chain_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-CHAINING contamination audit: connected components merge
+    transitively (a~b, b~c forces a,c together even when a,c are
+    dissimilar) — THE known failure mode of CC-based dedup.  Over every
+    within-cluster pair: how many are direct LSH candidate edges, how
+    many fall below the similarity threshold the cluster implicitly
+    claims, the worst pair's Jaccard, and the chained share in ppm —
+    the number that decides between plain CC and a stricter
+    star-contraction or threshold-verified clustering.
+
+    Scale: within-cluster pairs are bounded by cluster sizes (the
+    max_bucket/cap discipline bounds those upstream); similarity
+    verification touches only those pairs' shingles — candidate-bounded
+    like every verify stage in the dedup family."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    cand = dedup.lsh_candidate_pairs(bands)
+    comp = dedup.connected_components(cand)
+    pa = comp.select(F.col("doc_id").alias("doc_a"), "cluster_id")
+    pb = comp.select(F.col("doc_id").alias("doc_b"), "cluster_id")
+    pairs = pa.join(pb, "cluster_id").where(
+        F.col("doc_a") < F.col("doc_b")
+    ).select("doc_a", "doc_b")
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    scored = (
+        pairs.join(
+            cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            cand.withColumn("is_direct", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
+        .select(
+            F.expr("(coalesce(i, 0) * 1000) div (na + nb - coalesce(i, 0))")
+            .cast("long")
+            .alias("jacc"),
+            F.coalesce(F.col("is_direct"), F.lit(0))
+            .cast("long")
+            .alias("is_direct"),
+        )
+    )
+    low = F.when(F.col("jacc") < _CHAIN_JACC_MILLI, 1).otherwise(0)
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("is_direct").cast("long").alias("n_direct_edges"),
+        F.sum(low).cast("long").alias("n_low_sim"),
+        F.min("jacc").cast("long").alias("min_jacc_milli"),
+        F.expr(
+            f"(sum(CASE WHEN jacc < {_CHAIN_JACC_MILLI} THEN 1 ELSE 0 END)"
+            " * 1000000) div count(*)"
+        )
+        .cast("long")
+        .alias("chain_ppm"),
+    )

@@ -216,6 +216,10 @@ PROBES = [
     "q_kfold_balance",
     "q_skew_audit",
     "q_dup_inflation",
+    "q_brier_decomp",
+    "q_audit_sample",
+    "q_activity_lapse",
+    "q_chain_contamination",
 ]
 
 

@@ -1181,3 +1181,37 @@ def test_skew_audit_never_shuffles_twice_per_key(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_skew_audit")
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+ROUND8B_OPS_8 = [
+    "q_brier_decomp",
+    "q_audit_sample",
+    "q_activity_lapse",
+    "q_chain_contamination",
+]
+
+
+@pytest.mark.parametrize("name", ROUND8B_OPS_8)
+def test_round8b_batch8_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_brier_is_scan_broadcast_bin_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_brier_decomp")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row min/max
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_audit_sample_is_heap_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_audit_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_activity_lapse_window_is_user_partitioned(spark, sf_dir):
+    df = QUERIES["q_activity_lapse"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert not _partitionless_window_specs(df)

@@ -895,3 +895,149 @@ class TestDupInflation:
 
     def test_inflation_nonzero(self, row):
         assert row["inflation_ppm"] > 0
+
+
+class TestBrierDecomp:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["bin"]: r
+            for r in QUERIES["q_brier_decomp"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        import math
+
+        from nomad_event_streamer_spark.plans.corpus_queries import _auc_signs
+
+        vecs = load(spark, sf_dir, "embeddings").collect()
+        signs = _auc_signs(64)
+        pts = []
+        for r in vecs:
+            q = [
+                int(math.floor(float(x) * 1000000.0 + 0.5))
+                for x in r["embedding"]
+            ]
+            score = sum(s * x for s, x in zip(signs, q))
+            pts.append((score, 1 if r["label"] == 3 else 0))
+        mn = min(s for s, _ in pts)
+        mx = max(s for s, _ in pts)
+        n_total = len(pts)
+        sy_total = sum(y for _, y in pts)
+        bins: dict[int, list] = {}
+        for score, y in pts:
+            p = (score - mn) * 1000 // (mx - mn)
+            bins.setdefault(p // 100, []).append((p, y))
+        assert set(rows) == set(bins)
+        for b, members in bins.items():
+            n = len(members)
+            sp = sum(p for p, _ in members)
+            sy = sum(y for _, y in members)
+            spp = sum(p * p for p, _ in members)
+            spy = sum(p * y for p, y in members)
+            r = rows[b]
+            assert r["n"] == n
+            assert r["mean_p_milli"] == sp // n
+            assert r["pos_rate_milli"] == sy * 1000 // n
+            assert r["brier_micro"] == (spp - 2000 * spy + 1000000 * sy) // n_total
+            assert r["rel_micro"] == (sp - 1000 * sy) ** 2 // (n * n_total)
+            assert (
+                r["res_micro"]
+                == (1000 * (sy * n_total - sy_total * n)) ** 2
+                // (n * n_total * n_total)
+            )
+
+    def test_decomposition_informative(self, rows):
+        assert sum(r["brier_micro"] for r in rows.values()) > 0
+        assert any(r["res_micro"] > 0 for r in rows.values())
+
+
+class TestAuditSample:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return QUERIES["q_audit_sample"](spark, sf_dir).collect()
+
+    def test_sample_is_hash_ordered(self, rows):
+        got = sorted(rows, key=lambda r: r["rnk"])
+        pris = [(r["priority"], r["doc_a"], r["doc_b"]) for r in got]
+        assert pris == sorted(pris)
+        for r in got:
+            assert r["jacc_milli"] >= 500
+            assert r["doc_a"] < r["doc_b"]
+            assert (
+                r["priority"]
+                == hashlib.md5(
+                    f"{r['doc_a']}:{r['doc_b']}".encode()
+                ).hexdigest()[:8]
+            )
+
+    def test_sample_bounded(self, rows):
+        assert 0 < len(rows) <= 20
+        assert sorted(r["rnk"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+class TestActivityLapse:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["cohort_day"]: r
+            for r in QUERIES["q_activity_lapse"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        ev = events(spark, sf_dir).select("user_id", "ts_us").collect()
+        per: dict[int, list[int]] = {}
+        for r in ev:
+            per.setdefault(r["user_id"], []).append(r["ts_us"])
+        stats = {}
+        for uid, ts in per.items():
+            ts.sort()
+            gaps = [b - a for a, b in zip(ts, ts[1:])]
+            stats[uid] = (max(gaps) if gaps else 0, ts[0] // 86_400_000_000)
+        d0 = min(fd for _, fd in stats.values())
+        cohorts: dict[int, list[int]] = {}
+        for gap, fd in stats.values():
+            cohorts.setdefault(fd - d0, []).append(gap)
+        assert set(rows) == set(cohorts)
+        for c, gaps in cohorts.items():
+            r = rows[c]
+            lapsed = sum(1 for g in gaps if g >= 172_800_000_000)
+            assert r["n_users"] == len(gaps)
+            assert r["n_lapsed"] == lapsed
+            assert r["lapse_ppm"] == lapsed * 1_000_000 // len(gaps)
+            assert r["max_gap_hours"] == max(gaps) // 3_600_000_000
+
+    def test_lapse_splits_population(self, rows):
+        total = sum(r["n_users"] for r in rows.values())
+        lapsed = sum(r["n_lapsed"] for r in rows.values())
+        assert 0 < lapsed < total
+
+
+class TestChainContamination:
+    @pytest.fixture(scope="class")
+    def row(self, spark, sf_dir):
+        rows = QUERIES["q_chain_contamination"](spark, sf_dir).collect()
+        assert len(rows) == 1
+        return rows[0]
+
+    def test_bounds(self, row):
+        assert 0 < row["n_direct_edges"] <= row["n_pairs"]
+        assert 0 <= row["n_low_sim"] <= row["n_pairs"]
+        assert (
+            row["chain_ppm"]
+            == row["n_low_sim"] * 1_000_000 // row["n_pairs"]
+        )
+
+    def test_consistent_with_cluster_pair_count(self, row, spark, sf_dir):
+        # Σ sz(sz-1)/2 over clusters == within-cluster pairs
+        comp = QUERIES["q_dedup_clusters"](spark, sf_dir).collect()
+        sizes = Counter(r["cluster_id"] for r in comp)
+        expect = sum(s * (s - 1) // 2 for s in sizes.values())
+        assert row["n_pairs"] == expect
+
+    def test_chaining_detected(self, row):
+        # the corpus's transitive merges produce at least one
+        # below-threshold within-cluster pair (measured: min jaccard
+        # well under the 0.5 the clusters implicitly claim)
+        assert row["n_low_sim"] > 0
+        assert row["min_jacc_milli"] < 500
