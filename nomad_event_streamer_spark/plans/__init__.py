@@ -49,7 +49,7 @@ from . import pipeline_queries  # noqa: E402,F401
 #     so they collect the driver's rows>0 evidence and the cumulative
 #     ledger reaches the full registry: 339/339 driver-seen
 #     (328 hash + 11 rows-only).
-# Registry at HEAD: 382 queries / 371 oracled.
+# Registry at HEAD: 388 queries / 377 oracled.
 # R09 OVERFLOW (the escape hatch tests/test_driver_window.py documents):
 # the round-8 window is fully spent on the 50-slug ledger-completing
 # rotation above, so round-8b additions past window capacity sit in the
@@ -171,6 +171,12 @@ R09_QUEUE: list[str] = [
     "q_audit_sample",
     "q_activity_lapse",
     "q_chain_contamination",
+    "q_bbit_minhash",
+    "q_stratified_kfold",
+    "q_join_size_estimate",
+    "q_bloom_size_sweep",
+    "q_hapax_bigrams",
+    "q_stream_quality_gate",
 ]
 
 # Round-8 re-verification allowance: EMPTY — no optimized plan changed in a

@@ -2578,3 +2578,616 @@ def q_chain_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chain_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 29. b-bit minhash estimator audit (round-8b batch 9)
+# ---------------------------------------------------------------------------
+
+
+def _bbit_oracle() -> str:
+    from ..operators.dedup import MINHASH_P, minhash_params
+
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(16))
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(toks[i:i+2], ' ')
+             FOR i IN range(1, greatest(len(toks) - 1, 1))]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {MINHASH_P} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {MINHASH_P}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed))
+                   AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(CASE WHEN sa.mh % 2 = sb.mh % 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+        GROUP BY 1, 2
+    ),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT a.doc_a, a.doc_b, a.n_agree,
+           CAST(greatest((2 * a.n_agree - 16) * 1000 // 16, 0)
+                AS BIGINT) AS est_milli,
+           CAST((coalesce(i.i, 0) * 1000)
+               // (na.n + nb.n - coalesce(i.i, 0)) AS BIGINT) AS jacc_milli,
+           CAST(abs(greatest((2 * a.n_agree - 16) * 1000 // 16, 0)
+                    - (coalesce(i.i, 0) * 1000)
+                      // (na.n + nb.n - coalesce(i.i, 0)))
+                AS BIGINT) AS abs_err_milli
+    FROM agree a
+    JOIN cnt na ON na.doc_id = a.doc_a
+    JOIN cnt nb ON nb.doc_id = a.doc_b
+    LEFT JOIN inter i ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+    """
+
+
+@query("q_bbit_minhash", oracle=_bbit_oracle())
+def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-BIT MINHASH estimator audit (Li & König 2010): keep only the
+    LOWEST BIT of each of the 16 minhashes (16 bits per doc instead of
+    16 longs — the 64x storage cut the paper is about) and estimate
+    Jaccard from bit agreement (Ĵ = 2·agree/k − 1 for b=1), compared
+    per candidate pair against the exact shingle Jaccard with the
+    absolute error — the compression-vs-accuracy audit run before
+    shrinking a dedup index.
+
+    Scale: bits derive from the signatures the LSH pass already
+    computes (no extra corpus work); agreement is a seed-keyed
+    equi-join on candidate pairs only."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    cand = dedup.lsh_candidate_pairs(bands)
+    # signatures are wide (mh_0..mh_15, seed order == the oracle's seed
+    # column); keep only the LOWEST BIT of each
+    bits = sig.select(
+        "doc_id",
+        F.array(
+            *[(F.col(f"mh_{i}") % 2).cast("int") for i in range(16)]
+        ).alias("bits"),
+    )
+    agree = (
+        cand.join(
+            bits.select(F.col("doc_id").alias("doc_a"),
+                        F.col("bits").alias("ba")),
+            "doc_a",
+        )
+        .join(
+            bits.select(F.col("doc_id").alias("doc_b"),
+                        F.col("bits").alias("bb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "aggregate(zip_with(ba, bb, (x, y) ->"
+                " CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    est = F.expr("greatest(((2 * n_agree - 16) * 1000) div 16, 0)")
+    jacc = F.expr("(coalesce(i, 0) * 1000) div (na + nb - coalesce(i, 0))")
+    return (
+        agree.join(
+            cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            est.cast("long").alias("est_milli"),
+            jacc.cast("long").alias("jacc_milli"),
+            F.abs(est - jacc).cast("long").alias("abs_err_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 30. Stratified k-fold assignment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stratified_kfold",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ),
+    f AS (SELECT lang, CAST((rn - 1) % {_KFOLDS} AS BIGINT) AS fold FROM r),
+    tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_n
+            FROM documents GROUP BY 1)
+    SELECT f.fold, f.lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * 1000000 // max(tot.lang_n) AS BIGINT)
+               AS share_ppm
+    FROM f JOIN tot USING (lang)
+    GROUP BY 1, 2
+    """,
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED k-fold assignment: documents rank by content-free md5
+    WITHIN each language and folds deal round-robin off that rank, so
+    every fold holds each language's share within one document —
+    guaranteed stratification where q_kfold_balance's plain hash split
+    only balances in expectation (its measured max deviation: 11% of
+    the ideal fold size; this one's: one doc).  Per (fold, lang) cell
+    the count and the fold's share of the language in ppm.
+
+    Scale: the rank window partitions by LANG (bounded partitions at
+    any corpus size would need a two-level deal for billion-doc
+    languages — the q_dataset_shuffle bucketed prefix-sum device; at
+    dimension-scale strata the single window is the right plan)."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    f = docs.select(
+        "lang", ((F.row_number().over(w) - 1) % _KFOLDS).alias("fold")
+    )
+    tot = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("lang_n")
+    )
+    return (
+        f.groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            "lang",
+            "n",
+            F.expr("(n * 1000000) div lang_n").cast("long").alias("share_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 31. Join-size estimate audit (CBO-style)
+# ---------------------------------------------------------------------------
+
+_JSE_ARMS = (("lineitem", "l_partkey", 64), ("events", "user_id", 16))
+
+
+def _join_size_oracle() -> str:
+    arms = []
+    for rel, key, nb in _JSE_ARMS:
+        arms.append(
+            f"""
+    SELECT '{rel}.{key}' AS join_key,
+           CAST({nb} AS BIGINT) AS n_buckets,
+           CAST(sum(k) AS BIGINT) AS n_keys,
+           CAST(sum((c * c) // k) AS BIGINT) AS est_rows,
+           (SELECT CAST(sum(c * c) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM {rel} GROUP BY {key}))
+               AS actual_rows,
+           CAST(abs(sum((c * c) // k)
+                    - (SELECT sum(c * c)
+                       FROM (SELECT count(*) AS c FROM {rel}
+                             GROUP BY {key}))) * 1000000
+                // (SELECT sum(c * c)
+                    FROM (SELECT count(*) AS c FROM {rel} GROUP BY {key}))
+                AS BIGINT) AS err_ppm
+    FROM (
+        SELECT {key} % {nb} AS b,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(count(DISTINCT {key}) AS BIGINT) AS k
+        FROM {rel} GROUP BY 1
+    )"""
+        )
+    return " UNION ALL ".join(arms)
+
+
+@query("q_join_size_estimate", oracle=_join_size_oracle())
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE estimate audit (the CBO's histogram device, checked):
+    self-join cardinality on a key column estimated from a BUCKETIZED
+    histogram under the uniform-within-bucket assumption
+    (Σ_b count_b²/keys_b — what an optimizer computes from its
+    statistics) vs the exact Σ_k count_k², with the error in ppm — the
+    table that says how much the engine's equi-width statistics can be
+    trusted on each key before a plan bets on them (measured here:
+    ~3% under-estimate on the skewed part key, ~1% on user_id).
+
+    Scale: BOTH numbers come from one keyed aggregate each — the join
+    itself is never executed; histogram arithmetic only."""
+    parts = []
+    for rel, key, nb in _JSE_ARMS:
+        t = load(spark, sf_dir, rel)
+        h = t.groupBy((F.col(key) % nb).alias("b")).agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.countDistinct(key).cast("long").alias("k"),
+        )
+        exact = (
+            t.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("actual"))
+        )
+        parts.append(
+            h.agg(
+                F.sum("k").cast("long").alias("n_keys"),
+                F.sum(F.expr("(c * c) div k")).cast("long").alias("est_rows"),
+            )
+            .crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(f"{rel}.{key}").alias("join_key"),
+                F.lit(nb).cast("long").alias("n_buckets"),
+                "n_keys",
+                "est_rows",
+                F.col("actual").alias("actual_rows"),
+                F.expr("(abs(est_rows - actual) * 1000000) div actual")
+                .cast("long")
+                .alias("err_ppm"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 32. Bloom sizing sweep
+# ---------------------------------------------------------------------------
+
+_BLOOM_MS = (128, 4096, 16384)
+
+
+def _bloom_sweep_oracle() -> str:
+    arms = []
+    for m in _BLOOM_MS:
+        arms.append(
+            f"""
+    SELECT CAST({m} AS BIGINT) AS m_bits,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+               SELECT DISTINCT CAST(concat('0x', substring(
+                   md5('b' || j || ':' || key), 1, 15)) AS BIGINT) % {m}
+               FROM (SELECT c_custkey AS key FROM customer
+                     WHERE c_mktsegment = 'BUILDING')
+               CROSS JOIN (SELECT unnest(range(0, 3)) AS j)
+           )) AS n_bits_set,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+               SELECT p.key, count(b.bit) AS n_hit
+               FROM (
+                   SELECT key, CAST(concat('0x', substring(
+                       md5('b' || j || ':' || key), 1, 15)) AS BIGINT)
+                       % {m} AS bit
+                   FROM (SELECT c_custkey AS key FROM customer
+                         WHERE c_mktsegment <> 'BUILDING')
+                   CROSS JOIN (SELECT unnest(range(0, 3)) AS j)
+               ) p
+               LEFT JOIN (
+                   SELECT DISTINCT CAST(concat('0x', substring(
+                       md5('b' || j || ':' || key), 1, 15)) AS BIGINT)
+                       % {m} AS bit
+                   FROM (SELECT c_custkey AS key FROM customer
+                         WHERE c_mktsegment = 'BUILDING')
+                   CROSS JOIN (SELECT unnest(range(0, 3)) AS j)
+               ) b USING (bit)
+               GROUP BY p.key
+           ) WHERE n_hit = 3) AS n_false_positives,
+           CAST((SELECT count(*) FROM (
+               SELECT p.key, count(b.bit) AS n_hit
+               FROM (
+                   SELECT key, CAST(concat('0x', substring(
+                       md5('b' || j || ':' || key), 1, 15)) AS BIGINT)
+                       % {m} AS bit
+                   FROM (SELECT c_custkey AS key FROM customer
+                         WHERE c_mktsegment <> 'BUILDING')
+                   CROSS JOIN (SELECT unnest(range(0, 3)) AS j)
+               ) p
+               LEFT JOIN (
+                   SELECT DISTINCT CAST(concat('0x', substring(
+                       md5('b' || j || ':' || key), 1, 15)) AS BIGINT)
+                       % {m} AS bit
+                   FROM (SELECT c_custkey AS key FROM customer
+                         WHERE c_mktsegment = 'BUILDING')
+                   CROSS JOIN (SELECT unnest(range(0, 3)) AS j)
+               ) b USING (bit)
+               GROUP BY p.key
+           ) WHERE n_hit = 3) * 1000000
+           // (SELECT count(*) FROM customer WHERE c_mktsegment <> 'BUILDING')
+           AS BIGINT) AS fpr_ppm"""
+        )
+    return " UNION ALL ".join(arms)
+
+
+@query("q_bloom_size_sweep", oracle=_bloom_sweep_oracle())
+def q_bloom_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM SIZING sweep: q_bloom_fpr's from-scratch filter at m in
+    {128, 4096, 16384} bits (k=3), per size the set-bit count and the
+    measured false-positive rate — the m-knob table that prices memory
+    against precision before shipping the filter (measured at sf0.01:
+    a saturated 128-bit filter passes essentially everything, 4096
+    bits buy 9.2k ppm, 16384 bits measure zero — the textbook
+    memory-for-precision trade made bit-exact; the smallest arm exists
+    so the knob still MOVES at the tiny test scale, where 1024 bits
+    already absorb the 34-member set without a single collision).
+
+    Scale: the sweep re-hashes the bounded member/probe sets per m
+    (position = hash % m, so sizes can't share bit tables); every
+    arm's bit table stays KB-sized."""
+    cust = load(spark, sf_dir, "customer")
+    mem = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    probe = cust.where(F.col("c_mktsegment") != "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    hj = spark.range(3).select(F.col("id").alias("j"))
+
+    def positions(df: DataFrame, m: int) -> DataFrame:
+        bit = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("b"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("key").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+        return df.crossJoin(F.broadcast(hj)).select("key", bit.alias("bit"))
+
+    n_probes = probe.agg(F.count(F.lit(1)).cast("long").alias("np"))
+    parts = []
+    for m in _BLOOM_MS:
+        bits = positions(mem, m).select("bit").distinct()
+        hits = (
+            positions(probe, m)
+            .join(bits.withColumn("present", F.lit(1)), "bit", "left")
+            .groupBy("key")
+            .agg(F.sum(F.coalesce(F.col("present"), F.lit(0))).alias("n_hit"))
+        )
+        fp = hits.agg(
+            F.sum(F.when(F.col("n_hit") == 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_positives")
+        )
+        parts.append(
+            bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+            .crossJoin(F.broadcast(fp))
+            .crossJoin(F.broadcast(n_probes))
+            .select(
+                F.lit(m).cast("long").alias("m_bits"),
+                "n_bits_set",
+                "n_false_positives",
+                F.expr("(n_false_positives * 1000000) div np")
+                .cast("long")
+                .alias("fpr_ppm"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 33. Bigram hapax (novelty tail) profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hapax_bigrams",
+    oracle="""
+    WITH t AS (SELECT source, string_split(text, ' ') AS toks
+               FROM documents),
+    b AS (
+        SELECT source, toks[i] || ' ' || toks[i+1] AS bg
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+    ),
+    f AS (SELECT source, bg, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hapax_ppm
+    FROM f GROUP BY source
+    """,
+)
+def q_hapax_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX LEGOMENA profile at bigram granularity: per source the
+    bigram type count, occurrence mass, once-only types, and the hapax
+    share in ppm — the Zipf-tail novelty indicator (a source whose
+    hapax share collapses is recycling its phrasing; one whose share
+    explodes is noise).  Bigrams, not unigrams, deliberately: this
+    corpus's 31-word vocabulary makes unigram hapax degenerate
+    (measured max 1 per source) while the bigram space spreads
+    ~320/650 types per source.
+
+    Scale: one (source, bigram) map-side-combinable aggregate rolled up
+    to source-cardinality rows."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    t = docs.select("source", F.split("text", " ").alias("toks"))
+    b = t.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 "
+                "THEN sequence(1, size(toks) - 1) ELSE array() END"
+            )
+        ).alias("i"),
+        "toks",
+    ).select(
+        "source",
+        F.concat(
+            F.element_at("toks", F.col("i")),
+            F.lit(" "),
+            F.element_at("toks", F.col("i") + 1),
+        ).alias("bg"),
+    )
+    f = b.groupBy("source", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    hap = F.when(F.col("c") == 1, 1).otherwise(0)
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(hap).cast("long").alias("n_hapax"),
+        F.expr(
+            "(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) div count(*)"
+        )
+        .cast("long")
+        .alias("hapax_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 34. Streaming quality gate (parity twin of the classifier)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_quality_gate",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x = 'a' OR x = 'the')) AS BIGINT) AS n_stop,
+               CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS n_uniq,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    lg AS (
+        SELECT {_QC_B} + {_QC_W_TOK} * least(n_tok, {_QC_TOK_CAP})
+               - {_QC_W_STOP} * (n_stop * 1000 // n_tok)
+               + {_QC_W_TTR} * (n_uniq * 1000 // n_tok)
+               - {_QC_W_AWL} * ((n_chars - n_tok + 1) * 1000 // n_tok)
+                   AS logit
+        FROM m
+    )
+    SELECT CASE WHEN logit >= 1000 THEN 'high'
+                WHEN logit >= 0 THEN 'mid'
+                WHEN logit >= -1000 THEN 'low'
+                ELSE 'reject' END AS band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep
+    FROM lg GROUP BY 1
+    """,
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quality gate — q_quality_classifier's per-row scorer
+    applied to the document file stream with a per-band streaming
+    aggregation (complete mode): the accept/reject dashboard a live
+    ingestion gate emits.  Replayed to completion the band counts equal
+    the batch classifier's exactly, so the parity pair regression-tests
+    a batch-to-streaming migration of the gate (the q_stream_vwap /
+    q_stream_ohlc discipline applied to curation).
+
+    Scale shape: the scorer is stateless per-row Column work on the
+    stream; the only state is one (count, keep-count) pair per band —
+    four keys, constant forever."""
+    from .streaming_queries import _run_to_memory, _stream_documents
+
+    stream = _stream_documents(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: (x == "a") | (x == "the"))
+    ).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text").cast("long")
+    feats = stream.select(
+        (n_stop * 1000).alias("_s"),
+        (n_uniq * 1000).alias("_u"),
+        ((n_chars - n_tok + 1) * 1000).alias("_c"),
+        n_tok.alias("n_tok"),
+    ).selectExpr(
+        "n_tok",
+        "_s div n_tok AS stop_milli",
+        "_u div n_tok AS ttr_milli",
+        "_c div n_tok AS awl_milli",
+    )
+    logit = (
+        F.lit(_QC_B)
+        + F.lit(_QC_W_TOK) * F.least(F.col("n_tok"), F.lit(_QC_TOK_CAP))
+        - F.lit(_QC_W_STOP) * F.col("stop_milli")
+        + F.lit(_QC_W_TTR) * F.col("ttr_milli")
+        - F.lit(_QC_W_AWL) * F.col("awl_milli")
+    ).cast("long")
+    banded = feats.select(
+        F.when(logit >= 1000, F.lit("high"))
+        .when(logit >= 0, F.lit("mid"))
+        .when(logit >= -1000, F.lit("low"))
+        .otherwise(F.lit("reject"))
+        .alias("band"),
+        (logit > 0).cast("long").alias("keep"),
+    )
+    agg = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("keep").cast("long").alias("n_keep"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select("band", "n", "n_keep")

@@ -220,6 +220,12 @@ PROBES = [
     "q_audit_sample",
     "q_activity_lapse",
     "q_chain_contamination",
+    "q_bbit_minhash",
+    "q_stratified_kfold",
+    "q_join_size_estimate",
+    "q_bloom_size_sweep",
+    "q_hapax_bigrams",
+    "q_stream_quality_gate",
 ]
 
 

@@ -1215,3 +1215,39 @@ def test_activity_lapse_window_is_user_partitioned(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert not _partitionless_window_specs(df)
+
+
+ROUND8B_OPS_9 = [
+    "q_bbit_minhash",
+    "q_stratified_kfold",
+    "q_join_size_estimate",
+    "q_bloom_size_sweep",
+    "q_hapax_bigrams",
+]
+
+
+@pytest.mark.parametrize("name", ROUND8B_OPS_9)
+def test_round8b_batch9_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_join_size_estimate_never_joins(spark, sf_dir):
+    """Both the estimate and the actual come from keyed aggregates —
+    the audited join itself must never appear in the plan."""
+    plan = plan_of(spark, sf_dir, "q_join_size_estimate")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_stratified_kfold_window_is_lang_partitioned(spark, sf_dir):
+    df = QUERIES["q_stratified_kfold"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert not _partitionless_window_specs(df)
+
+
+def test_hapax_is_single_rollup_chain(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_hapax_bigrams")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 4

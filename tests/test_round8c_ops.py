@@ -21,6 +21,15 @@ def _cents(v: float) -> int:
     return int(math.floor(v * 100.0 + 0.5))
 
 
+def _doc_texts(spark, sf_dir) -> dict[int, str]:
+    return {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+
 class TestGroupByAll:
     def test_matches_explicit_group_by(self, spark, sf_dir):
         got = {
@@ -1041,3 +1050,198 @@ class TestChainContamination:
         # well under the 0.5 the clusters implicitly claim)
         assert row["n_low_sim"] > 0
         assert row["min_jacc_milli"] < 500
+
+
+class TestBbitMinhash:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return QUERIES["q_bbit_minhash"](spark, sf_dir).collect()
+
+    def test_estimator_formula(self, rows):
+        for r in rows:
+            expect = max((2 * r["n_agree"] - 16) * 1000 // 16, 0)
+            assert r["est_milli"] == expect
+            assert r["abs_err_milli"] == abs(r["est_milli"] - r["jacc_milli"])
+            assert 0 <= r["n_agree"] <= 16
+
+    def test_python_replay_bits(self, rows, spark, sf_dir):
+        from nomad_event_streamer_spark.operators.dedup import (
+            MINHASH_P,
+            minhash_params,
+        )
+
+        texts = _doc_texts(spark, sf_dir)
+        params = minhash_params(16)
+        sigs = {}
+        for doc_id, t in texts.items():
+            toks = t.split(" ")
+            sh = {
+                " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+            }
+            hbs = [
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+                for s in sh
+            ]
+            sigs[doc_id] = [
+                min((a * h + b) % MINHASH_P for h in hbs) % 2
+                for a, b in params
+            ]
+        for r in rows:
+            agree = sum(
+                1
+                for x, y in zip(sigs[r["doc_a"]], sigs[r["doc_b"]])
+                if x == y
+            )
+            assert r["n_agree"] == agree
+
+    def test_estimator_tracks_exact(self, rows):
+        # high-agreement pairs must estimate high similarity; the b=1
+        # estimator is noisy but the audit's mean error stays bounded
+        errs = [r["abs_err_milli"] for r in rows]
+        assert sum(errs) / len(errs) < 250
+
+
+class TestStratifiedKfold:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            (r["fold"], r["lang"]): r
+            for r in QUERIES["q_stratified_kfold"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+        by_lang: dict[str, list] = {}
+        for r in docs:
+            by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+        for lang, ids in by_lang.items():
+            order = sorted(
+                ids,
+                key=lambda d: (
+                    hashlib.md5(str(d).encode()).hexdigest(),
+                    d,
+                ),
+            )
+            c = Counter((i % 5) for i in range(len(order)))
+            for fold in range(5):
+                r = rows.get((fold, lang))
+                n = c.get(fold, 0)
+                if n == 0:
+                    assert r is None
+                    continue
+                assert r["n"] == n
+                assert r["share_ppm"] == n * 1_000_000 // len(ids)
+
+    def test_stratification_within_one_doc(self, rows):
+        langs = {lang for _, lang in rows}
+        for lang in langs:
+            ns = [r["n"] for (f, lg), r in rows.items() if lg == lang]
+            assert max(ns) - min(ns) <= 1  # the guarantee plain hashing lacks
+
+
+class TestJoinSizeEstimate:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["join_key"]: r
+            for r in QUERIES["q_join_size_estimate"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        for rel, key, nb in (("lineitem", "l_partkey", 64), ("events", "user_id", 16)):
+            vals = [
+                r[key] for r in load(spark, sf_dir, rel).select(key).collect()
+            ]
+            per_key = Counter(vals)
+            actual = sum(c * c for c in per_key.values())
+            bucket_c = Counter(v % nb for v in vals)
+            bucket_k: dict[int, set] = {}
+            for v in vals:
+                bucket_k.setdefault(v % nb, set()).add(v)
+            est = sum(
+                (bucket_c[b] * bucket_c[b]) // len(bucket_k[b])
+                for b in bucket_c
+            )
+            r = rows[f"{rel}.{key}"]
+            assert r["actual_rows"] == actual
+            assert r["est_rows"] == est
+            assert r["err_ppm"] == abs(est - actual) * 1_000_000 // actual
+
+    def test_estimate_close_and_skew_detected(self, rows):
+        for r in rows.values():
+            assert 0 <= r["err_ppm"] < 100_000  # within 10%
+        # at least one arm must show real estimation error (at sf0.001
+        # events has fewer users than buckets, making that arm exact)
+        assert any(r["err_ppm"] > 0 for r in rows.values())
+
+
+class TestBloomSizeSweep:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["m_bits"]: r
+            for r in QUERIES["q_bloom_size_sweep"](spark, sf_dir).collect()
+        }
+
+    def test_fpr_monotone_in_m(self, rows):
+        fprs = [rows[m]["fpr_ppm"] for m in (128, 4096, 16384)]
+        assert fprs == sorted(fprs, reverse=True)
+        assert fprs[0] > fprs[-1]  # the knob must move
+
+    def test_consistent_with_single_point_query(self, rows, spark, sf_dir):
+        single = QUERIES["q_bloom_fpr"](spark, sf_dir).collect()[0]
+        r = rows[4096]
+        assert r["n_bits_set"] == single["n_bits_set"]
+        assert r["n_false_positives"] == single["n_false_positives"]
+        assert r["fpr_ppm"] == single["fpr_ppm"]
+
+    def test_fill_monotone(self, rows):
+        assert (
+            rows[128]["n_bits_set"]
+            <= rows[4096]["n_bits_set"]
+            <= rows[16384]["n_bits_set"]
+        )
+
+
+class TestHapaxBigrams:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return {
+            r["source"]: r
+            for r in QUERIES["q_hapax_bigrams"](spark, sf_dir).collect()
+        }
+
+    def test_python_replay(self, rows, spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").select("source", "text").collect()
+        per: dict[str, Counter] = {}
+        for r in docs:
+            toks = r["text"].split(" ")
+            per.setdefault(r["source"], Counter()).update(
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            )
+        assert set(rows) == set(per)
+        for src, c in per.items():
+            r = rows[src]
+            hapax = sum(1 for v in c.values() if v == 1)
+            assert r["n_types"] == len(c)
+            assert r["n_tokens"] == sum(c.values())
+            assert r["n_hapax"] == hapax
+            assert r["hapax_ppm"] == hapax * 1_000_000 // len(c)
+
+    def test_hapax_nondegenerate(self, rows):
+        assert all(0 < r["n_hapax"] < r["n_types"] for r in rows.values())
+
+
+class TestStreamQualityGate:
+    def test_matches_batch_classifier(self, spark, sf_dir):
+        stream = {
+            r["band"]: (r["n"], r["n_keep"])
+            for r in QUERIES["q_stream_quality_gate"](spark, sf_dir).collect()
+        }
+        batch = Counter()
+        keeps = Counter()
+        for r in QUERIES["q_quality_classifier"](spark, sf_dir).collect():
+            batch[r["band"]] += 1
+            keeps[r["band"]] += r["pred_keep"]
+        assert stream == {b: (batch[b], keeps[b]) for b in batch}
+        assert len(stream) >= 2
