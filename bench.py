@@ -196,6 +196,13 @@ def plan_fingerprint(df) -> str:
     filters, aggregate shapes) stays."""
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     plan = re.sub(r"#\d+", "#", plan)
+    # lambda variable names carry a SESSION-GLOBAL counter (`lambda
+    # x_7` in a cold session is `lambda x_95` after other plans built),
+    # so un-normalized fingerprints only match across runs that build
+    # plans in the identical order — an ad-hoc one-query check against
+    # the sidecar would show false drift on every HOF-bearing plan
+    # (found by exactly such a check in round 8b).
+    plan = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1_", plan)
     plan = re.sub(r"/[^\s,\]\)]*testdata[^\s,\]\)]*", "<sf_dir>", plan)
     return hashlib.sha256(plan.encode()).hexdigest()[:12]
 
