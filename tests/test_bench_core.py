@@ -32,3 +32,25 @@ def test_core37_is_subset_of_headline():
 def test_core37_never_grows_or_shrinks():
     assert len(bench.CORE37) == 37
     assert len(set(bench.CORE37)) == 37
+
+
+def test_plan_fingerprint_is_session_order_insensitive(spark, sf_dir):
+    """Round-8b methodology fix, pinned: Spark's lambda-variable names
+    carry a session-global counter, so an un-normalized fingerprint
+    only matches across runs that build plans in the identical order —
+    ad-hoc single-query checks against the sidecar then show false
+    drift on every HOF-bearing plan.  Build a HOF-heavy plan cold,
+    advance the lambda counter with other plan builds, and require the
+    fingerprint to be unchanged."""
+    from nomad_event_streamer_spark.plans import all_queries
+
+    q = all_queries()
+    cold = bench.plan_fingerprint(q["q_rbo_overlap"](spark, sf_dir))
+    for name in ("q_eval_mcc", "q_ngram_jaccard", "q_line_dedup",
+                 "q_hashed_ngram_score"):
+        q[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+    warm = bench.plan_fingerprint(q["q_rbo_overlap"](spark, sf_dir))
+    assert cold == warm, (
+        "plan_fingerprint drifted with session lambda-counter state — "
+        "the lambda-name normalization regressed"
+    )
