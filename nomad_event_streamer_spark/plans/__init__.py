@@ -35,99 +35,31 @@ from . import pipeline_queries  # noqa: E402,F401
 # corpus/analytics families plus the promoted IVF/PQ/BPE oracles; round 6
 # covered the round-5 retrieval/eval/sketch + streaming families; round 7
 # covered the 37 previously never-driver-seen slugs + the 6 new round-7 ops
-# + a 7-slug plan-change re-verify — seven consecutive 50/50-PASS windows,
-# cumulative hard driver hash-PASS after r07: 289 distinct slugs.
-# Round 8 (VERDICT r07 item #1) COMPLETES the program: the window holds
-# every slug without hard driver evidence —
-#   - the 31 round-7 additions judge-oracle-verified green in the r07
-#     verdict session (SQL-surface family, 7c/7d/7e/7g/7h/7i batches),
-#   - the 8 NEW round-8 curation ops (q_url_canon, q_domain_rollup,
-#     q_mojibake, q_pii_scorecard, q_license_detect, q_kneser_ney,
-#     q_hhi_concentration, q_shard_plan — all hash-oracled on arrival),
-#   - and, for the first time, the 11 rows-only-BY-DESIGN slugs
-#     (float/HLL/arrival-order semantics; each has a hash-oracled twin)
-#     so they collect the driver's rows>0 evidence and the cumulative
-#     ledger reaches the full registry: 339/339 driver-seen
-#     (328 hash + 11 rows-only).
+# + a 7-slug plan-change re-verify; round 8 completed the r07 ledger (the 31
+# r07 additions + 8 new curation ops + the 11 rows-only-by-design slugs) —
+# eight consecutive 50/50-green windows, cumulative driver-seen after r08:
+# 339 slugs (328 hash-PASS + 11 rows-only).
+# Round 9 (VERDICT r08 item #1) rotates the window onto the documented
+# round-8b overflow: the 49 R09-queue slugs (each sim-hash-verified on
+# arrival, DRIVER_SIM_r08, and judge-oracle-verified in the r08 verdict
+# session) plus ONE sanctioned re-verify slot for q_embed_lsh_tuning —
+# the only previously driver-PASSed slug whose optimized plan changed in
+# round 8 (configs-side LEFT join, ADVICE r07) — so its refreshed evidence
+# is hard driver evidence rather than sim-only.  A green r09 window makes
+# the cumulative hard driver hash-PASS ledger cover all 377 oracled slugs.
 # Registry at HEAD: 388 queries / 377 oracled.
-# R09 OVERFLOW (the escape hatch tests/test_driver_window.py documents):
-# the round-8 window is fully spent on the 50-slug ledger-completing
-# rotation above, so round-8b additions past window capacity sit in the
-# explicit R09_QUEUE below — ordered immediately AFTER the window in
-# all_queries(), each sim-hash-verified on arrival (DRIVER_SIM), and
-# first in line for the r09 window rotation.
-# Plan-change note (BENCH_EVIDENCE plan_fp diff r07 -> r08): exactly ONE
-# previously driver-PASSed slug changed optimized plan this round —
-# q_embed_lsh_tuning (ADVICE r07: configs-side LEFT join so
-# zero-candidate rows emit explicitly).  The window is fully spent on
-# never-verified slugs, so its refreshed evidence is DRIVER_SIM_r08
-# (hash MATCH) rather than a window slot; rotate it into a window
-# RE_VERIFY allowance next round if hard driver evidence is wanted.
+# Round-9 additions past window capacity follow the same overflow ledger
+# discipline in R10_QUEUE below: ordered immediately AFTER the window in
+# all_queries(), each sim-hash-verified on arrival, first in line for the
+# r10 window rotation.
 # tests/test_driver_window.py pins: the counts in this comment, the
-# 50-slug shape, the rows-only allowance (exactly ROWS_ONLY_R08), the
-# no-re-verify rule, and the rotation-completeness rule (every slug
-# without cumulative driver evidence must sit in the window head —
-# VERDICT r07 item #6).
+# 50-slug shape, the rows-only allowance (exactly ROWS_ONLY_R09 — empty,
+# all 11 rows-only slugs collected their driver rows>0 evidence in r08),
+# the no-re-verify rule (exception: RE_VERIFY_R09), and the
+# rotation-completeness rule (every slug without cumulative driver
+# evidence must sit in the window head or the overflow queue).
 DRIVER_WINDOW: list[str] = [
-    # round-7 additions, judge-oracle-verified r07, never driver-seen - 31
-    "q_asof_nearest",
-    "q_changepoint_binseg",
-    "q_collation_filter",
-    "q_cramers_v",
-    "q_dedup_verify_editdist",
-    "q_drift_tri",
-    "q_embed_quantize_int8",
-    "q_eval_mrr",
-    "q_eval_prf_macro",
-    "q_gopher_rules",
-    "q_hof_reduce",
-    "q_kendall_tau",
-    "q_langid_confusion",
-    "q_lateral_topk",
-    "q_mann_whitney",
-    "q_null_safe_join",
-    "q_phrase_search",
-    "q_pipe_syntax",
-    "q_pr_curve",
-    "q_rake_keyphrases",
-    "q_rbo_overlap",
-    "q_recursive_cte",
-    "q_sax_symbols",
-    "q_scc",
-    "q_spearman_sources",
-    "q_sql_udf",
-    "q_stream_foreachbatch_upsert",
-    "q_stream_ohlc",
-    "q_tumbling_ohlc",
-    "q_vocab_coverage",
-    "q_xml_parse",
-    # NEW round-8 curation ops (hash-oracled on arrival) - 8
-    "q_url_canon",
-    "q_domain_rollup",
-    "q_mojibake",
-    "q_pii_scorecard",
-    "q_license_detect",
-    "q_kneser_ney",
-    "q_hhi_concentration",
-    "q_shard_plan",
-    # rows-only by design (driver records the rows>0 check) - 11
-    "q_approx_count_distinct",
-    "q_approx_quantiles",
-    "q_dedup_embed",
-    "q_hll_rollup",
-    "q_pca_gram",
-    "q_sim_ann",
-    "q_sim_ivf",
-    "q_sim_ivfpq",
-    "q_sim_pq",
-    "q_sim_topk",
-    "q_stream_late_data",
-]
-
-# Round-8b additions past window capacity: the documented overflow queue.
-# Every member must carry committed sim hash evidence (DRIVER_SIM) and is
-# rotated into the NEXT round's driver window ahead of newer work.
-R09_QUEUE: list[str] = [
+    # round-8b overflow queue, sim-verified r08, never driver-seen - 49
     "q_line_dedup",
     "q_quality_classifier",
     "q_robots_gate",
@@ -177,41 +109,33 @@ R09_QUEUE: list[str] = [
     "q_bloom_size_sweep",
     "q_hapax_bigrams",
     "q_stream_quality_gate",
+    # sanctioned re-verify: optimized plan changed in round 8 - 1
+    "q_embed_lsh_tuning",
 ]
 
-# Round-8 re-verification allowance: EMPTY — no optimized plan changed in a
-# way that stales prior driver evidence this round, so the window spends no
-# slot on an already-PASS slug.
-RE_VERIFY_R08: frozenset[str] = frozenset()
+# Round-9 additions past window capacity: the documented overflow queue.
+# Every member must carry committed sim hash evidence (DRIVER_SIM) and is
+# rotated into the NEXT round's driver window ahead of newer work.
+R10_QUEUE: list[str] = []
 
-# The rows-only slugs the round-8 window deliberately carries (VERDICT r07
-# item #1: their rows>0 driver check completes the 339/339 cumulative
-# ledger).  Each is rows-only BY DESIGN (float cosine membership,
-# DataSketches HLL internals, arrival-order late-data) and each has a
-# hash-oracled integer/deterministic twin in the registry.
-ROWS_ONLY_R08: frozenset[str] = frozenset(
-    {
-        "q_approx_count_distinct",
-        "q_approx_quantiles",
-        "q_dedup_embed",
-        "q_hll_rollup",
-        "q_pca_gram",
-        "q_sim_ann",
-        "q_sim_ivf",
-        "q_sim_ivfpq",
-        "q_sim_pq",
-        "q_sim_topk",
-        "q_stream_late_data",
-    }
-)
+# Round-9 re-verification allowance: q_embed_lsh_tuning's optimized plan
+# changed in round 8 (ADVICE r07 fix: configs-side LEFT join) after its
+# r07 driver PASS; the r08 window was fully spent on never-verified slugs,
+# so VERDICT r08 prescribed rotating it into a hard-evidence slot here.
+RE_VERIFY_R09: frozenset[str] = frozenset({"q_embed_lsh_tuning"})
+
+# Rows-only window allowance: EMPTY this round — all 11 rows-only-by-design
+# slugs collected their driver rows>0 evidence in the round-8 window, and
+# every round-9 window slug is hash-oracled.
+ROWS_ONLY_R09: frozenset[str] = frozenset()
 
 
 def _rotated(mapping):
-    """Window slugs first (in DRIVER_WINDOW order), then the R09_QUEUE
+    """Window slugs first (in DRIVER_WINDOW order), then the R10_QUEUE
     overflow (next round's window head), rest in registration order.
     Applied identically to queries and oracles so the driver's
     side-by-side compare sees one consistent ordering."""
-    head = {s: mapping[s] for s in DRIVER_WINDOW + R09_QUEUE if s in mapping}
+    head = {s: mapping[s] for s in DRIVER_WINDOW + R10_QUEUE if s in mapping}
     tail = {s: fn for s, fn in mapping.items() if s not in head}
     return {**head, **tail}
 

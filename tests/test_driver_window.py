@@ -1,12 +1,12 @@
 """Pins the driver correctness-window rotation (VERDICT r02 item #1,
-r03 item #3, r07 items #1/#6).
+r03 item #3, r07 items #1/#6, r08 item #1).
 
 The verification driver records hard CORRECTNESS rows for only the first
-50 queries in ``all_queries()`` order.  Round 8 rotates that window onto
-every slug without cumulative hard driver evidence: the 31 round-7
-additions (judge-oracle-verified, never driver-seen), the 8 new round-8
-curation ops, and the 11 rows-only-by-design slugs (which collect the
-driver's rows>0 check).  These assertions keep the rotation from
+50 queries in ``all_queries()`` order.  Round 9 rotates that window onto
+the 49 round-8b overflow-queue slugs (sim-hash-verified on arrival,
+never driver-seen) plus one sanctioned re-verify slot for
+q_embed_lsh_tuning (optimized plan changed in round 8 after its r07
+driver PASS).  These assertions keep the rotation from
 silently regressing (a new module import reshuffling registration
 order, a window slot wasted re-verifying an already-PASS slug, or — the
 r07 item #6 rule — a never-driver-verified slug left outside the
@@ -22,14 +22,14 @@ from nomad_event_streamer_spark.plans import (
     DRIVER_WINDOW,
     ORACLES,
     QUERIES,
-    R09_QUEUE,
-    RE_VERIFY_R08,
-    ROWS_ONLY_R08,
+    R10_QUEUE,
+    RE_VERIFY_R09,
+    ROWS_ONLY_R09,
     all_oracles,
     all_queries,
 )
 
-_ROUNDS = ("r01", "r02", "r03", "r04", "r05", "r06", "r07")
+_ROUNDS = ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08")
 
 
 def _driver_rows() -> dict[str, dict]:
@@ -80,20 +80,18 @@ def test_window_is_50_unique_registered_slugs():
 
 
 def test_window_rows_only_slots_are_exactly_the_declared_allowance():
-    """A rows-only query in the window normally wastes a hard-correctness
-    slot; round 8 deliberately carries the 11 rows-only-BY-DESIGN slugs
-    (VERDICT r07 item #1) so the driver's rows>0 check completes the
-    cumulative 339/339 ledger.  Pin the set exactly — any OTHER
-    unoracled slug in the window is a wasted slot, and any allowance
-    member missing from the window defeats the rotation's purpose."""
+    """A rows-only query in the window wastes a hard-correctness slot;
+    the round-8 window already collected the 11 rows-only-by-design
+    slugs' driver rows>0 evidence, so the round-9 allowance is EMPTY —
+    every window slug must be hash-oracled.  Pin the set exactly."""
     unoracled = {s for s in DRIVER_WINDOW if s not in ORACLES}
-    assert unoracled == set(ROWS_ONLY_R08), (
-        f"window rows-only set drifted: extra={unoracled - ROWS_ONLY_R08}, "
-        f"missing={set(ROWS_ONLY_R08) - unoracled}"
+    assert unoracled == set(ROWS_ONLY_R09), (
+        f"window rows-only set drifted: extra={unoracled - ROWS_ONLY_R09}, "
+        f"missing={set(ROWS_ONLY_R09) - unoracled}"
     )
-    oracled_allowance = [s for s in ROWS_ONLY_R08 if s in ORACLES]
+    oracled_allowance = [s for s in ROWS_ONLY_R09 if s in ORACLES]
     assert not oracled_allowance, (
-        f"slugs gained an oracle but stayed in ROWS_ONLY_R08: "
+        f"slugs gained an oracle but stayed in ROWS_ONLY_R09: "
         f"{oracled_allowance}"
     )
 
@@ -104,10 +102,10 @@ def test_rotation_is_consistent_and_lossless():
     assert q[:50] == DRIVER_WINDOW
     # the overflow queue sits contiguously after the window: next
     # round's rotation takes it as the new window head.
-    assert q[50 : 50 + len(R09_QUEUE)] == R09_QUEUE
+    assert q[50 : 50 + len(R10_QUEUE)] == R10_QUEUE
     # driver compares side-by-side: oracle ordering must agree on the
     # oracled prefix (rows-only slugs have no oracle entry).
-    oracled_head = [s for s in DRIVER_WINDOW + R09_QUEUE if s in ORACLES]
+    oracled_head = [s for s in DRIVER_WINDOW + R10_QUEUE if s in ORACLES]
     assert o[: len(oracled_head)] == oracled_head
     assert set(q) == set(QUERIES) and len(q) == len(QUERIES)
     assert set(o) == set(ORACLES) and len(o) == len(ORACLES)
@@ -118,10 +116,11 @@ def test_window_targets_previously_unverified_queries():
     # evidence; re-spending window slots on them would be
     # window-stuffing, not evidence-widening.  The only sanctioned
     # exception is an explicit RE_VERIFY allowance for slugs whose
-    # optimized plans changed in-round (empty this round).
+    # optimized plans changed after their PASS (round 9:
+    # q_embed_lsh_tuning, plan changed by the ADVICE r07 fix in r08).
     already_pass = _hash_passed(_driver_rows())
     overlap = [
-        s for s in DRIVER_WINDOW if s in already_pass and s not in RE_VERIFY_R08
+        s for s in DRIVER_WINDOW if s in already_pass and s not in RE_VERIFY_R09
     ]
     assert not overlap, f"window re-verifies already-PASS slugs: {overlap}"
 
@@ -139,12 +138,13 @@ def test_every_unverified_slug_is_in_the_window():
     hash_passed = _hash_passed(rows)
     # A rows-only slug counts as driver-seen if it has ANY clean row —
     # the driver's rows-only row shape is weaker than the hash rows
-    # (and may not carry spark_rows), so require only err-free presence
+    # (the r08 driver records the marker err="no_oracle" with the
+    # spark_rows count), so require err-free-or-no_oracle presence
     # plus a non-zero row count when one is recorded.
     rows_only_seen = {
         k
         for k, v in rows.items()
-        if not v.get("err")
+        if v.get("err") in (None, "no_oracle")
         and (v.get("spark_rows") is None or v.get("spark_rows") > 0)
         and (v.get("rows") is None or v.get("rows") > 0)
     }
@@ -158,16 +158,16 @@ def test_every_unverified_slug_is_in_the_window():
     ]
     # The documented overflow ledger (the extension this docstring
     # prescribes): round-8b additions past window capacity sit in
-    # R09_QUEUE, contiguously after the window in all_queries() order,
+    # R10_QUEUE, contiguously after the window in all_queries() order,
     # each carrying committed sim hash evidence (pinned below by
     # test_overflow_queue_has_sim_evidence), and are first in line for
     # the next round's window rotation.
-    assert len(unverified) <= 50 + len(R09_QUEUE), (
+    assert len(unverified) <= 50 + len(R10_QUEUE), (
         f"{len(unverified)} unverified slugs exceed window + overflow — "
         "rotate a subset and extend the overflow ledger"
     )
     outside = [
-        s for s in unverified if s not in DRIVER_WINDOW and s not in R09_QUEUE
+        s for s in unverified if s not in DRIVER_WINDOW and s not in R10_QUEUE
     ]
     assert not outside, (
         f"never-driver-verified slugs left outside the window and the "
@@ -176,13 +176,13 @@ def test_every_unverified_slug_is_in_the_window():
 
 
 def test_overflow_queue_has_sim_evidence():
-    """Every R09_QUEUE member must be hash-oracled (no rows-only slugs
+    """Every R10_QUEUE member must be hash-oracled (no rows-only slugs
     hide in the overflow) and must carry a hash MATCH row in the LATEST
     committed DRIVER_SIM artifact — the arrival-evidence rule that makes
     the overflow a ledger rather than a loophole."""
     import re
 
-    for s in R09_QUEUE:
+    for s in R10_QUEUE:
         assert s in ORACLES, f"overflow slug {s} is not hash-oracled"
     root = pathlib.Path(__file__).resolve().parents[1]
     sims = sorted(
@@ -191,7 +191,7 @@ def test_overflow_queue_has_sim_evidence():
     )
     rows = json.loads(sims[-1].read_text())
     per_query = rows.get("queries", rows)
-    for s in R09_QUEUE:
+    for s in R10_QUEUE:
         row = per_query.get(s)
         assert row is not None, f"overflow slug {s} missing from {sims[-1].name}"
         assert row.get("status") == "match", (
