@@ -250,7 +250,8 @@ def kcore(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 30,
-) -> DataFrame:
+    return_rounds: bool = False,
+):
     """k-core decomposition by iterative peeling (Seidman 1983, "Network
     structure and minimum degree" — public): repeatedly delete nodes
     with degree < k (and their edges) until every remaining node has
@@ -260,7 +261,12 @@ def kcore(
     curation pipeline applies before trusting cluster membership.
 
     Output: (doc_id, core_degree) for every node in the k-core, with
-    its degree counted inside the core.
+    its degree counted inside the core.  With ``return_rounds=True``
+    returns ``(result, peel_rounds)`` so callers/tests can pin the
+    measured peel depth under an oracle's fixed unroll count without
+    process-global state (ADVICE r08 #3 replaced the old
+    ``kcore.last_peel_rounds`` function attribute, which raced across
+    invocations).
 
     Scale shape: each peel round is one degree aggregation (map-side
     combinable on the node key) + two left-semi joins thinning the
@@ -281,19 +287,19 @@ def kcore(
         n_after = e2.count()
         e = e2
         if n_after == n_before:
-            # Convergence round, observable by callers/tests so the
+            # Convergence round, observable via return_rounds so the
             # oracle's fixed unroll count can be asserted >= the
             # measured peel depth (ADVICE r07: a graph deeper than the
             # unroll would silently yield a partially-peeled oracle).
-            kcore.last_peel_rounds = rounds
             und = e.select("s", "d").union(
                 e.select(F.col("d").alias("s"), F.col("s").alias("d"))
             )
-            return (
+            result = (
                 und.groupBy("s")
                 .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
                 .select(F.col("s").alias("doc_id"), "core_degree")
             )
+            return (result, rounds) if return_rounds else result
         n_before = n_after
     raise RuntimeError(f"kcore did not converge in {max_iter} peels")
 

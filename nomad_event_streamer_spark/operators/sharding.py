@@ -32,6 +32,12 @@ def assign_shards(
     shard = floor(start_offset * S / total) over the (md5(id), id)
     order — the deterministic equal-mass cut.  Input columns are
     preserved; callers needing only the plan aggregate over ``shard``.
+
+    Edge cases (ADVICE r08 #2): a zero-byte row sorting last has
+    start_offset == wtot, which the raw formula maps to shard S —
+    clamped to S-1 so the output range is always 0..S-1.  An all-zero
+    corpus (wtot == 0) carries no mass to balance; every row goes to
+    shard 0 rather than NULL.
     """
     h = F.md5(F.col(id_col).cast("string"))
     base = df.withColumn("h", h).withColumn(
@@ -55,9 +61,14 @@ def assign_shards(
         .crossJoin(F.broadcast(tw))
         .withColumn(
             "shard",
-            F.expr(f"((cum - {bytes_col}) * {num_shards}) div wtot").cast(
-                "long"
-            ),
+            F.when(F.col("wtot") <= 0, F.lit(0)).otherwise(
+                F.least(
+                    F.expr(
+                        f"((cum - {bytes_col}) * {num_shards}) div wtot"
+                    ),
+                    F.lit(num_shards - 1),
+                )
+            ).cast("long"),
         )
         .drop("h", "grp", "cum_in", "off", "cum")
     )

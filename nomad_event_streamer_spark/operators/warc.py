@@ -57,7 +57,10 @@ def synthesize_warc(docs: DataFrame, url_col: str = "url") -> DataFrame:
         F.col(url_col),
         F.lit("\r\n"),
         F.lit("Content-Length: "),
-        F.length("text").cast("string"),
+        # WARC Content-Length is OCTETS of the payload block, not
+        # characters — octet_length keeps the declared value correct for
+        # multi-byte UTF-8 text (ADVICE r08 #1).
+        F.octet_length("text").cast("string"),
         F.lit("\r\n\r\n"),
         F.col("text"),
     )

@@ -646,7 +646,8 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     assigned AS (
         SELECT doc_id, bytes,
-               CAST(((cum - bytes) * {_SHARDS}) // wtot AS BIGINT) AS shard
+               CAST(least(((cum - bytes) * {_SHARDS}) // wtot,
+                          {_SHARDS} - 1) AS BIGINT) AS shard
         FROM cum CROSS JOIN tot
     )
     SELECT shard,

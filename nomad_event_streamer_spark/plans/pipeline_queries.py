@@ -724,8 +724,8 @@ def q_pq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            'response' AS rec_type,
            url AS target_uri,
-           CAST(length(text) AS BIGINT) AS declared_len,
-           CAST(length(text) AS BIGINT) AS payload_len,
+           CAST(strlen(text) AS BIGINT) AS declared_len,
+           CAST(strlen(text) AS BIGINT) AS payload_len,
            md5(text) AS payload_md5,
            CAST(4 AS BIGINT) AS n_headers,
            CAST(1 AS BIGINT) AS length_ok

@@ -1091,6 +1091,7 @@ def _doc_batches_dir(spark: SparkSession, sf_dir: str) -> str:
     doc_id, the arrival order both engines replay) and mtime-ordered so
     the file-stream source reads them as batches 0, 1, 2."""
     if sf_dir not in _TTL_DIRS:
+        import atexit
         import glob
         import shutil
 
@@ -1101,14 +1102,21 @@ def _doc_batches_dir(spark: SparkSession, sf_dir: str) -> str:
         cuts = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
         work = tempfile.mkdtemp(prefix="nes_ttl_work_")
         out = tempfile.mkdtemp(prefix="nes_ttl_in_")
-        for b, (lo, hi) in enumerate(cuts):
-            docs.where(
-                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-            ).coalesce(1).write.parquet(f"{work}/b{b}")
-            part = glob.glob(f"{work}/b{b}/part-*.parquet")[0]
-            dst = os.path.join(out, f"{chr(97 + b)}_{b}.parquet")
-            shutil.copy(part, dst)
-            os.utime(dst, (1000 + b * 100, 1000 + b * 100))
+        try:
+            for b, (lo, hi) in enumerate(cuts):
+                docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ).coalesce(1).write.parquet(f"{work}/b{b}")
+                part = glob.glob(f"{work}/b{b}/part-*.parquet")[0]
+                dst = os.path.join(out, f"{chr(97 + b)}_{b}.parquet")
+                shutil.copy(part, dst)
+                os.utime(dst, (1000 + b * 100, 1000 + b * 100))
+        finally:
+            # ADVICE r08 #4: the intermediate write dir is dead the
+            # moment the part files are copied; the batch dir lives for
+            # the process (memoized) and is reclaimed at exit.
+            shutil.rmtree(work, ignore_errors=True)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
         _TTL_DIRS[sf_dir] = out
     return _TTL_DIRS[sf_dir]
 

@@ -251,18 +251,26 @@ class TestKcore:
         r2 = {(r["doc_id"], r["core_degree"]) for r in core2.collect()}
         assert r1 == r2
 
-    def test_peel_depth_within_oracle_unroll(self, core, spark, sf_dir):
+    def test_peel_depth_within_oracle_unroll(self, spark, sf_dir):
         # ADVICE r07: the DuckDB oracle unrolls a FIXED 8 peel rounds
         # while the operator iterates to a verified fixpoint; a graph
         # with peel depth > 8 would silently yield a partially-peeled
-        # oracle result and a latent parity mismatch.  The operator
-        # records its convergence round — pin it under the unroll count
-        # (the `core` fixture has already materialized q_kcore, so
-        # last_peel_rounds reflects the oracled corpus/parameters).
+        # oracle result and a latent parity mismatch.  ADVICE r08 #3:
+        # capture the depth from THIS specific run via return_rounds
+        # (the old function-attribute device reflected whatever kcore
+        # call happened to run last in the process) — rebuild exactly
+        # q_kcore's edge set and pin its measured depth.
+        from nomad_event_streamer_spark.operators import dedup
         from nomad_event_streamer_spark.operators.graph import kcore
+        from nomad_event_streamer_spark.tables import load
 
-        depth = getattr(kcore, "last_peel_rounds", None)
-        assert depth is not None, "kcore never converged / never ran"
+        docs = load(spark, sf_dir, "documents")
+        sh = dedup.shingles(docs, n=3)
+        sig = dedup.minhash_signatures(sh, num_hashes=16)
+        bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+        edges = dedup.lsh_candidate_pairs(bands)
+        result, depth = kcore(edges, k=2, return_rounds=True)
+        assert result.count() > 0
         assert depth <= 8, (
             f"measured peel depth {depth} exceeds the oracle's 8 "
             "unrolled rounds — raise kcore_oracle_sql(rounds=...)"

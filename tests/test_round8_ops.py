@@ -484,3 +484,31 @@ class TestWriteBalancedShards:
             for r in sharding.assign_shards(docs.repartition(13)).collect()
         }
         assert a == b
+
+    def test_zero_byte_rows_stay_in_range(self, spark):
+        """ADVICE r08 #2: a zero-byte row sorting LAST has start offset
+        == wtot — the raw floor formula maps it to shard S (out of
+        0..S-1); the clamp must keep every row in range, whichever
+        md5-order position the zero-byte rows land in."""
+        from pyspark.sql import Row
+
+        from nomad_event_streamer_spark.operators import sharding
+
+        rows = [Row(doc_id=i, bytes=(0 if i % 3 == 0 else 10)) for i in range(30)]
+        docs = spark.createDataFrame(rows)
+        out = sharding.assign_shards(docs, num_shards=4).collect()
+        assert len(out) == 30
+        assert all(r["shard"] is not None for r in out)
+        assert {r["shard"] for r in out} <= set(range(4))
+
+    def test_all_zero_bytes_goes_to_shard_zero(self, spark):
+        """wtot == 0 has no mass to balance: documented degenerate case —
+        every row lands in shard 0, never NULL."""
+        from pyspark.sql import Row
+
+        from nomad_event_streamer_spark.operators import sharding
+
+        docs = spark.createDataFrame([Row(doc_id=i, bytes=0) for i in range(7)])
+        out = sharding.assign_shards(docs, num_shards=4).collect()
+        assert len(out) == 7
+        assert {r["shard"] for r in out} == {0}

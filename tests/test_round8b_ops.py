@@ -322,12 +322,31 @@ class TestWarcParse:
         for doc_id, t in texts.items():
             r = rows[doc_id]
             assert r["rec_type"] == "response"
-            assert r["declared_len"] == r["payload_len"] == len(t)
+            assert r["declared_len"] == r["payload_len"] == len(t.encode())
             assert r["payload_md5"] == hashlib.md5(t.encode()).hexdigest()
             assert r["n_headers"] == 4
             assert r["length_ok"] == 1
             assert r["target_uri"].lower().startswith("http")
             assert f"id={doc_id}&" in r["target_uri"]
+
+    def test_multibyte_payload_declares_octets(self, spark):
+        """ADVICE r08 #1: Content-Length is OCTETS — a non-ASCII payload
+        (3 chars, 7 UTF-8 bytes) must round-trip with length_ok=1 and a
+        byte-based declared length, not the character count."""
+        from pyspark.sql import Row
+
+        from nomad_event_streamer_spark.operators import warc
+
+        text = "é☃a"  # 2 + 3 + 1 = 6 bytes? é=2, ☃=3, a=1 -> 6 octets
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, url="http://x.test/a", text=text)]
+        )
+        [r] = warc.parse_warc(warc.synthesize_warc(docs)).collect()
+        n_bytes = len(text.encode("utf-8"))
+        assert n_bytes > len(text)
+        assert r["declared_len"] == r["payload_len"] == n_bytes
+        assert r["length_ok"] == 1
+        assert r["payload_md5"] == hashlib.md5(text.encode()).hexdigest()
 
     def test_malformed_framing_raises(self, spark):
         from pyspark.sql import Row
