@@ -353,3 +353,88 @@ def kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
     GROUP BY s
     """
     )
+
+
+def coactivity_edges(
+    cells: DataFrame,
+    min_cells: int = 3,
+    max_cell: int | None = None,
+    user_col: str = "user_id",
+    cell_cols: tuple[str, ...] = ("event_type", "h"),
+) -> DataFrame:
+    """Co-activity edge builder (shared by q_link_predict /
+    q_degree_hist): users sharing >= ``min_cells`` distinct activity
+    cells get an edge (a, b) with a < b.
+
+    The pair build is the LSH-bucket shape — a cell equi-join on the
+    cell key, never user x user.  ``max_cell`` is the hub/skew guard
+    mirroring ``dedup.lsh_candidate_pairs(max_bucket=)`` (VERDICT r08
+    item #2): a degenerate cell (an event type every user fires within
+    the same hour — think "heartbeat at the top of the hour" on a
+    production graph) expands quadratically in the pair join; capping
+    drops whole hot cells BEFORE the join, so the Σ|cell|² pair volume
+    is bounded by max_cell · Σ|cell| and the surviving edges keep their
+    exact evidence count from the remaining cells.  Off by default —
+    the registered queries and their oracles run uncapped.
+    """
+    keyed = cells.select(F.col(user_col).alias("u"), *cell_cols)
+    if max_cell is not None:
+        sizes = keyed.groupBy(*cell_cols).agg(
+            F.count(F.lit(1)).alias("_cell_n")
+        )
+        keyed = (
+            keyed.join(sizes, list(cell_cols))
+            .where(F.col("_cell_n") <= max_cell)
+            .drop("_cell_n")
+        )
+    other = keyed.select(F.col("u").alias("v"), *cell_cols)
+    return (
+        keyed.join(other, list(cell_cols))
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") >= min_cells)
+        .select(F.col("u").alias("a"), F.col("v").alias("b"))
+    )
+
+
+def common_neighbor_candidates(
+    e: DataFrame, max_degree: int | None = None
+) -> DataFrame:
+    """Non-adjacent candidate pairs with common-neighbor counts and
+    endpoint degrees, from an undirected edge list (a < b): the wedge
+    equi-join at the middle vertex (the q_triangles posture), adjacency
+    removed with one anti join, degrees via vertex-keyed joins.
+
+    ``max_degree`` is the degree-oriented wedge cap behind the same
+    flag as ``coactivity_edges(max_cell=)`` (VERDICT r08 item #2): the
+    wedge join's volume is Σ d(x)² over middle vertices, so one hub of
+    degree 10⁶ alone contributes 10¹² wedges; capping excludes
+    middle vertices with degree > max_degree from wedge ENUMERATION
+    only (hub-mediated evidence is the least informative — everyone is
+    "similar" through a hub), while degrees in the Jaccard denominator
+    stay exact.  Off by default.
+
+    Output columns: a, b, n_common, da, db.
+    """
+    nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    mid = nb
+    if max_degree is not None:
+        mid = nb.join(
+            deg.where(F.col("d") <= max_degree).select("x"), "x", "left_semi"
+        )
+    j1 = mid.select(F.col("x").alias("m"), F.col("y").alias("a"))
+    j2 = mid.select(F.col("x").alias("m"), F.col("y").alias("b"))
+    wedge = (
+        j1.join(j2, "m")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    cand = wedge.join(e, ["a", "b"], "left_anti")
+    return cand.join(
+        deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")

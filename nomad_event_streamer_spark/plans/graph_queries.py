@@ -375,7 +375,14 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-and-expand, never user x user), candidates come from the
     wedge equi-join on the middle vertex (the q_triangles posture),
     adjacency is removed with one anti join, degrees ride vertex-keyed
-    joins, and top-k is the heap operator."""
+    joins, and top-k is the heap operator.  Both stages are the shared
+    builders in ``operators/graph.py``, which carry the skew guards for
+    a skewed production graph (``coactivity_edges(max_cell=)`` drops
+    degenerate hot cells before the pair join;
+    ``common_neighbor_candidates(max_degree=)`` excludes hub middles
+    from wedge enumeration) — both OFF here so the oracle is exact
+    (VERDICT r08 item #2)."""
+    from ..operators.graph import coactivity_edges, common_neighbor_candidates
     from ..tables import events
 
     cell = (
@@ -387,45 +394,14 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ca = cell.select(
-        F.col("user_id").alias("u"), "event_type", "h"
-    )
-    cb = cell.select(
-        F.col("user_id").alias("v"), "event_type", "h"
-    )
-    pair = (
-        ca.join(cb, ["event_type", "h"])
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    e = pair.where(F.col("c") >= _LP_MIN_CELLS).select(
-        F.col("u").alias("a"), F.col("v").alias("b")
-    )
-    nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
-        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
-    )
-    deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    j1 = nb.select(F.col("x").alias("m"), F.col("y").alias("a"))
-    j2 = nb.select(F.col("x").alias("m"), F.col("y").alias("b"))
-    wedge = (
-        j1.join(j2, "m")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    cand = wedge.join(e, ["a", "b"], "left_anti")
-    scored = (
-        cand.join(deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
-        .select(
-            "a",
-            "b",
-            "n_common",
-            F.expr("(n_common * 1000) div (da + db - n_common)")
-            .cast("long")
-            .alias("jacc_milli"),
-        )
+    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS)
+    scored = common_neighbor_candidates(e).select(
+        "a",
+        "b",
+        "n_common",
+        F.expr("(n_common * 1000) div (da + db - n_common)")
+        .cast("long")
+        .alias("jacc_milli"),
     )
     top = scored.orderBy(
         F.col("n_common").desc(),
@@ -477,8 +453,11 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orientation, salting) is needed BEFORE running wedge-shaped
     operators like q_link_predict and q_triangles over it.
 
-    Scale: edge build is the cell equi-join; degrees are one
+    Scale: edge build is the shared cell equi-join builder
+    (``operators/graph.py coactivity_edges``, hot-cell guard available
+    via ``max_cell`` — off here so the oracle is exact); degrees are one
     vertex-keyed aggregate; the histogram is a ~32-row rollup."""
+    from ..operators.graph import coactivity_edges
     from ..tables import events
 
     cell = (
@@ -490,17 +469,7 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ca = cell.select(F.col("user_id").alias("u"), "event_type", "h")
-    cb = cell.select(F.col("user_id").alias("v"), "event_type", "h")
-    pair = (
-        ca.join(cb, ["event_type", "h"])
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    e = pair.where(F.col("c") >= _LP_MIN_CELLS).select(
-        F.col("u").alias("a"), F.col("v").alias("b")
-    )
+    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS)
     nb = e.select(F.col("a").alias("x")).unionAll(
         e.select(F.col("b").alias("x"))
     )
