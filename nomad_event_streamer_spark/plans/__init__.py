@@ -47,7 +47,7 @@ from . import pipeline_queries  # noqa: E402,F401
 # round 8 (configs-side LEFT join, ADVICE r07) — so its refreshed evidence
 # is hard driver evidence rather than sim-only.  A green r09 window makes
 # the cumulative hard driver hash-PASS ledger cover all 377 oracled slugs.
-# Registry at HEAD: 388 queries / 377 oracled.
+# Registry at HEAD: 389 queries / 378 oracled.
 # Round-9 additions past window capacity follow the same overflow ledger
 # discipline in R10_QUEUE below: ordered immediately AFTER the window in
 # all_queries(), each sim-hash-verified on arrival, first in line for the
@@ -116,7 +116,9 @@ DRIVER_WINDOW: list[str] = [
 # Round-9 additions past window capacity: the documented overflow queue.
 # Every member must carry committed sim hash evidence (DRIVER_SIM) and is
 # rotated into the NEXT round's driver window ahead of newer work.
-R10_QUEUE: list[str] = []
+R10_QUEUE: list[str] = [
+    "q_image_qoi",
+]
 
 # Round-9 re-verification allowance: q_embed_lsh_tuning's optimized plan
 # changed in round 8 (ADVICE r07 fix: configs-side LEFT join) after its

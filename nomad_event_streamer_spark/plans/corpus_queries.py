@@ -3771,3 +3771,96 @@ def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("res_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# QOI compressed-image codec roundtrip (round 9, VERDICT r08 item #4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_image_qoi",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               9 + doc_id % 8 AS w,
+               6 + doc_id % 5 AS h,
+               (9 + doc_id % 8) * (6 + doc_id % 5) AS n,
+               (doc_id * 73 + 11) % 256 AS base
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, base, t.p // 8 AS k, t.p % 8 AS i
+        FROM d CROSS JOIN range(0, 160) t(p)
+        WHERE t.p < n
+    ),
+    c AS (
+        SELECT doc_id,
+               (base + 50*k + CASE WHEN i < 3 THEN 0
+                                   WHEN i < 5 THEN 1 ELSE 13 END) % 256 AS r,
+               (base + 50*k + CASE WHEN i < 3 THEN 80
+                                   WHEN i < 5 THEN 81 ELSE 97 END) % 256 AS g,
+               (base + 50*k + CASE WHEN i < 3 THEN 160
+                                   WHEN i < 5 THEN 161 ELSE 179 END) % 256 AS b
+        FROM px
+    ),
+    s AS (
+        SELECT doc_id, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb
+        FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(22 + 10 * (n // 8)
+                + CASE n % 8 WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 5
+                             WHEN 3 THEN 5 WHEN 4 THEN 6 WHEN 5 THEN 7
+                             WHEN 6 THEN 9 ELSE 10 END AS BIGINT)
+               AS qoi_bytes,
+           CAST((n + 7) // 8 AS BIGINT) AS n_rgb,
+           CAST((n + 4) // 8 AS BIGINT) AS n_diff,
+           CAST((n + 2) // 8 AS BIGINT) AS n_luma,
+           CAST(3 * (n // 8)
+                + CASE n % 8 WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 1
+                             WHEN 3 THEN 1 WHEN 4 THEN 1 WHEN 5 THEN 2
+                             WHEN 6 THEN 2 ELSE 3 END AS BIGINT) AS n_run,
+           CAST(0 AS BIGINT) AS n_index,
+           CAST(s.sr AS BIGINT) AS sum_r,
+           CAST(s.sg AS BIGINT) AS sum_g,
+           CAST(s.sb AS BIGINT) AS sum_b
+    FROM d JOIN s USING (doc_id)
+    """,
+)
+def q_image_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QOI compressed-image ROUNDTRIP — the compression leg the
+    BMP/PGM/WAV codec trio lacks (VERDICT r08 item #4): per document a
+    closed-form RGB pattern is ENCODED with the real QOI state machine
+    (`operators/qoi.py` — 64-slot color index, run accumulation,
+    wraparound DIFF/LUMA deltas, per the public qoiformat.org spec),
+    DECODED back with the real decoder, pixel-exactness asserted, and
+    the stats emitted: compressed byte count, per-op-class counts, and
+    channel sums of the DECODED pixels.
+
+    The sharp part of the hash gate is `qoi_bytes`: compressed size
+    depends on every op the encoder picks, so the oracle must know the
+    op sequence.  The pattern guarantees it — 8-pixel blocks of
+    [fresh color x3, +(1,1,1) x2, +(12,16,18) x3] where (a) all colors
+    in an image are pairwise distinct (A/D share channel offsets
+    (80,160) but differ in r-parity since block steps are even and the
+    D offset is +1; L's offsets (84,166) differ from both; fresh-color
+    r values 50k mod 256 are distinct for k <= 19 because 50m = 0 mod
+    256 first at m = 128), so no OP_INDEX hit can ever preempt an op —
+    and (b) the block-start delta is the constant (37,33,31) whose
+    dg = 33 exceeds the LUMA range, so block starts are always OP_RGB.
+    Hence size and op counts are closed forms of n = w*h alone:
+    10 bytes per full block (4 RGB + 1 run + 1 DIFF + 1 run + 2 LUMA +
+    1 run), a fixed partial-block table, 22 bytes of framing — and the
+    encoder's actual op counts (n_index = 0 included) are pinned
+    against them, verified by brute force over all 500 docs in
+    `tests/test_qoi_codec.py`.
+
+    Scale: per-row Arrow-batched mapInPandas, no shuffle; payload bytes
+    never leave the executor — the 100 TB decode-pass shape."""
+    from ..operators.qoi import qoi_roundtrip_stats
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    return qoi_roundtrip_stats(docs)
