@@ -438,3 +438,164 @@ def common_neighbor_candidates(
     return cand.join(
         deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a"
     ).join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+
+
+def louvain_level0(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Louvain level-0 community assignment (Blondel et al. 2008, "Fast
+    unfolding of communities in large networks"), SYNCHRONOUS variant
+    (Staudt & Meyerhenke 2016's parallel formulation): every node starts
+    as its own community and in each round ALL nodes simultaneously move
+    to the neighboring community with the best modularity gain, computed
+    against the PREVIOUS round's assignment.  The classic sequential
+    sweep is visit-order-dependent (unreproducible across partitionings);
+    the synchronous variant with a total-order tie-break (highest gain,
+    then smallest community id) is deterministic — which is what lets an
+    iterative community detector pass a full value-hash oracle
+    (`louvain_oracle_sql` unrolls the same rounds as DuckDB CTEs).
+
+    Naive synchronous updates oscillate: singleton pairs trade ids
+    forever (measured on the sf0.01 candidate graph as 52/54
+    communities stuck at size 1), and the partial swap-breaking rule
+    from parallel Louvain implementations (Grappolo: singleton->
+    singleton moves only downward in id) still chases moving targets
+    in 3-chains (measured: a bridged-triangle pair never settled).
+    The rule here is fully MONOTONE: a node may move only to a
+    community with a SMALLER id than its current one (gain-gated as
+    usual, staying always a candidate).  Community labels are then
+    non-increasing per node, so the process cannot oscillate and
+    reaches a fixpoint — the min-label-propagation convergence
+    argument (q_dedup_clusters) applied to gain-gated moves.  The cost
+    is a label-flow bias toward small ids (labels are arbitrary
+    anyway); the gain gate is what blocks low-gain bridge edges, which
+    is the audit semantics that matters.
+
+    Integer-exact gain comparison: argmax_C of the modularity gain for
+    node u equals argmax_C of ``2m * k_uC - k_u * (tot(C) - k_u if C ==
+    own else tot(C))`` — all BIGINT (2m <= 2|E|, products < 2^63 at any
+    realistic candidate-graph size).  Staying put is always a candidate
+    (k_u,own counted from real neighbors, 0 if none), so a round never
+    forces a bad move.
+
+    Returns (node, comm) for every node with degree >= 1.
+
+    Scale shape: per round ONE edge-keyed join (neighbor communities) +
+    one (node, comm) partial-agg vote + one comm-keyed degree sum + an
+    argmax window partitioned by node — all shuffles on node/comm keys,
+    lineage checkpointed per round; rounds is a small constant, never
+    data-sized.  Hub nodes cost their degree in vote rows, not degree²."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.select(F.col("a").alias("s"), F.col("b").alias("d")).union(
+        e.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    ).localCheckpoint(eager=True)
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    m2 = und.count()  # sum of degrees == 2m (driver holds ONE integer)
+    comm = deg.select(F.col("s").alias("node"), F.col("s").alias("comm"))
+    from pyspark.sql import Window as W
+
+    for _ in range(rounds):
+        nbr = und.join(
+            comm.select(F.col("node").alias("d"), "comm"), "d"
+        ).select(F.col("s").alias("u"), "comm")
+        votes = nbr.groupBy("u", "comm").agg(
+            F.count(F.lit(1)).cast("long").alias("kuc")
+        )
+        own = comm.select(
+            F.col("node").alias("u"), "comm", F.lit(0).cast("long").alias("kuc")
+        )
+        cand = (
+            votes.unionByName(own)
+            .groupBy("u", "comm")
+            .agg(F.max("kuc").alias("kuc"))
+        )
+        tot = (
+            comm.join(deg, comm["node"] == deg["s"])
+            .groupBy("comm")
+            .agg(F.sum("k").cast("long").alias("tot"))
+        )
+        scored = (
+            cand.join(tot, "comm")
+            .join(
+                comm.select(
+                    F.col("node").alias("u"), F.col("comm").alias("own_c")
+                ),
+                "u",
+            )
+            .join(deg.select(F.col("s").alias("u"), "k"), "u")
+            # monotone move rule: only downward in community id
+            # (staying is never filtered — own rows have comm == own_c)
+            .where(F.col("comm") <= F.col("own_c"))
+            .withColumn(
+                "score",
+                F.lit(m2) * F.col("kuc")
+                - F.col("k")
+                * (
+                    F.col("tot")
+                    - F.when(F.col("comm") == F.col("own_c"), F.col("k"))
+                    .otherwise(F.lit(0))
+                ),
+            )
+        )
+        w = W.partitionBy("u").orderBy(F.col("score").desc(), F.col("comm").asc())
+        comm = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "comm")
+            .localCheckpoint(eager=True)
+        )
+    return comm
+
+
+def louvain_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled DuckDB twin of ``louvain_level0`` — expects CTEs
+    ``edges(doc_a, doc_b)`` already defined; emits ``node, comm`` as
+    CTE ``c_{rounds}`` plus the shared prologue.  Caller appends its
+    own SELECT over ``c_{rounds}``."""
+    parts = [
+        "und AS (SELECT doc_a AS s, doc_b AS d FROM edges "
+        "UNION ALL SELECT doc_b, doc_a FROM edges)",
+        "deg AS (SELECT s, CAST(count(*) AS BIGINT) AS k FROM und GROUP BY s)",
+        "m2 AS (SELECT CAST(sum(k) AS BIGINT) AS v FROM deg)",
+        "c_0 AS (SELECT s AS node, s AS comm FROM deg)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"""votes_{t} AS (
+        SELECT und.s AS u, c.comm AS c, CAST(count(*) AS BIGINT) AS kuc
+        FROM und JOIN c_{p} c ON c.node = und.d GROUP BY 1, 2
+    ),
+    cand_{t} AS (
+        SELECT u, c, max(kuc) AS kuc FROM (
+            SELECT u, c, kuc FROM votes_{t}
+            UNION ALL SELECT node, comm, 0 FROM c_{p}
+        ) GROUP BY u, c
+    ),
+    tot_{t} AS (
+        SELECT comm AS c, CAST(sum(k) AS BIGINT) AS tot
+        FROM c_{p} JOIN deg ON deg.s = c_{p}.node GROUP BY comm
+    ),
+    c_{t} AS MATERIALIZED (
+        SELECT u AS node, c AS comm FROM (
+            SELECT cand.u, cand.c,
+                   row_number() OVER (
+                       PARTITION BY cand.u
+                       ORDER BY (SELECT v FROM m2) * cand.kuc
+                             - deg.k * (tot_{t}.tot
+                                 - CASE WHEN cand.c = own.comm
+                                        THEN deg.k ELSE 0 END) DESC,
+                             cand.c ASC
+                   ) AS rn
+            FROM cand_{t} cand
+            JOIN tot_{t} ON tot_{t}.c = cand.c
+            JOIN c_{p} own ON own.node = cand.u
+            JOIN deg ON deg.s = cand.u
+            WHERE cand.c <= own.comm
+        ) WHERE rn = 1
+    )"""
+        )
+    return ",\n    ".join(parts)

@@ -6064,3 +6064,125 @@ _ORACLES["q_langid_confusion"] = f"""
                AS recall_milli
     FROM cells c JOIN sup s USING (true_lang)
     """
+
+
+# ---------------------------------------------------------------------------
+# Louvain level-0 communities over the dedup candidate graph (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _louvain_oracle(num_hashes: int = 16, rounds: int = 3) -> str:
+    """Minhash-LSH candidate edges (the q_kcore edge chain) feeding the
+    unrolled synchronous Louvain rounds (operators/graph.louvain_oracle_sql)
+    and the per-community rollup."""
+    from ..operators.graph import louvain_oracle_sql
+
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    )
+    r = rounds
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {dedup.MINHASH_P} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {dedup.MINHASH_P}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    edges AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+    ),
+    """
+        + louvain_oracle_sql(rounds=rounds)
+        + f""",
+    mem AS (
+        SELECT comm, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(k) AS BIGINT) AS total_degree
+        FROM c_{r} JOIN deg ON deg.s = c_{r}.node GROUP BY comm
+    ),
+    ie AS (
+        SELECT ca.comm, CAST(count(*) AS BIGINT) AS n
+        FROM edges e
+        JOIN c_{r} ca ON ca.node = e.doc_a
+        JOIN c_{r} cb ON cb.node = e.doc_b
+        WHERE ca.comm = cb.comm GROUP BY ca.comm
+    )
+    SELECT m.comm, m.n_members, m.total_degree,
+           CAST(coalesce(ie.n, 0) AS BIGINT) AS internal_edges
+    FROM mem m LEFT JOIN ie USING (comm)
+    """
+    )
+
+
+@query("q_louvain_l0", oracle=_louvain_oracle(16, rounds=3))
+def q_louvain_l0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOUVAIN LEVEL-0 communities (Blondel et al. 2008; synchronous
+    deterministic variant, operators/graph.louvain_level0) over the
+    minhash-LSH candidate graph — the cluster-GRANULARITY audit beside
+    q_dedup_clusters_star (VERDICT r08 item #5): connected components
+    label everything reachable (chain merges distinct near-dup groups
+    bridged by one spurious LSH edge); modularity communities split
+    such chains at their sparse cuts, so comparing the two partitions'
+    size profiles flags over-merged dedup clusters before survivorship
+    is applied.  Per community: member count, total degree, internal
+    edge count (rollup columns a granularity dashboard reads off).
+
+    Integer-exact synchronous gain argmax (2m·k_uC − k_u·tot'(C),
+    smallest-community tie-break) unrolled 3 rounds in the oracle —
+    the q_label_prop device extended with per-round community-mass
+    CTEs.
+
+    Scale: per round one edge-keyed join + (node, comm) vote agg +
+    comm-keyed mass agg + per-node argmax window — node/comm-keyed
+    shuffles only, never pair-quadratic; the candidate graph itself is
+    the bucket-bounded LSH output, never all-pairs."""
+    from ..operators.graph import louvain_level0
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
+    edges = dedup.lsh_candidate_pairs(bands).localCheckpoint(eager=True)
+    comm = louvain_level0(edges, rounds=3)
+    und = edges.select(F.col("doc_a").alias("s")).unionAll(
+        edges.select(F.col("doc_b").alias("s"))
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    mem = (
+        comm.join(deg, comm["node"] == deg["s"])
+        .groupBy("comm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("k").cast("long").alias("total_degree"),
+        )
+    )
+    ca = comm.select(F.col("node").alias("doc_a"), F.col("comm").alias("comm_a"))
+    cb = comm.select(F.col("node").alias("doc_b"), F.col("comm").alias("comm_b"))
+    ie = (
+        edges.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(F.col("comm_a") == F.col("comm_b"))
+        .groupBy(F.col("comm_a").alias("comm"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return mem.join(ie, "comm", "left").select(
+        "comm",
+        "n_members",
+        "total_degree",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("internal_edges"),
+    )
