@@ -47,7 +47,7 @@ from . import pipeline_queries  # noqa: E402,F401
 # round 8 (configs-side LEFT join, ADVICE r07) — so its refreshed evidence
 # is hard driver evidence rather than sim-only.  A green r09 window makes
 # the cumulative hard driver hash-PASS ledger cover all 377 oracled slugs.
-# Registry at HEAD: 390 queries / 379 oracled.
+# Registry at HEAD: 391 queries / 380 oracled.
 # Round-9 additions past window capacity follow the same overflow ledger
 # discipline in R10_QUEUE below: ordered immediately AFTER the window in
 # all_queries(), each sim-hash-verified on arrival, first in line for the
@@ -119,6 +119,7 @@ DRIVER_WINDOW: list[str] = [
 R10_QUEUE: list[str] = [
     "q_image_qoi",
     "q_louvain_l0",
+    "q_stream_dedup_watermark",
 ]
 
 # Round-9 re-verification allowance: q_embed_lsh_tuning's optimized plan

@@ -1292,3 +1292,117 @@ def q_stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vol_sum",
         F.expr("pv_sum div vol_sum").cast("long").alias("vwap_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stock-API watermarked dedup: dropDuplicatesWithinWatermark (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _wm_dedup_oracle(spacing_us: int = 60_000_000) -> str:
+    """Replay-to-completion parity twin: with a watermark delay longer
+    than the whole replayed ts span, every bucket's first arrival is
+    emitted exactly once and every later arrival is within-watermark
+    and dropped — so the emitted set is DISTINCT buckets, each tagged
+    with the doc_id-range micro-batch its minimum doc_id falls in (the
+    batch whose row won, whichever row of that batch the engine
+    kept)."""
+    from ..operators.dedup import MINHASH_P, minhash_params
+    from .llm_ops import _SHINGLE_CTE
+
+    seeds_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(16)[:2])
+    )
+    p = MINHASH_P
+    return (
+        _SHINGLE_CTE
+        + f""",
+    based AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {p} AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * hb + b) % {p}) AS mh
+        FROM based CROSS JOIN (VALUES {seeds_values}) AS seeds(seed, a, b)
+        GROUP BY doc_id, seed
+    ),
+    b0 AS (
+        SELECT doc_id,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed))
+                   AS bucket
+        FROM sig GROUP BY doc_id
+    ),
+    n AS (SELECT max(doc_id) + 1 AS nn FROM documents)
+    SELECT bucket,
+           CAST(CASE WHEN mn < (SELECT nn // 3 FROM n) THEN 0
+                     WHEN mn < (SELECT 2 * (nn // 3) FROM n) THEN 1
+                     ELSE 2 END AS BIGINT) AS first_batch
+    FROM (SELECT bucket, min(doc_id) AS mn FROM b0 GROUP BY bucket)
+    """
+    )
+
+
+@query("q_stream_dedup_watermark", oracle=_wm_dedup_oracle())
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STOCK watermarked-dedup API itself —
+    ``dropDuplicatesWithinWatermark`` (VERDICT r08 item #6; the Spark
+    primitive SURVEY §2.9 maps the reference's per-key high-water-mark
+    dedup onto, previously covered only via the exact-semantics
+    ``applyInPandasWithState`` twin q_stream_dedup_state): documents
+    arrive over three doc_id-monotone micro-batches, band themselves
+    row-locally into their band-0 LSH bucket, and the engine's own
+    bounded-state dedup drops every bucket re-arrival whose key state
+    is still within the watermark delay.  The delay (1 day) exceeds the
+    replayed ts span (~8 h), so the replay-to-completion parity is
+    exact: one emitted row per distinct bucket, from the first
+    micro-batch containing it — 17 cross-batch and 4 within-batch
+    duplicate keys are really dropped at sf0.01.
+
+    The output projects the emitted row to (bucket, first_batch) where
+    first_batch derives from the winning doc_id's range — within the
+    winning batch the engine keeps an arbitrary row, but every row of
+    that batch maps to the same batch index, so the result is
+    deterministic and full-hash-oracle-able (the q_stream_late_metrics
+    engineered-arrival device applied to the dedup operator).
+
+    Scale shape: the only shuffle key is (bucket); state per key is one
+    (key, expiry) entry evicted as the watermark passes — the stock
+    bounded-state guarantee this query pins."""
+    from ..operators import dedup
+
+    ensure_runtime_confs(spark)
+    n = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+        + 1
+    )
+    cut1, cut2 = n // 3, 2 * (n // 3)
+    schema = "doc_id BIGINT, text STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_doc_batches_dir(spark, sf_dir))
+    )
+    banded = dedup.minhash_bands_rowlocal(
+        stream, n=3, num_hashes=16, rows_per_band=2
+    )
+    keyed = banded.select(
+        "doc_id",
+        F.element_at("bands", 1).getField("bucket").alias("bucket"),
+        F.timestamp_micros(
+            F.lit(_SESSION_DEDUP_BASE_US) + F.col("doc_id") * F.lit(60_000_000)
+        ).alias("ts"),
+    ).withWatermark("ts", "1 day")
+    deduped = keyed.dropDuplicatesWithinWatermark(["bucket"])
+    out = _run_to_memory(deduped, "append")
+    return out.select(
+        "bucket",
+        F.when(F.col("doc_id") < cut1, F.lit(0))
+        .when(F.col("doc_id") < cut2, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+        .alias("first_batch"),
+    )
