@@ -3191,3 +3191,47 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, "complete")
     return out.select("band", "n", "n_keep")
+
+
+# ---------------------------------------------------------------------------
+# Densified One Permutation Hashing signatures (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _oph_oracle() -> str:
+    from ..operators.dedup import oph_oracle_sql
+    from .llm_ops import _SHINGLE_CTE
+
+    return _SHINGLE_CTE + "," + oph_oracle_sql()
+
+
+@query("q_dedup_oph", oracle=_oph_oracle())
+def q_dedup_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified ONE PERMUTATION HASHING signature matrix (Li, Owen &
+    Zhang 2012; rotation densification per Shrivastava & Li 2014) —
+    the K-hashes-for-one-evaluation alternative to the K-pass
+    `minhash_signatures` family: each shingle is hashed ONCE, the hash
+    splits into (bin, value), per-bin minima form the signature, and
+    empty bins borrow from the nearest non-empty bin to their cyclic
+    right with a distance offset.  At 100 TB the shingle stream
+    dominates dedup CPU, so evaluating 1 hash instead of K per shingle
+    is the difference between one scan-bound pass and a compute-bound
+    one; the collision probability per slot still estimates Jaccard
+    (the OPH guarantee), so downstream banding is unchanged.
+
+    Determinism device (what makes an order-dependent 'nearest
+    non-empty' search hash-oracle-able): the borrow is a windowed MIN
+    over packed ``slot * VMAX + value`` keys on a doubled 2K-row spine
+    — nearest slot wins because slot dominates the packing, and one
+    subtraction recovers the densified signature.  Pure integer;
+    DuckDB replays it bit-for-bit; a pure-python referee (no engine
+    code) pins both in tests/test_round9_ops.py.
+
+    Plan: one md5 per shingle, ONE (doc, bin) partial-agg shuffle, a
+    literal 2K spine explode, one 32-row window per doc — no per-seed
+    fan-out, no self-join."""
+    from ..operators.dedup import oph_signatures
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sh = dedup.shingles(docs, n=3)
+    return oph_signatures(sh)

@@ -10,6 +10,81 @@ import pytest
 from nomad_event_streamer_spark.plans import QUERIES
 
 
+class TestOphSignatures:
+    def test_matches_pure_python_referee(self, spark):
+        """Three-way pin: the Spark windowed-min densification equals a
+        plain nearest-non-empty scan that shares no engine code (the
+        DuckDB side is pinned by the driver hash gate)."""
+        import hashlib
+
+        from nomad_event_streamer_spark.operators import dedup
+        from nomad_event_streamer_spark.operators.dedup import (
+            MINHASH_P,
+            OPH_BINS,
+            oph_signatures,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        sh = dedup.shingles(docs, n=3)
+        out = {
+            (r["doc_id"], r["bin"]): r["sig"]
+            for r in oph_signatures(sh).collect()
+        }
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        K, VMAX = OPH_BINS, MINHASH_P // OPH_BINS + 2
+        ref = {}
+        for d, t in texts.items():
+            toks = t.split(" ")
+            shset = {
+                " ".join(toks[i : i + 3])
+                for i in range(max(len(toks) - 2, 1))
+            }
+            bins: dict[int, int] = {}
+            for s in shset:
+                hb = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+                bins[hb % K] = min(bins.get(hb % K, 1 << 62), hb // K)
+            for t_ in range(K):
+                best = min(
+                    (t_ + dist) * VMAX + bins[(t_ + dist) % K]
+                    for dist in range(K)
+                    if (t_ + dist) % K in bins
+                )
+                ref[(d, t_)] = best - t_ * VMAX
+        assert out == ref
+
+    def test_filled_bins_equal_raw_minima(self, spark):
+        """A non-empty bin's signature is its own min value (distance 0
+        adds no offset) — the densification must only touch empty bins."""
+        from pyspark.sql import Row
+
+        from nomad_event_streamer_spark.operators.dedup import (
+            MINHASH_P,
+            OPH_BINS,
+            oph_signatures,
+        )
+        import hashlib
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, shingle=f"tok {i} x") for i in range(200)]
+        )
+        out = {
+            r["bin"]: r["sig"] for r in oph_signatures(docs).collect()
+        }
+        K = OPH_BINS
+        bins: dict[int, int] = {}
+        for i in range(200):
+            hb = (
+                int(hashlib.md5(f"tok {i} x".encode()).hexdigest()[:15], 16)
+                % MINHASH_P
+            )
+            bins[hb % K] = min(bins.get(hb % K, 1 << 62), hb // K)
+        # 200 shingles over 16 bins: every bin should be occupied
+        assert set(bins) == set(range(K))
+        assert out == bins
+
+
 class TestStreamDedupWatermark:
     @pytest.fixture(scope="class")
     def rows(self, spark, sf_dir):
