@@ -3864,3 +3864,90 @@ def q_image_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     return qoi_roundtrip_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization audit (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unicode_nfc",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               replace(replace(text, 'a', 'a' || chr(769)),
+                       'o', 'o' || chr(776)) AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(s) AS BIGINT) AS chars_before,
+           CAST(length(nfc_normalize(s)) AS BIGINT) AS chars_after,
+           CAST(length(s) - length(nfc_normalize(s)) AS BIGINT) AS n_composed,
+           md5(nfc_normalize(s)) AS norm_md5
+    FROM d
+    """,
+)
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Unicode NFC normalization (UAX #15) — the canonicalization
+    pass a multilingual corpus runs before any hashing-based dedup
+    (visually identical strings with composed vs decomposed accents
+    hash differently; NFC makes the digest canonical).  The corpus text
+    is ASCII, so decomposed sequences are synthesized deterministically
+    first (every 'a' -> 'a' + U+0301 combining acute, every 'o' ->
+    'o' + U+0308 diaeresis), then the Arrow-batched normalizer applies
+    Python's unicodedata.normalize('NFC') — a REAL UCD-table
+    implementation — and emits per-doc char counts before/after, the
+    composed-pair count, and the md5 of the normalized text.
+
+    The oracle replays with DuckDB's INDEPENDENT ``nfc_normalize``
+    (utf8proc-based): two unrelated UCD implementations must agree
+    byte-for-byte on every composition, or the digest breaks — the
+    strongest cross-implementation check available for a
+    standards-defined transform (same posture as the DuckDB-native
+    ASOF JOIN referee, scripts/fuzz_asof.py).
+
+    Scale: per-row Arrow batches, no shuffle — the scan-side
+    canonicalization pass."""
+    from collections.abc import Iterator
+    import unicodedata
+
+    import pandas as pd
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    dec = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301")),
+            F.lit("o"),
+            F.lit("o\u0308"),
+        ).alias("s"),
+    )
+
+    def norm_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            norm = [
+                unicodedata.normalize("NFC", s) for s in pdf["s"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "chars_before": [len(s) for s in pdf["s"]],
+                    "chars_after": [len(n) for n in norm],
+                    "n_composed": [
+                        len(s) - len(n) for s, n in zip(pdf["s"], norm)
+                    ],
+                    "norm_md5": [
+                        hashlib.md5(n.encode("utf-8")).hexdigest()
+                        for n in norm
+                    ],
+                }
+            )
+
+    return dec.mapInPandas(
+        norm_batches,
+        "doc_id bigint, chars_before bigint, chars_after bigint, "
+        "n_composed bigint, norm_md5 string",
+    )
