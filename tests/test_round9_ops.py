@@ -151,3 +151,103 @@ class TestStreamDedupWatermark:
         """Cross-batch drops only exist if later batches lose some keys
         AND still win others — all three batch indices must appear."""
         assert {r["first_batch"] for r in rows} == {0, 1, 2}
+
+
+class TestFmSketch:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return QUERIES["q_fm_sketch"](spark, sf_dir).collect()
+
+    def test_bitmap_bits_are_consistent_with_r(self, rows):
+        """R must be the index of the lowest unset bit of the bitmap."""
+        for r in rows:
+            b = r["bitmap"]
+            assert b > 0
+            k = r["r_lowest_zero"]
+            assert (b >> k) & 1 == 0
+            assert all((b >> j) & 1 for j in range(k))
+
+    def test_pcsa_estimate_within_band(self, spark, sf_dir, rows):
+        """Estimator accuracy with the standard regime split: PCSA's
+        mean-R estimator (n-hat = m * 2^(mean R) / 0.77351) when the
+        buckets are mostly occupied; LINEAR COUNTING (n-hat =
+        -m ln(V/m), V = empty buckets — Whang et al. 1990, the same
+        small-range correction HLL uses) when they are not, which is
+        where PCSA's additive bias dominates (n ~ m)."""
+        import math
+        from collections import defaultdict
+
+        from nomad_event_streamer_spark.tables import events
+
+        truth = {
+            r["event_type"]: r["n"]
+            for r in events(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        sums: dict[str, int] = defaultdict(int)
+        occ: dict[str, int] = defaultdict(int)
+        for r in rows:
+            sums[r["event_type"]] += r["r_lowest_zero"]
+            occ[r["event_type"]] += 1
+        m = 64
+        for et, n in truth.items():
+            empty = m - occ[et]
+            if empty > 0.3 * m:
+                est = -m * math.log(empty / m)
+            else:
+                est = m * (2 ** (sums[et] / m)) / 0.77351
+            assert 0.7 * n <= est <= 1.4 * n, (et, n, est)
+
+    def test_sketches_are_mergeable(self, spark, sf_dir):
+        """bit_or is associative/commutative: sketching two disjoint
+        halves and OR-merging equals sketching the whole — the property
+        that makes the one-pass distributed shape correct."""
+        from nomad_event_streamer_spark.tables import events
+
+        ev = events(spark, sf_dir)
+        full = {
+            (r["event_type"], r["bucket"]): r["bitmap"]
+            for r in QUERIES["q_fm_sketch"](spark, sf_dir).collect()
+        }
+
+        def sketch_of(df):
+            h = df.select(
+                "event_type",
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("hv"),
+            ).distinct()
+            parts = h.select(
+                "event_type",
+                (F.col("hv") % 64).alias("bucket"),
+                F.expr("hv div 64").alias("v"),
+            )
+            return {
+                (r["event_type"], r["bucket"]): r["bm"]
+                for r in parts.groupBy("event_type", "bucket")
+                .agg(
+                    F.bit_or(
+                        F.expr(
+                            "shiftleft(1L, CASE WHEN v = 0 THEN 62 ELSE "
+                            "cast(length(bin(v & -v)) as int) - 1 END)"
+                        )
+                    ).alias("bm")
+                )
+                .collect()
+            }
+
+        a = sketch_of(ev.where(F.col("user_id") % 2 == 0))
+        b = sketch_of(ev.where(F.col("user_id") % 2 == 1))
+        merged = {}
+        for d in (a, b):
+            for k, v in d.items():
+                merged[k] = merged.get(k, 0) | v
+        assert merged == full
