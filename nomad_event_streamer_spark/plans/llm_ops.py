@@ -6186,3 +6186,148 @@ def q_louvain_l0(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_degree",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("internal_edges"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Farthest-first k-center seeding (round 9)
+# ---------------------------------------------------------------------------
+
+_KC_K = 4  # centers
+
+
+def _kcenter_oracle(k: int = _KC_K) -> str:
+    """Unrolled Gonzalez rounds: argmax-of-min-distance as ORDER
+    BY/LIMIT-1 scalar CTEs, distances via the q_gram_int explode-join
+    device, all integer milli-units."""
+    parts = [
+        """WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id, i, v[i + 1] AS x
+        FROM q CROSS JOIN range(0, 64) t(i)
+    ),
+    c0 AS (SELECT i, x AS y FROM u WHERE vec_id = 0),
+    m0 AS (
+        SELECT u.vec_id, CAST(sum((x - y) * (x - y)) AS BIGINT) AS d
+        FROM u JOIN c0 USING (i) GROUP BY 1
+    )"""
+    ]
+    for t in range(1, k):
+        p = t - 1
+        parts.append(
+            f"""p{t} AS (
+        SELECT vec_id FROM m{p} ORDER BY d DESC, vec_id ASC LIMIT 1
+    ),
+    c{t} AS (SELECT i, x AS y FROM u
+             WHERE vec_id = (SELECT vec_id FROM p{t})),
+    d{t} AS (
+        SELECT u.vec_id, CAST(sum((x - y) * (x - y)) AS BIGINT) AS dn
+        FROM u JOIN c{t} USING (i) GROUP BY 1
+    ),
+    m{t} AS (
+        SELECT m{p}.vec_id, least(m{p}.d, d{t}.dn) AS d
+        FROM m{p} JOIN d{t} USING (vec_id)
+    )"""
+        )
+    center_rows = ["SELECT 0::BIGINT AS cid, i, y FROM c0"] + [
+        f"SELECT (SELECT vec_id FROM p{t})::BIGINT AS cid, i, y FROM c{t}"
+        for t in range(1, k)
+    ]
+    parts.append(
+        f"""cv AS ({' UNION ALL '.join(center_rows)}),
+    dist AS (
+        SELECT u.vec_id, cv.cid,
+               CAST(sum((u.x - cv.y) * (u.x - cv.y)) AS BIGINT) AS d
+        FROM u JOIN cv USING (i) GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM dist
+    )
+    SELECT cid AS center_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(d) AS BIGINT) AS cost,
+           CAST(max(d) AS BIGINT) AS radius
+    FROM best WHERE rn = 1 GROUP BY cid"""
+    )
+    return ",\n    ".join(parts)
+
+
+@query("q_kcenter_seed", oracle=_kcenter_oracle())
+def q_kcenter_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FARTHEST-FIRST k-center seeding (Gonzalez 1985, "Clustering to
+    minimize the maximum intercluster distance" — the deterministic
+    relative of k-means++ initialization, and the 2-approximation for
+    the k-center objective): start from vec 0, repeatedly add the
+    vector FARTHEST from the chosen set (argmax of min squared L2,
+    smallest-id tie-break), k=4 rounds, then assign every vector to its
+    nearest center — the cluster-seeding pass a SemDeDup-style
+    embedding-dedup or data-mixture pipeline runs before k-means
+    proper.  Per center: member count, summed and maximum assignment
+    distance (the k-center cost/radius audit).
+
+    Integer milli-unit distances make every argmax and the final
+    assignment bit-deterministic (the q_gram_int quantization device),
+    so the whole iterative seeding passes the full hash gate against
+    unrolled ORDER-BY/LIMIT-1 CTE rounds.
+
+    Scale shape: each round is ONE map-side aggregate-HOF distance
+    column against a LITERAL center vector (the driver holds k·64
+    integers — KB — never the corpus) + a 1-ROW argmax collect; the
+    assignment is a 4-way least/struct-min, no join anywhere.  At
+    100 TB: k scans, zero shuffles."""
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    q = vecs.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+            "* 1000.0 + 0.5) AS BIGINT))"
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+
+    def dist_expr(center: list[int]) -> str:
+        arr = ", ".join(f"{c}L" for c in center)
+        return (
+            f"aggregate(zip_with(v, array({arr}), "
+            "(x, y) -> (x - y) * (x - y)), 0L, (acc, e) -> acc + e)"
+        )
+
+    c0 = q.where(F.col("vec_id") == 0).collect()[0]["v"]
+    centers = [(0, list(c0))]
+    cur = q.select("vec_id", "v", F.expr(dist_expr(centers[0][1])).alias("d"))
+    for _ in range(1, _KC_K):
+        far = (
+            cur.orderBy(F.col("d").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((far["vec_id"], list(far["v"])))
+        cur = cur.select(
+            "vec_id",
+            "v",
+            F.least(F.col("d"), F.expr(dist_expr(centers[-1][1]))).alias("d"),
+        ).localCheckpoint(eager=True)
+    cands = F.array(
+        *[
+            F.struct(
+                F.expr(dist_expr(v)).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, v in centers
+        ]
+    )
+    best = q.select(
+        "vec_id", F.array_min(cands).alias("b")
+    ).select("vec_id", F.col("b.cid").alias("center_id"), F.col("b.d").alias("d"))
+    return best.groupBy("center_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("d").cast("long").alias("cost"),
+        F.max("d").cast("long").alias("radius"),
+    )
