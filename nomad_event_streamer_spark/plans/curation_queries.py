@@ -691,3 +691,95 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("load_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical path-prefix rollup (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_path_prefix_rollup",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes,
+               '/a' || (doc_id % 3) AS p1,
+               '/a' || (doc_id % 3) || '/b' || (doc_id % 5) AS p2,
+               '/a' || (doc_id % 3) || '/b' || (doc_id % 5)
+                    || '/c' || (doc_id % 7) AS p3,
+               '/a' || (doc_id % 3) || '/b' || (doc_id % 5)
+                    || '/c' || (doc_id % 7) || '/d-' || (doc_id % 11) AS p4
+        FROM documents
+    ),
+    lv AS (
+        SELECT doc_id, bytes, 1 AS depth, p1 AS prefix, p4 FROM p
+        UNION ALL SELECT doc_id, bytes, 2, p2, p4 FROM p
+        UNION ALL SELECT doc_id, bytes, 3, p3, p4 FROM p
+        UNION ALL SELECT doc_id, bytes, 4, p4, p4 FROM p
+    )
+    SELECT prefix, CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bytes) AS BIGINT) AS bytes_sum,
+           CAST(count(DISTINCT p4) AS BIGINT) AS n_leaves
+    FROM lv GROUP BY 1, 2
+    """,
+)
+def q_path_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical PATH-PREFIX rollup — the `du`-style crawl-layout
+    audit: every cumulative directory prefix of each document's
+    (synthesized, 4-level) path gets doc count, byte mass, and distinct
+    leaf-path count, so a curation dashboard can spot the subtrees that
+    dominate the corpus before sharding or sampling by path.  The
+    prefix explosion is the classic hierarchy-flattening device: depth
+    levels become an array-of-structs explode (4 rows per doc — depth
+    is a small constant), then ONE map-side-combinable groupBy on
+    (prefix, depth); no joins, no window.
+
+    At 100 TB: rollup keys are path prefixes (bytes ~100), so the
+    shuffle carries prefix keys + partial aggregates, never documents —
+    and the distinct-leaf count rides the same shuffle as a per-group
+    COUNT DISTINCT on a co-partitioned key."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    p = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("bytes"),
+        F.concat(F.lit("/a"), F.col("doc_id") % 3).alias("p1"),
+    ).select(
+        "doc_id",
+        "bytes",
+        "p1",
+        F.concat(F.col("p1"), F.lit("/b"), F.col("doc_id") % 5).alias("p2"),
+    ).select(
+        "doc_id",
+        "bytes",
+        "p1",
+        "p2",
+        F.concat(F.col("p2"), F.lit("/c"), F.col("doc_id") % 7).alias("p3"),
+    ).select(
+        "doc_id",
+        "bytes",
+        "p1",
+        "p2",
+        "p3",
+        F.concat(F.col("p3"), F.lit("/d-"), F.col("doc_id") % 11).alias("p4"),
+    )
+    lv = p.select(
+        "bytes",
+        "p4",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("depth"),
+                        F.col(f"p{i}").alias("prefix"),
+                    )
+                    for i in (1, 2, 3, 4)
+                ]
+            )
+        ).alias("l"),
+    ).select("bytes", "p4", "l.depth", "l.prefix")
+    return lv.groupBy("prefix", "depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("bytes").cast("long").alias("bytes_sum"),
+        F.countDistinct("p4").cast("long").alias("n_leaves"),
+    )

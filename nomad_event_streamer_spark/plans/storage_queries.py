@@ -245,3 +245,68 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_extendedprice", "sum_price"),
         )
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(length(text) AS BIGINT) AS text_len,
+               doc_id % 2 AS gen
+        FROM documents
+    )
+    SELECT CAST(gen AS BIGINT) AS gen,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(text_len) AS BIGINT) AS len_sum,
+           CAST(sum(CASE WHEN gen = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lang_null,
+           CAST(count(DISTINCT CASE WHEN gen = 1 THEN source END)
+                AS BIGINT) AS n_langs
+    FROM d GROUP BY gen
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION read (``mergeSchema``): generation 0 of
+    a dataset was written WITHOUT the ``lang`` column, generation 1
+    WITH it — the layout every long-lived ingest pipeline accumulates
+    as its schema grows.  The union read must reconcile the two file
+    schemas (new column nulled for old files), and the audit aggregates
+    per generation: doc count, byte mass, how many rows carry the
+    nulled column, and the distinct values the new column actually
+    holds.  A silent mis-merge (column dropped, or old rows given a
+    default instead of NULL) shifts a count and breaks the hash.
+
+    Scale: schema merge costs one footer read per FILE (not per row) at
+    planning time; the data path stays columnar.  The maintenance
+    posture (write-once temp layout keyed by sf) matches
+    q_compact_small_files."""
+    tag = _sf_tag(sf_dir)
+    root = f"/tmp/spark_graft_evolve_{tag}"
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("text_len"),
+        (F.col("doc_id") % 2).cast("long").alias("gen"),
+    )
+    g0, g1 = f"{root}/g0", f"{root}/g1"
+    if not os.path.exists(os.path.join(g0, "_SUCCESS")):
+        docs.where(F.col("gen") == 0).select(
+            "doc_id", "text_len", "gen"
+        ).write.mode("overwrite").parquet(g0)
+    if not os.path.exists(os.path.join(g1, "_SUCCESS")):
+        docs.where(F.col("gen") == 1).select(
+            "doc_id",
+            "text_len",
+            "gen",
+            F.col("source").alias("lang"),
+        ).write.mode("overwrite").parquet(g1)
+    merged = spark.read.option("mergeSchema", "true").parquet(g0, g1)
+    return merged.groupBy("gen").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("text_len").cast("long").alias("len_sum"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lang_null"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
