@@ -1251,3 +1251,94 @@ def test_hapax_is_single_rollup_chain(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_hapax_bigrams")
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+# ---------------------------------------------------------------------------
+# Round-9 ops (batch queries only; streaming q_stream_dedup_watermark is
+# covered by its replay-parity tests in test_round9_ops.py)
+# ---------------------------------------------------------------------------
+
+ROUND9_OPS = [
+    "q_image_qoi",
+    "q_louvain_l0",
+    "q_dedup_oph",
+    "q_unicode_nfc",
+    "q_fm_sketch",
+    "q_kcenter_seed",
+    "q_path_prefix_rollup",
+    "q_schema_evolution",
+]
+
+
+@pytest.mark.parametrize("name", ROUND9_OPS)
+def test_round9_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_image_qoi_is_pure_scan_map(spark, sf_dir):
+    """Codec roundtrip must be shuffle-free: one scan, one Arrow-batched
+    python map, nothing else."""
+    plan = plan_of(spark, sf_dir, "q_image_qoi")
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unicode_nfc_is_pure_scan_map(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_unicode_nfc")
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_dedup_oph_single_bin_shuffle(spark, sf_dir):
+    """OPH's point is ONE (doc, bin) partial-agg shuffle + a 32-row
+    window per doc — no per-seed fan-out, no self-join."""
+    plan = plan_of(spark, sf_dir, "q_dedup_oph")
+    assert plan.count("SortMergeJoin") <= 1  # spine left-join only
+    assert "Window" in plan
+    # partial + final agg for the (doc, bin) minima
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_fm_sketch_is_one_agg_chain(spark, sf_dir):
+    """distinct + bit_or rollup: aggregate exchanges only, no joins, no
+    windows."""
+    plan = plan_of(spark, sf_dir, "q_fm_sketch")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final
+
+
+def test_kcenter_assignment_has_no_joins(spark, sf_dir):
+    """Centers ride as literals: the assignment pass must contain NO
+    join operator at all (the driver-holds-KB pattern)."""
+    plan = plan_of(spark, sf_dir, "q_kcenter_seed")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_path_prefix_rollup_single_groupby(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_path_prefix_rollup")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate explode" in plan
+
+
+def test_schema_evolution_read_is_columnar(spark, sf_dir):
+    """The merged read must still be a columnar parquet scan (schema
+    reconciliation happens at planning, not via a row-level union of
+    casts through some non-columnar path)."""
+    plan = plan_of(spark, sf_dir, "q_schema_evolution")
+    assert "Scan parquet" in plan
+    assert "Join" not in plan
+
+
+def test_louvain_shuffles_are_key_partitioned(spark, sf_dir):
+    """Every exchange in the final louvain round must be hash
+    partitioning on node/comm keys (or AQE coalesced reads of one) —
+    no single-partition exchange anywhere."""
+    df = QUERIES["q_louvain_l0"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

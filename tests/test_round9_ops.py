@@ -251,3 +251,118 @@ class TestFmSketch:
             for k, v in d.items():
                 merged[k] = merged.get(k, 0) | v
         assert merged == full
+
+
+class TestKcenterSeed:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return QUERIES["q_kcenter_seed"](spark, sf_dir).collect()
+
+    def test_k_clusters_cover_all_vectors(self, spark, sf_dir, rows):
+        from nomad_event_streamer_spark.tables import load
+
+        n = load(spark, sf_dir, "embeddings").count()
+        assert len(rows) == 4
+        assert sum(r["n_members"] for r in rows) == n
+
+    def test_matches_pure_python_referee(self, spark, sf_dir, rows):
+        """Replay Gonzalez farthest-first seeding + assignment in plain
+        python over the quantized vectors."""
+        import math
+
+        from nomad_event_streamer_spark.tables import load
+
+        def q(x):
+            return math.floor(x * 1000.0 + 0.5)
+
+        vecs = {
+            r["vec_id"]: [q(float(x)) for x in r["embedding"]]
+            for r in load(spark, sf_dir, "embeddings").collect()
+        }
+
+        def d2(a, b):
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        centers = [0]
+        dmin = {v: d2(vecs[v], vecs[0]) for v in vecs}
+        for _ in range(3):
+            far = min(vecs, key=lambda v: (-dmin[v], v))
+            centers.append(far)
+            for v in vecs:
+                dmin[v] = min(dmin[v], d2(vecs[v], vecs[far]))
+        agg = {}
+        for v in vecs:
+            best = min(
+                ((d2(vecs[v], vecs[c]), c) for c in centers),
+            )
+            n, cost, radius = agg.get(best[1], (0, 0, 0))
+            agg[best[1]] = (n + 1, cost + best[0], max(radius, best[0]))
+        got = {
+            r["center_id"]: (r["n_members"], r["cost"], r["radius"])
+            for r in rows
+        }
+        assert got == agg
+
+
+class TestPathPrefixRollup:
+    def test_prefix_tree_is_consistent(self, spark, sf_dir):
+        """Parent mass >= sum of any child's mass; depth-1 totals equal
+        the corpus."""
+        from collections import defaultdict
+
+        from nomad_event_streamer_spark.tables import load
+
+        rows = QUERIES["q_path_prefix_rollup"](spark, sf_dir).collect()
+        n_docs = load(spark, sf_dir, "documents").count()
+        by_depth = defaultdict(list)
+        for r in rows:
+            by_depth[r["depth"]].append(r)
+        for d in (1, 2, 3, 4):
+            assert sum(r["n_docs"] for r in by_depth[d]) == n_docs
+        parents = {r["prefix"]: r for r in by_depth[1]}
+        for r in by_depth[2]:
+            parent = r["prefix"].rsplit("/", 1)[0]
+            assert parents[parent]["n_docs"] >= r["n_docs"]
+            assert parents[parent]["bytes_sum"] >= r["bytes_sum"]
+            assert parents[parent]["n_leaves"] >= r["n_leaves"]
+
+
+class TestSchemaEvolution:
+    def test_old_generation_lang_is_null(self, spark, sf_dir):
+        rows = {
+            r["gen"]: r
+            for r in QUERIES["q_schema_evolution"](spark, sf_dir).collect()
+        }
+        assert set(rows) == {0, 1}
+        # generation 0 predates the column: every row NULL, 0 distinct
+        assert rows[0]["n_lang_null"] == rows[0]["n_docs"]
+        assert rows[0]["n_langs"] == 0
+        # generation 1 carries it: no NULLs, several languages
+        assert rows[1]["n_lang_null"] == 0
+        assert rows[1]["n_langs"] >= 2
+
+
+class TestUnicodeNfc:
+    def test_composition_counts(self, spark, sf_dir):
+        """n_composed must equal the number of injected combining marks
+        (every 'a' and 'o' of the source text composes away one char)."""
+        from nomad_event_streamer_spark.tables import load
+
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load(spark, sf_dir, "documents").collect()
+        }
+        rows = QUERIES["q_unicode_nfc"](spark, sf_dir).collect()
+        assert len(rows) == len(texts)
+        import hashlib
+        import unicodedata
+
+        for r in rows:
+            t = texts[r["doc_id"]]
+            marks = t.count("a") + t.count("o")
+            assert r["n_composed"] == marks
+            assert r["chars_before"] == len(t) + marks
+            assert r["chars_after"] == len(t)
+            dec = t.replace("a", "á").replace("o", "ö")
+            norm = unicodedata.normalize("NFC", dec)
+            assert r["norm_md5"] == hashlib.md5(norm.encode()).hexdigest()
