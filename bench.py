@@ -179,6 +179,17 @@ HEADLINE = [
     "q_link_predict",
     "q_pq_recall_sweep",
     "q_stream_dedup_ttl",
+    # round-9 fact-scale additions: OPH rides the full shingle stream
+    # (the CPU-bound dedup pass the op exists to cheapen), Louvain runs
+    # the LSH pipeline + 3 gain rounds, k-center is 4 corpus scans of
+    # 64-dim HOF distances, QOI is the per-row codec pass, FM the
+    # events-wide bit_or rollup.  Scan-shaped unicode_nfc /
+    # path_prefix_rollup / schema_evolution stay un-benched.
+    "q_dedup_oph",
+    "q_louvain_l0",
+    "q_kcenter_seed",
+    "q_image_qoi",
+    "q_fm_sketch",
 ]
 
 
