@@ -3951,3 +3951,103 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, chars_before bigint, chars_after bigint, "
         "n_composed bigint, norm_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules: Apriori level-2 (round 9)
+# ---------------------------------------------------------------------------
+
+_AR_MIN_ITEM_DF = 200  # item support floor (docs)
+_AR_MIN_PAIR_DF = 50  # pair support floor (docs)
+
+
+@query(
+    "q_assoc_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    items AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY tok
+        HAVING count(*) >= {_AR_MIN_ITEM_DF}
+    ),
+    ft AS (SELECT t.doc_id, t.tok FROM t JOIN items USING (tok)),
+    pair AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(count(*) AS BIGINT) AS pair_df
+        FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2
+        HAVING count(*) >= {_AR_MIN_PAIR_DF}
+    )
+    SELECT tok_a, tok_b, pair_df,
+           CAST(pair_df * 1000000 // nd AS BIGINT) AS supp_ppm,
+           CAST(pair_df * 1000000 // ia.df AS BIGINT) AS conf_a2b_ppm,
+           CAST(pair_df * 1000000 // ib.df AS BIGINT) AS conf_b2a_ppm,
+           CAST(pair_df * nd * 1000 // (ia.df * ib.df) AS BIGINT)
+               AS lift_milli
+    FROM pair
+    JOIN items ia ON ia.tok = pair.tok_a
+    JOIN items ib ON ib.tok = pair.tok_b
+    CROSS JOIN n
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES, Apriori level-2 (Agrawal & Srikant 1994):
+    frequent token pairs with support / directional confidence / lift
+    in exact integer ppm/milli units — the co-occurrence mining pass a
+    corpus audit runs to find boilerplate token combinations and
+    template families (complements q_cooccurrence_pmi's
+    information-theoretic scoring with the rule-mining metrics).
+
+    The Apriori property IS the scale design: items are pruned to the
+    support floor FIRST (a frequency aggregate on token keys), and only
+    frequent items enter the pair join — so the pair space is bounded
+    by (frequent vocab)², never (corpus tokens)², and the per-doc pair
+    fan-out is the square of its FREQUENT-token count.  All joins are
+    doc-key or token-key equi-joins; metrics are integer divisions of
+    counts, bit-identical in both engines."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    nd = docs.count()
+    items = (
+        t.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where(F.col("df") >= _AR_MIN_ITEM_DF)
+        .localCheckpoint(eager=True)
+    )
+    ft = t.join(F.broadcast(items.select("tok")), "tok")
+    a = ft.select("doc_id", F.col("tok").alias("tok_a"))
+    b = ft.select("doc_id", F.col("tok").alias("tok_b"))
+    pair = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_df"))
+        .where(F.col("pair_df") >= _AR_MIN_PAIR_DF)
+    )
+    ia = items.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    ib = items.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pair.join(F.broadcast(ia), "tok_a")
+        .join(F.broadcast(ib), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "pair_df",
+            F.expr(f"pair_df * 1000000 div {nd}").cast("long").alias("supp_ppm"),
+            F.expr("pair_df * 1000000 div df_a")
+            .cast("long")
+            .alias("conf_a2b_ppm"),
+            F.expr("pair_df * 1000000 div df_b")
+            .cast("long")
+            .alias("conf_b2a_ppm"),
+            F.expr(f"pair_df * {nd} * 1000 div (df_a * df_b)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+    )
