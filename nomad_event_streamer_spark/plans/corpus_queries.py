@@ -4051,3 +4051,144 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump feature audit by Gini gain (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_gini_stump",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS ns
+        FROM documents GROUP BY source
+    ),
+    parent AS (
+        SELECT CAST(1000000 - sum(ns * ns) * 1000000
+                    // ((SELECT nd FROM n) * (SELECT nd FROM n))
+               AS BIGINT) AS gp
+        FROM per_src
+    ),
+    grid AS (
+        SELECT tok, source, ns
+        FROM (SELECT DISTINCT tok FROM t) CROSS JOIN per_src
+    ),
+    lcnt AS (
+        SELECT t.tok, d.source, CAST(count(*) AS BIGINT) AS nls
+        FROM t JOIN documents d USING (doc_id) GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT g.tok, g.source, g.ns, COALESCE(l.nls, 0) AS nls
+        FROM grid g LEFT JOIN lcnt l
+          ON l.tok = g.tok AND l.source = g.source
+    ),
+    per_tok AS (
+        SELECT tok,
+               CAST(sum(nls) AS BIGINT) AS nl,
+               CAST(sum(nls * nls) AS BIGINT) AS sql2,
+               CAST(sum((ns - nls) * (ns - nls)) AS BIGINT) AS sqr2
+        FROM cells GROUP BY tok
+    ),
+    scored AS (
+        SELECT tok, nl, (SELECT nd FROM n) - nl AS nr,
+               CASE WHEN nl = 0 THEN 0
+                    ELSE 1000000 - sql2 * 1000000 // (nl * nl) END AS gl,
+               CASE WHEN (SELECT nd FROM n) - nl = 0 THEN 0
+                    ELSE 1000000 - sqr2 * 1000000
+                         // (((SELECT nd FROM n) - nl)
+                             * ((SELECT nd FROM n) - nl)) END AS gr
+        FROM per_tok
+    )
+    SELECT tok, nl AS n_with, nr AS n_without,
+           CAST(gl AS BIGINT) AS gini_with_ppm,
+           CAST(gr AS BIGINT) AS gini_without_ppm,
+           CAST((SELECT gp FROM parent)
+                - (nl * gl + nr * gr) // (SELECT nd FROM n)
+                AS BIGINT) AS gain_ppm
+    FROM scored
+    """,
+)
+def q_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-STUMP feature audit by Gini gain (CART, Breiman et al.
+    1984): for every vocabulary token, split the corpus on
+    contains(token) and score the split by the drop in Gini impurity of
+    the ``source`` label — the quality-classifier FEATURE-SELECTION
+    pass that ranks which lexical features carry label signal before
+    training anything (complements q_hashed_ngram_score's trained
+    weights with a model-free filter metric).
+
+    Gini is the RATIONAL impurity (1 - Σ(c/n)²) — unlike entropy it
+    needs no libm log, so the whole scorecard is integer ppm with a
+    single division per impurity (sum the squared counts first, divide
+    once) and bit-identical in both engines.
+
+    Scale: one distinct (doc, token) explode -> ONE (token, label)
+    count shuffle; the label marginals and the token x label zero-fill
+    grid are broadcast-sized (vocab x labels); gains are per-row
+    arithmetic.  Documents never shuffle."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    nd = docs.count()
+    t = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    gp = (
+        per_src.agg(
+            (
+                F.lit(1000000)
+                - F.expr(f"sum(ns * ns) * 1000000 div ({nd} * {nd})")
+            ).alias("gp")
+        ).collect()[0]["gp"]
+    )
+    lcnt = (
+        t.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("tok", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("nls"))
+    )
+    grid = t.select("tok").distinct().crossJoin(F.broadcast(per_src))
+    cells = grid.join(lcnt, ["tok", "source"], "left").select(
+        "tok",
+        "ns",
+        F.coalesce(F.col("nls"), F.lit(0)).cast("long").alias("nls"),
+    )
+    per_tok = cells.groupBy("tok").agg(
+        F.sum("nls").cast("long").alias("nl"),
+        F.sum(F.col("nls") * F.col("nls")).cast("long").alias("sql2"),
+        F.sum((F.col("ns") - F.col("nls")) * (F.col("ns") - F.col("nls")))
+        .cast("long")
+        .alias("sqr2"),
+    )
+    scored = per_tok.select(
+        "tok",
+        "nl",
+        (F.lit(nd) - F.col("nl")).alias("nr"),
+        F.expr(
+            "CASE WHEN nl = 0 THEN 0 "
+            "ELSE 1000000 - sql2 * 1000000 div (nl * nl) END"
+        ).alias("gl"),
+        F.expr(
+            f"CASE WHEN {nd} - nl = 0 THEN 0 "
+            f"ELSE 1000000 - sqr2 * 1000000 div "
+            f"(({nd} - nl) * ({nd} - nl)) END"
+        ).alias("gr"),
+    )
+    return scored.select(
+        "tok",
+        F.col("nl").alias("n_with"),
+        F.col("nr").alias("n_without"),
+        F.col("gl").cast("long").alias("gini_with_ppm"),
+        F.col("gr").cast("long").alias("gini_without_ppm"),
+        F.expr(f"{gp} - (nl * gl + nr * gr) div {nd}")
+        .cast("long")
+        .alias("gain_ppm"),
+    )
