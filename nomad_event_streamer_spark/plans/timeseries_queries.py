@@ -1212,3 +1212,194 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("forecast_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive triple smoothing (round 9)
+# ---------------------------------------------------------------------------
+
+_HW_M = 7  # weekly season over the 30-day corpus
+_HW_GAMMA_MILLI = 300
+
+
+def _hw_chain() -> str:
+    """Unrolled Holt-Winters CTE chain: per step t > m one CTE ``hw_{t}``
+    holding (event_type, l, b) and one ``se_{t}`` holding the refreshed
+    seasonal; seasonal lookups reach back to ``se_{t-m}`` (init
+    seasonals se_1..se_m come from the m-mean initialization)."""
+    a, na = _HOLT_ALPHA_MILLI, 1000 - _HOLT_ALPHA_MILLI
+    be, nbe = _HOLT_BETA_MILLI, 1000 - _HOLT_BETA_MILLI
+    g, ng = _HW_GAMMA_MILLI, 1000 - _HW_GAMMA_MILLI
+    m = _HW_M
+    parts = [
+        f"""
+    WITH days AS (
+        SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us
+        FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+        SELECT event_type,
+               (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    x AS MATERIALIZED (
+        SELECT t.event_type,
+               CAST(row_number() OVER (PARTITION BY t.event_type
+                                       ORDER BY d.day_us) AS BIGINT) AS t,
+               CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        FROM types t CROSS JOIN days d
+        LEFT JOIN cnt c ON c.event_type = t.event_type
+                       AND c.day_us = d.day_us
+    ),
+    init AS MATERIALIZED (
+        SELECT event_type,
+               CAST(sum(CASE WHEN t <= {m} THEN x ELSE 0 END) * 1000 // {m}
+                    AS BIGINT) AS l0,
+               CAST((sum(CASE WHEN t > {m} AND t <= {2 * m} THEN x
+                              ELSE 0 END)
+                     - sum(CASE WHEN t <= {m} THEN x ELSE 0 END)) * 1000
+                    // ({m} * {m}) AS BIGINT) AS b0
+        FROM x WHERE t <= {2 * m} GROUP BY event_type
+    )"""
+    ]
+    for i in range(1, m + 1):
+        parts.append(
+            f""",
+    se_{i} AS MATERIALIZED (
+        SELECT x.event_type, CAST(x.x * 1000 - init.l0 AS BIGINT) AS s
+        FROM x JOIN init USING (event_type) WHERE x.t = {i}
+    )"""
+        )
+    parts.append(
+        f""",
+    hw_{m} AS MATERIALIZED (SELECT event_type, l0 AS l, b0 AS b FROM init)"""
+    )
+    for t in range(m + 1, _HOLT_T + 1):
+        parts.append(
+            f""",
+    hw_{t}_pre AS MATERIALIZED (
+        SELECT p.event_type, xt.x, p.l AS l_prev, p.b AS b_prev, se.s AS s_m,
+               ({a} * (xt.x * 1000 - se.s) + {na} * (p.l + p.b)) // 1000 AS l
+        FROM hw_{t - 1} p
+        JOIN x xt ON xt.event_type = p.event_type AND xt.t = {t}
+        JOIN se_{t - m} se ON se.event_type = p.event_type
+    ),
+    hw_{t} AS MATERIALIZED (
+        SELECT event_type, l,
+               ({be} * (l - l_prev) + {nbe} * b_prev) // 1000 AS b
+        FROM hw_{t}_pre
+    ),
+    se_{t} AS MATERIALIZED (
+        SELECT event_type,
+               ({g} * (x * 1000 - l) + {ng} * s_m) // 1000 AS s
+        FROM hw_{t}_pre
+    ),
+    out_{t} AS (
+        SELECT p.event_type, CAST({t} AS BIGINT) AS t, p.x,
+               CAST(p.l AS BIGINT) AS l_milli,
+               CAST(hw.b AS BIGINT) AS b_milli,
+               CAST(se2.s AS BIGINT) AS s_milli,
+               CAST(p.l_prev + p.b_prev + p.s_m AS BIGINT) AS fit_milli
+        FROM hw_{t}_pre p
+        JOIN hw_{t} hw USING (event_type)
+        JOIN se_{t} se2 USING (event_type)
+    )"""
+        )
+    return "".join(parts)
+
+
+def _hw_oracle() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM out_{t}" for t in range(_HW_M + 1, _HOLT_T + 1)
+    )
+    return _hw_chain() + "\n    " + selects
+
+
+@query("q_holt_winters", oracle=_hw_oracle())
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive TRIPLE exponential smoothing (Winters 1960)
+    over each event type's daily-count series with a weekly (m=7)
+    season — completes the smoothing family (q_ewma level, q_holt_linear
+    level+trend, here level+trend+season) in exact milli fixed point
+    with truncating division: l_t = (α(1000·x_t − s_{t−m}) +
+    (1−α)(l+b))÷1000, b_t = (β Δl + (1−β)b)÷1000, s_t = (γ(1000·x_t −
+    l_t) + (1−γ)s_{t−m})÷1000, initialized from the first two season
+    means (l = mean(y_1..m), b = (mean(y_m+1..2m) − mean(y_1..m))/m,
+    s_i = y_i − l).  Emits the full (level, trend, seasonal, one-step
+    fit) path for t = m+1..T, every step hash-gated against an oracle
+    that unrolls 23 step CTEs with m-deep seasonal lookbacks (the
+    q_holt_linear pagerank device extended with a second state stream).
+
+    Scale: sequential in t, independent across series — ONE
+    applyInPandas over series keys, O(m) state per series, grid input
+    from a map-side-combinable count."""
+    import pandas as pd
+
+    from ..tables import events as events_tbl
+
+    ev = events_tbl(spark, sf_dir).select(
+        "event_type",
+        F.expr("(ts_us div 86400000000) * 86400000000").alias("day_us"),
+    )
+    cnt = ev.groupBy("event_type", "day_us").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    days = ev.select("day_us").distinct()
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "day_us"], "left")
+        .select(
+            "event_type",
+            "day_us",
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    a, na = _HOLT_ALPHA_MILLI, 1000 - _HOLT_ALPHA_MILLI
+    be, nbe = _HOLT_BETA_MILLI, 1000 - _HOLT_BETA_MILLI
+    g, ng = _HW_GAMMA_MILLI, 1000 - _HW_GAMMA_MILLI
+    m = _HW_M
+
+    def tdiv(p: int, q: int) -> int:
+        return -((-p) // q) if p < 0 else p // q
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_us")
+        xs = [int(v) for v in pdf["x"]]
+        et = pdf["event_type"].iloc[0]
+        mean1 = sum(xs[:m])
+        mean2 = sum(xs[m : 2 * m])
+        level = tdiv(mean1 * 1000, m)
+        b = tdiv((mean2 - mean1) * 1000, m * m)
+        season = [xs[i] * 1000 - level for i in range(m)]
+        out = []
+        for t in range(m + 1, len(xs) + 1):
+            x = xs[t - 1]
+            s_m = season[(t - 1) - m]
+            fit = level + b + s_m
+            l_new = tdiv(a * (x * 1000 - s_m) + na * (level + b), 1000)
+            b = tdiv(be * (l_new - level) + nbe * b, 1000)
+            s_new = tdiv(g * (x * 1000 - l_new) + ng * s_m, 1000)
+            season.append(s_new)
+            level = l_new
+            out.append((et, t, x, level, b, s_new, fit))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type",
+                "t",
+                "x",
+                "l_milli",
+                "b_milli",
+                "s_milli",
+                "fit_milli",
+            ],
+        )
+
+    return grid.groupBy("event_type").applyInPandas(
+        hw,
+        "event_type STRING, t BIGINT, x BIGINT, l_milli BIGINT,"
+        " b_milli BIGINT, s_milli BIGINT, fit_milli BIGINT",
+    )
