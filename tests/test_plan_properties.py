@@ -1342,3 +1342,27 @@ def test_louvain_shuffles_are_key_partitioned(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+ROUND9_OPS_B = ["q_assoc_rules", "q_gini_stump"]
+
+
+@pytest.mark.parametrize("name", ROUND9_OPS_B)
+def test_round9b_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_assoc_rules_item_tables_broadcast(spark, sf_dir):
+    """The Apriori shape: frequent-item prune joins and the metric
+    joins ride broadcasts; only the doc-key pair join shuffles."""
+    plan = plan_of(spark, sf_dir, "q_assoc_rules")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_gini_stump_grid_is_broadcast(spark, sf_dir):
+    """The token x label zero-fill grid is vocab-sized: its join must
+    broadcast, and the only row-scale shuffles are count aggregates."""
+    plan = plan_of(spark, sf_dir, "q_gini_stump")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -366,3 +366,78 @@ class TestUnicodeNfc:
             dec = t.replace("a", "á").replace("o", "ö")
             norm = unicodedata.normalize("NFC", dec)
             assert r["norm_md5"] == hashlib.md5(norm.encode()).hexdigest()
+
+
+class TestHoltWinters:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return QUERIES["q_holt_winters"](spark, sf_dir).collect()
+
+    def test_full_path_emitted(self, rows, spark, sf_dir):
+        from nomad_event_streamer_spark.tables import events
+
+        n_types = (
+            events(spark, sf_dir).select("event_type").distinct().count()
+        )
+        # t = 8..30 per series
+        assert len(rows) == n_types * 23
+
+    def test_one_step_fit_is_prior_state(self, rows):
+        """fit_t must equal l_{t-1} + b_{t-1} + s_{t-m} — replay the
+        recurrence per series and check every step."""
+        from collections import defaultdict
+
+        by_et = defaultdict(dict)
+        for r in rows:
+            by_et[r["event_type"]][r["t"]] = r
+        for et, steps in by_et.items():
+            for t in sorted(steps):
+                if t - 1 in steps:
+                    prev = steps[t - 1]
+                    # s_{t-m} is not visible for t-m <= 7 (init band),
+                    # so only check consecutive emitted steps where the
+                    # seasonal lookback is itself an emitted step
+                    if t - 7 in steps:
+                        assert (
+                            steps[t]["fit_milli"]
+                            == prev["l_milli"]
+                            + prev["b_milli"]
+                            + steps[t - 7]["s_milli"]
+                        )
+
+    def test_constant_series_reaches_zero_trend(self, spark):
+        """On a constant series, trend decays toward 0 and level toward
+        the constant — the sanity anchor for the recurrences."""
+        import pandas as pd
+        from pyspark.sql import Row
+
+        # replay the registered recurrence directly on a constant grid
+        from nomad_event_streamer_spark.plans.timeseries_queries import (
+            _HOLT_ALPHA_MILLI,
+            _HOLT_BETA_MILLI,
+            _HW_GAMMA_MILLI,
+            _HW_M,
+        )
+
+        xs = [10] * 30
+        m = _HW_M
+        a, na = _HOLT_ALPHA_MILLI, 1000 - _HOLT_ALPHA_MILLI
+        be, nbe = _HOLT_BETA_MILLI, 1000 - _HOLT_BETA_MILLI
+        g, ng = _HW_GAMMA_MILLI, 1000 - _HW_GAMMA_MILLI
+
+        def tdiv(p, q):
+            return -((-p) // q) if p < 0 else p // q
+
+        level = tdiv(sum(xs[:m]) * 1000, m)
+        b = tdiv((sum(xs[m : 2 * m]) - sum(xs[:m])) * 1000, m * m)
+        season = [xs[i] * 1000 - level for i in range(m)]
+        for t in range(m + 1, 31):
+            x = xs[t - 1]
+            s_m = season[t - 1 - m]
+            l_new = tdiv(a * (x * 1000 - s_m) + na * (level + b), 1000)
+            b = tdiv(be * (l_new - level) + nbe * b, 1000)
+            season.append(tdiv(g * (x * 1000 - l_new) + ng * s_m, 1000))
+            level = l_new
+        assert b == 0
+        assert abs(level - 10_000) <= 1
+        assert all(abs(s) <= 1 for s in season[-m:])
