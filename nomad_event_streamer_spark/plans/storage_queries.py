@@ -310,3 +310,178 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_lang_null"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+@query(
+    "q_content_address",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS cid FROM documents
+    ),
+    s AS (
+        SELECT cid,
+               CAST(concat('0x', substring(cid, 1, 2)) AS BIGINT) AS shard,
+               doc_id
+        FROM h
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cid) AS BIGINT) AS n_objects,
+           min(cid) AS first_cid
+    FROM s GROUP BY shard
+    """,
+)
+def q_content_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-ADDRESSED storage audit (the CAS layout object stores
+    and dedup-by-digest pipelines use): every document keyed by
+    sha256(text), sharded by the digest's first byte — per shard the
+    doc count, distinct object count (dedup granularity), and the
+    lexicographically first content id.  SHA-256 is the second hash
+    both engines implement bit-identically (Spark ``sha2(x, 256)`` ==
+    DuckDB ``sha256``), extending the md5-only cross-engine hash
+    vocabulary this repo's oracles had until now.
+
+    Scale: digests shuffle (32 bytes/row), documents never move; the
+    256-way shard histogram is the balance audit before a digest-
+    partitioned write."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("cid"))
+    s = h.select(
+        "cid",
+        F.conv(F.substring("cid", 1, 2), 16, 10).cast("long").alias("shard"),
+    )
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cid").cast("long").alias("n_objects"),
+        F.min("cid").alias("first_cid"),
+    )
+
+
+@query(
+    "q_partition_overwrite_dynamic",
+    oracle="""
+    WITH src AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN user_id % 10 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_v2
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CASE WHEN event_type = 'click' THEN n_v2 ELSE n END AS n_rows,
+           CAST(CASE WHEN event_type = 'click' THEN 2 ELSE 1 END AS BIGINT)
+               AS version
+    FROM src
+    """,
+)
+def q_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite (``partitionOverwriteMode=dynamic``)
+    — the incremental-reprocessing write pattern: v1 writes the full
+    event table partitioned by event_type; a v2 job recomputes ONLY the
+    'click' partition (a filtered subset tagged version=2) and
+    overwrites in dynamic mode, which must replace exactly the
+    partitions present in the incoming data and leave every other
+    partition's files untouched (STATIC mode would wipe them — the
+    classic data-loss foot-gun this mode exists to fix).  The read-back
+    audit pins both effects: 'click' carries v2's rows and version tag,
+    all other types still carry v1's.
+
+    Scale: the overwrite's unit of work is the PARTITION, so a 100 TB
+    table's nightly re-run rewrites only the touched partitions'
+    files; the audit is one read-back aggregate."""
+    tag = _sf_tag(sf_dir)
+    path = f"/tmp/spark_graft_dynover_{tag}"
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    marker = os.path.join(path, "_v2_done")
+    if not os.path.exists(marker):
+        ev.withColumn("version", F.lit(1).cast("long")).write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(path)
+        v2 = (
+            ev.where(
+                (F.col("event_type") == "click") & (F.col("user_id") % 10 == 3)
+            )
+            .withColumn("version", F.lit(2).cast("long"))
+        )
+        (
+            v2.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+        open(marker, "w").close()
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max("version").cast("long").alias("version"),
+    )
+
+
+@query(
+    "q_csv_permissive",
+    oracle="""
+    WITH src AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               event_id % 7 = 0 AS corrupt
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE cents END) AS BIGINT)
+               AS cents_sum
+    FROM src GROUP BY event_type
+    """,
+)
+def q_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with corrupt-record capture — the
+    dirty-feed reality every ingest layer handles: a CSV export of the
+    events table is synthesized with a deterministic 1-in-7 corruption
+    (the numeric column replaced by a non-numeric token), read back
+    with an explicit schema + ``columnNameOfCorruptRecord``, and the
+    audit counts rows, captured corrupt records, and the value sum over
+    clean rows per type.  PERMISSIVE semantics under test: the bad
+    TOKEN nulls out, the row's other fields still parse (so the group
+    key survives), and the raw line lands in the corrupt column —
+    FAILFAST would kill the job, DROPMALFORMED would silently lose the
+    1-in-7 (both wrong for an auditable pipeline).
+
+    Scale: CSV parse is per-row scan work; the corrupt-capture column
+    costs nothing on clean rows.  The write-once layout is keyed by sf
+    (the q_compact_small_files posture)."""
+    tag = _sf_tag(sf_dir)
+    path = f"/tmp/spark_graft_csvperm_{tag}"
+    ev = load(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        lines = ev.select(
+            F.concat_ws(
+                ",",
+                F.col("event_id").cast("string"),
+                F.col("event_type"),
+                F.when(F.col("event_id") % 7 == 0, F.lit("xx")).otherwise(
+                    F.floor(F.col("value") * 100.0 + F.lit(0.5))
+                    .cast("long")
+                    .cast("string")
+                ),
+            ).alias("value")
+        )
+        lines.coalesce(4).write.mode("overwrite").text(path)
+    schema = (
+        "event_id BIGINT, event_type STRING, cents BIGINT, _bad STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+        .cast("long")
+        .alias("cents_sum"),
+    )
