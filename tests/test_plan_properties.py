@@ -1366,3 +1366,29 @@ def test_gini_stump_grid_is_broadcast(spark, sf_dir):
     broadcast, and the only row-scale shuffles are count aggregates."""
     plan = plan_of(spark, sf_dir, "q_gini_stump")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+ROUND9_OPS_C = [
+    "q_content_address",
+    "q_partition_overwrite_dynamic",
+    "q_csv_permissive",
+    "q_holt_winters",
+]
+
+
+@pytest.mark.parametrize("name", ROUND9_OPS_C)
+def test_round9c_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_content_address_single_agg_no_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_content_address")
+    assert "Join" not in plan
+    # distinct-over-string plans as Sort/ObjectHashAggregate; accept any
+    # partial+final aggregate pair
+    n_aggs = sum(
+        plan.count(k)
+        for k in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+    )
+    assert n_aggs >= 2

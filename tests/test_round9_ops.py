@@ -441,3 +441,63 @@ class TestHoltWinters:
         assert b == 0
         assert abs(level - 10_000) <= 1
         assert all(abs(s) <= 1 for s in season[-m:])
+
+
+class TestStorageRound9:
+    def test_dynamic_overwrite_preserves_untouched_partitions(
+        self, spark, sf_dir
+    ):
+        from nomad_event_streamer_spark.tables import events
+
+        rows = {
+            r["event_type"]: r
+            for r in QUERIES["q_partition_overwrite_dynamic"](
+                spark, sf_dir
+            ).collect()
+        }
+        src = {
+            r["event_type"]: r["n"]
+            for r in events(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert rows["click"]["version"] == 2
+        assert rows["click"]["n_rows"] < src["click"]
+        for et, n in src.items():
+            if et != "click":
+                assert rows[et]["version"] == 1
+                assert rows[et]["n_rows"] == n
+
+    def test_csv_permissive_captures_exactly_the_injected_corruption(
+        self, spark, sf_dir
+    ):
+        from nomad_event_streamer_spark.tables import events
+
+        rows = QUERIES["q_csv_permissive"](spark, sf_dir).collect()
+        expect = {
+            r["event_type"]: (r["n"], r["bad"])
+            for r in events(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("event_id") % 7 == 0, 1).otherwise(0)).alias(
+                    "bad"
+                ),
+            )
+            .collect()
+        }
+        for r in rows:
+            n, bad = expect[r["event_type"]]
+            assert r["n_rows"] == n
+            assert r["n_corrupt"] == bad
+            assert bad > 0  # corruption really occurs in every group
+
+    def test_content_address_shards_cover_docs(self, spark, sf_dir):
+        from nomad_event_streamer_spark.tables import load
+
+        rows = QUERIES["q_content_address"](spark, sf_dir).collect()
+        n = load(spark, sf_dir, "documents").count()
+        assert sum(r["n_docs"] for r in rows) == n
+        assert all(0 <= r["shard"] <= 255 for r in rows)
+        assert all(r["n_objects"] <= r["n_docs"] for r in rows)
