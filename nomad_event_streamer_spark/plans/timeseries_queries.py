@@ -1403,3 +1403,221 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type STRING, t BIGINT, x BIGINT, l_milli BIGINT,"
         " b_milli BIGINT, s_milli BIGINT, fit_milli BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta + varint codec roundtrip (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_delta_varint",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY event_id) AS rn,
+               event_id - lag(event_id, 1, 0)
+                   OVER (PARTITION BY event_type ORDER BY event_id)
+                   AS delta
+        FROM events
+    ),
+    sized AS (
+        SELECT event_type, delta,
+               CASE WHEN delta = 0 THEN 1
+                    ELSE (length(bin(delta)) + 6) // 7 END AS nbytes
+        FROM s
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(nbytes) AS BIGINT) AS varint_bytes,
+           CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+           CAST(sum(nbytes) * 1000 // (count(*) * 8) AS BIGINT)
+               AS ratio_milli,
+           CAST(max(delta) AS BIGINT) AS max_delta
+    FROM sized GROUP BY event_type
+    """,
+)
+def q_delta_varint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA + LEB128-VARINT codec roundtrip over each event type's
+    sorted id stream — the integer-column encoding every time-series /
+    log store leans on (parquet DELTA_BINARY_PACKED's simpler cousin,
+    protobuf's wire format): per series the ids are delta-encoded and
+    REALLY serialized to LEB128 bytes in an Arrow batch (7-bit groups,
+    continuation bit), decoded back, and the roundtrip asserted
+    bit-exact; the emitted audit is the compressed size, the 8-byte-raw
+    baseline, and the milli compression ratio.
+
+    The size oracle is the varint length closed form — a value v > 0
+    costs ceil(bitlen(v)/7) bytes, v = 0 costs 1 — over deltas the
+    oracle recomputes with lag(); a wrong continuation-bit or group
+    order in the codec changes len(payload) and breaks the hash (the
+    QOI closed-form-size device on a 1-D integer stream).
+
+    Scale: one (type)-partitioned window for deltas, then per-series
+    applyInPandas encode/decode with O(1) state — series are the unit
+    of parallelism, the codec is scan-speed."""
+    import pandas as pd
+
+    from ..tables import events as events_tbl
+
+    ev = events_tbl(spark, sf_dir).select("event_type", "event_id")
+
+    def codec(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        ids = [int(v) for v in pdf["event_id"]]
+        et = pdf["event_type"].iloc[0]
+        deltas, prev = [], 0
+        for v in ids:
+            deltas.append(v - prev)
+            prev = v
+        buf = bytearray()
+        for d in deltas:
+            assert d >= 0
+            while True:
+                b = d & 0x7F
+                d >>= 7
+                if d:
+                    buf.append(b | 0x80)
+                else:
+                    buf.append(b)
+                    break
+        # real decode + roundtrip assert
+        out, cur, shift, pos = [], 0, 0, 0
+        for byte in buf:
+            cur |= (byte & 0x7F) << shift
+            if byte & 0x80:
+                shift += 7
+            else:
+                out.append(cur)
+                cur, shift = 0, 0
+        acc, rec = 0, []
+        for d in out:
+            acc += d
+            rec.append(acc)
+        if rec != ids:
+            raise ValueError(f"varint roundtrip mismatch for {et}")
+        raw = len(ids) * 8
+        return pd.DataFrame(
+            [
+                (
+                    et,
+                    len(ids),
+                    len(buf),
+                    raw,
+                    len(buf) * 1000 // raw,
+                    max(v - p for v, p in zip(ids, [0] + ids[:-1])),
+                )
+            ],
+            columns=[
+                "event_type",
+                "n_values",
+                "varint_bytes",
+                "raw_bytes",
+                "ratio_milli",
+                "max_delta",
+            ],
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        codec,
+        "event_type STRING, n_values BIGINT, varint_bytes BIGINT,"
+        " raw_bytes BIGINT, ratio_milli BIGINT, max_delta BIGINT",
+    )
+
+
+@query(
+    "q_rle_runs",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS boundary,
+               row_number() OVER w AS grp_ord
+        FROM events
+        WINDOW w AS (ORDER BY epoch_us(ts), event_id)
+    ),
+    runs AS (
+        SELECT event_type,
+               sum(boundary) OVER (ORDER BY grp_ord
+                                   ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM s
+    ),
+    sized AS (
+        SELECT event_type, run_id, CAST(count(*) AS BIGINT) AS run_len
+        FROM runs GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS max_run,
+           CAST(sum(run_len) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN run_len = 0 THEN 1
+                         ELSE (length(bin(run_len)) + 6) // 7 END) + count(*)
+                AS BIGINT) AS rle_bytes
+    FROM sized GROUP BY event_type
+    """,
+)
+def q_rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUN-LENGTH ENCODING audit of the global arrival-ordered
+    event_type stream (parquet RLE / dictionary-page sizing intuition):
+    runs of equal consecutive values found with one lag() boundary
+    flag + a running boundary sum (the gaps-and-islands device), then
+    per type the run count, longest run, and the RLE byte cost — one
+    tag byte plus the varint run length per run (shared closed form
+    with q_delta_varint).
+
+    This is the layout-advisor signal: a type whose n_runs is close to
+    n_rows gains nothing from RLE (interleaved arrivals); a type with
+    long runs compresses — and the decision is made from ONE ordered
+    scan, not a rewrite experiment.
+
+    Scale note: the run detection orders by (ts, event_id) GLOBALLY —
+    a single range-partitioned sort (Spark samples split points; no
+    single-task window because the running sum is computed per
+    contiguous range after the sort).  At 100 TB you'd scope runs per
+    partition key; the global form here is the honest primitive, and
+    the sort is the documented cost."""
+    from ..tables import events as events_tbl
+
+    ev = events_tbl(spark, sf_dir).select("event_type", "ts_us", "event_id")
+    w = Window.orderBy("ts_us", "event_id")
+    s = ev.select(
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("boundary"),
+        F.row_number().over(w).alias("grp_ord"),
+    )
+    runs = s.select(
+        "event_type",
+        F.sum("boundary")
+        .over(
+            Window.orderBy("grp_ord").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("run_id"),
+    )
+    sized = runs.groupBy("event_type", "run_id").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return sized.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.sum("run_len").cast("long").alias("n_rows"),
+        (
+            F.sum(
+                F.expr(
+                    "CASE WHEN run_len = 0 THEN 1 "
+                    "ELSE (length(bin(run_len)) + 6) div 7 END"
+                )
+            )
+            + F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("rle_bytes"),
+    )
