@@ -1530,22 +1530,25 @@ def q_delta_varint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rle_runs",
     oracle="""
     WITH s AS (
-        SELECT event_type,
+        SELECT event_type, day_us,
                CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
                     THEN 1 ELSE 0 END AS boundary,
                row_number() OVER w AS grp_ord
-        FROM events
-        WINDOW w AS (ORDER BY epoch_us(ts), event_id)
+        FROM (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+                     (epoch_us(ts) // 86400000000) * 86400000000 AS day_us
+              FROM events)
+        WINDOW w AS (PARTITION BY day_us ORDER BY ts_us, event_id)
     ),
     runs AS (
-        SELECT event_type,
-               sum(boundary) OVER (ORDER BY grp_ord
+        SELECT event_type, day_us,
+               sum(boundary) OVER (PARTITION BY day_us ORDER BY grp_ord
                                    ROWS UNBOUNDED PRECEDING) AS run_id
         FROM s
     ),
     sized AS (
-        SELECT event_type, run_id, CAST(count(*) AS BIGINT) AS run_len
-        FROM runs GROUP BY 1, 2
+        SELECT event_type, day_us, run_id,
+               CAST(count(*) AS BIGINT) AS run_len
+        FROM runs GROUP BY 1, 2, 3
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_runs,
@@ -1558,31 +1561,32 @@ def q_delta_varint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RUN-LENGTH ENCODING audit of the global arrival-ordered
-    event_type stream (parquet RLE / dictionary-page sizing intuition):
-    runs of equal consecutive values found with one lag() boundary
-    flag + a running boundary sum (the gaps-and-islands device), then
-    per type the run count, longest run, and the RLE byte cost — one
-    tag byte plus the varint run length per run (shared closed form
-    with q_delta_varint).
+    """RUN-LENGTH ENCODING audit of the arrival-ordered event_type
+    stream, scoped per DAY — the parquet row-group analogy: a real
+    columnar encoder's RLE state resets at page/row-group boundaries,
+    so the honest sizing signal is runs WITHIN the storage unit, and
+    day-scoping is exactly what keeps the op scalable (every window is
+    PARTITIONED BY day; no global sort, no partitionless window —
+    the repo's design rule).  Per type: run count, longest run, RLE
+    byte cost (one tag byte + the varint run length per run — the
+    closed form shared with q_delta_varint).
 
-    This is the layout-advisor signal: a type whose n_runs is close to
-    n_rows gains nothing from RLE (interleaved arrivals); a type with
-    long runs compresses — and the decision is made from ONE ordered
-    scan, not a rewrite experiment.
-
-    Scale note: the run detection orders by (ts, event_id) GLOBALLY —
-    a single range-partitioned sort (Spark samples split points; no
-    single-task window because the running sum is computed per
-    contiguous range after the sort).  At 100 TB you'd scope runs per
-    partition key; the global form here is the honest primitive, and
-    the sort is the documented cost."""
+    The layout-advisor signal: a type whose n_runs approaches n_rows
+    gains nothing from RLE (interleaved arrivals); long runs compress
+    — decided from one day-partitioned scan, not a rewrite
+    experiment."""
     from ..tables import events as events_tbl
 
-    ev = events_tbl(spark, sf_dir).select("event_type", "ts_us", "event_id")
-    w = Window.orderBy("ts_us", "event_id")
+    ev = events_tbl(spark, sf_dir).select(
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.expr("(ts_us div 86400000000) * 86400000000").alias("day_us"),
+    )
+    w = Window.partitionBy("day_us").orderBy("ts_us", "event_id")
     s = ev.select(
         "event_type",
+        "day_us",
         F.when(
             F.lag("event_type").over(w).isNull()
             | (F.lag("event_type").over(w) != F.col("event_type")),
@@ -1594,15 +1598,16 @@ def q_rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     runs = s.select(
         "event_type",
+        "day_us",
         F.sum("boundary")
         .over(
-            Window.orderBy("grp_ord").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
+            Window.partitionBy("day_us")
+            .orderBy("grp_ord")
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
         .alias("run_id"),
     )
-    sized = runs.groupBy("event_type", "run_id").agg(
+    sized = runs.groupBy("event_type", "day_us", "run_id").agg(
         F.count(F.lit(1)).cast("long").alias("run_len")
     )
     return sized.groupBy("event_type").agg(

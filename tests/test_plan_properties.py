@@ -1392,3 +1392,16 @@ def test_content_address_single_agg_no_join(spark, sf_dir):
         for k in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
     )
     assert n_aggs >= 2
+
+
+ROUND9_OPS_D = ["q_delta_varint", "q_rle_runs"]
+
+
+@pytest.mark.parametrize("name", ROUND9_OPS_D)
+def test_round9d_no_cartesian_no_partitionless_window(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    df = QUERIES[name](spark, sf_dir)
+    assert not _partitionless_window_specs(df), (
+        f"partitionless window in {name}"
+    )
