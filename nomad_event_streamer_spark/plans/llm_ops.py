@@ -6331,3 +6331,145 @@ def q_kcenter_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("long").alias("cost"),
         F.max("d").cast("long").alias("radius"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection (round 9)
+# ---------------------------------------------------------------------------
+
+_JL_IN, _JL_OUT = 64, 16
+_JL_QUERIES = 20
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 sign matrix from the shared md5 device: sign[j][i]
+    for output dim j, input dim i — computed ONCE in python and inlined
+    as literals into BOTH engines (one source of truth; Achlioptas 2003
+    shows ±1 entries satisfy the JL guarantee)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[:15], 16)
+            % 2
+            == 0
+            else -1
+            for i in range(_JL_IN)
+        ]
+        for j in range(_JL_OUT)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    sign_rows = ", ".join(
+        f"({i}, {j}, {signs[j][i]})"
+        for j in range(_JL_OUT)
+        for i in range(_JL_IN)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id, i, v[i + 1] AS x
+        FROM q CROSS JOIN range(0, {_JL_IN}) t(i)
+    ),
+    s(i, j, sg) AS (VALUES {sign_rows}),
+    p AS (
+        SELECT u.vec_id, s.j, CAST(sum(u.x * s.sg) AS BIGINT) AS y
+        FROM u JOIN s USING (i) GROUP BY 1, 2
+    ),
+    d2o AS (
+        SELECT a.vec_id AS query_id, b.vec_id,
+               CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2_orig
+        FROM u a JOIN u b USING (i)
+        WHERE a.vec_id < {_JL_QUERIES} AND b.vec_id > a.vec_id
+        GROUP BY 1, 2
+    ),
+    d2p AS (
+        SELECT a.vec_id AS query_id, b.vec_id,
+               CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_proj
+        FROM p a JOIN p b USING (j)
+        WHERE a.vec_id < {_JL_QUERIES} AND b.vec_id > a.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT d2o.query_id, d2o.vec_id, d2o.d2_orig, d2p.d2_proj,
+           CAST(d2p.d2_proj * 1000 // ({_JL_OUT} * d2o.d2_orig) AS BIGINT)
+               AS ratio_milli
+    FROM d2o JOIN d2p USING (query_id, vec_id)
+    WHERE d2o.d2_orig > 0
+    """
+
+
+@query("q_jl_project", oracle=_jl_oracle())
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS sign projection (Achlioptas 2003,
+    "Database-friendly random projections" — ±1 entries, no Gaussians
+    needed) from 64 to 16 dims over milli-quantized embeddings, with
+    the distance-preservation audit JL promises: for every (query,
+    vector) pair the original and projected squared L2 and their
+    normalized ratio (E[d2_proj] = k·d2_orig for sign matrices, so
+    ratio_milli concentrates around 1000) — the dimensionality-
+    reduction pass an ANN pipeline runs before indexing when 64 dims of
+    float are still too wide.
+
+    The sign matrix is generated ONCE in python from the md5 device and
+    inlined as literals into BOTH engines — one source of truth, no
+    cross-engine RNG.  Projection is a pure map (16 aggregate-HOF dot
+    products against literal sign arrays, no shuffle); the audit pairs
+    are query-broadcast joins like q_sim_topk_int.  All integer.
+
+    Scale: projecting is scan-speed map work; at 100 TB you project
+    once and index the 4x-smaller vectors — the audit quantifies the
+    distortion you accepted."""
+    signs = _jl_signs()
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
+    q = vecs.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+            "* 1000.0 + 0.5) AS BIGINT))"
+        ).alias("v"),
+    )
+
+    def dot_expr(sign_row: list[int]) -> str:
+        arr = ", ".join(f"{s}L" for s in sign_row)
+        return (
+            f"aggregate(zip_with(v, array({arr}), (x, s) -> x * s), "
+            "0L, (acc, e) -> acc + e)"
+        )
+
+    p = q.select(
+        "vec_id",
+        "v",
+        F.array(
+            *[F.expr(dot_expr(signs[j])) for j in range(_JL_OUT)]
+        ).alias("y"),
+    ).localCheckpoint(eager=True)
+    qs = p.where(F.col("vec_id") < _JL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("y").alias("qy"),
+    )
+    pairs = p.join(F.broadcast(qs), F.col("vec_id") > F.col("query_id"))
+    d2o = "aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, e) -> acc + e)"
+    d2p = "aggregate(zip_with(y, qy, (a, b) -> (a - b) * (a - b)), 0L, (acc, e) -> acc + e)"
+    return (
+        pairs.select(
+            "query_id",
+            "vec_id",
+            F.expr(d2o).cast("long").alias("d2_orig"),
+            F.expr(d2p).cast("long").alias("d2_proj"),
+        )
+        .where(F.col("d2_orig") > 0)
+        .withColumn(
+            "ratio_milli",
+            F.expr(f"d2_proj * 1000 div ({_JL_OUT} * d2_orig)").cast("long"),
+        )
+    )
