@@ -1405,3 +1405,12 @@ def test_round9d_no_cartesian_no_partitionless_window(spark, sf_dir, name):
     assert not _partitionless_window_specs(df), (
         f"partitionless window in {name}"
     )
+
+
+def test_jl_project_is_map_plus_broadcast(spark, sf_dir):
+    """Projection must be shuffle-free map work; the only join is the
+    20-query broadcast."""
+    plan = plan_of(spark, sf_dir, "q_jl_project")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

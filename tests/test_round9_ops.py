@@ -501,3 +501,48 @@ class TestStorageRound9:
         assert sum(r["n_docs"] for r in rows) == n
         assert all(0 <= r["shard"] <= 255 for r in rows)
         assert all(r["n_objects"] <= r["n_docs"] for r in rows)
+
+
+class TestJlProject:
+    def test_ratio_concentrates_near_unity(self, spark, sf_dir):
+        """The JL guarantee, empirically: the median normalized ratio
+        must sit near 1000 milli and the bulk within the k=16
+        concentration band."""
+        rows = QUERIES["q_jl_project"](spark, sf_dir).collect()
+        ratios = sorted(r["ratio_milli"] for r in rows)
+        n = len(ratios)
+        assert 850 <= ratios[n // 2] <= 1150
+        # 90% of pairs within a generous ±4 sigma band for k=16
+        assert ratios[n // 20] >= 300
+        assert ratios[-n // 20] <= 2200
+
+    def test_projection_matches_manual_dot(self, spark, sf_dir):
+        """One vector's projection recomputed in python from the same
+        sign matrix and quantization."""
+        import math
+
+        from nomad_event_streamer_spark.plans.llm_ops import _jl_signs
+        from nomad_event_streamer_spark.tables import load
+
+        signs = _jl_signs()
+        [row] = (
+            load(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") == 5)
+            .collect()
+        )
+        v = [math.floor(float(x) * 1000.0 + 0.5) for x in row["embedding"]]
+        y = [sum(x * s for x, s in zip(v, signs[j])) for j in range(16)]
+        # reproduce one pair's d2_proj via the registered query
+        out = {
+            (r["query_id"], r["vec_id"]): r
+            for r in QUERIES["q_jl_project"](spark, sf_dir).collect()
+        }
+        [q0] = (
+            load(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") == 0)
+            .collect()
+        )
+        v0 = [math.floor(float(x) * 1000.0 + 0.5) for x in q0["embedding"]]
+        y0 = [sum(x * s for x, s in zip(v0, signs[j])) for j in range(16)]
+        d2p = sum((a - b) * (a - b) for a, b in zip(y, y0))
+        assert out[(0, 5)]["d2_proj"] == d2p
