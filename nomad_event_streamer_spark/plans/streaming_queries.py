@@ -1406,3 +1406,64 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_batch"),
     )
+
+
+@query(
+    "q_stream_update_mode",
+    oracle=_wm_dedup_oracle().replace(
+        """SELECT bucket,
+           CAST(CASE WHEN mn < (SELECT nn // 3 FROM n) THEN 0
+                     WHEN mn < (SELECT 2 * (nn // 3) FROM n) THEN 1
+                     ELSE 2 END AS BIGINT) AS first_batch
+    FROM (SELECT bucket, min(doc_id) AS mn FROM b0 GROUP BY bucket)""",
+        """SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT CASE WHEN doc_id < (SELECT nn // 3 FROM n)
+                          THEN 0
+                          WHEN doc_id < (SELECT 2 * (nn // 3) FROM n)
+                          THEN 1 ELSE 2 END) AS BIGINT) AS n_batches_seen
+    FROM b0 GROUP BY bucket""",
+    ),
+)
+def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode semantics pinned (completes the output-mode
+    family: append = q_stream_late_*, complete = q_stream_agg et al.):
+    a per-bucket streaming count over the three doc_id-monotone
+    micro-batches runs in update mode, which re-emits a key's row in
+    every batch where its aggregate CHANGED — so the sink's MAX count
+    per key must equal the batch groupBy total, and the NUMBER of sink
+    rows per key equals the number of distinct batches that touched
+    the key (each touch changes the count, so each touch emits exactly
+    once; complete mode would emit every key every batch, append would
+    refuse a non-watermarked agg outright).
+
+    Output: per bucket the final count (max over update emissions) and
+    the touch count (rows in the sink) — both replayed by the oracle
+    from the batch ranges.
+
+    Scale shape: the stock streaming agg; state = one count per
+    bucket, shuffle key = bucket; update mode's emission volume is
+    touches, not keys x batches (the complete-mode trap at scale)."""
+    from ..operators import dedup
+
+    ensure_runtime_confs(spark)
+    schema = "doc_id BIGINT, text STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_doc_batches_dir(spark, sf_dir))
+    )
+    banded = dedup.minhash_bands_rowlocal(
+        stream, n=3, num_hashes=16, rows_per_band=2
+    )
+    keyed = banded.select(
+        F.element_at("bands", 1).getField("bucket").alias("bucket")
+    )
+    agg = keyed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sink = _run_to_memory(agg, "update")
+    return sink.groupBy("bucket").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_batches_seen"),
+    )
