@@ -4146,7 +4146,7 @@ def q_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_src.agg(
             (
                 F.lit(1000000)
-                - F.expr(f"sum(ns * ns) * 1000000 div ({nd} * {nd})")
+                - F.expr(f"sum(ns * ns) * 1000000 div ({nd}L * {nd}L)")
             ).alias("gp")
         ).collect()[0]["gp"]
     )
