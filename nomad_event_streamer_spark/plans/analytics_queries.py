@@ -1277,3 +1277,82 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m_cents").cast("long").alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index active users (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bitmap_dau",
+    oracle="""
+    WITH e AS (
+        SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+               user_id // 62 AS word_idx,
+               user_id % 62 AS bit
+        FROM events
+    ),
+    words AS (
+        SELECT day_us, word_idx,
+               bit_or(1::BIGINT << CAST(bit AS INTEGER)) AS bm
+        FROM e GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT day_us, word_idx, bm,
+               bit_or(bm) OVER (PARTITION BY word_idx ORDER BY day_us
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS bm7
+        FROM words
+    )
+    SELECT day_us,
+           CAST(sum(bit_count(bm)) AS BIGINT) AS dau,
+           CAST(sum(bit_count(bm7)) AS BIGINT) AS wau,
+           CAST(sum(bit_count(bm)) * 1000
+                // sum(bit_count(bm7)) AS BIGINT) AS stickiness_milli
+    FROM win GROUP BY day_us
+    """,
+)
+def q_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-INDEX active-user rollup (the roaring-bitmap analytics
+    shape, word-aligned): users pack into 62-bit words (word = id div
+    62, bit = id mod 62 — bit 62/63 would reach the BIGINT sign bit,
+    where DuckDB raises and Spark silently wraps: the one-bit tax that
+    keeps both engines in defined-behavior territory) per day via one ``bit_or`` aggregate, DAU =
+    popcount sum, WAU = popcount of the 7-day windowed ``bit_or`` per
+    word — set union as ONE integer OR instead of a distinct-count
+    shuffle, and the window merge is exact (unlike sketch rollups) at
+    62 users per row.  DAU/WAU stickiness in milli closes the loop with
+    q_stickiness, which computes the same ratio by count-distinct —
+    two independent algorithms for one metric.
+
+    Scale: the per-day shuffle carries (day, word) keys — at 1e9 users
+    that is 16M words per day, each 8 bytes, ~128 MB/day regardless of
+    event volume; the window is per-word (partitioned, bounded frame).
+    This is how production engagement pipelines actually store DAU
+    sets."""
+    from ..tables import events as events_tbl
+
+    ev = events_tbl(spark, sf_dir).select(
+        F.expr("(ts_us div 86400000000) * 86400000000").alias("day_us"),
+        F.expr("user_id div 62").alias("word_idx"),
+        (F.col("user_id") % 62).alias("bit"),
+    )
+    words = ev.groupBy("day_us", "word_idx").agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(bit as int))")).alias("bm")
+    )
+    w = (
+        Window.partitionBy("word_idx")
+        .orderBy("day_us")
+        .rowsBetween(-6, 0)
+    )
+    win = words.withColumn("bm7", F.bit_or("bm").over(w))
+    return win.groupBy("day_us").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("dau"),
+        F.sum(F.bit_count("bm7")).cast("long").alias("wau"),
+        F.expr(
+            "sum(bit_count(bm)) * 1000 div sum(bit_count(bm7))"
+        )
+        .cast("long")
+        .alias("stickiness_milli"),
+    )
