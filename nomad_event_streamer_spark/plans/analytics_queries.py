@@ -1356,3 +1356,113 @@ def q_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stickiness_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-boxed window funnel (round 9)
+# ---------------------------------------------------------------------------
+
+_WF_WINDOW_US = 48 * 3600 * 1_000_000  # 48 h conversion window
+
+
+@query(
+    "q_window_funnel",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+        SELECT user_id, min(ts_us) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT ev.user_id, min(ts_us) AS t2
+        FROM ev JOIN s1 USING (user_id)
+        WHERE event_type = 'click' AND ts_us > t1
+          AND ts_us <= t1 + {_WF_WINDOW_US}
+        GROUP BY ev.user_id
+    ),
+    s3 AS (
+        SELECT ev.user_id, min(ts_us) AS t3
+        FROM ev JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        WHERE event_type = 'purchase' AND ts_us > t2
+          AND ts_us <= t1 + {_WF_WINDOW_US}
+        GROUP BY ev.user_id
+    ),
+    d AS (
+        SELECT s1.user_id, t1,
+               CASE WHEN t3 IS NOT NULL THEN 3
+                    WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth,
+               CASE WHEN t3 IS NOT NULL THEN t3 - t1
+                    WHEN t2 IS NOT NULL THEN t2 - t1 ELSE 0 END AS elapsed
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(elapsed) AS BIGINT) AS elapsed_us_sum
+    FROM d GROUP BY depth
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOXED window funnel (the ClickHouse ``windowFunnel``
+    semantics, greedy earliest-first): view -> click -> purchase where
+    every later step must land within 48 h of the user's FIRST view —
+    q_funnel's ordering constraint plus the conversion window real
+    funnel products enforce (a purchase a month later is not a funnel
+    conversion).  Greedy anchoring (each step's time is the earliest
+    valid one, window anchored at step 1) is the deterministic
+    standard; per reached depth the user count and summed
+    time-to-depth.
+
+    Plan: three min-aggregations + joins all keyed by user_id — one
+    hash partitioning serves the chain (the q_funnel posture); the
+    window bound is a per-row predicate, no extra shuffle."""
+    ev = events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    ev = ev.where(F.col("event_type").isin("view", "click", "purchase"))
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + F.lit(_WF_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .where(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t1") + F.lit(_WF_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    d = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("depth"),
+            F.when(F.col("t3").isNotNull(), F.col("t3") - F.col("t1"))
+            .when(F.col("t2").isNotNull(), F.col("t2") - F.col("t1"))
+            .otherwise(0)
+            .cast("long")
+            .alias("elapsed"),
+        )
+    )
+    return d.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("elapsed").cast("long").alias("elapsed_us_sum"),
+    )
