@@ -1414,3 +1414,30 @@ def test_jl_project_is_map_plus_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+ROUND9_OPS_E = ["q_bitmap_dau", "q_window_funnel", "q_token_bucket"]
+
+
+@pytest.mark.parametrize("name", ROUND9_OPS_E)
+def test_round9e_no_cartesian_no_partitionless_window(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    df = QUERIES[name](spark, sf_dir)
+    assert not _partitionless_window_specs(df), (
+        f"partitionless window in {name}"
+    )
+
+
+def test_bitmap_dau_window_is_word_partitioned(spark, sf_dir):
+    """The 7-day union must ride a per-word bounded frame — never a
+    global window, never a distinct shuffle."""
+    plan = plan_of(spark, sf_dir, "q_bitmap_dau")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_window_funnel_joins_share_user_key(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_window_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -546,3 +546,105 @@ class TestJlProject:
         y0 = [sum(x * s for x, s in zip(v0, signs[j])) for j in range(16)]
         d2p = sum((a - b) * (a - b) for a, b in zip(y, y0))
         assert out[(0, 5)]["d2_proj"] == d2p
+
+
+class TestBitmapDau:
+    def test_dau_equals_count_distinct(self, spark, sf_dir):
+        """The bitmap formulation must agree exactly with the
+        count-distinct formulation, day by day."""
+        from nomad_event_streamer_spark.tables import events
+
+        rows = {
+            r["day_us"]: r
+            for r in QUERIES["q_bitmap_dau"](spark, sf_dir).collect()
+        }
+        truth = {
+            r["day_us"]: r["n"]
+            for r in events(spark, sf_dir)
+            .select(
+                F.expr("(ts_us div 86400000000) * 86400000000").alias(
+                    "day_us"
+                ),
+                "user_id",
+            )
+            .groupBy("day_us")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(rows) == set(truth)
+        for day, n in truth.items():
+            assert rows[day]["dau"] == n
+            assert rows[day]["wau"] >= n
+            assert rows[day]["stickiness_milli"] <= 1000
+
+
+class TestWindowFunnel:
+    def test_depths_nest_and_bound_unwindowed_funnel(self, spark, sf_dir):
+        """Depth counts must cover every user with a view, and the
+        48h-windowed depth-3 count can never exceed q_funnel's
+        unwindowed stage-3 reach."""
+        from nomad_event_streamer_spark.tables import events
+
+        rows = {
+            r["depth"]: r
+            for r in QUERIES["q_window_funnel"](spark, sf_dir).collect()
+        }
+        n_viewers = (
+            events(spark, sf_dir)
+            .where(F.col("event_type") == "view")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert sum(r["n_users"] for r in rows.values()) == n_viewers
+        assert rows[1]["elapsed_us_sum"] == 0
+        if 3 in rows:
+            win_us = 48 * 3600 * 1_000_000
+            # average elapsed for depth-3 users within the window bound
+            assert (
+                rows[3]["elapsed_us_sum"] <= rows[3]["n_users"] * win_us
+            )
+
+
+class TestTokenBucket:
+    def test_matches_pure_python_referee(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from nomad_event_streamer_spark.tables import events
+
+        ev = sorted(
+            (
+                (r["user_id"], r["ts_us"], r["event_id"])
+                for r in events(spark, sf_dir)
+                .select("user_id", "ts_us", "event_id")
+                .collect()
+            ),
+            key=lambda t: (t[1], t[2]),
+        )
+        per_user = defaultdict(list)
+        for uid, ts, eid in ev:
+            per_user[uid].append(ts)
+        CAP, COST, DIV, MAXK = 3_000_000, 1_000_000, 86400, 100
+        ref = {}
+        for uid, tss in per_user.items():
+            tok, na, nd, prev = CAP, 0, 0, None
+            for ts in tss[:MAXK]:
+                if prev is not None:
+                    tok = min(CAP, tok + (ts - prev) // DIV)
+                if tok >= COST:
+                    tok -= COST
+                    na += 1
+                else:
+                    nd += 1
+                prev = ts
+            ref[uid] = (na, nd, tok)
+        got = {
+            r["user_id"]: (r["n_allowed"], r["n_denied"], r["tokens_final"])
+            for r in QUERIES["q_token_bucket"](spark, sf_dir).collect()
+        }
+        assert got == ref
+
+    def test_both_verdicts_exercised(self, spark, sf_dir):
+        rows = QUERIES["q_token_bucket"](spark, sf_dir).collect()
+        assert sum(r["n_allowed"] for r in rows) > 0
+        assert sum(r["n_denied"] for r in rows) > 0
