@@ -190,6 +190,10 @@ HEADLINE = [
     "q_kcenter_seed",
     "q_image_qoi",
     "q_fm_sketch",
+    # events-wide state machines: bitmap window union + per-user
+    # token-bucket replay (applyInPandas over 1500 series at sf0.1)
+    "q_bitmap_dau",
+    "q_token_bucket",
 ]
 
 
