@@ -1478,7 +1478,12 @@ _TB_DIV = 86400  # refill: 1 token/day == delta_us div 86400 micro-tokens
 _TB_MAX_K = 100  # verdicts for each user's first 100 events (bounded unroll)
 
 
-def _token_bucket_oracle() -> str:
+def _token_bucket_oracle(
+    cap: int = _TB_CAP,
+    cost: int = _TB_COST,
+    div: int = _TB_DIV,
+    maxk: int = _TB_MAX_K,
+) -> str:
     parts = [
         f"""WITH ev AS (
         SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
@@ -1489,34 +1494,34 @@ def _token_bucket_oracle() -> str:
                                   ORDER BY ts_us, event_id) AS k
         FROM ev
     ),
-    rc AS MATERIALIZED (SELECT * FROM r WHERE k <= {_TB_MAX_K}),
+    rc AS MATERIALIZED (SELECT * FROM r WHERE k <= {maxk}),
     st_0 AS MATERIALIZED (
-        SELECT DISTINCT user_id, CAST({_TB_CAP} AS BIGINT) AS tok,
+        SELECT DISTINCT user_id, CAST({cap} AS BIGINT) AS tok,
                CAST(0 AS BIGINT) AS na, CAST(0 AS BIGINT) AS nd,
                CAST(NULL AS BIGINT) AS prev_ts
         FROM rc
     )"""
     ]
-    for k in range(1, _TB_MAX_K + 1):
+    for k in range(1, maxk + 1):
         p = k - 1
         parts.append(
             f"""st_{k} AS MATERIALIZED (
         SELECT s.user_id,
                CASE WHEN e.ts_us IS NULL THEN s.tok
-                    WHEN rf.v >= {_TB_COST} THEN rf.v - {_TB_COST}
+                    WHEN rf.v >= {cost} THEN rf.v - {cost}
                     ELSE rf.v END AS tok,
                s.na + CASE WHEN e.ts_us IS NOT NULL
-                            AND rf.v >= {_TB_COST} THEN 1 ELSE 0 END AS na,
+                            AND rf.v >= {cost} THEN 1 ELSE 0 END AS na,
                s.nd + CASE WHEN e.ts_us IS NOT NULL
-                            AND rf.v < {_TB_COST} THEN 1 ELSE 0 END AS nd,
+                            AND rf.v < {cost} THEN 1 ELSE 0 END AS nd,
                coalesce(e.ts_us, s.prev_ts) AS prev_ts
         FROM st_{p} s
         LEFT JOIN rc e ON e.user_id = s.user_id AND e.k = {k}
         LEFT JOIN LATERAL (
             SELECT CASE WHEN s.prev_ts IS NULL THEN s.tok
-                        ELSE least({_TB_CAP},
+                        ELSE least({cap},
                                    s.tok + (e.ts_us - s.prev_ts)
-                                           // {_TB_DIV}) END AS v
+                                           // {div}) END AS v
         ) rf ON true
     )"""
         )
@@ -1524,9 +1529,55 @@ def _token_bucket_oracle() -> str:
         f"""SELECT user_id, CAST(na AS BIGINT) AS n_allowed,
            CAST(nd AS BIGINT) AS n_denied,
            CAST(tok AS BIGINT) AS tokens_final
-    FROM st_{_TB_MAX_K}"""
+    FROM st_{maxk}"""
     )
     return ",\n    ".join(parts[:-1]) + "\n    " + parts[-1]
+
+
+def _tb_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = _TB_CAP,
+    cost: int = _TB_COST,
+    div: int = _TB_DIV,
+    maxk: int = _TB_MAX_K,
+) -> DataFrame:
+    """The q_token_bucket dataflow with the knobs exposed — the
+    registered query pins the declared literals; scripts/fuzz_bucket.py
+    replays the REAL recurrence across the knob space (the
+    fuzz_ttl/_ttl_pipeline pattern)."""
+    import pandas as pd
+
+    from ..tables import events as events_tbl
+
+    ev = events_tbl(spark, sf_dir).select("user_id", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    rc = ev.withColumn("k", F.row_number().over(w)).where(F.col("k") <= maxk)
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("k")
+        uid = int(pdf["user_id"].iloc[0])
+        tok, na, nd, prev = cap, 0, 0, None
+        for ts in pdf["ts_us"]:
+            ts = int(ts)
+            if prev is not None:
+                tok = min(cap, tok + (ts - prev) // div)
+            if tok >= cost:
+                tok -= cost
+                na += 1
+            else:
+                nd += 1
+            prev = ts
+        return pd.DataFrame(
+            [(uid, na, nd, tok)],
+            columns=["user_id", "n_allowed", "n_denied", "tokens_final"],
+        )
+
+    return rc.groupBy("user_id").applyInPandas(
+        bucket,
+        "user_id BIGINT, n_allowed BIGINT, n_denied BIGINT,"
+        " tokens_final BIGINT",
+    )
 
 
 @query("q_token_bucket", oracle=_token_bucket_oracle())
@@ -1549,37 +1600,4 @@ def q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE applyInPandas over user keys (state = 3 integers per
     user), rank cap enforced identically on both sides; series
     cardinality is the parallelism unit."""
-    import pandas as pd
-
-    from ..tables import events as events_tbl
-
-    ev = events_tbl(spark, sf_dir).select("user_id", "ts_us", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    rc = ev.withColumn("k", F.row_number().over(w)).where(
-        F.col("k") <= _TB_MAX_K
-    )
-
-    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("k")
-        uid = int(pdf["user_id"].iloc[0])
-        tok, na, nd, prev = _TB_CAP, 0, 0, None
-        for ts in pdf["ts_us"]:
-            ts = int(ts)
-            if prev is not None:
-                tok = min(_TB_CAP, tok + (ts - prev) // _TB_DIV)
-            if tok >= _TB_COST:
-                tok -= _TB_COST
-                na += 1
-            else:
-                nd += 1
-            prev = ts
-        return pd.DataFrame(
-            [(uid, na, nd, tok)],
-            columns=["user_id", "n_allowed", "n_denied", "tokens_final"],
-        )
-
-    return rc.groupBy("user_id").applyInPandas(
-        bucket,
-        "user_id BIGINT, n_allowed BIGINT, n_denied BIGINT,"
-        " tokens_final BIGINT",
-    )
+    return _tb_replay(spark, sf_dir)
