@@ -1601,3 +1601,120 @@ def q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     user), rank cap enforced identically on both sides; series
     cardinality is the parallelism unit."""
     return _tb_replay(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# CIDR longest-prefix-match enrichment join (round 9)
+# ---------------------------------------------------------------------------
+
+# Deterministic route table: one /8 default, three /16 subnets (octet2 in
+# 0..2), four /24 carve-outs at (octet2, octet3) in {(0,4),(1,5),(2,6),
+# (3,7)} — with IPs built as (10, u%4, u%8, u%256) every user with u%8>=4
+# wins a /24, u%8<4 with u%4<3 wins a /16, and u%8=3 falls to the /8, so
+# ALL THREE precedence lengths are exercised at every sf (u%8 spans 0..7
+# once there are >=8 users).  ONE SQL literal both engines read.
+_ROUTES_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        ["(8, 10, 'rt8_default')"]
+        + [f"(16, {(10 << 8) | k}, 'rt16_{k}')" for k in range(3)]
+        + [
+            f"(24, {(((10 << 8) | (o % 4)) << 8) | o}, 'rt24_{o % 4}_{o}')"
+            for o in (4, 5, 6, 7)
+        ]
+    )
+    + ") AS t(plen, pkey, route)"
+)
+
+
+@query(
+    "q_ip_lpm_join",
+    oracle=f"""
+    WITH routes AS ({_ROUTES_SQL}),
+    ips AS (
+        SELECT event_id, user_id,
+               10 * 16777216 + (user_id % 4) * 65536
+                   + (user_id % 8) * 256 + user_id % 256 AS ip32
+        FROM events
+    ),
+    cand AS (
+        SELECT event_id, user_id, ip32, r.plen, r.route
+        FROM ips
+        JOIN routes r
+          ON r.pkey = CASE r.plen WHEN 8 THEN ip32 // 16777216
+                                  WHEN 16 THEN ip32 // 65536
+                                  ELSE ip32 // 256 END
+    ),
+    best AS (
+        SELECT event_id, route,
+               row_number() OVER (PARTITION BY event_id
+                                  ORDER BY plen DESC) AS rn
+        FROM cand
+    )
+    SELECT route,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT b.event_id) AS BIGINT) AS n_matched
+    FROM best b WHERE rn = 1
+    GROUP BY route
+    """,
+)
+def q_ip_lpm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR LONGEST-PREFIX-MATCH enrichment join — the geo/ASN lookup
+    every log pipeline runs, and a classic non-equi join done right:
+    instead of a range theta-join against the route table, each IP
+    EXPLODES to its 3 candidate prefix keys (/8, /16, /24 — the
+    prefix-length pyramid), equi-joins the broadcast route table on
+    (plen, pkey), and the longest match wins per event (row_number by
+    plen, the LPM precedence).  IPs are synthesized deterministically
+    from user_id (Knuth multiplicative spread over 10.0.0.0/8); the
+    route table is ONE VALUES literal both engines read, with /24
+    carve-outs inside /16s so precedence is really exercised.
+
+    Scale: candidates are 3 rows per event joined by hash against a
+    broadcast table — never a range scan per row; the winner window is
+    partitioned by event (3-row partitions).  At 100 TB this is the
+    standard trick that turns an unjoinable CIDR θ-join into 3×
+    broadcast-hash lookups."""
+    from ..tables import events as events_tbl
+
+    routes = spark.sql(f"SELECT plen, pkey, route FROM ({_ROUTES_SQL})")
+    ev = events_tbl(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        (
+            F.lit(10 * 16777216)
+            + (F.col("user_id") % 4) * F.lit(65536)
+            + (F.col("user_id") % 8) * F.lit(256)
+            + F.col("user_id") % 256
+        ).alias("ip32"),
+    )
+    cand = ev.select(
+        "event_id",
+        "ip32",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(8).alias("plen"),
+                    F.expr("ip32 div 16777216").alias("pkey"),
+                ),
+                F.struct(
+                    F.lit(16).alias("plen"),
+                    F.expr("ip32 div 65536").alias("pkey"),
+                ),
+                F.struct(
+                    F.lit(24).alias("plen"),
+                    F.expr("ip32 div 256").alias("pkey"),
+                ),
+            )
+        ).alias("c"),
+    ).select("event_id", "ip32", "c.plen", "c.pkey")
+    joined = cand.join(F.broadcast(routes), ["plen", "pkey"])
+    w = Window.partitionBy("event_id").orderBy(F.col("plen").desc())
+    best = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return best.groupBy("route").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_id").cast("long").alias("n_matched"),
+    )

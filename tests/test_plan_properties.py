@@ -1441,3 +1441,12 @@ def test_window_funnel_joins_share_user_key(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_window_funnel")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ip_lpm_routes_broadcast_no_theta_join(spark, sf_dir):
+    """The LPM must be 3x broadcast-hash lookups, never a range
+    theta-join (BroadcastNestedLoop/Cartesian)."""
+    plan = plan_of(spark, sf_dir, "q_ip_lpm_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

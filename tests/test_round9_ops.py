@@ -648,3 +648,46 @@ class TestTokenBucket:
         rows = QUERIES["q_token_bucket"](spark, sf_dir).collect()
         assert sum(r["n_allowed"] for r in rows) > 0
         assert sum(r["n_denied"] for r in rows) > 0
+
+
+class TestIpLpmJoin:
+    def test_all_three_prefix_lengths_win(self, spark, sf_dir):
+        rows = QUERIES["q_ip_lpm_join"](spark, sf_dir).collect()
+        kinds = {r["route"].split("_")[0] for r in rows}
+        assert kinds == {"rt8", "rt16", "rt24"}
+
+    def test_every_event_matched_exactly_once(self, spark, sf_dir):
+        from nomad_event_streamer_spark.tables import events
+
+        rows = QUERIES["q_ip_lpm_join"](spark, sf_dir).collect()
+        n = events(spark, sf_dir).count()
+        assert sum(r["n_events"] for r in rows) == n
+        assert all(r["n_events"] == r["n_matched"] for r in rows)
+
+    def test_precedence_matches_python_lpm(self, spark, sf_dir):
+        """Replay the LPM in plain python over the same synthesized IPs
+        and route table."""
+        from collections import Counter
+
+        from nomad_event_streamer_spark.tables import events
+
+        routes = {}
+        routes[(8, 10)] = "rt8_default"
+        for k in range(3):
+            routes[(16, (10 << 8) | k)] = f"rt16_{k}"
+        for o in (4, 5, 6, 7):
+            routes[(24, (((10 << 8) | (o % 4)) << 8) | o)] = f"rt24_{o % 4}_{o}"
+        counts = Counter()
+        for r in events(spark, sf_dir).select("user_id").collect():
+            u = r["user_id"]
+            ip = 10 * 16777216 + (u % 4) * 65536 + (u % 8) * 256 + u % 256
+            for plen, shift in ((24, 8), (16, 16), (8, 24)):
+                key = (plen, ip >> shift)
+                if key in routes:
+                    counts[routes[key]] += 1
+                    break
+        got = {
+            r["route"]: r["n_events"]
+            for r in QUERIES["q_ip_lpm_join"](spark, sf_dir).collect()
+        }
+        assert got == dict(counts)
