@@ -1626,3 +1626,171 @@ def q_rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rle_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (round 9)
+# ---------------------------------------------------------------------------
+
+_LTTB_B = 3  # days per bucket over the 30-day corpus -> 10 buckets
+
+
+def _lttb_chain() -> str:
+    """Unrolled LTTB bucket rounds over the shared daily grid: sel_1 is
+    the forced first point, sel_b (b = 2..9) the argmax-area point
+    against the previous selection and the next bucket's 3x-centroid,
+    sel_10 the forced last point.  3x-multiplied cross products keep
+    the fractional centroid integer."""
+    nb = _HOLT_T // _LTTB_B  # 10
+    parts = [
+        f"""
+    WITH days AS (
+        SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us
+        FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+        SELECT event_type,
+               (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    g AS MATERIALIZED (
+        SELECT t.event_type,
+               CAST(row_number() OVER (PARTITION BY t.event_type
+                                       ORDER BY d.day_us) AS BIGINT) AS t,
+               CAST(coalesce(c.x, 0) AS BIGINT) AS x,
+               CAST((row_number() OVER (PARTITION BY t.event_type
+                                        ORDER BY d.day_us) - 1)
+                    // {_LTTB_B} + 1 AS BIGINT) AS b
+        FROM types t CROSS JOIN days d
+        LEFT JOIN cnt c ON c.event_type = t.event_type
+                       AND c.day_us = d.day_us
+    ),
+    bsum AS MATERIALIZED (
+        SELECT event_type, b, CAST(sum(t) AS BIGINT) AS sx,
+               CAST(sum(x) AS BIGINT) AS sy
+        FROM g GROUP BY 1, 2
+    ),
+    sel_1 AS MATERIALIZED (
+        SELECT event_type, CAST(1 AS BIGINT) AS b, t, x,
+               CAST(0 AS BIGINT) AS area3x
+        FROM g WHERE t = 1
+    )"""
+    ]
+    for b in range(2, nb):
+        parts.append(
+            f"""sel_{b} AS MATERIALIZED (
+        SELECT event_type, CAST({b} AS BIGINT) AS b, t, x, area3x
+        FROM (
+            SELECT c.event_type, c.t, c.x,
+                   abs((3 * p.t - n.sx) * (c.x - p.x)
+                       - (p.t - c.t) * (n.sy - 3 * p.x)) AS area3x,
+                   row_number() OVER (
+                       PARTITION BY c.event_type
+                       ORDER BY abs((3 * p.t - n.sx) * (c.x - p.x)
+                                    - (p.t - c.t) * (n.sy - 3 * p.x)) DESC,
+                                c.t ASC
+                   ) AS rn
+            FROM g c
+            JOIN sel_{b - 1} p ON p.event_type = c.event_type
+            JOIN bsum n ON n.event_type = c.event_type AND n.b = {b + 1}
+            WHERE c.b = {b}
+        ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""sel_{nb} AS (
+        SELECT event_type, CAST({nb} AS BIGINT) AS b, t, x,
+               CAST(0 AS BIGINT) AS area3x
+        FROM g WHERE t = {_HOLT_T}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _lttb_oracle() -> str:
+    nb = _HOLT_T // _LTTB_B
+    selects = " UNION ALL ".join(
+        f"SELECT event_type, b, t, x, area3x FROM sel_{b}"
+        for b in range(1, nb + 1)
+    )
+    return _lttb_chain() + "\n    " + selects
+
+
+@query("q_lttb_downsample", oracle=_lttb_oracle())
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB DOWNSAMPLING (Steinarsson 2013, "Largest-Triangle-Three-
+    Buckets" — the standard time-series visualization downsampler) over
+    each event type's 30-day count series, fixed-width integer variant:
+    3-day buckets, forced first/last points, and each middle bucket
+    contributes the point maximizing the triangle area with the
+    PREVIOUSLY SELECTED point and the NEXT bucket's centroid — the
+    shape-preserving 30->10 reduction a dashboard applies before
+    plotting millions of points.
+
+    Integer device: the centroid's /3 is cleared by 3x-multiplying the
+    cross product (|3·cross| preserves the argmax), so selection is
+    bit-deterministic with a smallest-day tie-break — which makes the
+    sequential selection chain (each bucket depends on the previous
+    CHOICE, not just previous data) hash-oracle-able via 8 unrolled
+    MATERIALIZED argmax rounds.
+
+    Scale: sequential in buckets but independent across series — ONE
+    applyInPandas over series keys with the day grid as input (the
+    Holt-family shape); bucket count is a constant, never data-sized."""
+    import pandas as pd
+
+    from ..tables import events as events_tbl
+
+    ev = events_tbl(spark, sf_dir).select(
+        "event_type",
+        F.expr("(ts_us div 86400000000) * 86400000000").alias("day_us"),
+    )
+    cnt = ev.groupBy("event_type", "day_us").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    days = ev.select("day_us").distinct()
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "day_us"], "left")
+        .select(
+            "event_type",
+            "day_us",
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    nb = _HOLT_T // _LTTB_B
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_us")
+        xs = [int(v) for v in pdf["x"]]
+        et = pdf["event_type"].iloc[0]
+        ts = list(range(1, len(xs) + 1))
+        out = [(et, 1, 1, xs[0], 0)]
+        pt, px = 1, xs[0]
+        for b in range(2, nb):
+            lo, hi = (b - 1) * _LTTB_B, b * _LTTB_B
+            nlo, nhi = b * _LTTB_B, (b + 1) * _LTTB_B
+            sx = sum(ts[nlo:nhi])
+            sy = sum(xs[nlo:nhi])
+            best = None
+            for i in range(lo, hi):
+                area = abs(
+                    (3 * pt - sx) * (xs[i] - px) - (pt - ts[i]) * (sy - 3 * px)
+                )
+                key = (-area, ts[i])
+                if best is None or key < best[0]:
+                    best = (key, ts[i], xs[i], area)
+            out.append((et, b, best[1], best[2], best[3]))
+            pt, px = best[1], best[2]
+        out.append((et, nb, len(xs), xs[-1], 0))
+        return pd.DataFrame(
+            out, columns=["event_type", "b", "t", "x", "area3x"]
+        )
+
+    return grid.groupBy("event_type").applyInPandas(
+        lttb,
+        "event_type STRING, b BIGINT, t BIGINT, x BIGINT, area3x BIGINT",
+    )

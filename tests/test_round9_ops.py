@@ -691,3 +691,38 @@ class TestIpLpmJoin:
             for r in QUERIES["q_ip_lpm_join"](spark, sf_dir).collect()
         }
         assert got == dict(counts)
+
+
+class TestLttb:
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        return QUERIES["q_lttb_downsample"](spark, sf_dir).collect()
+
+    def test_shape(self, rows, spark, sf_dir):
+        from nomad_event_streamer_spark.tables import events
+
+        n_types = (
+            events(spark, sf_dir).select("event_type").distinct().count()
+        )
+        assert len(rows) == n_types * 10
+
+    def test_endpoints_forced_and_selection_in_bucket(self, rows):
+        for r in rows:
+            if r["b"] == 1:
+                assert r["t"] == 1 and r["area3x"] == 0
+            elif r["b"] == 10:
+                assert r["t"] == 30 and r["area3x"] == 0
+            else:
+                lo = (r["b"] - 1) * 3 + 1
+                assert lo <= r["t"] <= lo + 2
+
+    def test_selection_is_monotone_in_time(self, rows):
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for r in rows:
+            per[r["event_type"]].append((r["b"], r["t"]))
+        for et, pts in per.items():
+            pts.sort()
+            ts = [t for _, t in pts]
+            assert ts == sorted(ts)
