@@ -1450,3 +1450,10 @@ def test_ip_lpm_routes_broadcast_no_theta_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lttb_no_partitionless_window(spark, sf_dir):
+    df = QUERIES["q_lttb_downsample"](spark, sf_dir)
+    assert not _partitionless_window_specs(df)
+    plan = plan_of(spark, sf_dir, "q_lttb_downsample")
+    assert "CartesianProduct" not in plan
