@@ -1457,3 +1457,12 @@ def test_lttb_no_partitionless_window(spark, sf_dir):
     assert not _partitionless_window_specs(df)
     plan = plan_of(spark, sf_dir, "q_lttb_downsample")
     assert "CartesianProduct" not in plan
+
+
+def test_mutual_best_match_is_candidate_bounded(spark, sf_dir):
+    """The linkage must ride the bucketed LSH candidate front — the
+    all-pairs draft (BroadcastNestedLoop cross of A x B) measured 14x
+    wall at x10 rows and is banned here."""
+    plan = plan_of(spark, sf_dir, "q_mutual_best_match")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -726,3 +726,30 @@ class TestLttb:
             pts.sort()
             ts = [t for _, t in pts]
             assert ts == sorted(ts)
+
+
+class TestMutualBestMatch:
+    def test_mutuality_and_uniqueness(self, spark, sf_dir):
+        rows = QUERIES["q_mutual_best_match"](spark, sf_dir).collect()
+        assert rows
+        a_ids = [r["a_id"] for r in rows]
+        b_ids = [r["b_id"] for r in rows]
+        # mutual best match is a partial matching: no id repeats
+        assert len(a_ids) == len(set(a_ids))
+        assert len(b_ids) == len(set(b_ids))
+        assert all(r["a_id"] % 2 == 0 and r["b_id"] % 2 == 1 for r in rows)
+
+    def test_filter_is_strictly_stronger_than_one_directional(
+        self, spark, sf_dir
+    ):
+        """The mutual filter must drop SOME one-directional best
+        matches, or the criterion is vacuous on this corpus."""
+        from nomad_event_streamer_spark.tables import load
+
+        n_a = (
+            load(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") % 2 == 0)
+            .count()
+        )
+        rows = QUERIES["q_mutual_best_match"](spark, sf_dir).collect()
+        assert 0 < len(rows) < n_a
