@@ -194,6 +194,23 @@ HEADLINE = [
     # token-bucket replay (applyInPandas over 1500 series at sf0.1)
     "q_bitmap_dau",
     "q_token_bucket",
+    # round-9b fact-scale additions: banded DTW is the per-user DP
+    # (applyInPandas over user keys), weighted Jaccard moves the token
+    # histograms through the shared-token pair join, naive Bayes scores
+    # fact×classes rows against the vocab model, the Hilbert fold is the
+    # 8-level HOF over lineitem, shot detection runs 64 md5s/row, DBSCAN
+    # iterates the cell graph, and the two streaming ops exercise
+    # outer-join eviction and chained dual-state queries.  Scan-light
+    # perm_entropy / anova_f / lcp_adjacent / path_3gram / adamic_adar
+    # (link_predict already tracks the wedge join) stay un-benched.
+    "q_dtw_band",
+    "q_weighted_jaccard",
+    "q_naive_bayes_bits",
+    "q_hilbert_cluster",
+    "q_video_shot_detect",
+    "q_dbscan_grid",
+    "q_stream_outer_join",
+    "q_stream_dedup_then_window",
 ]
 
 

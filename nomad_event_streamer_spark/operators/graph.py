@@ -599,3 +599,58 @@ def louvain_oracle_sql(rounds: int = 3) -> str:
     )"""
         )
     return ",\n    ".join(parts)
+
+
+def grid_components(
+    core: DataFrame, max_rounds: int = 16
+) -> tuple[DataFrame, int]:
+    """Connected components of occupied grid cells under 8-neighborhood
+    adjacency, by synchronous min-label propagation (labels = linearized
+    cell ids; one round per graph-diameter step, localCheckpoint cuts
+    lineage per round — the kcore posture).  Returns ``(labels,
+    rounds)`` so callers/tests can pin the measured depth against an
+    oracle's fixed unroll (ADVICE r08: no function-attribute state).
+
+    ``core`` must have BIGINT columns cx, cy.  Raises past
+    ``max_rounds`` — a silent partial propagation would be a wrong
+    answer (the q_kcore rule)."""
+    spark = core.sparkSession
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long",
+    )
+    lab = core.select(
+        "cx",
+        "cy",
+        F.expr("(cx + 32768) * 65536 + (cy + 32768)").alias("lab"),
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    while True:
+        nbr = (
+            lab.crossJoin(F.broadcast(offsets))
+            .select(
+                (F.col("cx") + F.col("dx")).alias("cx"),
+                (F.col("cy") + F.col("dy")).alias("cy"),
+                "lab",
+            )
+            .join(core, ["cx", "cy"])
+        )
+        new = (
+            nbr.groupBy("cx", "cy")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), ["cx", "cy"])
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab, rounds
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"grid components not converged in {max_rounds} rounds"
+            )

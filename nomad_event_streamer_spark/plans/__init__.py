@@ -47,7 +47,7 @@ from . import pipeline_queries  # noqa: E402,F401
 # round 8 (configs-side LEFT join, ADVICE r07) — so its refreshed evidence
 # is hard driver evidence rather than sim-only.  A green r09 window makes
 # the cumulative hard driver hash-PASS ledger cover all 377 oracled slugs.
-# Registry at HEAD: 413 queries / 402 oracled.
+# Registry at HEAD: 426 queries / 415 oracled.
 # Round-9 additions past window capacity follow the same overflow ledger
 # discipline in R10_QUEUE below: ordered immediately AFTER the window in
 # all_queries(), each sim-hash-verified on arrival, first in line for the
@@ -142,6 +142,19 @@ R10_QUEUE: list[str] = [
     "q_ip_lpm_join",
     "q_lttb_downsample",
     "q_mutual_best_match",
+    "q_dtw_band",
+    "q_perm_entropy",
+    "q_anova_f",
+    "q_weighted_jaccard",
+    "q_lcp_adjacent",
+    "q_adamic_adar",
+    "q_hilbert_cluster",
+    "q_video_shot_detect",
+    "q_stream_outer_join",
+    "q_path_3gram",
+    "q_naive_bayes_bits",
+    "q_dbscan_grid",
+    "q_stream_dedup_then_window",
 ]
 
 # Round-9 re-verification allowance: q_embed_lsh_tuning's optimized plan

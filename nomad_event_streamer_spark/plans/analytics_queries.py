@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..tables import events, load
+from ..tables import cents, events, load
 from .registry import query
 
 WEEK_US = 7 * 24 * 3600 * 1_000_000
@@ -1717,4 +1717,169 @@ def q_ip_lpm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("route").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.countDistinct("event_id").cast("long").alias("n_matched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA, integer-quantized (round 9b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_anova_f",
+    oracle="""
+    WITH x AS (
+        SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(c) AS BIGINT) AS sg,
+               CAST(sum(c * c) AS BIGINT) AS sqg
+        FROM x GROUP BY 1
+    ),
+    gm AS (SELECT event_type, ng, sg, sqg, sg // ng AS mg FROM g),
+    tot AS (
+        SELECT CAST(sum(ng) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(sg) AS BIGINT) // CAST(sum(ng) AS BIGINT) AS m
+        FROM gm
+    )
+    SELECT t.k, t.n,
+           CAST(sum(g.ng * (g.mg - t.m) * (g.mg - t.m)) AS BIGINT) AS ssb,
+           CAST(sum(g.sqg - 2 * g.mg * g.sg + g.ng * g.mg * g.mg)
+                AS BIGINT) AS ssw,
+           (CAST(CAST(sum(g.ng * (g.mg - t.m) * (g.mg - t.m)) AS BIGINT)
+                 AS DOUBLE) / CAST(t.k - 1 AS DOUBLE))
+             / (CAST(CAST(sum(g.sqg - 2 * g.mg * g.sg + g.ng * g.mg * g.mg)
+                          AS BIGINT) AS DOUBLE)
+                / CAST(t.n - t.k AS DOUBLE)) AS f_stat
+    FROM gm g, tot t
+    GROUP BY t.k, t.n
+    """,
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F statistic across event-type groups on the cents-
+    quantized value — "does the metric's mean differ by variant?", the
+    first significance read an A/B/n experimentation pipeline takes
+    before any pairwise test.
+
+    Integer-quantized variant (the q_ndcg_int / q_tdigest_int house
+    device): group means are floor-divided cents (exact BIGINTs), so
+    between-group SSB = sum ng*(mg-m)^2 and within-group
+    SSW = sum(x^2) - 2*mg*Sg + ng*mg^2 are exact integer sums —
+    order-independent, hash-stable — and the F ratio is ONE fixed IEEE
+    expression tree over exact-integer-valued doubles (the q_corr
+    conversion rule: integer->double is uniquely round-to-nearest).
+
+    Scale: a single two-level aggregation — per-group raw moments
+    (count/sum/sum-of-squares, map-side combinable partial agg) then a
+    k-row reduction; no row ever leaves its partition unaggregated."""
+    ev = events(spark, sf_dir)
+    x = ev.select("event_type", cents(F.col("value")).alias("c"))
+    g = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("c").cast("long").alias("sg"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sqg"),
+    )
+    gm = g.withColumn("mg", F.expr("sg div ng"))
+    tot = gm.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr("CAST(sum(sg) AS BIGINT) div CAST(sum(ng) AS BIGINT)").alias(
+            "m"
+        ),
+    )
+    j = gm.crossJoin(F.broadcast(tot))
+    agg = j.groupBy("k", "n").agg(
+        F.sum(F.col("ng") * (F.col("mg") - F.col("m")) * (F.col("mg") - F.col("m")))
+        .cast("long")
+        .alias("ssb"),
+        F.sum(
+            F.col("sqg")
+            - 2 * F.col("mg") * F.col("sg")
+            + F.col("ng") * F.col("mg") * F.col("mg")
+        )
+        .cast("long")
+        .alias("ssw"),
+    )
+    kd = (F.col("k") - 1).cast("double")
+    nd = (F.col("n") - F.col("k")).cast("double")
+    return agg.select(
+        "k",
+        "n",
+        "ssb",
+        "ssw",
+        (
+            (F.col("ssb").cast("double") / kd)
+            / (F.col("ssw").cast("double") / nd)
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-3 path mining (round 9b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_path_3gram",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+            FROM events
+        )
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    c AS (
+        SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE t3 IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    r AS (
+        SELECT t1, t2, t3, n,
+               row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS rnk
+        FROM c
+    )
+    SELECT t1, t2, t3, n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+)
+def q_path_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-3 BEHAVIORAL PATH MINING — the top-10 most common
+    consecutive event-type triples across user timelines (the
+    PrefixSpan level-3 slice / the "user path Sankey" table a product
+    analytics pipeline publishes; q_transitions is the length-2
+    Markov matrix this extends).
+
+    Scale: one user-partitioned window pass materializes the triple
+    stream join-free (two leads — the q_phrase_search device), counts
+    are a map-side-combinable <= |types|³-key aggregate (125 here —
+    model-sized, never corpus-sized), top-10 is TakeOrderedAndProject
+    with the rank attached to the 10 survivors."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    c = s.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    order = [
+        F.col("n").desc(),
+        F.col("t1").asc(),
+        F.col("t2").asc(),
+        F.col("t3").asc(),
+    ]
+    top = c.orderBy(*order).limit(10)
+    w2 = Window.orderBy(*order)
+    return top.withColumn(
+        "rnk", F.row_number().over(w2).cast("long")
     )

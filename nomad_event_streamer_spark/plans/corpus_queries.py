@@ -4192,3 +4192,202 @@ def q_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gain_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adjacent longest-common-prefix audit (round 9b)
+# ---------------------------------------------------------------------------
+
+_LCP_CAP = 64
+
+
+@query(
+    "q_lcp_adjacent",
+    oracle=f"""
+    WITH o AS (
+        SELECT source, doc_id, text,
+               lag(text) OVER w AS prev_text,
+               lag(doc_id) OVER w AS prev_doc
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY text, doc_id)
+    )
+    SELECT source, doc_id, prev_doc,
+           CAST(len(list_filter(range(1, {_LCP_CAP + 1}),
+                k -> substr(text, 1, CAST(k AS INT))
+                     = substr(prev_text, 1, CAST(k AS INT))))
+                AS BIGINT) AS lcp64,
+           CAST(text = prev_text AS BIGINT) AS exact_dup
+    FROM o WHERE prev_text IS NOT NULL
+    """,
+)
+def q_lcp_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADJACENT LONGEST-COMMON-PREFIX audit (the suffix-array
+    neighborhood device of Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better", restricted to document prefixes):
+    sort each source's documents lexicographically and measure the
+    common prefix of every adjacent pair, capped at 64 chars — near-dup
+    and boilerplate-prefix mass shows up as high-LCP ridges BEFORE any
+    hashing, and exact dups pin lcp64 at the cap.
+
+    The LCP is computed join-free by the prefix-monotonicity identity:
+    prefix-equality holds exactly for k = 1..LCP, so LCP = COUNT of
+    k ∈ 1..64 with substr(a,1,k) = substr(b,1,k) — one size(filter(
+    sequence())) HOF per pair in codegen, no char explode (the
+    prefix-compare cost is capped by the same 64 that caps the answer).
+
+    Scale: windows are PARTITIONED BY source (the per-shard audit — a
+    global adjacency would need a global sort; per-shard is both the
+    honest production semantics and shuffle-bounded), ordered by
+    (text, doc_id) for a deterministic tie on exact dups."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("text", "doc_id")
+    o = docs.select(
+        "source",
+        "doc_id",
+        "text",
+        F.lag("text").over(w).alias("prev_text"),
+        F.lag("doc_id").over(w).alias("prev_doc"),
+    ).where(F.col("prev_text").isNotNull())
+    lcp = F.expr(
+        f"size(filter(sequence(1, {_LCP_CAP}), "
+        "k -> substring(text, 1, k) = substring(prev_text, 1, k)))"
+    )
+    return o.select(
+        "source",
+        "doc_id",
+        "prev_doc",
+        lcp.cast("long").alias("lcp64"),
+        (F.col("text") == F.col("prev_text")).cast("long").alias("exact_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes in the bit domain (round 9b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_naive_bayes_bits",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    langs AS (SELECT DISTINCT lang AS cls FROM documents),
+    v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
+    cc AS (
+        SELECT lang AS cls, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    nl AS (
+        SELECT lang AS cls, CAST(count(*) AS BIGINT) AS ntok
+        FROM toks GROUP BY 1
+    ),
+    pri AS (
+        SELECT lang AS cls, CAST(count(*) AS BIGINT) AS ndoc
+        FROM documents GROUP BY 1
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.lang AS true_lang, l.cls,
+               CAST(sum(length(bin(nl.ntok + v.vsz))
+                        - length(bin(coalesce(cc.c, 0) + 1))) AS BIGINT)
+               + CAST(length(bin(nd.total)) - length(bin(pri.ndoc))
+                      AS BIGINT) AS bits
+        FROM toks t
+        CROSS JOIN langs l
+        CROSS JOIN v CROSS JOIN nd
+        JOIN nl ON nl.cls = l.cls
+        JOIN pri ON pri.cls = l.cls
+        LEFT JOIN cc ON cc.cls = l.cls AND cc.tok = t.tok
+        GROUP BY 1, 2, 3, nd.total, pri.ndoc
+    ),
+    ranked AS (
+        SELECT doc_id, true_lang, cls, bits,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY bits, cls
+               ) AS rn
+        FROM scored
+    )
+    SELECT doc_id, cls AS pred_lang, bits AS bits_best,
+           CAST(cls = true_lang AS BIGINT) AS is_correct
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_naive_bayes_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTINOMIAL NAIVE BAYES language classification in the BIT
+    domain — the generative classic beside the corpus's discriminative
+    classifiers (q_quality_classifier's fixed logistic, q_knn_classify,
+    q_gini_stump): add-1-smoothed per-class token surprisal
+    bit_length(N_L + V) − bit_length(c(tok,L) + 1) summed per document
+    plus the prior's bit cost, argmin class wins (smallest-class
+    tie-break).  The house bit_length device keeps the whole
+    log-likelihood integer — within one bit per term of true -log2,
+    and fully hash-gated where a float NB never could be.
+
+    Scale: the model is the (class × vocab) count table — vocabulary-
+    sized, never corpus-sized — built by ONE map-side-combinable
+    groupBy; scoring joins each token occurrence to the 5-class grid
+    (fact×|classes| rows) with the zero cells restored by a LEFT join
+    (absent tokens are exactly where NB's smoothing matters); class
+    totals and priors ride 1-row/5-row broadcasts; the per-doc argmin
+    is a doc-partitioned rank."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    langs = docs.select(F.col("lang").alias("cls")).distinct()
+    v = toks.agg(F.countDistinct("tok").cast("long").alias("vsz"))
+    cc = toks.groupBy(F.col("lang").alias("cls"), "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nl = toks.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("ntok")
+    )
+    pri = docs.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("ndoc")
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    scored = (
+        toks.select("doc_id", F.col("lang").alias("true_lang"), "tok")
+        .crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(nd))
+        .join(F.broadcast(nl), "cls")
+        .join(F.broadcast(pri), "cls")
+        .join(F.broadcast(cc), ["cls", "tok"], "left")
+        .groupBy("doc_id", "true_lang", "cls", "total", "ndoc")
+        .agg(
+            F.sum(
+                F.length(F.bin(F.col("ntok") + F.col("vsz")))
+                - F.length(F.bin(F.coalesce(F.col("c"), F.lit(0)) + 1))
+            )
+            .cast("long")
+            .alias("tok_bits")
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cls",
+            (
+                F.col("tok_bits")
+                + (
+                    F.length(F.bin("total")) - F.length(F.bin("ndoc"))
+                ).cast("long")
+            ).alias("bits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("bits", "cls")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cls").alias("pred_lang"),
+            F.col("bits").alias("bits_best"),
+            (F.col("cls") == F.col("true_lang"))
+            .cast("long")
+            .alias("is_correct"),
+        )
+    )

@@ -482,3 +482,120 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").cast("long").alias("max_degree"),
         F.sum("d").cast("long").alias("degree_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link scoring, bit-length variant (round 9b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_adamic_adar",
+    oracle=f"""
+    WITH cell AS (
+        SELECT DISTINCT user_id, event_type,
+               epoch_us(ts) // 3600000000 AS h
+        FROM events
+    ),
+    pair AS (
+        SELECT ca.user_id AS u, cb.user_id AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM cell ca
+        JOIN cell cb ON ca.event_type = cb.event_type AND ca.h = cb.h
+                    AND ca.user_id < cb.user_id
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT u AS a, v AS b FROM pair WHERE c >= {_LP_MIN_CELLS}),
+    nb AS (
+        SELECT a AS x, b AS y FROM e
+        UNION ALL SELECT b, a FROM e
+    ),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY x),
+    wedge AS (
+        SELECT j1.y AS a, j2.y AS b,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(1000 // length(bin(dm.d))) AS BIGINT) AS aa_milli
+        FROM nb j1
+        JOIN nb j2 ON j1.x = j2.x AND j1.y < j2.y
+        JOIN deg dm ON dm.x = j1.x
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT w.* FROM wedge w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b
+        )
+    ),
+    top AS (
+        SELECT a, b, n_common, aa_milli,
+               row_number() OVER (
+                   ORDER BY aa_milli DESC, n_common DESC, a, b
+               ) AS rnk
+        FROM cand
+    )
+    SELECT a, b, n_common, aa_milli, CAST(rnk AS BIGINT) AS rnk
+    FROM top WHERE rnk <= {_LP_TOPK}
+    """,
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC-ADAR link scoring (Adamic & Adar 2003), bit-length
+    variant: common neighbors weighted by 1/log2(degree) so evidence
+    through a selective mutual contact outweighs evidence through a
+    hub — the weighting q_link_predict's raw common-neighbor count is
+    blind to.  The libm-free house device (q_bigram_surprisal): weight
+    = 1000 div bit_length(degree), within one bit of the true log and
+    integer-exact under the full hash gate.
+
+    Scale: identical wedge posture to q_link_predict (cell equi-join
+    edge builder, middle-vertex wedge join, one anti join for
+    adjacency) with ONE extra vertex-keyed broadcast-sized join
+    attaching the middle's degree BEFORE aggregation; the same
+    max_cell/max_degree skew guards apply via the shared builders.
+    Top-k is the heap operator."""
+    from ..operators.graph import coactivity_edges
+    from ..tables import events
+
+    cell = (
+        events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts_us div 3600000000").alias("h"),
+        )
+        .distinct()
+    )
+    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS)
+    nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    j1 = nb.select(F.col("x").alias("m"), F.col("y").alias("a"))
+    j2 = nb.select(F.col("x").alias("m"), F.col("y").alias("b"))
+    wedge = (
+        j1.join(j2, "m")
+        .where(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("x").alias("m"), "d"), "m")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr("1000 div length(bin(d))"))
+            .cast("long")
+            .alias("aa_milli"),
+        )
+    )
+    cand = wedge.join(e, ["a", "b"], "left_anti")
+    order = [
+        F.col("aa_milli").desc(),
+        F.col("n_common").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+    ]
+    top = cand.orderBy(*order).limit(_LP_TOPK)
+    w = Window.orderBy(*order)
+    return top.select(
+        "a",
+        "b",
+        "n_common",
+        "aa_milli",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )

@@ -6575,3 +6575,269 @@ def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         best_ba,
         (F.col("a_id") == F.col("a2")) & (F.col("b_id") == F.col("b2")),
     ).select("a_id", "b_id", "cos_milli")
+
+
+# ---------------------------------------------------------------------------
+# Video shot-boundary detection (round 9b)
+# ---------------------------------------------------------------------------
+
+_SHOT_T = 32  # frames per clip
+_SHOT_SCENE = 8  # nominal scene length
+_SHOT_THR = 32  # |luma delta| cut threshold (> max intra-scene noise 15)
+
+
+@query(
+    "q_video_shot_detect",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, CAST(t AS BIGINT) AS t,
+               CAST(concat('0x', substring(md5(concat(
+                        CAST(doc_id AS VARCHAR), ':',
+                        CAST(t // {_SHOT_SCENE} AS VARCHAR))), 1, 6))
+                    AS BIGINT) % 200
+             + CAST(concat('0x', substring(md5(concat(
+                        CAST(doc_id AS VARCHAR), '#',
+                        CAST(t AS VARCHAR))), 1, 6))
+                    AS BIGINT) % 16 AS luma
+        FROM documents, (SELECT unnest(range(0, {_SHOT_T})) AS t)
+    ),
+    d AS (
+        SELECT doc_id, t, luma,
+               CASE WHEN t > 0
+                     AND abs(luma - lag(luma) OVER w) > {_SHOT_THR}
+                    THEN 1 ELSE 0 END AS cut
+        FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY t)
+    ),
+    sh AS (
+        SELECT doc_id, t, luma, cut,
+               sum(cut) OVER (PARTITION BY doc_id ORDER BY t) AS shot_id
+        FROM d
+    ),
+    seg AS (
+        SELECT doc_id, shot_id, count(*) AS slen FROM sh GROUP BY 1, 2
+    ),
+    agg1 AS (
+        SELECT doc_id,
+               CAST(sum(cut) + 1 AS BIGINT) AS n_shots,
+               CAST(coalesce(min(CASE WHEN cut = 1 THEN t END), -1)
+                    AS BIGINT) AS first_cut,
+               CAST(sum(luma) AS BIGINT) AS luma_mass
+        FROM d GROUP BY 1
+    ),
+    agg2 AS (
+        SELECT doc_id, CAST(max(slen) AS BIGINT) AS longest_shot
+        FROM seg GROUP BY 1
+    )
+    SELECT a.doc_id, a.n_shots, a.first_cut, g.longest_shot, a.luma_mass
+    FROM agg1 a JOIN agg2 g USING (doc_id)
+    """,
+)
+def q_video_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO SHOT-BOUNDARY DETECTION over synthetic per-document clips —
+    the frame-diff segmentation a multimodal curation pipeline runs to
+    split videos into shots before per-shot sampling/captioning (the
+    temporal sibling of q_multimodal_frames' spatial slicing).  Each
+    doc gets a 32-frame luma track from the md5 device: a
+    piecewise-constant scene base (%200, scenes of 8 frames) plus
+    bounded noise (%16), so cuts fire at scene seams iff the bases
+    differ by > 32 (noise alone, <=15, can never trigger) — detector
+    hits AND misses are both deterministic and hash-gated.  Per clip:
+    shot count, first cut, longest shot, luma mass.
+
+    Scale contrast (documented on purpose): the Spark side is pure
+    array-HOF codegen — transform/filter over the frame sequence, the
+    gaps-and-islands segmentation done with one array of cut positions
+    — ZERO shuffles and zero Python; a real decoder swaps the md5 luma
+    for a mapInPandas frame decode (operators/multimodal.py) and the
+    segmentation stays identical.  The oracle replays it relationally
+    (explode + window + running-sum islands), pinning the HOF
+    formulation against the classical one."""
+    docs = load(spark, sf_dir, "documents")
+    luma = (
+        f"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+        f"CAST(t div {_SHOT_SCENE} AS STRING))), 1, 6), 16, 10) AS BIGINT)"
+        f" % 200"
+        f" + CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#', "
+        f"CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 16"
+    )
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_SHOT_T - 1}), t -> {luma})"
+        ).alias("lumas"),
+    )
+    d = d.withColumn(
+        "cuts",
+        F.expr(
+            f"filter(transform(sequence(1, {_SHOT_T - 1}), "
+            f"t -> IF(abs(element_at(lumas, t + 1) - element_at(lumas, t))"
+            f" > {_SHOT_THR}, CAST(t AS BIGINT), CAST(NULL AS BIGINT))), "
+            "x -> x IS NOT NULL)"
+        ),
+    ).withColumn(
+        "bounds",
+        F.expr(
+            f"concat(array(CAST(0 AS BIGINT)), cuts, "
+            f"array(CAST({_SHOT_T} AS BIGINT)))"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        (F.size("cuts") + 1).cast("long").alias("n_shots"),
+        F.expr(
+            "IF(size(cuts) = 0, CAST(-1 AS BIGINT), element_at(cuts, 1))"
+        ).alias("first_cut"),
+        F.expr(
+            "array_max(transform(sequence(1, size(bounds) - 1), "
+            "i -> element_at(bounds, i + 1) - element_at(bounds, i)))"
+        )
+        .cast("long")
+        .alias("longest_shot"),
+        F.expr(
+            "aggregate(lumas, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("luma_mass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid DBSCAN over embedding space (round 9b)
+# ---------------------------------------------------------------------------
+
+_DB_G = 40  # cell width, milli units
+_DB_MINPTS = 6  # core-cell density floor
+_DB_ROUNDS = 16  # label-prop unroll cap (test-pinned >= measured depth)
+
+
+def _dbscan_oracle() -> str:
+    lin = "(cx + 32768) * 65536 + (cy + 32768)"
+    g, mp = _DB_G, _DB_MINPTS
+    parts = [
+        f"""WITH pts AS (
+        SELECT vec_id,
+               CAST(floor(embedding[1] * 1000.0 + 0.5) AS BIGINT) AS x,
+               CAST(floor(embedding[2] * 1000.0 + 0.5) AS BIGINT) AS y
+        FROM embeddings
+    ),
+    pc AS (
+        SELECT vec_id,
+               (x - ((x % {g}) + {g}) % {g}) // {g} AS cx,
+               (y - ((y % {g}) + {g}) % {g}) // {g} AS cy
+        FROM pts
+    ),
+    cells AS (
+        SELECT cx, cy, CAST(count(*) AS BIGINT) AS n
+        FROM pc GROUP BY 1, 2
+    ),
+    core AS (SELECT cx, cy FROM cells WHERE n >= {mp}),
+    l_0 AS (SELECT cx, cy, {lin} AS lab FROM core)"""
+    ]
+    for k in range(1, _DB_ROUNDS + 1):
+        parts.append(
+            f"""l_{k} AS MATERIALIZED (
+        SELECT c.cx, c.cy, min(p.lab) AS lab
+        FROM core c
+        JOIN l_{k - 1} p ON p.cx BETWEEN c.cx - 1 AND c.cx + 1
+                        AND p.cy BETWEEN c.cy - 1 AND c.cy + 1
+        GROUP BY 1, 2
+    )"""
+        )
+    parts.append(
+        f"""SELECT pc.vec_id,
+           CAST(coalesce(
+               (SELECT min(l.lab) FROM l_{_DB_ROUNDS} l
+                WHERE l.cx BETWEEN pc.cx - 1 AND pc.cx + 1
+                  AND l.cy BETWEEN pc.cy - 1 AND pc.cy + 1),
+               -1) AS BIGINT) AS cluster,
+           CAST(co.cx IS NOT NULL AS BIGINT) AS is_core
+    FROM pc
+    LEFT JOIN core co ON co.cx = pc.cx AND co.cy = pc.cy"""
+    )
+    return ",\n    ".join(parts[:-1]) + "\n    " + parts[-1]
+
+
+@query("q_dbscan_grid", oracle=_dbscan_oracle())
+def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID DBSCAN over embedding space (Ester et al. 1996 by way of
+    the cell-grid approximation GriDBSCAN/NG-DBSCAN use at scale):
+    points land in 40-milli cells on the first two embedding dims, a
+    cell with >= 6 points is CORE, clusters are 8-neighborhood
+    connected components of core cells (min-cell-id labels), border
+    points in non-core cells adopt the smallest adjacent core label,
+    everything else is noise (-1) — the density-based cluster audit a
+    SemDeDup-style pipeline runs where k-means (q_kcenter_seed) would
+    force spherical clusters and a global k.
+
+    Engine-exactness: milli quantization then an explicit floored
+    division ((x - pmod(x,G)) / G spelled identically in both engines —
+    Spark's `div` truncates toward zero on negatives while DuckDB's
+    `//` floors, so the raw operators MUST NOT meet a negative
+    coordinate); labels are linearized cell ids (integers); the
+    component search is synchronous min-label propagation, converging
+    in graph-diameter rounds — Spark iterates to fixpoint with a
+    16-round cap (loud failure past it), the oracle unrolls all 16
+    (idempotent after convergence, the q_label_prop device).
+
+    Scale: the fact-scale work is ONE (cell) count aggregate; all
+    component iterations run on the CELL table (bounded by occupied
+    grid cells, corpus-sublinear), and the final assignment is a
+    9-offset broadcast join of points to cell labels."""
+    vecs = load(spark, sf_dir, "embeddings")
+    g, mp = _DB_G, _DB_MINPTS
+    pts = vecs.select(
+        "vec_id",
+        F.expr(
+            "CAST(floor(element_at(embedding, 1) * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(floor(element_at(embedding, 2) * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("y"),
+    )
+    pc = pts.select(
+        "vec_id",
+        F.expr(f"(x - ((x % {g}) + {g}) % {g}) div {g}").alias("cx"),
+        F.expr(f"(y - ((y % {g}) + {g}) % {g}) div {g}").alias("cy"),
+    )
+    cells = pc.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    core = cells.where(F.col("n") >= mp).select("cx", "cy")
+    from ..operators.graph import grid_components
+
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long",
+    )
+    lab, _rounds = grid_components(core, max_rounds=_DB_ROUNDS)
+    assign = (
+        pc.crossJoin(F.broadcast(offsets))
+        .select(
+            "vec_id",
+            "cx",
+            "cy",
+            (F.col("cx") + F.col("dx")).alias("nx"),
+            (F.col("cy") + F.col("dy")).alias("ny"),
+        )
+        .join(
+            lab.select(
+                F.col("cx").alias("nx"),
+                F.col("cy").alias("ny"),
+                "lab",
+            ),
+            ["nx", "ny"],
+            "left",
+        )
+        .groupBy("vec_id", "cx", "cy")
+        .agg(F.min("lab").alias("cluster0"))
+    )
+    return (
+        assign.join(
+            core.withColumn("is_core_flag", F.lit(1)), ["cx", "cy"], "left"
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster0"), F.lit(-1))
+            .cast("long")
+            .alias("cluster"),
+            F.coalesce(F.col("is_core_flag"), F.lit(0))
+            .cast("long")
+            .alias("is_core"),
+        )
+    )

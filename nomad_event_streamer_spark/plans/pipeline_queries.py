@@ -3235,3 +3235,102 @@ def q_dedup_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     sh = dedup.shingles(docs, n=3)
     return oph_signatures(sh)
+
+
+# ---------------------------------------------------------------------------
+# Weighted Jaccard between source token histograms (round 9b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS mass FROM c GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(sum(least(a.n, b.n)) AS BIGINT) AS inter_mass
+        FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT ta.source AS src_a, tb.source AS src_b,
+           coalesce(i.inter_mass, 0) AS inter_mass,
+           ta.mass + tb.mass - coalesce(i.inter_mass, 0) AS union_mass,
+           coalesce(i.inter_mass, 0) * 1000000
+             // (ta.mass + tb.mass - coalesce(i.inter_mass, 0)) AS wj_ppm
+    FROM tot ta
+    JOIN tot tb ON ta.source < tb.source
+    LEFT JOIN inter i ON i.src_a = ta.source AND i.src_b = tb.source
+    """,
+)
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED JACCARD between every source pair's token histograms —
+    J_W = Σ min(c_A, c_B) / Σ max(c_A, c_B), the multiset overlap CCNet-
+    class mixers read before merging two crawl slices (plain Jaccard on
+    token SETS saturates at tiny vocabularies; the weighted form sees
+    mass).
+
+    The scale identity that shapes the plan: Σ max = mass_A + mass_B −
+    Σ min, so the pair join only touches SHARED tokens (an inner
+    equi-join on the token key) and the max side never materializes —
+    no full-outer join, no zero-fill grid.  Histograms are one
+    map-side-combinable (source, token) count; the 190-pair source grid
+    rides a broadcast of the 20-row mass table.  All integer, ppm by
+    floor-div."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    c = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = c.groupBy("source").agg(F.sum("n").cast("long").alias("mass"))
+    a = c.select(
+        F.col("source").alias("src_a"), "tok", F.col("n").alias("na")
+    )
+    b = c.select(
+        F.col("source").alias("src_b"), "tok", F.col("n").alias("nb")
+    )
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.least(F.col("na"), F.col("nb")))
+            .cast("long")
+            .alias("inter_mass")
+        )
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("mass").alias("ma"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("mass").alias("mb"))
+    grid = ta.join(F.broadcast(tb), F.col("src_a") < F.col("src_b"))
+    return (
+        grid.join(F.broadcast(inter), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce(F.col("inter_mass"), F.lit(0))
+            .cast("long")
+            .alias("inter_mass"),
+            (
+                F.col("ma")
+                + F.col("mb")
+                - F.coalesce(F.col("inter_mass"), F.lit(0))
+            )
+            .cast("long")
+            .alias("union_mass"),
+        )
+        .withColumn(
+            "wj_ppm",
+            F.expr("(inter_mass * 1000000) div union_mass").cast("long"),
+        )
+    )

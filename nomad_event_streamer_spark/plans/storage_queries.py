@@ -485,3 +485,94 @@ def q_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering audit (round 9b)
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_cluster_oracle() -> str:
+    from ..operators.hilbert import hilbert_oracle_rounds
+
+    return f"""
+    WITH bounds AS (
+        SELECT min(l_partkey) AS lpa, max(l_partkey) AS hpa,
+               min(l_suppkey) AS lpb, max(l_suppkey) AS hpb
+        FROM lineitem
+    ),
+    base AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               CAST((l_partkey - b.lpa) AS BIGINT) * 255
+                   // (b.hpa - b.lpa) AS x,
+               CAST((l_suppkey - b.lpb) AS BIGINT) * 255
+                   // (b.hpb - b.lpb) AS y
+        FROM lineitem, bounds b
+    ),
+    {hilbert_oracle_rounds("base", "pk, sk", order=8)}
+    SELECT d // 1365 AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(pk) AS BIGINT) AS min_pk,
+           CAST(max(pk) AS BIGINT) AS max_pk,
+           CAST(min(sk) AS BIGINT) AS min_sk,
+           CAST(max(sk) AS BIGINT) AS max_sk,
+           CAST(max(pk) - min(pk) AS BIGINT) AS span_pk,
+           CAST(max(sk) - min(sk) AS BIGINT) AS span_sk
+    FROM h_8 GROUP BY 1
+    """
+
+
+@query("q_hilbert_cluster", oracle=_hilbert_cluster_oracle())
+def q_hilbert_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE 2-D clustering audit (Faloutsos & Roseman 1989):
+    every lineitem row mapped to its order-8 Hilbert index over the
+    min/max-scaled (l_partkey, l_suppkey) grid, cut into 48 equal curve
+    segments (1365 cells each — deliberately NOT a power of 4: aligned
+    4^k segments tile both curves into identical quadrant blocks and
+    the comparison degenerates; real file counts aren't powers of 4
+    either), and per segment the bounding box of BOTH keys — the
+    per-file min/max footprint a Hilbert-clustered layout would give
+    the scan pruner.  Hilbert beats Z-order because the curve has no
+    long jumps: segment bboxes stay compact everywhere, where Morton
+    segments straddling a quadrant seam cover half the grid —
+    tests/test_round9c_ops.py pins the win on the dense grid (summed
+    bbox area 97k vs 173k at these 48 cuts; operators/hilbert.py has
+    the full argument).
+
+    The index itself is hash-gated: ONE aggregate-HOF fold over the 8
+    bit levels (JVM codegen, linear expression tree — a per-level
+    Column rewrite would double the tree each level), mirrored by 8
+    unrolled CTE rounds in DuckDB (the q_dtw_band device).  Bounds ride
+    a 1-row scalar agg (the zorder zvalue posture); the bucket audit is
+    one map-side-combinable 64-group aggregate."""
+    from ..operators.hilbert import hilbert_expr
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    lo_a, hi_a, lo_b, hi_b = li.agg(
+        F.min("l_partkey"),
+        F.max("l_partkey"),
+        F.min("l_suppkey"),
+        F.max("l_suppkey"),
+    ).collect()[0]
+    keyed = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.expr(
+            f"CAST((l_partkey - {lo_a}) AS BIGINT) * 255"
+            f" div {hi_a - lo_a}"
+        ).alias("hx"),
+        F.expr(
+            f"CAST((l_suppkey - {lo_b}) AS BIGINT) * 255"
+            f" div {hi_b - lo_b}"
+        ).alias("hy"),
+    )
+    d = keyed.withColumn("d", hilbert_expr("hx", "hy", order=8))
+    return d.groupBy(F.expr("d div 1365").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("pk").cast("long").alias("min_pk"),
+        F.max("pk").cast("long").alias("max_pk"),
+        F.min("sk").cast("long").alias("min_sk"),
+        F.max("sk").cast("long").alias("max_sk"),
+        (F.max("pk") - F.min("pk")).cast("long").alias("span_pk"),
+        (F.max("sk") - F.min("sk")).cast("long").alias("span_sk"),
+    )

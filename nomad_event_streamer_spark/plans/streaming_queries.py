@@ -1467,3 +1467,172 @@ def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_batches_seen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join with watermark eviction (round 9b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_outer_join",
+    oracle="""
+    WITH wm AS (
+        SELECT least(
+                 max(CASE WHEN event_type = 'click'
+                          THEN epoch_us(ts) END),
+                 max(CASE WHEN event_type = 'purchase'
+                          THEN epoch_us(ts) END)) - 1800000000 AS cut
+        FROM events
+    ),
+    m AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id AS user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+                                AND epoch_us(p.ts)
+    ),
+    u AS (
+        SELECT p.event_id AS purchase_id,
+               CAST(NULL AS BIGINT) AS click_id,
+               p.user_id AS user_id,
+               CAST(NULL AS BIGINT) AS gap_us
+        FROM events p
+        WHERE p.event_type = 'purchase'
+          AND epoch_us(p.ts) < (SELECT cut FROM wm)
+          AND NOT EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+                                       AND epoch_us(p.ts))
+    )
+    SELECT * FROM m UNION ALL SELECT * FROM u
+    """,
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — q_stream_stream_join's inner
+    match PLUS the abandoned-purchase rows (purchases with no click in
+    the preceding hour) that only the watermark can release: in append
+    mode an unmatched left row emits its null-padded result exactly
+    when the global watermark passes its event time (no future click
+    can match), so the OUTER half of the result is a statement about
+    WATERMARK EVICTION, not just about the data.
+
+    The oracle encodes that eviction rule exactly (empirically pinned,
+    and test-pinned in tests/test_round9c_ops.py): global watermark =
+    min over both inputs of (max event time) − 30 min delay, and an
+    unmatched purchase emits iff p_ts < watermark — purchases inside
+    the final 30-minute tail stay in state forever on a bounded replay
+    and are withheld by design (1,946 of 1,948 unmatched emit at
+    sf0.01).  Matched rows equal the batch range join regardless.
+
+    Scale: both sides shuffle once on user_id; state is bounded by the
+    1h range condition + 30min delay (without them the join buffers
+    both streams forever); eviction work is proportional to state, not
+    stream."""
+    stream = _stream_events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts_t").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_t").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful operators: dedup -> windowed agg (round 9b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_dedup_then_window",
+    oracle="""
+    WITH wm AS (
+        SELECT max(epoch_us(ts)) - 1800000000 AS cut FROM events
+    ),
+    w AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 * 3600000000 AS win_start_us,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, win_start_us, n
+    FROM w, wm WHERE win_start_us + 3600000000 <= cut
+    """,
+)
+def q_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL streaming operators — the Spark 3.5+/4
+    capability of running TWO state stores in one query with watermark
+    propagation between them: ``dropDuplicatesWithinWatermark`` feeds a
+    tumbling-window count (the at-least-once-ingest dashboard: dedup
+    the redelivered events, then aggregate).  Duplicates are
+    SYNTHESIZED in the stream plan (every event_id % 5 == 0 row emitted
+    twice), so a dedup miss inflates exactly those windows' counts and
+    breaks the hash — the dedup stage is verified by the aggregation
+    stage.
+
+    Emission rule (empirically pinned, test-pinned): append mode
+    finalizes a window when the propagated watermark (max event time −
+    30 min delay) passes its END — 3,380 of 3,385 windows emit at
+    sf0.01; the trailing tail stays in state on a bounded replay.
+
+    Scale: dedup state is keyed on event_id and EVICTED at the
+    watermark (bounded by the delay window, unlike plain
+    dropDuplicates whose state grows forever); the window agg keys are
+    (window, type) — both stages shuffle once each."""
+    stream = _stream_events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    dup = stream.withColumn(
+        "copy",
+        F.explode(
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.array(F.lit(1), F.lit(2)),
+            ).otherwise(F.array(F.lit(1)))
+        ),
+    )
+    deduped = dup.withWatermark("ts_t", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy(F.window("ts_t", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("window.start")).alias("win_start_us"),
+        F.col("n").cast("long").alias("n"),
+    )

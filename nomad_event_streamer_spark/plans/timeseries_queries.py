@@ -1794,3 +1794,238 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         lttb,
         "event_type STRING, b BIGINT, t BIGINT, x BIGINT, area3x BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded dynamic time warping (round 9b)
+# ---------------------------------------------------------------------------
+
+_DTW_N = 24  # hourly profile length
+_DTW_BAND = 3  # Sakoe-Chiba band half-width
+_DTW_INF = 1 << 40  # unreachable-cell sentinel (cost sums stay far below)
+
+
+def _dtw_oracle() -> str:
+    """Anti-diagonal unroll of the banded DTW recurrence: cells on
+    diagonal i+j=k depend only on diagonals k-1 (up, left) and k-2
+    (diag), so each MATERIALIZED round computes one whole diagonal with
+    NO within-round dependency — unlike a row unroll, whose left-cell
+    dependency would force width*depth rounds."""
+    n, w, inf = _DTW_N, _DTW_BAND, _DTW_INF
+    parts = [
+        f"""WITH hrs AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) + 1 AS i
+        FROM events
+    ),
+    users AS (SELECT DISTINCT user_id FROM hrs),
+    grid AS (
+        SELECT u.user_id, CAST(r.i AS BIGINT) AS i
+        FROM users u, (SELECT unnest(range(1, {n + 1})) AS i) r
+    ),
+    a AS (
+        SELECT g.user_id, g.i, CAST(count(h.user_id) AS BIGINT) AS a
+        FROM grid g
+        LEFT JOIN hrs h ON h.user_id = g.user_id AND h.i = g.i
+        GROUP BY 1, 2
+    ),
+    nb AS (SELECT count(*) AS nu FROM users),
+    btot AS (
+        SELECT i AS j, CAST(count(*) // (SELECT nu FROM nb) AS BIGINT) AS b
+        FROM hrs GROUP BY 1
+    ),
+    bg AS (
+        SELECT CAST(r.j AS BIGINT) AS j, coalesce(btot.b, 0) AS b
+        FROM (SELECT unnest(range(1, {n + 1})) AS j) r
+        LEFT JOIN btot ON btot.j = r.j
+    ),
+    cost AS MATERIALIZED (
+        SELECT a.user_id, a.i, bg.j, abs(a.a - bg.b) AS c
+        FROM a JOIN bg ON abs(a.i - bg.j) <= {w}
+    ),
+    d_2 AS MATERIALIZED (
+        SELECT user_id, i, j, c AS d FROM cost WHERE i = 1 AND j = 1
+    )"""
+    ]
+    for k in range(3, 2 * n + 1):
+        p3 = (
+            f"coalesce(p3.d, {inf})" if k - 2 >= 2 else f"CAST({inf} AS BIGINT)"
+        )
+        p3_join = (
+            f"""
+        LEFT JOIN d_{k - 2} p3 ON p3.user_id = c.user_id
+             AND p3.i = c.i - 1 AND p3.j = c.j - 1"""
+            if k - 2 >= 2
+            else ""
+        )
+        parts.append(
+            f"""d_{k} AS MATERIALIZED (
+        SELECT c.user_id, c.i, c.j,
+               c.c + least(coalesce(p1.d, {inf}), coalesce(p2.d, {inf}),
+                           {p3}) AS d
+        FROM cost c
+        LEFT JOIN d_{k - 1} p1 ON p1.user_id = c.user_id
+             AND p1.i = c.i - 1 AND p1.j = c.j
+        LEFT JOIN d_{k - 1} p2 ON p2.user_id = c.user_id
+             AND p2.i = c.i AND p2.j = c.j - 1{p3_join}
+        WHERE c.i + c.j = {k}
+    )"""
+        )
+    parts.append(
+        f"""SELECT user_id, d AS dtw_cost FROM d_{2 * n}
+    WHERE i = {n} AND j = {n}"""
+    )
+    return ",\n    ".join(parts[:-1]) + "\n    " + parts[-1]
+
+
+@query("q_dtw_band", oracle=_dtw_oracle())
+def q_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANDED DYNAMIC TIME WARPING (Sakoe & Chiba 1978) of each user's
+    24-hour activity profile against the fleet-average profile — the
+    elastic-alignment distance that scores "same shape, shifted hours"
+    as near, where Euclidean distance would punish a 2-hour timezone
+    offset at full price.  The standard behavioral-cohort /
+    anomalous-daily-rhythm feature; an operator Spark has no built-in
+    for.
+
+    Integer device: profiles are event COUNTS, the reference profile is
+    the per-hour total floor-divided by the user count, and |a_i - b_j|
+    costs make the whole DP integer-exact.  The Sakoe-Chiba band
+    (|i-j| <= 3) bounds each DP row to 7 cells; the oracle unrolls the
+    recurrence by ANTI-DIAGONALS (47 MATERIALIZED rounds, no
+    within-round dependency — see _dtw_oracle).
+
+    Scale: one groupBy(user) count agg (map-side combinable), then ONE
+    applyInPandas over user keys with constant per-key state (24-vector
+    + 25x25 banded DP); the reference profile is a 24-row broadcast.
+    Key cardinality is the parallelism unit — the same shape that holds
+    at 1e9 users."""
+    import pandas as pd
+
+    from ..tables import events as events_tbl
+
+    ev = events_tbl(spark, sf_dir).select(
+        "user_id",
+        (F.expr("ts_us div 3600000000") % 24 + 1).cast("long").alias("i"),
+    )
+    cnt = ev.groupBy("user_id", "i").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    nu = ev.select(F.countDistinct("user_id").alias("nu"))
+    bg = (
+        ev.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("tot"))
+        .crossJoin(F.broadcast(nu))
+        .select(F.col("i").alias("j"), F.expr("tot div nu").alias("b"))
+    )
+    barr = bg.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, b))), s -> s.b)"
+        ).alias("barr"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, b))), s -> s.j)"
+        ).alias("jarr"),
+    )
+    n, w, inf = _DTW_N, _DTW_BAND, _DTW_INF
+
+    def dtw(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(pdf["user_id"].iloc[0])
+        a = [0] * (n + 1)
+        for i, v in zip(pdf["i"], pdf["a"]):
+            a[int(i)] = int(v)
+        bmap = dict(zip(pdf["jarr"].iloc[0], pdf["barr"].iloc[0]))
+        b = [0] * (n + 1)
+        for j in range(1, n + 1):
+            b[j] = int(bmap.get(j, 0))
+        d = [[inf] * (n + 1) for _ in range(n + 1)]
+        for i in range(1, n + 1):
+            for j in range(max(1, i - w), min(n, i + w) + 1):
+                c = abs(a[i] - b[j])
+                if i == 1 and j == 1:
+                    d[i][j] = c
+                    continue
+                d[i][j] = c + min(
+                    d[i - 1][j],
+                    d[i][j - 1],
+                    d[i - 1][j - 1] if i > 1 and j > 1 else inf,
+                )
+        return pd.DataFrame(
+            [(uid, d[n][n])], columns=["user_id", "dtw_cost"]
+        )
+
+    return (
+        cnt.crossJoin(F.broadcast(barr))
+        .groupBy("user_id")
+        .applyInPandas(dtw, "user_id BIGINT, dtw_cost BIGINT")
+    )
+
+
+@query(
+    "q_perm_entropy",
+    oracle="""
+    WITH s AS (
+        SELECT value AS v,
+               lead(value, 1) OVER w AS v2,
+               lead(value, 2) OVER w AS v3
+        FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+            FROM events
+        )
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    p AS (
+        SELECT CAST(
+            CAST(v < v2 AS INT) + 2 * CAST(v2 < v3 AS INT)
+            + 4 * CAST(v < v3 AS INT) AS BIGINT) AS pattern
+        FROM s WHERE v3 IS NOT NULL
+    ),
+    c AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+    SELECT pattern, n,
+           CAST(length(bin((SELECT tot FROM t))) - length(bin(n))
+                AS BIGINT) AS surprisal_bits
+    FROM c
+    """,
+)
+def q_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION-ENTROPY ordinal patterns (Bandt & Pompe 2002, order
+    3): each consecutive value triple on a user's timeline maps to its
+    comparison pattern (v<v2, v2<v3, v<v3 bits — 8 classes, 2 of them
+    impossible for strict orders and realized only through ties), and
+    the corpus-level pattern histogram is the complexity signature —
+    near-uniform = noise-like, concentrated = regular/trending.  The
+    standard pre-model check that a metric stream is signal, not RNG.
+
+    Float policy: only COMPARISONS touch the raw doubles (identical
+    parquet values compare identically in both engines); counts are
+    integers, and the per-pattern surprisal uses the house bit_length
+    device (q_bigram_surprisal) instead of a transcendental log.
+
+    Scale: one window pass per user timeline (the q_window_lag shuffle
+    shape) then a map-side-combinable 8-key count — no float
+    accumulation anywhere."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = ev.select(
+        F.col("value").alias("v"),
+        F.lead("value", 1).over(w).alias("v2"),
+        F.lead("value", 2).over(w).alias("v3"),
+    )
+    p = s.where(F.col("v3").isNotNull()).select(
+        (
+            (F.col("v") < F.col("v2")).cast("int")
+            + 2 * (F.col("v2") < F.col("v3")).cast("int")
+            + 4 * (F.col("v") < F.col("v3")).cast("int")
+        )
+        .cast("long")
+        .alias("pattern")
+    )
+    c = p.groupBy("pattern").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("tot"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "pattern",
+        "n",
+        (F.length(F.bin("tot")) - F.length(F.bin("n")))
+        .cast("long")
+        .alias("surprisal_bits"),
+    )
