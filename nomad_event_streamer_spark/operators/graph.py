@@ -605,11 +605,19 @@ def grid_components(
     core: DataFrame, max_rounds: int = 16
 ) -> tuple[DataFrame, int]:
     """Connected components of occupied grid cells under 8-neighborhood
-    adjacency, by synchronous min-label propagation (labels = linearized
-    cell ids; one round per graph-diameter step, localCheckpoint cuts
-    lineage per round — the kcore posture).  Returns ``(labels,
-    rounds)`` so callers/tests can pin the measured depth against an
-    oracle's fixed unroll (ADVICE r08: no function-attribute state).
+    adjacency, by synchronous min-label propagation WITH POINTER
+    DOUBLING: each round a cell takes the min over (a) its 9-
+    neighborhood's labels and (b) the label OF its current label's cell
+    (labels are linearized cell ids, so a label decodes back to joinable
+    coordinates).  Plain neighbor-prop needs graph-DIAMETER rounds —
+    measured non-convergent at 16 rounds on the ×10 replica grid, the
+    q_dedup_clusters_star lesson replayed — the doubling term shortcuts
+    chains so convergence is O(log diameter): 16 rounds covers diameters
+    past 2^16.  Deterministic (a pure function of the previous round),
+    so a fixed oracle unroll replays it exactly; localCheckpoint cuts
+    lineage per round (the kcore posture).  Returns ``(labels, rounds)``
+    so callers/tests can pin the measured depth against the oracle's
+    unroll (ADVICE r08: no function-attribute state).
 
     ``core`` must have BIGINT columns cx, cy.  Raises past
     ``max_rounds`` — a silent partial propagation would be a wrong
@@ -626,7 +634,7 @@ def grid_components(
     ).localCheckpoint(eager=True)
     rounds = 0
     while True:
-        nbr = (
+        via_nbr = (
             lab.crossJoin(F.broadcast(offsets))
             .select(
                 (F.col("cx") + F.col("dx")).alias("cx"),
@@ -634,10 +642,33 @@ def grid_components(
                 "lab",
             )
             .join(core, ["cx", "cy"])
+            .groupBy("cx", "cy")
+            .agg(F.min("lab").alias("nl"))
+        )
+        via_ptr = (
+            lab.select(
+                "cx",
+                "cy",
+                F.expr("lab div 65536 - 32768").alias("lx"),
+                F.expr("lab % 65536 - 32768").alias("ly"),
+            )
+            .join(
+                lab.select(
+                    F.col("cx").alias("lx"),
+                    F.col("cy").alias("ly"),
+                    F.col("lab").alias("pl"),
+                ),
+                ["lx", "ly"],
+            )
+            .select("cx", "cy", "pl")
         )
         new = (
-            nbr.groupBy("cx", "cy")
-            .agg(F.min("lab").alias("lab"))
+            via_nbr.join(via_ptr, ["cx", "cy"])
+            .select(
+                "cx",
+                "cy",
+                F.least(F.col("nl"), F.col("pl")).alias("lab"),
+            )
             .localCheckpoint(eager=True)
         )
         rounds += 1

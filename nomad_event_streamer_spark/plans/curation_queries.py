@@ -783,3 +783,126 @@ def q_path_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes").cast("long").alias("bytes_sum"),
         F.countDistinct("p4").cast("long").alias("n_leaves"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy set cover for source selection (round 9b)
+# ---------------------------------------------------------------------------
+
+_SC_K = 5  # greedy rounds / sources to select
+
+
+def _set_cover_oracle() -> str:
+    parts = [
+        """WITH tt AS (
+        SELECT source, string_split(text, ' ') AS toks FROM documents
+    ),
+    st AS (
+        SELECT DISTINCT source, toks[i] || ' ' || toks[i + 1] AS tok
+        FROM tt, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+    ),
+    g_1 AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS gain
+        FROM st GROUP BY source
+    ),
+    w_1 AS (SELECT source, gain FROM g_1 ORDER BY gain DESC, source LIMIT 1),
+    c_1 AS (SELECT DISTINCT tok FROM st JOIN w_1 USING (source))"""
+    ]
+    for r in range(2, _SC_K + 1):
+        prev_winners = " UNION ALL ".join(
+            f"SELECT source FROM w_{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"""g_{r} AS (
+        SELECT s.source, CAST(count(*) AS BIGINT) AS gain
+        FROM st s LEFT JOIN c_{r - 1} c ON s.tok = c.tok
+        WHERE c.tok IS NULL
+          AND s.source NOT IN ({prev_winners})
+        GROUP BY s.source
+    ),
+    w_{r} AS (SELECT source, gain FROM g_{r}
+              ORDER BY gain DESC, source LIMIT 1),
+    c_{r} AS (SELECT tok FROM c_{r - 1}
+              UNION SELECT tok FROM st JOIN w_{r} USING (source))"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnk, source, gain, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM c_{r}) AS covered_total "
+        f"FROM w_{r}"
+        for r in range(1, _SC_K + 1)
+    )
+    return ",\n    ".join(parts) + "\n    " + finals
+
+
+@query("q_greedy_set_cover", oracle=_set_cover_oracle())
+def q_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY SET COVER source selection — pick the 5 sources that
+    together cover the most BIGRAM types, one greedy argmax round at a
+    time (each round scores every unpicked source by its count of
+    still-uncovered bigrams; bigrams deliberately — the 31-word unigram
+    vocabulary saturates in one round, the q_hapax_bigrams rationale).  The submodular-selection baseline a
+    data-mixing pipeline runs to choose corpus slices for coverage
+    (the 1−1/e-approximate dual of q_mix_budget's proportional
+    allocation; Nemhauser et al. 1978), and the token-level complement
+    of q_kcenter_seed's embedding-space farthest-first.
+
+    Scale: the universe stays DISTRIBUTED — covered-token state is a
+    vocabulary-scale DataFrame updated by union+distinct, marginal
+    gains are one anti-join aggregate per round, and only the 1-row
+    argmax ever reaches the driver (the q_kcenter_seed collect
+    posture).  k rounds = k scans of the (source, token) table; at
+    100 TB that table is vocabulary·sources, corpus-sublinear.  Oracle
+    unrolls the k argmax rounds as chained CTEs."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("source", F.split("text", " ").alias("toks"))
+    st = (
+        t.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 2 "
+                    "THEN sequence(1, size(toks) - 1) ELSE array() END"
+                )
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "source",
+            F.concat_ws(
+                " ",
+                F.element_at("toks", F.col("i")),
+                F.element_at("toks", F.col("i") + 1),
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None
+    picked: list[str] = []
+    rows: list[tuple] = []
+    for r in range(1, _SC_K + 1):
+        cand = st
+        if picked:
+            cand = cand.where(~F.col("source").isin(picked))
+        if covered is not None:
+            cand = cand.join(covered, "tok", "left_anti")
+        gains = cand.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("gain")
+        )
+        top = gains.orderBy(
+            F.col("gain").desc(), F.col("source").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        src, gain = top[0]["source"], top[0]["gain"]
+        picked.append(src)
+        new_toks = st.where(F.col("source") == src).select("tok")
+        covered = (
+            new_toks
+            if covered is None
+            else covered.union(new_toks).distinct()
+        ).localCheckpoint(eager=True)
+        rows.append((r, src, gain, covered.count()))
+    return spark.createDataFrame(
+        rows, "rnk long, source string, gain long, covered_total long"
+    )

@@ -6734,10 +6734,13 @@ def _dbscan_oracle() -> str:
     for k in range(1, _DB_ROUNDS + 1):
         parts.append(
             f"""l_{k} AS MATERIALIZED (
-        SELECT c.cx, c.cy, min(p.lab) AS lab
+        SELECT c.cx, c.cy, least(min(p.lab), min(p2.lab)) AS lab
         FROM core c
         JOIN l_{k - 1} p ON p.cx BETWEEN c.cx - 1 AND c.cx + 1
                         AND p.cy BETWEEN c.cy - 1 AND c.cy + 1
+        JOIN l_{k - 1} p1 ON p1.cx = c.cx AND p1.cy = c.cy
+        JOIN l_{k - 1} p2 ON p2.cx = p1.lab // 65536 - 32768
+                         AND p2.cy = p1.lab % 65536 - 32768
         GROUP BY 1, 2
     )"""
         )
@@ -6772,10 +6775,14 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's `div` truncates toward zero on negatives while DuckDB's
     `//` floors, so the raw operators MUST NOT meet a negative
     coordinate); labels are linearized cell ids (integers); the
-    component search is synchronous min-label propagation, converging
-    in graph-diameter rounds — Spark iterates to fixpoint with a
-    16-round cap (loud failure past it), the oracle unrolls all 16
-    (idempotent after convergence, the q_label_prop device).
+    component search is synchronous min-label propagation WITH POINTER
+    DOUBLING (operators/graph.py grid_components: min over neighborhood
+    labels AND the label of the current label's cell), converging in
+    O(log diameter) rounds — plain neighbor-prop measured NON-convergent
+    at 16 rounds on the ×10 replica grid; Spark iterates to fixpoint
+    with a 16-round cap (loud failure past it; covers diameters past
+    2^16), the oracle unrolls all 16 (idempotent after convergence,
+    the q_label_prop device).
 
     Scale: the fact-scale work is ONE (cell) count aggregate; all
     component iterations run on the CELL table (bounded by occupied

@@ -302,3 +302,45 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
     return spark.sql(_GBA_SQL.format(sfx="_gba"))
+
+
+@query(
+    "q_cluster_by",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER BY / DISTRIBUTE BY + SORT BY — the Spark SQL physical-
+    layout clauses (Hive heritage) that request a repartition-by-key
+    plus within-partition sort WITHOUT a global order: the idiom for
+    preparing co-located, locally-sorted data for a downstream
+    bucketed write or merge join.  Result contents are layout-
+    invariant (what the oracle checks — the aggregate over the
+    clustered relation equals the plain aggregate); the layout request
+    itself is plan-pinned in tests/test_round9e_ops.py (exactly one
+    hash Exchange on the cluster keys, a partition-local Sort, and NO
+    global-order Exchange — the rangepartitioning a naive ORDER BY
+    would insert).
+
+    Scale: CLUSTER BY is the explicit form of the shuffle every
+    groupBy implies — used standalone it gives the layout without an
+    aggregate; the point at 100 TB is that SORT BY costs a local sort
+    only, never the global range exchange of ORDER BY."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_cb_v"
+    )
+    clustered = spark.sql(
+        "SELECT l_returnflag, l_linestatus, l_quantity "
+        "FROM lineitem_cb_v CLUSTER BY l_returnflag, l_linestatus"
+    )
+    return clustered.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
