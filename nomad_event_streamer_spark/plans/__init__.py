@@ -47,7 +47,7 @@ from . import pipeline_queries  # noqa: E402,F401
 # round 8 (configs-side LEFT join, ADVICE r07) — so its refreshed evidence
 # is hard driver evidence rather than sim-only.  A green r09 window makes
 # the cumulative hard driver hash-PASS ledger cover all 377 oracled slugs.
-# Registry at HEAD: 428 queries / 417 oracled.
+# Registry at HEAD: 433 queries / 422 oracled.
 # Round-9 additions past window capacity follow the same overflow ledger
 # discipline in R10_QUEUE below: ordered immediately AFTER the window in
 # all_queries(), each sim-hash-verified on arrival, first in line for the
@@ -157,6 +157,11 @@ R10_QUEUE: list[str] = [
     "q_stream_dedup_then_window",
     "q_greedy_set_cover",
     "q_cluster_by",
+    "q_ffd_binpack",
+    "q_survival_km",
+    "q_slope_one",
+    "q_twap",
+    "q_spatial_nn_join",
 ]
 
 # Round-9 re-verification allowance: q_embed_lsh_tuning's optimized plan

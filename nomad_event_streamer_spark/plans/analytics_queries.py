@@ -1883,3 +1883,247 @@ def q_path_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk", F.row_number().over(w2).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (round 9b)
+# ---------------------------------------------------------------------------
+
+_KM_H = 48  # observation window, hours
+
+
+def _km_oracle() -> str:
+    h = _KM_H
+    parts = [
+        f"""WITH f AS (
+        SELECT user_id, min(epoch_us(ts)) AS first_ts,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS p_ts
+        FROM events GROUP BY 1
+    ),
+    obs AS (
+        SELECT user_id,
+               CASE WHEN p_ts IS NOT NULL
+                     AND p_ts - first_ts < {h} * 3600000000
+                    THEN (p_ts - first_ts) // 3600000000
+                    ELSE {h} END AS obs,
+               CASE WHEN p_ts IS NOT NULL
+                     AND p_ts - first_ts < {h} * 3600000000
+                    THEN 1 ELSE 0 END AS ev
+        FROM f
+    ),
+    rk AS (
+        SELECT CAST(r.t AS BIGINT) AS t,
+               CAST(count(*) FILTER (o.obs >= r.t) AS BIGINT) AS n_risk,
+               CAST(count(*) FILTER (o.ev = 1 AND o.obs = r.t)
+                    AS BIGINT) AS d
+        FROM (SELECT unnest(range(0, {h})) AS t) r, obs o
+        GROUP BY 1
+    ),
+    s_start AS (SELECT CAST(1000000 AS BIGINT) AS s)"""
+    ]
+    for t in range(h):
+        prev = "s_start" if t == 0 else f"s_{t - 1}"
+        parts.append(
+            f"""s_{t} AS (
+        SELECT rk.t, rk.n_risk, rk.d,
+               CASE WHEN rk.n_risk = 0 THEN p.s
+                    ELSE p.s * (rk.n_risk - rk.d) // rk.n_risk END AS s
+        FROM rk, {prev} p WHERE rk.t = {t}
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT t AS t_hours, n_risk, d AS n_events, s AS s_ppm"
+        f" FROM s_{t} WHERE d > 0"
+        for t in range(h)
+    )
+    return ",\n    ".join(parts) + "\n    " + finals
+
+
+@query("q_survival_km", oracle=_km_oracle())
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve (Kaplan & Meier 1958) for
+    time-to-first-purchase within a 48-hour observation window —
+    right-censoring done properly (users who never purchase inside the
+    window stay in every risk set; naive conversion rates silently
+    drop them), hourly steps, survival in exact ppm with truncating
+    division per step so the whole curve is integer and hash-gated.
+
+    Scale: the fact-scale work is ONE per-user min/min aggregate; the
+    risk table is CALENDAR-bounded (48 rows at any corpus size), so
+    the inherently sequential product folds driver-side over the
+    collected risk table (the q_ffd_binpack metadata-collect class)
+    while the oracle unrolls the 48 steps as 1-row CTEs."""
+    h = _KM_H
+    ev = events(spark, sf_dir)
+    f = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("p_ts"),
+    )
+    in_win = F.col("p_ts").isNotNull() & (
+        F.col("p_ts") - F.col("first_ts") < h * 3600000000
+    )
+    obs = f.select(
+        F.when(in_win, F.expr("(p_ts - first_ts) div 3600000000"))
+        .otherwise(F.lit(h))
+        .alias("obs"),
+        F.when(in_win, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    grid = spark.range(0, h).select(F.col("id").alias("t"))
+    rk = (
+        grid.join(obs, F.col("obs") >= F.col("t"), "left")
+        .groupBy("t")
+        .agg(
+            F.count("obs").cast("long").alias("n_risk"),
+            F.sum(
+                F.when(
+                    (F.col("ev") == 1) & (F.col("obs") == F.col("t")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    table = sorted(
+        ((r["t"], r["n_risk"], r["d"]) for r in rk.collect())
+    )
+    s = 1_000_000
+    rows = []
+    for t, n_risk, d in table:
+        if n_risk > 0:
+            s = s * (n_risk - d) // n_risk
+        if d > 0:
+            rows.append((t, n_risk, d, s))
+    return spark.createDataFrame(
+        rows, "t_hours long, n_risk long, n_events long, s_ppm long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Slope One rating prediction (round 9b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_slope_one",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT)
+               // CAST(count(*) AS BIGINT) AS rc
+        FROM events GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(sum(a.rc - b.rc) AS BIGINT) AS dnum,
+               CAST(count(*) AS BIGINT) AS n
+        FROM r a JOIN r b ON a.user_id = b.user_id
+                         AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT t.user_id, t.event_type, t.rc AS actual_cents,
+               CAST(sum(d.dnum + d.n * o.rc) AS BIGINT) AS pred_num,
+               CAST(sum(d.n) AS BIGINT) AS pred_den
+        FROM r t
+        JOIN dev d ON d.ta = t.event_type
+        JOIN r o ON o.user_id = t.user_id AND o.event_type = d.tb
+        GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, actual_cents, pred_num, pred_den,
+           (1000 * pred_num
+            - ((1000 * pred_num % pred_den) + pred_den) % pred_den)
+               // pred_den AS pred_milli
+    FROM p
+    """,
+)
+def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOPE ONE collaborative filtering (Lemire & Maclachlan 2005) —
+    the deliberately-simple item-item recommender: each user "rates"
+    each event type by mean spend (floor-div cents), the model is the
+    per-type-pair average rating deviation, and the weighted prediction
+    for an existing (user, type) cell is Σ_b (dev_num + n·r_ub) div
+    Σ_b n over the user's other types — the leave-nothing-out
+    self-prediction audit that grades the model before deployment.
+
+    Integer device: deviations stay as (numerator, count) pairs so no
+    per-pair division ever happens; the single final division is the
+    EXPLICIT floored form (x − pmod(x, den)) / den spelled identically
+    in both engines, because the numerator can go negative and Spark's
+    `div` truncates toward zero where DuckDB's `//` floors (the
+    q_dbscan_grid rule).
+
+    Scale: the model is the |types|² deviation table (25 rows —
+    model-sized, never corpus-sized) built from ONE user-keyed
+    self-join of the user-type rating table; predictions join ratings
+    to the broadcast model.  Fact rows are touched once, in the rating
+    aggregate."""
+    ev = events(spark, sf_dir)
+    r = ev.groupBy("user_id", "event_type").agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))"
+            " AS BIGINT) div count(*)"
+        )
+        .cast("long")
+        .alias("rc")
+    )
+    a = r.select(
+        "user_id",
+        F.col("event_type").alias("ta"),
+        F.col("rc").alias("ra"),
+    )
+    b = r.select(
+        "user_id",
+        F.col("event_type").alias("tb"),
+        F.col("rc").alias("rb"),
+    )
+    dev = (
+        a.join(b, "user_id")
+        .where(F.col("ta") != F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(F.col("ra") - F.col("rb")).cast("long").alias("dnum"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    t = r.select(
+        "user_id",
+        "event_type",
+        F.col("rc").alias("actual_cents"),
+    )
+    o = r.select(
+        "user_id",
+        F.col("event_type").alias("tb"),
+        F.col("rc").alias("ro"),
+    )
+    p = (
+        t.join(
+            F.broadcast(dev),
+            F.col("event_type") == F.col("ta"),
+        )
+        .join(o, ["user_id", "tb"])
+        .groupBy("user_id", "event_type", "actual_cents")
+        .agg(
+            F.sum(F.col("dnum") + F.col("n") * F.col("ro"))
+            .cast("long")
+            .alias("pred_num"),
+            F.sum("n").cast("long").alias("pred_den"),
+        )
+    )
+    return p.select(
+        "user_id",
+        "event_type",
+        "actual_cents",
+        "pred_num",
+        "pred_den",
+        F.expr(
+            "(1000 * pred_num"
+            " - ((1000 * pred_num % pred_den) + pred_den) % pred_den)"
+            " div pred_den"
+        )
+        .cast("long")
+        .alias("pred_milli"),
+    )

@@ -6708,9 +6708,11 @@ _DB_MINPTS = 6  # core-cell density floor
 _DB_ROUNDS = 16  # label-prop unroll cap (test-pinned >= measured depth)
 
 
-def _dbscan_oracle() -> str:
+def _dbscan_oracle(g: int = _DB_G, mp: int = _DB_MINPTS) -> str:
+    """Parameterized (cell width g, density floor mp) so
+    scripts/fuzz_dbscan.py can sweep the knob space against the REAL
+    dataflow (the fuzz_ttl pattern)."""
     lin = "(cx + 32768) * 65536 + (cy + 32768)"
-    g, mp = _DB_G, _DB_MINPTS
     parts = [
         f"""WITH pts AS (
         SELECT vec_id,
@@ -6788,8 +6790,19 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     component iterations run on the CELL table (bounded by occupied
     grid cells, corpus-sublinear), and the final assignment is a
     9-offset broadcast join of points to cell labels."""
+    return _dbscan_replay(spark, sf_dir)
+
+
+def _dbscan_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    g: int = _DB_G,
+    mp: int = _DB_MINPTS,
+) -> DataFrame:
+    """The q_dbscan_grid dataflow with the knobs exposed — the
+    registered query pins the declared literals; scripts/fuzz_dbscan.py
+    replays the REAL pipeline across (g, mp) space."""
     vecs = load(spark, sf_dir, "embeddings")
-    g, mp = _DB_G, _DB_MINPTS
     pts = vecs.select(
         "vec_id",
         F.expr(
@@ -6847,4 +6860,127 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("is_core"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed spatial nearest-neighbor join (round 9b)
+# ---------------------------------------------------------------------------
+
+_SNN_R = 100  # search radius, milli units; also the grid cell width
+
+
+@query(
+    "q_spatial_nn_join",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id,
+               CAST(floor(embedding[1] * 1000.0 + 0.5) AS BIGINT) AS x,
+               CAST(floor(embedding[2] * 1000.0 + 0.5) AS BIGINT) AS y
+        FROM embeddings
+    ),
+    pc AS (
+        SELECT vec_id, x, y,
+               (x - ((x % {_SNN_R}) + {_SNN_R}) % {_SNN_R})
+                   // {_SNN_R} AS cx,
+               (y - ((y % {_SNN_R}) + {_SNN_R}) % {_SNN_R})
+                   // {_SNN_R} AS cy
+        FROM p
+    ),
+    cand AS (
+        SELECT a.vec_id AS pid, b.vec_id AS qid,
+               (a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y) AS d2
+        FROM pc a
+        JOIN pc b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+                 AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+                 AND a.vec_id <> b.vec_id
+        WHERE (a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) <= {_SNN_R * _SNN_R}
+    ),
+    best AS (
+        SELECT pid, qid, d2,
+               row_number() OVER (PARTITION BY pid ORDER BY d2, qid) AS rn
+        FROM cand
+    )
+    SELECT pc.vec_id,
+           CAST(coalesce(b.qid, -1) AS BIGINT) AS nn_id,
+           CAST(coalesce(b.d2, -1) AS BIGINT) AS nn_dist2
+    FROM pc LEFT JOIN best b ON b.pid = pc.vec_id AND b.rn = 1
+    """,
+)
+def q_spatial_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BUCKETED SPATIAL NEAREST-NEIGHBOR JOIN — each point's
+    nearest other point within radius r on the 2-D milli-quantized
+    embedding plane, or (-1, -1) if none: the radius-bounded NN join
+    every spatial engine (GeoSpark/Sedona's JoinQuery, PostGIS
+    `<->` + `ST_DWithin`) builds from the same two ideas used here:
+    cell width = r, so ALL neighbors within r live in the 3×3 cell
+    neighborhood (exactness by construction, no ring expansion), and
+    candidates come from a cell equi-join — never point×point.
+    Squared-distance in exact integer milli²; smallest-id tie-break.
+
+    Scale: the candidate volume is Σ(cell size × its 3×3 mass) — the
+    LSH-bucket shape; the per-point argmin is a pid-partitioned rank;
+    radius-unmatched points are restored by one LEFT join.  The same
+    plan at 100 TB shuffles on cell keys (spatial locality = shuffle
+    locality), with the q_dbscan_grid floored-division device keeping
+    negative coordinates engine-exact."""
+    r = _SNN_R
+    vecs = load(spark, sf_dir, "embeddings")
+    p = vecs.select(
+        "vec_id",
+        F.expr(
+            "CAST(floor(element_at(embedding, 1) * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(floor(element_at(embedding, 2) * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("y"),
+    )
+    pc = p.select(
+        "vec_id",
+        "x",
+        "y",
+        F.expr(f"(x - ((x % {r}) + {r}) % {r}) div {r}").alias("cx"),
+        F.expr(f"(y - ((y % {r}) + {r}) % {r}) div {r}").alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long",
+    )
+    probe = pc.crossJoin(F.broadcast(offsets)).select(
+        F.col("vec_id").alias("pid"),
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    build = pc.select(
+        F.col("vec_id").alias("qid"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx")) + (
+        F.col("py") - F.col("qy")
+    ) * (F.col("py") - F.col("qy"))
+    cand = (
+        probe.join(build, ["cx", "cy"])
+        .where(F.col("pid") != F.col("qid"))
+        .select("pid", "qid", d2.alias("d2"))
+        .where(F.col("d2") <= r * r)
+    )
+    w = Window.partitionBy("pid").orderBy("d2", "qid")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("pid", "qid", "d2")
+    )
+    return pc.join(
+        best, pc["vec_id"] == best["pid"], "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("qid"), F.lit(-1)).cast("long").alias("nn_id"),
+        F.coalesce(F.col("d2"), F.lit(-1)).cast("long").alias("nn_dist2"),
     )

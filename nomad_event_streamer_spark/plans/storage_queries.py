@@ -586,3 +586,111 @@ def q_hilbert_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pk") - F.min("pk")).cast("long").alias("span_pk"),
         (F.max("sk") - F.min("sk")).cast("long").alias("span_sk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-Fit-Decreasing compaction bin packing (round 9b)
+# ---------------------------------------------------------------------------
+
+_FFD_GROUPS = 40  # input file-groups (doc_id % 40)
+_FFD_BINS = 8  # output files
+
+
+def _ffd_oracle() -> str:
+    nb = _FFD_BINS
+    cols = ", ".join(f"CAST(0 AS BIGINT) AS b{i}" for i in range(1, nb + 1))
+    parts = [
+        f"""WITH g AS (
+        SELECT doc_id % {_FFD_GROUPS} AS grp,
+               CAST(sum(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY 1
+    ),
+    it AS (
+        SELECT grp, bytes,
+               row_number() OVER (ORDER BY bytes DESC, grp) AS rnk
+        FROM g
+    ),
+    capt AS (
+        SELECT greatest(CAST(sum(bytes) AS BIGINT) * 5 // 32,
+                        CAST(max(bytes) AS BIGINT)) AS cap
+        FROM g
+    ),
+    s_0 AS (SELECT CAST(NULL AS BIGINT) AS grp, CAST(NULL AS BIGINT)
+                   AS bytes, CAST(NULL AS BIGINT) AS bin, {cols})"""
+    ]
+    first_fit = " ".join(
+        f"WHEN s.b{i} + i.bytes <= (SELECT cap FROM capt) THEN {i}"
+        for i in range(1, nb + 1)
+    )
+    minload = "least(" + ", ".join(f"s.b{i}" for i in range(1, nb + 1)) + ")"
+    argmin = " ".join(
+        f"WHEN s.b{i} = {minload} THEN {i}" for i in range(1, nb + 1)
+    )
+    for k in range(1, _FFD_GROUPS + 1):
+        newloads = ", ".join(
+            f"s.b{i} + CASE WHEN ch.bin = {i} THEN i.bytes ELSE 0 END"
+            f" AS b{i}"
+            for i in range(1, nb + 1)
+        )
+        parts.append(
+            f"""s_{k} AS MATERIALIZED (
+        SELECT i.grp, i.bytes, ch.bin, {newloads}
+        FROM s_{k - 1} s,
+             (SELECT grp, bytes FROM it WHERE rnk = {k}) i,
+             LATERAL (SELECT CASE {first_fit}
+                             ELSE (CASE {argmin} END) END AS bin) ch
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT grp, bytes, CAST({k} AS BIGINT) AS rnk, bin FROM s_{k}"
+        for k in range(1, _FFD_GROUPS + 1)
+    )
+    return ",\n    ".join(parts) + "\n    " + finals
+
+
+@query("q_ffd_binpack", oracle=_ffd_oracle())
+def q_ffd_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-FIT-DECREASING compaction planning (Johnson 1973, the
+    11/9·OPT+1 classic): 40 input file-groups packed by byte mass into
+    8 output files of capacity max(totalx5/32, largest input) — the bin
+    assignment a compaction service computes before rewriting small
+    files (q_compact_small_files executes a fixed plan; this PLANS one;
+    q_shard_plan's head-to-tail cut is the order-preserving
+    alternative).  First fit scans bins in index order; when nothing
+    fits, the least-loaded bin takes the overflow (smallest-index tie).
+
+    Scale: the only fact-scale work is the per-group byte aggregate —
+    packing runs on FILE METADATA (the group table), which is bounded
+    by file count, not corpus size; the plan is an inherently
+    sequential greedy, so it runs driver-side on the collected
+    ~40-row metadata table (the file-footer-stats collect class) and
+    the oracle unrolls the 40 placement rounds with the 8 bin loads as
+    CTE columns."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy((F.col("doc_id") % _FFD_GROUPS).alias("grp")).agg(
+        F.sum("n_chars").cast("long").alias("bytes")
+    )
+    items = sorted(
+        ((r["bytes"], r["grp"]) for r in g.collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    total = sum(b for b, _ in items)
+    cap = max(total * 5 // 32, max(b for b, _ in items))
+    loads = [0] * _FFD_BINS
+    rows = []
+    for rnk, (bts, grp) in enumerate(items, start=1):
+        bin_idx = next(
+            (
+                i
+                for i in range(_FFD_BINS)
+                if loads[i] + bts <= cap
+            ),
+            None,
+        )
+        if bin_idx is None:
+            bin_idx = min(range(_FFD_BINS), key=lambda i: (loads[i], i))
+        loads[bin_idx] += bts
+        rows.append((int(grp), int(bts), rnk, bin_idx + 1))
+    return spark.createDataFrame(
+        rows, "grp long, bytes long, rnk long, bin long"
+    )

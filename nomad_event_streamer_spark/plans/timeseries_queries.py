@@ -1805,17 +1805,19 @@ _DTW_BAND = 3  # Sakoe-Chiba band half-width
 _DTW_INF = 1 << 40  # unreachable-cell sentinel (cost sums stay far below)
 
 
-def _dtw_oracle() -> str:
+def _dtw_oracle(n: int = _DTW_N, w: int = _DTW_BAND) -> str:
     """Anti-diagonal unroll of the banded DTW recurrence: cells on
     diagonal i+j=k depend only on diagonals k-1 (up, left) and k-2
     (diag), so each MATERIALIZED round computes one whole diagonal with
     NO within-round dependency — unlike a row unroll, whose left-cell
-    dependency would force width*depth rounds."""
-    n, w, inf = _DTW_N, _DTW_BAND, _DTW_INF
+    dependency would force width*depth rounds.  Parameterized (profile
+    length n, band half-width w) so scripts/fuzz_dtw.py can sweep the
+    knob space against the REAL dataflow (the fuzz_ttl pattern)."""
+    inf = _DTW_INF
     parts = [
         f"""WITH hrs AS (
         SELECT user_id,
-               CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) + 1 AS i
+               CAST(epoch_us(ts) // 3600000000 % {n} AS BIGINT) + 1 AS i
         FROM events
     ),
     users AS (SELECT DISTINCT user_id FROM hrs),
@@ -1900,13 +1902,26 @@ def q_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     + 25x25 banded DP); the reference profile is a 24-row broadcast.
     Key cardinality is the parallelism unit — the same shape that holds
     at 1e9 users."""
+    return _dtw_replay(spark, sf_dir)
+
+
+def _dtw_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = _DTW_N,
+    w: int = _DTW_BAND,
+) -> DataFrame:
+    """The q_dtw_band dataflow with the knobs exposed (profile length
+    n, band half-width w) — the registered query pins the declared
+    literals; scripts/fuzz_dtw.py replays the REAL DP across the knob
+    space (the _tb_replay pattern)."""
     import pandas as pd
 
     from ..tables import events as events_tbl
 
     ev = events_tbl(spark, sf_dir).select(
         "user_id",
-        (F.expr("ts_us div 3600000000") % 24 + 1).cast("long").alias("i"),
+        (F.expr("ts_us div 3600000000") % n + 1).cast("long").alias("i"),
     )
     cnt = ev.groupBy("user_id", "i").agg(
         F.count(F.lit(1)).cast("long").alias("a")
@@ -1926,7 +1941,7 @@ def q_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(array_sort(collect_list(struct(j, b))), s -> s.j)"
         ).alias("jarr"),
     )
-    n, w, inf = _DTW_N, _DTW_BAND, _DTW_INF
+    inf = _DTW_INF
 
     def dtw(pdf: pd.DataFrame) -> pd.DataFrame:
         uid = int(pdf["user_id"].iloc[0])
@@ -2028,4 +2043,65 @@ def q_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(F.bin("tot")) - F.length(F.bin("n")))
         .cast("long")
         .alias("surprisal_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (round 9b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, cents,
+               lead(ts_us) OVER w - ts_us AS dt
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dt) AS BIGINT) AS span_us,
+           CAST(sum(cents * dt) AS BIGINT) AS cw_sum,
+           CAST(sum(cents * dt) // sum(dt) AS BIGINT) AS twap_cents
+    FROM d WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY 1
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP — TIME-weighted average per user under last-observation-
+    carried-forward semantics (each value holds until the next event,
+    so it is weighted by how LONG it held, not how often it was
+    sampled): the irregular-sampling mean every time-series store
+    ships as `time_weight` (TimescaleDB) / integral-average (InfluxDB),
+    and the honest aggregate where q_vwap's count-weighted mean
+    over-counts bursts.  Exact integers end-to-end: cents × usec-gap
+    products sum exactly in BIGINT, one floor division per group.
+
+    Scale: one user-partitioned window pass (lead) then ONE map-side-
+    combinable per-user aggregate — the q_window_lag shuffle shape;
+    zero-length gaps (same-timestamp events) carry zero weight and are
+    excluded identically in both engines."""
+    ev = events(spark, sf_dir).select(
+        "user_id", "event_id", "ts_us", cents_of(F.col("value")).alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = ev.select(
+        "user_id",
+        "cents",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt"),
+    ).where(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dt").cast("long").alias("span_us"),
+        F.sum(F.col("cents") * F.col("dt")).cast("long").alias("cw_sum"),
+        F.expr(
+            "CAST(sum(cents * dt) div sum(dt) AS BIGINT)"
+        ).alias("twap_cents"),
     )

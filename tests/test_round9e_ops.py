@@ -102,3 +102,65 @@ class TestClusterBy:
         plan = sorted_only._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Sort [l_returnflag" in plan
+
+
+class TestFfdBinpack:
+    def test_packing_invariants(self, spark):
+        """Every group assigned exactly once; first-fit property holds
+        (an item in bin b>1 means bins 1..b-1 could not hold it at
+        placement time); loads respect cap unless the overflow arm
+        fired."""
+        from nomad_event_streamer_spark.plans import QUERIES
+        from nomad_event_streamer_spark.plans.storage_queries import (
+            _FFD_BINS,
+            _FFD_GROUPS,
+        )
+
+        rows = sorted(
+            QUERIES["q_ffd_binpack"](spark, SF).collect(),
+            key=lambda r: r["rnk"],
+        )
+        assert len(rows) == _FFD_GROUPS
+        assert {r["grp"] for r in rows} == set(range(_FFD_GROUPS))
+        # bytes non-increasing in rank (the "decreasing" in FFD)
+        bts = [r["bytes"] for r in rows]
+        assert bts == sorted(bts, reverse=True)
+        total = sum(bts)
+        cap = max(total * 5 // 32, max(bts))
+        loads = [0] * (_FFD_BINS + 1)
+        for r in rows:
+            b = r["bin"]
+            assert 1 <= b <= _FFD_BINS
+            if loads[b] + r["bytes"] <= cap:
+                # first-fit: no earlier bin could have held it
+                for e in range(1, b):
+                    assert loads[e] + r["bytes"] > cap
+            else:
+                # overflow arm: b must be the least-loaded bin
+                ml = min(loads[1:])
+                assert loads[b] == ml
+                assert b == loads.index(ml)
+            loads[b] += r["bytes"]
+
+    def test_packing_quality(self, spark):
+        """FFD's point is FEWEST bins (not balance): on this fixture
+        nothing overflows (every load <= cap) and the bin count hits
+        the ceil(total/cap) lower bound exactly — i.e. the plan is
+        capacity-optimal here, not merely feasible."""
+        from collections import defaultdict
+
+        from nomad_event_streamer_spark.plans import QUERIES
+        from nomad_event_streamer_spark.plans.storage_queries import (
+            _FFD_BINS,
+        )
+
+        rows = QUERIES["q_ffd_binpack"](spark, SF).collect()
+        loads = defaultdict(int)
+        for r in rows:
+            loads[r["bin"]] += r["bytes"]
+        total = sum(loads.values())
+        cap = max(total * 5 // 32, max(r["bytes"] for r in rows))
+        assert all(v <= cap for v in loads.values())
+        lower = -(-total // cap)  # ceil
+        assert lower <= len(loads) <= _FFD_BINS
+        assert len(loads) == lower

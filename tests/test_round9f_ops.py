@@ -1,0 +1,214 @@
+"""Round-9f referees: Kaplan-Meier against a pure-python lifetable and
+Slope One against a pure-python deviation model."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pandas as pd
+
+from nomad_event_streamer_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_pd() -> pd.DataFrame:
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    dt = str(ev["ts"].dtype)
+    if dt == "datetime64[us]":
+        ev["ts_us"] = ev["ts"].astype("int64")
+    else:
+        ev["ts_us"] = (
+            ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        )
+    return ev
+
+
+class TestSurvivalKm:
+    def test_matches_pure_python_lifetable(self, spark):
+        ev = _events_pd()
+        h = 48
+        obs = []
+        for _, g in ev.groupby("user_id"):
+            first = int(g["ts_us"].min())
+            p = g[g["event_type"] == "purchase"]["ts_us"]
+            pt = int(p.min()) if len(p) else None
+            if pt is not None and pt - first < h * 3_600_000_000:
+                obs.append(((pt - first) // 3_600_000_000, 1))
+            else:
+                obs.append((h, 0))
+        s = 1_000_000
+        expected = []
+        for t in range(h):
+            n_risk = sum(1 for o, _ in obs if o >= t)
+            d = sum(1 for o, e in obs if e == 1 and o == t)
+            if n_risk > 0:
+                s = s * (n_risk - d) // n_risk
+            if d > 0:
+                expected.append((t, n_risk, d, s))
+        got = [
+            (r["t_hours"], r["n_risk"], r["n_events"], r["s_ppm"])
+            for r in sorted(
+                QUERIES["q_survival_km"](spark, SF).collect(),
+                key=lambda r: r["t_hours"],
+            )
+        ]
+        assert got == expected
+
+    def test_censoring_respected(self, spark):
+        """Survival must stay strictly positive while censored users
+        remain at risk, and be non-increasing."""
+        rows = sorted(
+            QUERIES["q_survival_km"](spark, SF).collect(),
+            key=lambda r: r["t_hours"],
+        )
+        assert rows, "no event steps"
+        s_vals = [r["s_ppm"] for r in rows]
+        assert s_vals == sorted(s_vals, reverse=True)
+        assert all(0 <= s <= 1_000_000 for s in s_vals)
+
+
+class TestSlopeOne:
+    def test_matches_pure_python_model(self, spark):
+        ev = _events_pd()
+        ev["c"] = (ev["value"] * 100.0 + 0.5).apply(lambda x: int(x // 1))
+        r: dict[tuple, int] = {}
+        agg: dict[tuple, list] = defaultdict(lambda: [0, 0])
+        for u, t, c in zip(ev["user_id"], ev["event_type"], ev["c"]):
+            a = agg[(int(u), t)]
+            a[0] += int(c)
+            a[1] += 1
+        for k, (sm, n) in agg.items():
+            r[k] = sm // n
+        by_user: dict[int, dict] = defaultdict(dict)
+        for (u, t), rc in r.items():
+            by_user[u][t] = rc
+        dev: dict[tuple, list] = defaultdict(lambda: [0, 0])
+        for u, tr in by_user.items():
+            for ta in tr:
+                for tb in tr:
+                    if ta != tb:
+                        d = dev[(ta, tb)]
+                        d[0] += tr[ta] - tr[tb]
+                        d[1] += 1
+        expected = {}
+        for u, tr in by_user.items():
+            for t in tr:
+                num = den = 0
+                for tb in tr:
+                    if tb == t or (t, tb) not in dev:
+                        continue
+                    dnum, n = dev[(t, tb)]
+                    num += dnum + n * tr[tb]
+                    den += n
+                if den > 0:
+                    expected[(u, t)] = (
+                        tr[t],
+                        num,
+                        den,
+                        (1000 * num) // den,  # python // floors
+                    )
+        got = {
+            (r_["user_id"], r_["event_type"]): (
+                r_["actual_cents"],
+                r_["pred_num"],
+                r_["pred_den"],
+                r_["pred_milli"],
+            )
+            for r_ in QUERIES["q_slope_one"](spark, SF).collect()
+        }
+        assert got == expected
+
+    def test_floored_division_identity(self, spark):
+        """pred_milli must be the FLOOR of 1000·num/den for every row —
+        including negative numerators, where Spark's truncating `div`
+        would differ (the explicit pmod form exists exactly for this);
+        and den > 0 on every emitted row.  (No beats-the-mean quality
+        assertion on purpose: the fixture's values are per-event noise
+        with no collaborative structure, so Slope One legitimately
+        cannot beat the global mean here — the referee above pins the
+        MODEL, not the data.)"""
+        rows = QUERIES["q_slope_one"](spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r["pred_den"] > 0
+            # python // floors — the exact integer identity
+            assert (
+                r["pred_milli"] == (1000 * r["pred_num"]) // r["pred_den"]
+            )
+
+
+class TestTwap:
+    def test_matches_pure_python_locf(self, spark):
+        ev = _events_pd().sort_values(["user_id", "ts_us", "event_id"])
+        ev["c"] = (ev["value"] * 100.0 + 0.5).apply(lambda x: int(x // 1))
+        expected = {}
+        for u, g in ev.groupby("user_id"):
+            ts = [int(t) for t in g["ts_us"]]
+            cs = [int(c) for c in g["c"]]
+            n = sp = cw = 0
+            for i in range(len(ts) - 1):
+                dt = ts[i + 1] - ts[i]
+                if dt > 0:
+                    n += 1
+                    sp += dt
+                    cw += cs[i] * dt
+            if n:
+                expected[int(u)] = (n, sp, cw, cw // sp)
+        got = {
+            r["user_id"]: (
+                r["n_intervals"],
+                r["span_us"],
+                r["cw_sum"],
+                r["twap_cents"],
+            )
+            for r in QUERIES["q_twap"](spark, SF).collect()
+        }
+        assert got == expected
+
+
+class TestSpatialNnJoin:
+    def test_matches_brute_force(self, spark):
+        """The grid join must equal the BRUTE-FORCE radius-bounded NN —
+        the exactness-by-construction claim (cell width = r ⇒ 3×3
+        neighborhood suffices) checked against a referee that never
+        builds the grid."""
+        docs = pd.read_parquet(f"{SF}/embeddings.parquet")
+        pts = {
+            int(v): (
+                int((float(e[0]) * 1000.0 + 0.5) // 1),
+                int((float(e[1]) * 1000.0 + 0.5) // 1),
+            )
+            for v, e in zip(docs["vec_id"], docs["embedding"])
+        }
+        r2 = 100 * 100
+        expected = {}
+        for pid, (px, py) in pts.items():
+            best = None
+            for qid, (qx, qy) in pts.items():
+                if qid == pid:
+                    continue
+                d2 = (px - qx) ** 2 + (py - qy) ** 2
+                if d2 <= r2 and (best is None or (d2, qid) < best):
+                    best = (d2, qid)
+            expected[pid] = (best[1], best[0]) if best else (-1, -1)
+        got = {
+            r["vec_id"]: (r["nn_id"], r["nn_dist2"])
+            for r in QUERIES["q_spatial_nn_join"](spark, SF).collect()
+        }
+        assert got == expected
+
+    def test_symmetric_distance_and_radius(self, spark):
+        rows = {
+            r["vec_id"]: (r["nn_id"], r["nn_dist2"])
+            for r in QUERIES["q_spatial_nn_join"](spark, SF).collect()
+        }
+        matched = sum(1 for nn, _ in rows.values() if nn != -1)
+        assert matched > 0, "radius too small for the fixture"
+        assert any(nn == -1 for nn, _ in rows.values()) or matched == len(
+            rows
+        )
+        for vid, (nn, d2) in rows.items():
+            if nn != -1:
+                assert 0 <= d2 <= 100 * 100
+                assert nn != vid
