@@ -599,3 +599,168 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aa_milli",
         F.row_number().over(w).cast("long").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bellman-Ford weighted shortest paths (round 9b)
+# ---------------------------------------------------------------------------
+
+_BF_INF = 1 << 40
+_BF_ROUNDS = 24  # |V| - 1 on the <= 25-nation contracted graph
+
+_BF_EDGES_SQL = f"""
+    SELECT sn.n_nationkey AS src, cn.n_nationkey AS dst,
+           CAST(sum(abs(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)))) AS BIGINT)
+               // CAST(count(*) AS BIGINT) AS w
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer cu ON cu.c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = cu.c_nationkey
+    WHERE sn.n_nationkey <> cn.n_nationkey
+    GROUP BY 1, 2 HAVING count(*) >= {_SCC_THRESHOLD}
+"""
+
+
+def _bf_oracle() -> str:
+    inf = _BF_INF
+    parts = [
+        f"""WITH e AS ({_BF_EDGES_SQL}),
+    nodes AS (
+        SELECT DISTINCT src AS v FROM e UNION SELECT DISTINCT dst FROM e
+    ),
+    src0 AS (SELECT min(v) AS s FROM nodes),
+    d_0 AS (
+        SELECT v, CASE WHEN v = (SELECT s FROM src0)
+                       THEN CAST(0 AS BIGINT)
+                       ELSE CAST({inf} AS BIGINT) END AS dist
+        FROM nodes
+    )"""
+    ]
+    for k in range(1, _BF_ROUNDS + 1):
+        parts.append(
+            f"""d_{k} AS MATERIALIZED (
+        SELECT n.v,
+               least(min(p0.dist),
+                     coalesce(min(p.dist + e.w), {inf})) AS dist
+        FROM nodes n
+        JOIN d_{k - 1} p0 ON p0.v = n.v
+        LEFT JOIN e ON e.dst = n.v
+        LEFT JOIN d_{k - 1} p ON p.v = e.src
+        GROUP BY n.v
+    )"""
+        )
+    parts.append(
+        f"""SELECT CAST(d.v AS BIGINT) AS nationkey, nat.n_name AS n_name,
+           CAST(CASE WHEN d.dist >= {inf} THEN -1 ELSE d.dist END
+                AS BIGINT) AS latency_days
+    FROM d_{_BF_ROUNDS} d JOIN nation nat ON nat.n_nationkey = d.v"""
+    )
+    return ",\n    ".join(parts[:-1]) + "\n    " + parts[-1]
+
+
+@query("q_bellman_ford", oracle=_bf_oracle())
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BELLMAN-FORD single-source shortest paths over the WEIGHTED
+    heavy-trade digraph — edge weight = mean order-to-ship latency in
+    integer days per (supplier nation → customer nation) lane, source =
+    the smallest nation in the graph; answers "cheapest multi-hop
+    routing latency to every market", the weighted question q_bfs_reach
+    (hop counts) and q_scc (cycle structure) cannot.  Unreachable
+    nations report -1.
+
+    Spark-first shape: CONTRACT FIRST (the q_scc posture) — fact-scale
+    work is the five-join edge projection with its integer mean-latency
+    aggregate; relaxation then runs on the <= 25-node contracted graph,
+    one edges⨝dist join + per-node min per round, localCheckpoint
+    lineage cuts, fixpoint-with-cap (|V|-1 = 24 rounds covers any
+    negative-cycle-free graph; weights are nonneg by construction).
+    The oracle unrolls the same 24 relaxation rounds — idempotent after
+    the fixpoint, the q_label_prop device."""
+    from ..tables import load as load_tbl
+
+    li = load_tbl(spark, sf_dir, "lineitem")
+    supp = load_tbl(spark, sf_dir, "supplier")
+    nat = load_tbl(spark, sf_dir, "nation")
+    orders = load_tbl(spark, sf_dir, "orders")
+    cust = load_tbl(spark, sf_dir, "customer")
+    e = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+            F.abs(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            ).alias("days"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(days) AS BIGINT) div count(*) AS BIGINT)"
+            ).alias("w"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= _SCC_THRESHOLD)
+        .select("src", "dst", "w")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    s0 = nodes.agg(F.min("v")).collect()[0][0]
+    inf = _BF_INF
+    if s0 is None:
+        # sub-threshold graph (can happen below the declared sf):
+        # empty result with the declared schema, mirroring the oracle.
+        return spark.createDataFrame(
+            [], "nationkey long, n_name string, latency_days long"
+        )
+    dist = nodes.select(
+        "v",
+        F.when(F.col("v") == s0, F.lit(0))
+        .otherwise(F.lit(inf))
+        .cast("long")
+        .alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_BF_ROUNDS):
+        relaxed = (
+            dist.alias("p")
+            .join(e.alias("e"), F.col("p.v") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("v"),
+                (F.col("p.dist") + F.col("e.w")).alias("dist"),
+            )
+        )
+        new = (
+            dist.union(relaxed)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(dist.alias("o"), "v")
+            .where(F.col("n.dist") != F.col("o.dist"))
+            .count()
+        )
+        dist = new
+        if changed == 0:
+            break
+    nat_s = nat.select(
+        F.col("n_nationkey").cast("long").alias("v"), "n_name"
+    )
+    return dist.join(F.broadcast(nat_s), "v").select(
+        F.col("v").alias("nationkey"),
+        "n_name",
+        F.when(F.col("dist") >= inf, F.lit(-1))
+        .otherwise(F.col("dist"))
+        .cast("long")
+        .alias("latency_days"),
+    )

@@ -6921,12 +6921,35 @@ def q_spatial_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Squared-distance in exact integer milli²; smallest-id tie-break.
 
     Scale: the candidate volume is Σ(cell size × its 3×3 mass) — the
-    LSH-bucket shape; the per-point argmin is a pid-partitioned rank;
-    radius-unmatched points are restored by one LEFT join.  The same
-    plan at 100 TB shuffles on cell keys (spatial locality = shuffle
-    locality), with the q_dbscan_grid floored-division device keeping
-    negative coordinates engine-exact."""
-    r = _SNN_R
+    LSH-bucket shape, so DENSITY is the adversary, not row count: the
+    ×10 probe stacks 10× points into the same plane and measures ~30×
+    (10× rows × 10× neighbors each — inherent to radius search in
+    densified data; at constant density, the real 100 TB regime of
+    more area not more crowding, the op is row-linear).  Two valves
+    (probe A/B in SCALE.md): the RADIUS is the density knob — r=30 at
+    ×10 density runs 6.5 s vs 49.5 s at r=100, with 34/20k unmatched
+    (denser data has closer neighbors, so a tighter radius answers the
+    same product question) — and ``max_cell`` on ``_snn_replay`` is
+    the emergency skew valve (lsh max_bucket pattern: degenerate cells
+    leave the candidate build whole, their points report unmatched;
+    2.0 s, but at uniformly extreme density it defers most of the
+    corpus — a cap is for HOT SPOTS, not a wrong radius).  Both OFF
+    here so the oracle is exact.  Per-point
+    argmin is a pid-partitioned rank; unmatched restored by one LEFT
+    join; the q_dbscan_grid floored-division device keeps negative
+    coordinates engine-exact."""
+    return _snn_replay(spark, sf_dir)
+
+
+def _snn_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    r: int = _SNN_R,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """The q_spatial_nn_join dataflow with the knobs exposed (radius /
+    cell width r, density guard max_cell) — the registered query pins
+    (r=100, uncapped); the scale probe exercises the capped arm."""
     vecs = load(spark, sf_dir, "embeddings")
     p = vecs.select(
         "vec_id",
@@ -6944,6 +6967,19 @@ def q_spatial_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(x - ((x % {r}) + {r}) % {r}) div {r}").alias("cx"),
         F.expr(f"(y - ((y % {r}) + {r}) % {r}) div {r}").alias("cy"),
     )
+    pc_all = pc
+    if max_cell is not None:
+        # degenerate-density cells drop out of the CANDIDATE build only;
+        # their points stay in the output (reported unmatched, deferring
+        # to a finer-grid pass) via the uncapped pc_all LEFT join below.
+        sizes = pc.groupBy("cx", "cy").agg(
+            F.count(F.lit(1)).alias("_cell_n")
+        )
+        pc = (
+            pc.join(sizes, ["cx", "cy"])
+            .where(F.col("_cell_n") <= max_cell)
+            .drop("_cell_n")
+        )
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
         "dx long, dy long",
@@ -6977,8 +7013,8 @@ def q_spatial_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("pid", "qid", "d2")
     )
-    return pc.join(
-        best, pc["vec_id"] == best["pid"], "left"
+    return pc_all.join(
+        best, pc_all["vec_id"] == best["pid"], "left"
     ).select(
         "vec_id",
         F.coalesce(F.col("qid"), F.lit(-1)).cast("long").alias("nn_id"),

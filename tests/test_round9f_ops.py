@@ -212,3 +212,85 @@ class TestSpatialNnJoin:
             if nn != -1:
                 assert 0 <= d2 <= 100 * 100
                 assert nn != vid
+
+
+class TestBellmanFord:
+    # the 170-shipment edge threshold yields a graph only at sf0.01+
+    SF_BF = "/root/testdata/sf0.01"
+
+    def test_matches_python_dijkstra(self, spark):
+        """Independent referee: edges recomputed via DuckDB's join
+        engine (independent of Spark), then DIJKSTRA in pure python —
+        a different shortest-path algorithm entirely, so a relaxation
+        bug in the unrolled rounds can't correlate."""
+        import heapq
+
+        import duckdb
+
+        from nomad_event_streamer_spark.plans.graph_queries import (
+            _BF_EDGES_SQL,
+        )
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem".split()
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{self.SF_BF}/{t}.parquet')"
+            )
+        edges = con.execute(_BF_EDGES_SQL).fetchall()
+        adj: dict[int, list] = {}
+        nodes = set()
+        for s, d, w in edges:
+            adj.setdefault(int(s), []).append((int(d), int(w)))
+            nodes.add(int(s))
+            nodes.add(int(d))
+        src = min(nodes)
+        dist = {v: None for v in nodes}
+        dist[src] = 0
+        pq = [(0, src)]
+        while pq:
+            du, u = heapq.heappop(pq)
+            if dist[u] is not None and du > dist[u]:
+                continue
+            for v, w in adj.get(u, []):
+                nd = du + w
+                if dist[v] is None or nd < dist[v]:
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        expected = {
+            v: (d if d is not None else -1) for v, d in dist.items()
+        }
+        got = {
+            r["nationkey"]: r["latency_days"]
+            for r in QUERIES["q_bellman_ford"](spark, self.SF_BF).collect()
+        }
+        assert got == expected
+
+    def test_triangle_inequality_on_result(self, spark):
+        """Shortest-path sanity: for every edge (u,v,w) with both ends
+        reached, dist(v) <= dist(u) + w."""
+        import duckdb
+
+        from nomad_event_streamer_spark.plans.graph_queries import (
+            _BF_EDGES_SQL,
+        )
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem".split()
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{self.SF_BF}/{t}.parquet')"
+            )
+        edges = con.execute(_BF_EDGES_SQL).fetchall()
+        got = {
+            r["nationkey"]: r["latency_days"]
+            for r in QUERIES["q_bellman_ford"](spark, self.SF_BF).collect()
+        }
+        for s, d, w in edges:
+            ds, dd = got.get(int(s), -1), got.get(int(d), -1)
+            if ds != -1:
+                assert dd != -1 and dd <= ds + int(w)
