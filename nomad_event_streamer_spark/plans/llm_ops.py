@@ -7020,3 +7020,139 @@ def _snn_replay(
         F.coalesce(F.col("qid"), F.lit(-1)).cast("long").alias("nn_id"),
         F.coalesce(F.col("d2"), F.lit(-1)).cast("long").alias("nn_dist2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram equalization over the real PGM codec (round 9b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_image_histeq",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 9 + doc_id % 8 AS w, 6 + doc_id % 5 AS h
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    pxl AS (
+        SELECT doc_id, w, h,
+               (doc_id * 73 + t.q * 151 + 11) % 256 AS v
+        FROM d CROSS JOIN range(0, 160) t(q)
+        WHERE t.q < w * h
+    ),
+    hist AS (
+        SELECT doc_id, w, h, v, CAST(count(*) AS BIGINT) AS c
+        FROM pxl GROUP BY 1, 2, 3, 4
+    ),
+    cdf AS (
+        SELECT doc_id, w, h, v, c,
+               sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS cf,
+               first_value(c) OVER (PARTITION BY doc_id ORDER BY v)
+                   AS cmin
+        FROM hist
+    ),
+    m AS (
+        SELECT doc_id, w, h, v, c,
+               CASE WHEN w * h = cmin THEN 0
+                    ELSE ((cf - cmin) * 255) // (w * h - cmin) END AS v2
+        FROM cdf
+    )
+    SELECT doc_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(2 + 1 + length(CAST(max(w) AS VARCHAR)) + 1
+                + length(CAST(max(h) AS VARCHAR)) + 1 + 3 + 1
+                + max(w) * max(h) AS BIGINT) AS out_bytes,
+           CAST(sum(v * c) AS BIGINT) AS sum_before,
+           CAST(sum(v2 * c) AS BIGINT) AS sum_after,
+           CAST(count(*) AS BIGINT) AS ndv_before,
+           CAST(count(DISTINCT v2) AS BIGINT) AS ndv_after
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_image_histeq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM EQUALIZATION over the real PGM codec path (decode →
+    transform → re-encode — the contrast-normalization pass an image
+    curation pipeline runs before perceptual hashing, and the first
+    actual IMAGE TRANSFORM beside q_image_resize's resampling): the
+    classic integer mapping v' = (cdf(v) − cdf_min)·255 div
+    (npix − cdf_min), computed per image in numpy inside mapInPandas
+    on REAL P5 bytes (decode_pgm → equalize → encode_pgm, roundtrip-
+    asserted), with the oracle replaying the closed-form pixel stream
+    relationally (histogram → windowed cumsum → floor mapping).  The
+    audit pins dims, the re-encoded FILE SIZE (header grammar + pixel
+    count), pre/post pixel mass, and pre/post distinct-value counts —
+    equalization must keep ndv (the mapping is monotone injective on
+    occupied bins) while stretching the range.
+
+    Scale: Arrow-batched per-row work, zero shuffles (plan-pinned
+    posture of the codec family); the oracle side is the only place a
+    histogram materializes."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        decode_pgm,
+        encode_pgm,
+        synthetic_media,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 1
+    )
+    media = synthetic_media(docs)
+
+    def histeq(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_pgm(bytes(payload))
+                h, w = px.shape
+                flat = px.astype(np.int64).ravel()
+                vals, counts = np.unique(flat, return_counts=True)
+                cf = np.cumsum(counts)
+                cmin = int(cf[0])
+                npix = int(w * h)
+                if npix == cmin:
+                    mapped = {int(v): 0 for v in vals}
+                else:
+                    mapped = {
+                        int(v): int((int(c) - cmin) * 255 // (npix - cmin))
+                        for v, c in zip(vals, cf)
+                    }
+                eq = np.vectorize(mapped.get)(flat).astype(np.uint8)
+                out = encode_pgm(eq.reshape(h, w))
+                back = decode_pgm(out)
+                assert (back == eq.reshape(h, w)).all()
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        len(out),
+                        int(flat.sum()),
+                        int(eq.astype(np.int64).sum()),
+                        len(vals),
+                        len(set(mapped.values())),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "out_bytes",
+                    "sum_before",
+                    "sum_after",
+                    "ndv_before",
+                    "ndv_after",
+                ],
+            )
+
+    return media.mapInPandas(
+        histeq,
+        "doc_id long, width long, height long, out_bytes long,"
+        " sum_before long, sum_after long, ndv_before long,"
+        " ndv_after long",
+    )
