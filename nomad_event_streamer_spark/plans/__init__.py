@@ -47,7 +47,7 @@ from . import pipeline_queries  # noqa: E402,F401
 # round 8 (configs-side LEFT join, ADVICE r07) — so its refreshed evidence
 # is hard driver evidence rather than sim-only.  A green r09 window makes
 # the cumulative hard driver hash-PASS ledger cover all 377 oracled slugs.
-# Registry at HEAD: 435 queries / 424 oracled.
+# Registry at HEAD: 436 queries / 425 oracled.
 # Round-9 additions past window capacity follow the same overflow ledger
 # discipline in R10_QUEUE below: ordered immediately AFTER the window in
 # all_queries(), each sim-hash-verified on arrival, first in line for the
@@ -164,6 +164,7 @@ R10_QUEUE: list[str] = [
     "q_spatial_nn_join",
     "q_bellman_ford",
     "q_image_histeq",
+    "q_cuped",
 ]
 
 # Round-9 re-verification allowance: q_embed_lsh_tuning's optimized plan

@@ -2127,3 +2127,147 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pred_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout (round 9b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cuped",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    mid AS (
+        SELECT (min(ts_us) + max(ts_us)) // 2 AS m FROM b
+    ),
+    u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(sum(CASE WHEN ts_us < (SELECT m FROM mid)
+                             THEN c ELSE 0 END) AS BIGINT) AS pre,
+               CAST(sum(CASE WHEN ts_us >= (SELECT m FROM mid)
+                             THEN c ELSE 0 END) AS BIGINT) AS post
+        FROM b GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(pre) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+               CAST(CAST(sum(post) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+               CAST(CAST(sum(pre * pre) AS DECIMAL(38,0)) AS DOUBLE)
+                   AS sxx,
+               CAST(CAST(sum(pre * post) AS DECIMAL(38,0)) AS DOUBLE)
+                   AS sxy
+        FROM u
+    ),
+    v AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n_v,
+               CAST(sum(pre) AS BIGINT) AS sum_pre,
+               CAST(sum(post) AS BIGINT) AS sum_post
+        FROM u GROUP BY 1
+    )
+    SELECT v.variant, v.n_v, v.sum_pre, v.sum_post,
+           CAST(v.sum_post AS DOUBLE) / CAST(v.n_v AS DOUBLE)
+               AS mean_post,
+           CAST(v.sum_post AS DOUBLE) / CAST(v.n_v AS DOUBLE)
+           - ((CAST(g.n AS DOUBLE) * g.sxy - g.sx * g.sy)
+              / (CAST(g.n AS DOUBLE) * g.sxx - g.sx * g.sx))
+             * (CAST(v.sum_pre AS DOUBLE) / CAST(v.n_v AS DOUBLE)
+                - g.sx / CAST(g.n AS DOUBLE)) AS mean_adj
+    FROM v, g
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    "Improving the Sensitivity of Online Controlled Experiments") —
+    the standard experimentation-platform adjustment: each variant's
+    post-period mean corrected by θ·(pre-period deviation), with θ =
+    cov(pre, post)/var(pre) pooled over all users, so pre-existing
+    user-level differences stop masquerading as treatment effects
+    (q_anova_f asks "do means differ"; CUPED answers it with the
+    pre-period variance removed).
+
+    Engine-exactness (the q_corr device end-to-end): per-user pre/post
+    are exact cents sums split at the global midpoint timestamp, θ's
+    moments accumulate as exact integer sums (DECIMAL(38,0) headroom,
+    order-independent) converted once to double, and — the key
+    identity — the per-variant adjusted mean needs NO per-user float
+    sum: mean_adj = Σpost/n_v − θ·(Σpre/n_v − Σpre_all/n), a fixed
+    IEEE tree over exact-integer-valued doubles.
+
+    Scale: one per-user aggregate (map-side combinable, the midpoint
+    rides a 1-row broadcast), one 1-row moment reduction, one
+    |variants|-row rollup — fact rows are touched once."""
+    ev = events(spark, sf_dir)
+    b = ev.select(
+        "user_id", "ts_us", cents(F.col("value")).alias("c")
+    )
+    mid = b.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("m")
+    )
+    u = (
+        b.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_us") < F.col("m"), F.col("c")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("pre"),
+            F.sum(
+                F.when(
+                    F.col("ts_us") >= F.col("m"), F.col("c")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("post"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    dec = "decimal(38,0)"
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("pre").cast(dec)).cast(dec).cast("double").alias("sx"),
+        F.sum(F.col("post").cast(dec)).cast(dec).cast("double").alias("sy"),
+        F.sum((F.col("pre") * F.col("pre")).cast(dec))
+        .cast(dec)
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("pre") * F.col("post")).cast(dec))
+        .cast(dec)
+        .cast("double")
+        .alias("sxy"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+        F.sum("pre").cast("long").alias("sum_pre"),
+        F.sum("post").cast("long").alias("sum_post"),
+    )
+    j = v.crossJoin(F.broadcast(g))
+    nd = F.col("n").cast("double")
+    theta = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    mean_post = F.col("sum_post").cast("double") / F.col("n_v").cast(
+        "double"
+    )
+    mean_pre_v = F.col("sum_pre").cast("double") / F.col("n_v").cast(
+        "double"
+    )
+    mean_pre_all = F.col("sx") / nd
+    return j.select(
+        "variant",
+        "n_v",
+        "sum_pre",
+        "sum_post",
+        mean_post.alias("mean_post"),
+        (mean_post - theta * (mean_pre_v - mean_pre_all)).alias(
+            "mean_adj"
+        ),
+    )

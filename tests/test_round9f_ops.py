@@ -354,3 +354,67 @@ class TestImageHisteq:
             assert r["ndv_after"] <= r["ndv_before"]
             mean_after = r["sum_after"] / n
             assert 80 <= mean_after <= 180, (r["doc_id"], mean_after)
+
+
+class TestCuped:
+    def test_matches_pure_python_moments(self, spark):
+        ev = _events_pd()
+        ev["c"] = (ev["value"] * 100.0 + 0.5).apply(lambda x: int(x // 1))
+        mid = (int(ev["ts_us"].min()) + int(ev["ts_us"].max())) // 2
+        users: dict[int, list] = {}
+        for u, t, c in zip(ev["user_id"], ev["ts_us"], ev["c"]):
+            pre, post = users.setdefault(int(u), [0, 0])
+            if int(t) < mid:
+                users[int(u)][0] += int(c)
+            else:
+                users[int(u)][1] += int(c)
+        n = len(users)
+        sx = float(sum(p for p, _ in users.values()))
+        sy = float(sum(q for _, q in users.values()))
+        sxx = float(sum(p * p for p, _ in users.values()))
+        sxy = float(sum(p * q for p, q in users.values()))
+        theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        expected = {}
+        for variant in (0, 1):
+            vs = [pq for u, pq in users.items() if u % 2 == variant]
+            n_v = len(vs)
+            sum_pre = sum(p for p, _ in vs)
+            sum_post = sum(q for _, q in vs)
+            mean_post = float(sum_post) / float(n_v)
+            mean_adj = mean_post - theta * (
+                float(sum_pre) / float(n_v) - sx / float(n)
+            )
+            expected[variant] = (
+                n_v,
+                sum_pre,
+                sum_post,
+                mean_post,
+                mean_adj,
+            )
+        got = {
+            r["variant"]: (
+                r["n_v"],
+                r["sum_pre"],
+                r["sum_post"],
+                r["mean_post"],
+                r["mean_adj"],
+            )
+            for r in QUERIES["q_cuped"](spark, SF).collect()
+        }
+        # integer parts exact; float parts are the same fixed IEEE tree
+        for k in expected:
+            assert got[k][:3] == expected[k][:3]
+            assert abs(got[k][3] - expected[k][3]) < 1e-9
+            assert abs(got[k][4] - expected[k][4]) < 1e-9
+
+    def test_adjustment_centers_on_global_mean(self, spark):
+        """CUPED identity: the user-weighted average of the variant
+        adjustments is zero — Σ n_v·(mean_adj − mean_post) = −θ·Σ n_v·
+        (mean_pre_v − mean_pre) = 0, so CUPED shifts variants, never
+        the global average."""
+        rows = QUERIES["q_cuped"](spark, SF).collect()
+        shift = sum(
+            r["n_v"] * (r["mean_adj"] - r["mean_post"]) for r in rows
+        )
+        total = sum(r["n_v"] for r in rows)
+        assert abs(shift / total) < 1e-6
