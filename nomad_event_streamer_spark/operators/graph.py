@@ -619,9 +619,14 @@ def grid_components(
     so callers/tests can pin the measured depth against the oracle's
     unroll (ADVICE r08: no function-attribute state).
 
-    ``core`` must have BIGINT columns cx, cy.  Raises past
-    ``max_rounds`` — a silent partial propagation would be a wrong
-    answer (the q_kcore rule)."""
+    ``core`` must have BIGINT columns cx, cy, each in [-32768, 32767] —
+    the label linearization (cx+32768)*65536 + (cy+32768) is only
+    bijective on that domain, and an out-of-range cell would ALIAS into
+    another cell's label (silently wrong components).  A per-row
+    raise_error guard inside the label expression enforces it loudly
+    (ADVICE r09) at zero extra jobs: the branch only evaluates on a
+    violating row.  Raises past ``max_rounds`` — a silent partial
+    propagation would be a wrong answer (the q_kcore rule)."""
     spark = core.sparkSession
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
@@ -630,7 +635,14 @@ def grid_components(
     lab = core.select(
         "cx",
         "cy",
-        F.expr("(cx + 32768) * 65536 + (cy + 32768)").alias("lab"),
+        F.expr(
+            "CASE WHEN cx < -32768 OR cx > 32767"
+            "       OR cy < -32768 OR cy > 32767"
+            " THEN CAST(raise_error(concat('grid_components: cell (',"
+            " cx, ',', cy, ') outside the [-32768,32767] label domain"
+            " — labels would alias')) AS BIGINT)"
+            " ELSE (cx + 32768) * 65536 + (cy + 32768) END"
+        ).alias("lab"),
     ).localCheckpoint(eager=True)
     rounds = 0
     while True:

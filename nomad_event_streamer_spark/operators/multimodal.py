@@ -529,3 +529,157 @@ def resample_audio_decimate(binary_df: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return binary_df.mapInPandas(batches, AUDIO_RESAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing: dHash-64 over the real codec path (round 10)
+# ---------------------------------------------------------------------------
+
+VARIANT_GROUP = 8
+
+
+def _variant_params(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(base, w, h, j0, delta) for the near-duplicate media corpus: every
+    VARIANT_GROUP consecutive doc_ids share ONE base image (dims + pixel
+    stream keyed by ``base = doc_id div 8``), and each variant perturbs a
+    single closed-form pixel — the planted near-dup structure a
+    perceptual-hash dedup leg needs (a plain per-doc stream makes 64-bit
+    collisions astronomically rare, so the pair stage would verify on an
+    empty set)."""
+    base = doc_id // VARIANT_GROUP
+    w, h = 9 + base % 8, 6 + base % 5
+    j0 = ((doc_id % VARIANT_GROUP) * 151) % (w * h)
+    delta = ((doc_id % VARIANT_GROUP) * 29) % 256
+    return base, w, h, j0, delta
+
+
+def synthetic_media_variants(docs: DataFrame) -> DataFrame:
+    """Attach a real media file per document with PLANTED NEAR-DUPLICATE
+    groups: base pixel byte j is ``(base*73 + j*151 + 11) mod 256`` (the
+    synthetic_media closed form, keyed by the GROUP instead of the doc),
+    even base -> 24-bit BMP, odd -> P5 PGM, and variant v = doc_id mod 8
+    adds ``delta = 29v mod 256`` (uint8 wrap) to one pixel's first
+    channel byte (pixel ``j0 = 151v mod (w*h)``; v = 0 is the pristine
+    base image).  All-integer and oracle-replayable."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                base, w, h, j0, delta = _variant_params(doc_id)
+                if base % 2 == 0:
+                    raw = _pixel_stream(base, w * h * 3)
+                    raw[j0 * 3] = np.uint8((int(raw[j0 * 3]) + delta) % 256)
+                    payloads.append(encode_bmp(raw.reshape(h, w, 3)))
+                else:
+                    raw = _pixel_stream(base, w * h)
+                    raw[j0] = np.uint8((int(raw[j0]) + delta) % 256)
+                    payloads.append(encode_pgm(raw.reshape(h, w)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(encode_batches, PAYLOAD_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash_lo", LongType()),
+        StructField("dhash_hi", LongType()),
+    ]
+)
+
+
+def dhash64(binary_df: DataFrame) -> DataFrame:
+    """dHash-64 perceptual fingerprint (Krawetz's difference hash, the
+    standard cheap near-dup image signature) over the REAL decode path:
+    parse the BMP/PGM container, integer grayscale ((r+g+b) div 3 for
+    BMP; PGM is already gray), nearest-neighbor downsample onto a 9x8
+    grid (src index ``(r*h div 8, c*w div 9)`` — the resize_media_nn NN
+    rule), then 64 horizontal-gradient sign bits ``g[r][c] < g[r][c+1]``
+    packed LSB-first as two 32-bit halves (bit i = r*8+c; lo covers
+    i < 32) — signed-BIGINT-safe in both engines, no 1<<63 edge.  All
+    integer, bit-exact against the closed-form oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows8 = np.arange(8, dtype=np.int64)
+        cols9 = np.arange(9, dtype=np.int64)
+        weights = (1 << np.arange(32, dtype=np.int64))
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in DHASH_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:2] == b"BM":
+                    px = decode_bmp(payload).astype(np.int64)
+                    gray = px.sum(axis=2) // 3
+                else:
+                    gray = decode_pgm(payload).astype(np.int64)
+                h, w = gray.shape
+                sub = gray[(rows8 * h) // 8][:, (cols9 * w) // 9]
+                bits = (sub[:, :-1] < sub[:, 1:]).astype(np.int64).ravel()
+                out["doc_id"].append(int(doc_id))
+                out["dhash_lo"].append(int((bits[:32] * weights).sum()))
+                out["dhash_hi"].append(int((bits[32:] * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(batches, DHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Single-bin spectral energy: integer Goertzel over the WAV path (round 10)
+# ---------------------------------------------------------------------------
+
+GOERTZEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("energy_sr6", LongType()),
+        StructField("energy_sr3", LongType()),
+    ]
+)
+
+
+def goertzel_energies(binary_df: DataFrame) -> DataFrame:
+    """Single-bin GOERTZEL spectral energy (Goertzel 1958 — the DTMF /
+    tone-detection kernel; what an audio curation pipeline runs to flag
+    hum, test tones, or dead air without a full FFT) at the two bins
+    whose coefficient 2·cos(2πk/N) is an exact INTEGER: ω = π/3 (f =
+    sr/6, c = +1) and ω = 2π/3 (f = sr/3, c = −1).  The recurrence
+    s_t = x_t + c·s_{t−1} − s_{t−2} then runs in pure int64 — no float
+    in the state, so the bin energy E = s²_{N−1} + s²_{N−2} −
+    c·s_{N−1}·s_{N−2} is bit-exact and hash-oracle-able.
+
+    The REAL recurrence runs here over the REAL chunk-walked WAV
+    samples; the oracle replays it RELATIONALLY via the closed-form
+    impulse response — for these coefficients h is periodic (c=+1:
+    [1,1,0,−1,−1,0]; c=−1: [1,−1,0]), so s_{N−1} = Σ x_j·h_{(N−1−j)},
+    a weighted sum with a CASE-mod weight, no CTE unroll needed (the
+    sharper cousin of the q_holt_linear device).
+
+    Scale: per-doc O(n) Arrow-batched work, zero shuffles; |s| ≤
+    n·32768 keeps every intermediate far inside int64."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                f.name: [] for f in GOERTZEL_SCHEMA.fields
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x, sr = decode_wav(bytes(payload))
+                x = x.astype(np.int64)
+                s1p = s2p = 0  # c = +1 bin (sr/6)
+                s1m = s2m = 0  # c = -1 bin (sr/3)
+                for v in x.tolist():
+                    s1p, s2p = v + s1p - s2p, s1p
+                    s1m, s2m = v - s1m - s2m, s1m
+                e6 = s1p * s1p + s2p * s2p - s1p * s2p
+                e3 = s1m * s1m + s2m * s2m + s1m * s2m
+                row = (int(doc_id), int(x.size), int(sr), int(e6), int(e3))
+                for field, val in zip(GOERTZEL_SCHEMA.fields, row):
+                    out[field.name].append(val)
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(batches, GOERTZEL_SCHEMA)

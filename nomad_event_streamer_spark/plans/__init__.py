@@ -39,84 +39,28 @@ from . import pipeline_queries  # noqa: E402,F401
 # r07 additions + 8 new curation ops + the 11 rows-only-by-design slugs) —
 # eight consecutive 50/50-green windows, cumulative driver-seen after r08:
 # 339 slugs (328 hash-PASS + 11 rows-only).
-# Round 9 (VERDICT r08 item #1) rotates the window onto the documented
-# round-8b overflow: the 49 R09-queue slugs (each sim-hash-verified on
-# arrival, DRIVER_SIM_r08, and judge-oracle-verified in the r08 verdict
-# session) plus ONE sanctioned re-verify slot for q_embed_lsh_tuning —
-# the only previously driver-PASSed slug whose optimized plan changed in
-# round 8 (configs-side LEFT join, ADVICE r07) — so its refreshed evidence
-# is hard driver evidence rather than sim-only.  A green r09 window makes
-# the cumulative hard driver hash-PASS ledger cover all 377 oracled slugs.
-# Registry at HEAD: 436 queries / 425 oracled.
-# Round-9 additions past window capacity follow the same overflow ledger
-# discipline in R10_QUEUE below: ordered immediately AFTER the window in
+# Round 9's window went 50/50 hash-green (CORRECTNESS_r09.json), taking
+# cumulative hard driver hash-PASS to 377.  Round 10 (VERDICT r09 item
+# #3) rotates the window onto the 48 round-9/9b/9c slugs whose only hash
+# evidence so far is the judge's r09 oracle session (the R10 overflow
+# queue, below renamed into the window) plus the TWO new round-10 ops
+# (q_image_dhash_pairs, q_audio_goertzel — hash-oracled on arrival,
+# DRIVER_SIM_r10) — a green r10 window makes the cumulative hard driver
+# hash-PASS ledger cover all 427 oracled slugs.
+# Registry at HEAD: 438 queries / 427 oracled.
+# Round-10 additions past window capacity follow the same overflow ledger
+# discipline in R11_QUEUE below: ordered immediately AFTER the window in
 # all_queries(), each sim-hash-verified on arrival, first in line for the
-# r10 window rotation.
+# r11 window rotation.
 # tests/test_driver_window.py pins: the counts in this comment, the
-# 50-slug shape, the rows-only allowance (exactly ROWS_ONLY_R09 — empty,
-# all 11 rows-only slugs collected their driver rows>0 evidence in r08),
-# the no-re-verify rule (exception: RE_VERIFY_R09), and the
-# rotation-completeness rule (every slug without cumulative driver
-# evidence must sit in the window head or the overflow queue).
+# 50-slug shape, the rows-only allowance (exactly ROWS_ONLY_R10 — empty,
+# every window slug is hash-oracled), the no-re-verify rule (exception:
+# RE_VERIFY_R10 — empty this round), and the rotation-completeness rule
+# (every slug without cumulative driver evidence must sit in the window
+# head or the overflow queue).
 DRIVER_WINDOW: list[str] = [
-    # round-8b overflow queue, sim-verified r08, never driver-seen - 49
-    "q_line_dedup",
-    "q_quality_classifier",
-    "q_robots_gate",
-    "q_contamination_matrix",
-    "q_tokenizer_compare",
-    "q_pq_recall_sweep",
-    "q_warc_parse",
-    "q_stream_dedup_ttl",
-    "q_url_dedup",
-    "q_soft_dedup_weight",
-    "q_lm_interp",
-    "q_vocab_prune",
-    "q_temporal_split",
-    "q_hashed_ngram_score",
-    "q_jaccard_threshold_sweep",
-    "q_langid_margin",
-    "q_group_by_all",
-    "q_link_predict",
-    "q_bloom_fpr",
-    "q_mcnemar",
-    "q_rfm_segments",
-    "q_vwap",
-    "q_prec_at_k",
-    "q_holt_linear",
-    "q_rolling_corr",
-    "q_idf_drift",
-    "q_degree_hist",
-    "q_boilerplate_prefix",
-    "q_holt_forecast",
-    "q_stream_vwap",
-    "q_shard_dedup_cross",
-    "q_er_blocking",
-    "q_kanon_generalize",
-    "q_bm25_k1_sweep",
-    "q_centroid_dist",
-    "q_daily_anomaly",
-    "q_kfold_balance",
-    "q_skew_audit",
-    "q_dup_inflation",
-    "q_brier_decomp",
-    "q_audit_sample",
-    "q_activity_lapse",
-    "q_chain_contamination",
-    "q_bbit_minhash",
-    "q_stratified_kfold",
-    "q_join_size_estimate",
-    "q_bloom_size_sweep",
-    "q_hapax_bigrams",
-    "q_stream_quality_gate",
-    # sanctioned re-verify: optimized plan changed in round 8 - 1
-    "q_embed_lsh_tuning",
-]
-
-# Round-9 additions past window capacity: the documented overflow queue.
-# Every member must carry committed sim hash evidence (DRIVER_SIM) and is
-# rotated into the NEXT round's driver window ahead of newer work.
-R10_QUEUE: list[str] = [
+    # round-9/9b/9c overflow queue, sim- and judge-verified r09,
+    # never driver-seen - 48
     "q_image_qoi",
     "q_louvain_l0",
     "q_stream_dedup_watermark",
@@ -165,26 +109,35 @@ R10_QUEUE: list[str] = [
     "q_bellman_ford",
     "q_image_histeq",
     "q_cuped",
+    # new round-10 ops, sim-hash-verified on arrival (DRIVER_SIM_r10) - 2
+    "q_image_dhash_pairs",
+    "q_audio_goertzel",
 ]
 
-# Round-9 re-verification allowance: q_embed_lsh_tuning's optimized plan
-# changed in round 8 (ADVICE r07 fix: configs-side LEFT join) after its
-# r07 driver PASS; the r08 window was fully spent on never-verified slugs,
-# so VERDICT r08 prescribed rotating it into a hard-evidence slot here.
-RE_VERIFY_R09: frozenset[str] = frozenset({"q_embed_lsh_tuning"})
+# Round-10 additions past window capacity: the documented overflow queue.
+# Every member must carry committed sim hash evidence (DRIVER_SIM) and is
+# rotated into the NEXT round's driver window ahead of newer work.
+R11_QUEUE: list[str] = []
 
-# Rows-only window allowance: EMPTY this round — all 11 rows-only-by-design
-# slugs collected their driver rows>0 evidence in the round-8 window, and
-# every round-9 window slug is hash-oracled.
-ROWS_ONLY_R09: frozenset[str] = frozenset()
+# Round-10 re-verification allowance: EMPTY — no previously driver-PASSed
+# slug changed its optimized plan this round (the ADVICE r09 guard fixes
+# touch q_anova_f / q_hilbert_cluster / grid_components, all of which sit
+# IN this window for their first driver pass, so their refreshed oracles
+# get hard evidence directly).
+RE_VERIFY_R10: frozenset[str] = frozenset()
+
+# Rows-only window allowance: EMPTY this round — every window slug is
+# hash-oracled (the 11 rows-only-by-design slugs keep their r08 driver
+# rows>0 evidence; the set stays closed).
+ROWS_ONLY_R10: frozenset[str] = frozenset()
 
 
 def _rotated(mapping):
-    """Window slugs first (in DRIVER_WINDOW order), then the R10_QUEUE
+    """Window slugs first (in DRIVER_WINDOW order), then the R11_QUEUE
     overflow (next round's window head), rest in registration order.
     Applied identically to queries and oracles so the driver's
     side-by-side compare sees one consistent ordering."""
-    head = {s: mapping[s] for s in DRIVER_WINDOW + R10_QUEUE if s in mapping}
+    head = {s: mapping[s] for s in DRIVER_WINDOW + R11_QUEUE if s in mapping}
     tail = {s: fn for s, fn in mapping.items() if s not in head}
     return {**head, **tail}
 

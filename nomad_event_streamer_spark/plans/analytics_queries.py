@@ -1750,11 +1750,13 @@ def q_ip_lpm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(g.ng * (g.mg - t.m) * (g.mg - t.m)) AS BIGINT) AS ssb,
            CAST(sum(g.sqg - 2 * g.mg * g.sg + g.ng * g.mg * g.mg)
                 AS BIGINT) AS ssw,
-           (CAST(CAST(sum(g.ng * (g.mg - t.m) * (g.mg - t.m)) AS BIGINT)
-                 AS DOUBLE) / CAST(t.k - 1 AS DOUBLE))
-             / (CAST(CAST(sum(g.sqg - 2 * g.mg * g.sg + g.ng * g.mg * g.mg)
-                          AS BIGINT) AS DOUBLE)
-                / CAST(t.n - t.k AS DOUBLE)) AS f_stat
+           CASE WHEN t.k > 1 THEN
+             (CAST(CAST(sum(g.ng * (g.mg - t.m) * (g.mg - t.m)) AS BIGINT)
+                   AS DOUBLE) / CAST(t.k - 1 AS DOUBLE))
+               / (CAST(CAST(sum(g.sqg - 2 * g.mg * g.sg + g.ng * g.mg * g.mg)
+                            AS BIGINT) AS DOUBLE)
+                  / CAST(t.n - t.k AS DOUBLE))
+           ELSE NULL END AS f_stat
     FROM gm g, tot t
     GROUP BY t.k, t.n
     """,
@@ -1806,14 +1808,18 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kd = (F.col("k") - 1).cast("double")
     nd = (F.col("n") - F.col("k")).cast("double")
+    # k > 1 guard (ADVICE r09): with a single group, double/0.0 diverges
+    # between engines (Spark NULL-ish vs DuckDB Infinity-class) — both
+    # sides now emit NULL on that degenerate input instead.
     return agg.select(
         "k",
         "n",
         "ssb",
         "ssw",
-        (
+        F.when(
+            F.col("k") > 1,
             (F.col("ssb").cast("double") / kd)
-            / (F.col("ssw").cast("double") / nd)
+            / (F.col("ssw").cast("double") / nd),
         ).alias("f_stat"),
     )
 

@@ -4121,6 +4121,131 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_media_nn(payloads, factor=2)
 
 
+@query(
+    "q_image_dhash_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id // 8 AS base,
+             9 + (doc_id // 8) % 8 AS w,
+             6 + (doc_id // 8) % 5 AS h,
+             (doc_id // 8) % 2 = 0 AS is_bmp,
+             ((doc_id % 8) * 151)
+               % ((9 + (doc_id // 8) % 8) * (6 + (doc_id // 8) % 5)) AS j0,
+             ((doc_id % 8) * 29) % 256 AS delta
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, base, is_bmp, j0, delta,
+             t.q // 9 AS r, t.q % 9 AS c,
+             ((t.q // 9) * h // 8) * w + ((t.q % 9) * w // 9) AS p
+      FROM d CROSS JOIN range(0, 72) t(q)
+    ),
+    gray AS (
+      SELECT doc_id, r, c,
+        CASE WHEN is_bmp THEN
+          ( ((base*73 + (p*3)*151 + 11) % 256
+             + CASE WHEN p = j0 THEN delta ELSE 0 END) % 256
+          + (base*73 + (p*3+1)*151 + 11) % 256
+          + (base*73 + (p*3+2)*151 + 11) % 256 ) // 3
+        ELSE ((base*73 + p*151 + 11) % 256
+              + CASE WHEN p = j0 THEN delta ELSE 0 END) % 256
+        END AS gv
+      FROM g
+    ),
+    bits AS (
+      SELECT a.doc_id, a.r * 8 + a.c AS i,
+             CASE WHEN a.gv < b.gv THEN 1 ELSE 0 END AS bit
+      FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.r = b.r
+                             AND b.c = a.c + 1
+      WHERE a.c < 8
+    ),
+    sig AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN i < 32
+                 THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END)
+             AS BIGINT) AS lo,
+        CAST(sum(CASE WHEN i >= 32
+                 THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+             AS BIGINT) AS hi
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """,
+)
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE perceptual-hash near-duplicate PAIRS (VERDICT r09 item #4 —
+    the multimodal dedup leg): dHash-64 over the REAL BMP/PGM decode
+    path (operators/multimodal.dhash64: decode → integer grayscale → NN
+    9×8 downsample → 64 horizontal-gradient sign bits as two 32-bit
+    halves), then all pairs within Hamming distance 3 via the SAME
+    pigeonhole block device as q_simhash_pairs (Manku et al.): 4 blocks
+    of 16 bits — d ≤ 3 forces ≥ 1 identical block — so candidates are a
+    (block, value) equi-join + exact popcount confirm, never the
+    quadratic scan the oracle replays.
+
+    The corpus is synthetic_media_variants: every 8 consecutive doc_ids
+    share one base image and each variant perturbs one closed-form
+    pixel, so real near-dup structure exists (hamming 0-3 in-group) and
+    the oracle rebuilds every grid sample, gradient bit, and pair from
+    the closed form — a decode, NN-rule, grayscale-rounding, or packing
+    bug anywhere breaks the hash.
+
+    100 TB: dHash is per-row Arrow-batched work; the pair stage
+    shuffles (block, 16-bit value) keyed rows exactly like the simhash
+    index — block-bucket skew is boilerplate-image frequency, same
+    remedies (salt hot buckets / cap bucket width) as LSH bands."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    sig = multimodal.dhash64(multimodal.synthetic_media_variants(docs))
+    blocks = sig.select(
+        "doc_id",
+        "dhash_lo",
+        "dhash_hi",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).select(
+        "doc_id",
+        "dhash_lo",
+        "dhash_hi",
+        "b",
+        F.expr(
+            "CASE WHEN b < 2 THEN shiftright(dhash_lo, b * 16) & 65535"
+            " ELSE shiftright(dhash_hi, (b - 2) * 16) & 65535 END"
+        ).alias("bval"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        "b",
+        "bval",
+    )
+    b_side = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        "b",
+        "bval",
+    )
+    cand = (
+        a.join(b_side, ["b", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b")
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 _HASHTEXT_BUCKETS = 65536
 
 

@@ -526,8 +526,12 @@ def _hilbert_cluster_oracle() -> str:
 def q_hilbert_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HILBERT-CURVE 2-D clustering audit (Faloutsos & Roseman 1989):
     every lineitem row mapped to its order-8 Hilbert index over the
-    min/max-scaled (l_partkey, l_suppkey) grid, cut into 48 equal curve
-    segments (1365 cells each — deliberately NOT a power of 4: aligned
+    min/max-scaled (l_partkey, l_suppkey) grid, cut into 49 curve
+    segments by `d div 1365` — 48 full 1365-cell segments plus a 16-cell
+    remainder bucket (49 × 1365 = 66,885 > 65,536; ADVICE r09 corrected
+    the earlier "48 equal segments" prose — the CONSTANT stays, the
+    committed hash evidence pins it).  1365 is deliberately NOT a power
+    of 4: aligned
     4^k segments tile both curves into identical quadrant blocks and
     the comparison degenerates; real file counts aren't powers of 4
     either), and per segment the bounding box of BOTH keys — the
@@ -559,17 +563,20 @@ def q_hilbert_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey"),
         F.max("l_suppkey"),
     ).collect()[0]
+    # Zero-span guard (ADVICE r09): a degenerate constant key would make
+    # `div 0` NULL in Spark (rows silently vanish through the LUT join)
+    # while DuckDB raises — divergent failure modes.  Same policy as
+    # write_hilbert_clustered: a zero span maps to constant cell 0.
+    def _scale(col: str, lo: int, hi: int) -> str:
+        if hi == lo:
+            return "CAST(0 AS BIGINT)"
+        return f"CAST(({col} - {lo}) AS BIGINT) * 255 div {hi - lo}"
+
     keyed = li.select(
         F.col("l_partkey").alias("pk"),
         F.col("l_suppkey").alias("sk"),
-        F.expr(
-            f"CAST((l_partkey - {lo_a}) AS BIGINT) * 255"
-            f" div {hi_a - lo_a}"
-        ).alias("hx"),
-        F.expr(
-            f"CAST((l_suppkey - {lo_b}) AS BIGINT) * 255"
-            f" div {hi_b - lo_b}"
-        ).alias("hy"),
+        F.expr(_scale("l_partkey", lo_a, hi_a)).alias("hx"),
+        F.expr(_scale("l_suppkey", lo_b, hi_b)).alias("hy"),
     )
     lut = spark.range(256 * 256).select(
         (F.col("id") % 256).alias("hx"),

@@ -106,8 +106,11 @@ def main() -> None:
     n_fail = 0
     results = {}
     for seed in range(n_seeds):
-        g = rng.choice([15, 20, 25, 30, 40, 50, 60, 80, 120])
-        mp = rng.choice([2, 3, 4, 5, 6, 8, 10])
+        # widened knob space (VERDICT r09 item #7): finer grids (deeper
+        # component chains — the pointer-doubling stress regime), a
+        # uniform arm, and density floors up to mostly-noise
+        g = rng.choice([10, 12, 15, 20, 25, 30, 40, 50, 60, 80, 120, rng.randint(10, 150)])
+        mp = rng.choice([1, 2, 3, 4, 5, 6, 8, 10, 14, rng.randint(1, 16)])
         spark_rows = {
             r["vec_id"]: (r["cluster"], r["is_core"])
             for r in _dbscan_replay(spark, SF, g=g, mp=mp).collect()

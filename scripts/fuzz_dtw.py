@@ -99,8 +99,11 @@ def main() -> None:
     n_fail = 0
     results = {}
     for seed in range(n_seeds):
-        n = rng.choice([6, 8, 12, 16, 24, 24, 32])
-        w = rng.choice([1, 2, 3, 3, 5, 8, n])
+        # widened knob space (VERDICT r09 item #7): longer profiles and
+        # a uniform band arm so every (boundary, interior) band regime
+        # appears, not just the curated set
+        n = rng.choice([4, 6, 8, 12, 16, 20, 24, 24, 32, 40])
+        w = rng.choice([1, 2, 3, 3, 5, 8, n, rng.randint(1, n + 4)])
         spark_rows = {
             r["user_id"]: r["dtw_cost"]
             for r in _dtw_replay(spark, SF, n=n, w=w).collect()

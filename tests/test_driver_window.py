@@ -1,12 +1,12 @@
 """Pins the driver correctness-window rotation (VERDICT r02 item #1,
-r03 item #3, r07 items #1/#6, r08 item #1).
+r03 item #3, r07 items #1/#6, r08 item #1, r09 item #3).
 
 The verification driver records hard CORRECTNESS rows for only the first
-50 queries in ``all_queries()`` order.  Round 9 rotates that window onto
-the 49 round-8b overflow-queue slugs (sim-hash-verified on arrival,
-never driver-seen) plus one sanctioned re-verify slot for
-q_embed_lsh_tuning (optimized plan changed in round 8 after its r07
-driver PASS).  These assertions keep the rotation from
+50 queries in ``all_queries()`` order.  Round 10 rotates that window
+onto the 48 round-9/9b/9c slugs whose only hash evidence is the judge's
+r09 oracle session (never driver-seen) plus the two new round-10 ops —
+a green window takes cumulative hard driver hash-PASS to 427/427
+oracled slugs.  These assertions keep the rotation from
 silently regressing (a new module import reshuffling registration
 order, a window slot wasted re-verifying an already-PASS slug, or — the
 r07 item #6 rule — a never-driver-verified slug left outside the
@@ -22,14 +22,14 @@ from nomad_event_streamer_spark.plans import (
     DRIVER_WINDOW,
     ORACLES,
     QUERIES,
-    R10_QUEUE,
-    RE_VERIFY_R09,
-    ROWS_ONLY_R09,
+    R11_QUEUE,
+    RE_VERIFY_R10,
+    ROWS_ONLY_R10,
     all_oracles,
     all_queries,
 )
 
-_ROUNDS = ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08")
+_ROUNDS = ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09")
 
 
 def _driver_rows() -> dict[str, dict]:
@@ -82,16 +82,16 @@ def test_window_is_50_unique_registered_slugs():
 def test_window_rows_only_slots_are_exactly_the_declared_allowance():
     """A rows-only query in the window wastes a hard-correctness slot;
     the round-8 window already collected the 11 rows-only-by-design
-    slugs' driver rows>0 evidence, so the round-9 allowance is EMPTY —
+    slugs' driver rows>0 evidence, so the round-10 allowance is EMPTY —
     every window slug must be hash-oracled.  Pin the set exactly."""
     unoracled = {s for s in DRIVER_WINDOW if s not in ORACLES}
-    assert unoracled == set(ROWS_ONLY_R09), (
-        f"window rows-only set drifted: extra={unoracled - ROWS_ONLY_R09}, "
-        f"missing={set(ROWS_ONLY_R09) - unoracled}"
+    assert unoracled == set(ROWS_ONLY_R10), (
+        f"window rows-only set drifted: extra={unoracled - ROWS_ONLY_R10}, "
+        f"missing={set(ROWS_ONLY_R10) - unoracled}"
     )
-    oracled_allowance = [s for s in ROWS_ONLY_R09 if s in ORACLES]
+    oracled_allowance = [s for s in ROWS_ONLY_R10 if s in ORACLES]
     assert not oracled_allowance, (
-        f"slugs gained an oracle but stayed in ROWS_ONLY_R09: "
+        f"slugs gained an oracle but stayed in ROWS_ONLY_R10: "
         f"{oracled_allowance}"
     )
 
@@ -102,10 +102,10 @@ def test_rotation_is_consistent_and_lossless():
     assert q[:50] == DRIVER_WINDOW
     # the overflow queue sits contiguously after the window: next
     # round's rotation takes it as the new window head.
-    assert q[50 : 50 + len(R10_QUEUE)] == R10_QUEUE
+    assert q[50 : 50 + len(R11_QUEUE)] == R11_QUEUE
     # driver compares side-by-side: oracle ordering must agree on the
     # oracled prefix (rows-only slugs have no oracle entry).
-    oracled_head = [s for s in DRIVER_WINDOW + R10_QUEUE if s in ORACLES]
+    oracled_head = [s for s in DRIVER_WINDOW + R11_QUEUE if s in ORACLES]
     assert o[: len(oracled_head)] == oracled_head
     assert set(q) == set(QUERIES) and len(q) == len(QUERIES)
     assert set(o) == set(ORACLES) and len(o) == len(ORACLES)
@@ -116,11 +116,10 @@ def test_window_targets_previously_unverified_queries():
     # evidence; re-spending window slots on them would be
     # window-stuffing, not evidence-widening.  The only sanctioned
     # exception is an explicit RE_VERIFY allowance for slugs whose
-    # optimized plans changed after their PASS (round 9:
-    # q_embed_lsh_tuning, plan changed by the ADVICE r07 fix in r08).
+    # optimized plans changed after their PASS (round 10: empty).
     already_pass = _hash_passed(_driver_rows())
     overlap = [
-        s for s in DRIVER_WINDOW if s in already_pass and s not in RE_VERIFY_R09
+        s for s in DRIVER_WINDOW if s in already_pass and s not in RE_VERIFY_R10
     ]
     assert not overlap, f"window re-verifies already-PASS slugs: {overlap}"
 
@@ -157,17 +156,17 @@ def test_every_unverified_slug_is_in_the_window():
         )
     ]
     # The documented overflow ledger (the extension this docstring
-    # prescribes): round-8b additions past window capacity sit in
-    # R10_QUEUE, contiguously after the window in all_queries() order,
+    # prescribes): round-10 additions past window capacity sit in
+    # R11_QUEUE, contiguously after the window in all_queries() order,
     # each carrying committed sim hash evidence (pinned below by
     # test_overflow_queue_has_sim_evidence), and are first in line for
     # the next round's window rotation.
-    assert len(unverified) <= 50 + len(R10_QUEUE), (
+    assert len(unverified) <= 50 + len(R11_QUEUE), (
         f"{len(unverified)} unverified slugs exceed window + overflow — "
         "rotate a subset and extend the overflow ledger"
     )
     outside = [
-        s for s in unverified if s not in DRIVER_WINDOW and s not in R10_QUEUE
+        s for s in unverified if s not in DRIVER_WINDOW and s not in R11_QUEUE
     ]
     assert not outside, (
         f"never-driver-verified slugs left outside the window and the "
@@ -176,13 +175,13 @@ def test_every_unverified_slug_is_in_the_window():
 
 
 def test_overflow_queue_has_sim_evidence():
-    """Every R10_QUEUE member must be hash-oracled (no rows-only slugs
+    """Every R11_QUEUE member must be hash-oracled (no rows-only slugs
     hide in the overflow) and must carry a hash MATCH row in the LATEST
     committed DRIVER_SIM artifact — the arrival-evidence rule that makes
     the overflow a ledger rather than a loophole."""
     import re
 
-    for s in R10_QUEUE:
+    for s in R11_QUEUE:
         assert s in ORACLES, f"overflow slug {s} is not hash-oracled"
     root = pathlib.Path(__file__).resolve().parents[1]
     sims = sorted(
@@ -191,7 +190,7 @@ def test_overflow_queue_has_sim_evidence():
     )
     rows = json.loads(sims[-1].read_text())
     per_query = rows.get("queries", rows)
-    for s in R10_QUEUE:
+    for s in R11_QUEUE:
         row = per_query.get(s)
         assert row is not None, f"overflow slug {s} missing from {sims[-1].name}"
         assert row.get("status") == "match", (
