@@ -217,6 +217,16 @@ HEADLINE = [
     # walk (the audio twin of q_audio_resample)
     "q_image_dhash_pairs",
     "q_audio_goertzel",
+    # round-10 batch 2 fact-scale members: log_parse runs two codegen
+    # string renders + a grouped regex per event row; readability walks
+    # the full token stream twice (word explode + per-word syllable
+    # regex); sprt_boundary exercises the day-bucketed distributed
+    # prefix-sum over the whole event stream.  Scan-light kmeans
+    # (embeddings sf-fixed) and diff_in_diff (two 1-row aggs) stay
+    # un-benched.
+    "q_log_parse",
+    "q_readability_fk",
+    "q_sprt_boundary",
 ]
 
 

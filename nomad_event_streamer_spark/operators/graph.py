@@ -605,17 +605,33 @@ def grid_components(
     core: DataFrame, max_rounds: int = 16
 ) -> tuple[DataFrame, int]:
     """Connected components of occupied grid cells under 8-neighborhood
-    adjacency, by synchronous min-label propagation WITH POINTER
-    DOUBLING: each round a cell takes the min over (a) its 9-
-    neighborhood's labels and (b) the label OF its current label's cell
-    (labels are linearized cell ids, so a label decodes back to joinable
+    adjacency, by synchronous min-label propagation WITH SHORTCUTTING:
+    each round a cell takes the min over (a) its 9-neighborhood's
+    labels and (b) the label OF its current label's cell (labels are
+    linearized cell ids, so a label decodes back to joinable
     coordinates).  Plain neighbor-prop needs graph-DIAMETER rounds —
     measured non-convergent at 16 rounds on the ×10 replica grid, the
-    q_dedup_clusters_star lesson replayed — the doubling term shortcuts
-    chains so convergence is O(log diameter): 16 rounds covers diameters
-    past 2^16.  Deterministic (a pure function of the previous round),
-    so a fixed oracle unroll replays it exactly; localCheckpoint cuts
-    lineage per round (the kcore posture).  Returns ``(labels, rounds)``
+    q_dedup_clusters_star lesson replayed.  HONEST COMPLEXITY (round 10
+    — the widened dbscan knob fuzz falsified round 9's "O(log d), 16
+    rounds covers 2^16" claim): the shortcut jumps to the ball-MINIMUM
+    cell, which doubles reach only TOWARD the component minimum;
+    propagation of the minimum back outward is pointer-assisted but not
+    doubling, so depth is between log(d) and d (measured: g=15, mp=1 →
+    401 cells / 70 components needed 19 rounds at component diameter
+    ~40 — the 16-round cap raised loudly, exactly as designed).  A
+    second shortcut per round was tried and rejected: it compounds
+    Catalyst's per-round size-estimate product until stats estimation
+    itself OOMs (BigInteger blowup), for only a constant-factor round
+    saving.  Callers in deep-component regimes pass a larger
+    ``max_rounds`` (the fuzz sweep uses 40 with a matching 40-round
+    oracle unroll); graphs whose DIAMETER grows with data size should
+    route to ``dedup.connected_components_star`` (O(log²) rounds,
+    shape-independent) — the registered q_dbscan_grid grid is
+    embedding-domain-bounded (≤66×66 cells at g=40), so its 16-round
+    cap + loud raise is the right valve.  Deterministic (a pure
+    function of the previous round), so a fixed oracle unroll replays
+    it exactly; localCheckpoint cuts lineage per round (the kcore
+    posture).  Returns ``(labels, rounds)``
     so callers/tests can pin the measured depth against the oracle's
     unroll (ADVICE r08: no function-attribute state).
 

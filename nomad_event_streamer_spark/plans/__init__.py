@@ -47,7 +47,7 @@ from . import pipeline_queries  # noqa: E402,F401
 # (q_image_dhash_pairs, q_audio_goertzel — hash-oracled on arrival,
 # DRIVER_SIM_r10) — a green r10 window makes the cumulative hard driver
 # hash-PASS ledger cover all 427 oracled slugs.
-# Registry at HEAD: 438 queries / 427 oracled.
+# Registry at HEAD: 443 queries / 432 oracled.
 # Round-10 additions past window capacity follow the same overflow ledger
 # discipline in R11_QUEUE below: ordered immediately AFTER the window in
 # all_queries(), each sim-hash-verified on arrival, first in line for the
@@ -117,7 +117,13 @@ DRIVER_WINDOW: list[str] = [
 # Round-10 additions past window capacity: the documented overflow queue.
 # Every member must carry committed sim hash evidence (DRIVER_SIM) and is
 # rotated into the NEXT round's driver window ahead of newer work.
-R11_QUEUE: list[str] = []
+R11_QUEUE: list[str] = [
+    "q_kmeans_lloyd",
+    "q_readability_fk",
+    "q_log_parse",
+    "q_diff_in_diff",
+    "q_sprt_boundary",
+]
 
 # Round-10 re-verification allowance: EMPTY — no previously driver-PASSed
 # slug changed its optimized plan this round (the ADVICE r09 guard fixes

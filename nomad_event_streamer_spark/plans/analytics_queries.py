@@ -2277,3 +2277,215 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_adj"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences readout (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_diff_in_diff",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 2 AS g, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    m AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM e),
+    cell AS (
+        SELECT g, CASE WHEN ts_us >= mid THEN 1 ELSE 0 END AS p,
+               CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+        FROM e CROSS JOIN m GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT
+          max(CASE WHEN g=0 AND p=0 THEN n END) AS n00,
+          max(CASE WHEN g=0 AND p=0 THEN s END) AS s00,
+          max(CASE WHEN g=0 AND p=1 THEN n END) AS n01,
+          max(CASE WHEN g=0 AND p=1 THEN s END) AS s01,
+          max(CASE WHEN g=1 AND p=0 THEN n END) AS n10,
+          max(CASE WHEN g=1 AND p=0 THEN s END) AS s10,
+          max(CASE WHEN g=1 AND p=1 THEN n END) AS n11,
+          max(CASE WHEN g=1 AND p=1 THEN s END) AS s11
+        FROM cell
+    )
+    SELECT n00, s00, n01, s01, n10, s10, n11, s11,
+           (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+            - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+           - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+              - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) AS did_cents
+    FROM w
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES readout (Card & Krueger 1994 posture —
+    the quasi-experimental causal estimate when assignment isn't
+    randomized; complements q_cuped's variance reduction and q_anova_f's
+    omnibus test in the experimentation leg): groups = user parity,
+    periods split at the observation-window midpoint (a 1-row broadcast
+    scalar, the gapfill device), outcome = cents-exact value sums.  The
+    2x2 cell table rides ONE conditional aggregate; the DiD estimate
+    (post-pre delta of treated minus control) is one fixed IEEE
+    expression over exact-integer-valued doubles (the q_anova_f
+    conversion rule), so the double hashes identically cross-engine.
+
+    Scale: one map-side-combinable 4-cell aggregate after a 1-row
+    min/max broadcast — two passes over the fact, zero fact-scale
+    shuffles."""
+    e = events(spark, sf_dir).select(
+        (F.col("user_id") % 2).alias("g"),
+        "ts_us",
+        cents(F.col("value")).alias("c"),
+    )
+    m = e.agg(
+        F.expr("CAST((min(ts_us) + max(ts_us)) div 2 AS BIGINT)").alias("mid")
+    )
+    cell = (
+        e.crossJoin(F.broadcast(m))
+        .select(
+            "g",
+            F.when(F.col("ts_us") >= F.col("mid"), 1).otherwise(0).alias("p"),
+            "c",
+        )
+        .groupBy("g", "p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+        )
+    )
+
+    def pick(gg: int, pp: int, col: str):
+        return F.max(
+            F.when((F.col("g") == gg) & (F.col("p") == pp), F.col(col))
+        )
+
+    w = cell.agg(
+        pick(0, 0, "n").alias("n00"),
+        pick(0, 0, "s").alias("s00"),
+        pick(0, 1, "n").alias("n01"),
+        pick(0, 1, "s").alias("s01"),
+        pick(1, 0, "n").alias("n10"),
+        pick(1, 0, "s").alias("s10"),
+        pick(1, 1, "n").alias("n11"),
+        pick(1, 1, "s").alias("s11"),
+    )
+    did = (
+        F.col("s11").cast("double") / F.col("n11").cast("double")
+        - F.col("s10").cast("double") / F.col("n10").cast("double")
+    ) - (
+        F.col("s01").cast("double") / F.col("n01").cast("double")
+        - F.col("s00").cast("double") / F.col("n00").cast("double")
+    )
+    return w.select("*", did.alias("did_cents"))
+
+
+# ---------------------------------------------------------------------------
+# Sequential-test boundary audit (round 10)
+# ---------------------------------------------------------------------------
+
+_SPRT_UP, _SPRT_DOWN = 200, -200
+_SPRT_DAY_US = 86_400_000_000
+
+
+@query(
+    "q_sprt_boundary",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id % 2 AS variant, epoch_us(ts) AS ts_us, event_id,
+               CASE WHEN event_type = 'purchase' THEN 9 ELSE -1 END AS w
+        FROM events
+    ),
+    c AS (
+        SELECT variant, w,
+               row_number() OVER (PARTITION BY variant
+                                  ORDER BY ts_us, event_id) AS rnk,
+               sum(w) OVER (PARTITION BY variant ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM e
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(w) AS BIGINT) AS final_llr,
+           CAST(max(cum) AS BIGINT) AS max_llr,
+           CAST(min(cum) AS BIGINT) AS min_llr,
+           CAST(coalesce(min(CASE WHEN cum >= {_SPRT_UP} THEN rnk END), 0)
+                AS BIGINT) AS first_cross_up,
+           CAST(coalesce(min(CASE WHEN cum <= {_SPRT_DOWN} THEN rnk END), 0)
+                AS BIGINT) AS first_cross_down
+    FROM c GROUP BY variant
+    """,
+)
+def q_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL-TEST BOUNDARY AUDIT (Wald 1945 SPRT posture — the
+    always-valid-inference primitive modern experimentation platforms
+    replay offline: walk each variant's event stream accumulating an
+    integer log-likelihood-ratio step, +9 on conversion / −1 otherwise,
+    and record when the running score first crosses the decision
+    boundaries): per variant the final/max/min running LLR and the
+    first crossing rank of ±200 (0 = never crossed — the oracle's
+    NULL-coalesce channel).
+
+    The running cumsum does NOT ride a 2-partition global window:
+    within-day cumsum + day-bucket offset cumsum (the q_pack_sequences
+    distributed prefix-sum device — the per-variant offset window runs
+    over day-cardinality rows, never events), so every fact-scale stage
+    is partition-parallel at 100 TB.  All-integer state; full hash
+    oracle against DuckDB's plain global window."""
+    ev = events(spark, sf_dir)
+    e = ev.select(
+        (F.col("user_id") % 2).alias("variant"),
+        "ts_us",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 9)
+        .otherwise(-1)
+        .cast("long")
+        .alias("w"),
+        F.expr(f"ts_us div {_SPRT_DAY_US}").alias("day"),
+    )
+    win = Window.partitionBy("variant", "day").orderBy("ts_us", "event_id")
+    within = e.select(
+        "variant",
+        "day",
+        "w",
+        F.sum("w")
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_in"),
+        F.row_number().over(win).alias("rn_in"),
+    )
+    daytot = e.groupBy("variant", "day").agg(
+        F.sum("w").alias("sw"), F.count(F.lit(1)).alias("cnt")
+    )
+    wd = (
+        Window.partitionBy("variant")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = daytot.select(
+        "variant",
+        "day",
+        F.coalesce(F.sum("sw").over(wd), F.lit(0)).alias("off_w"),
+        F.coalesce(F.sum("cnt").over(wd), F.lit(0)).alias("off_n"),
+    )
+    c = within.join(offsets, ["variant", "day"]).select(
+        "variant",
+        "w",
+        (F.col("off_w") + F.col("cum_in")).cast("long").alias("cum"),
+        (F.col("off_n") + F.col("rn_in")).cast("long").alias("rnk"),
+    )
+    return c.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast("long").alias("final_llr"),
+        F.max("cum").cast("long").alias("max_llr"),
+        F.min("cum").cast("long").alias("min_llr"),
+        F.coalesce(
+            F.min(F.when(F.col("cum") >= _SPRT_UP, F.col("rnk"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("first_cross_up"),
+        F.coalesce(
+            F.min(F.when(F.col("cum") <= _SPRT_DOWN, F.col("rnk"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("first_cross_down"),
+    )

@@ -4441,3 +4441,122 @@ def q_naive_bayes_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability / syllable-complexity profile (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_readability_fk",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents
+    ),
+    ws AS (
+        SELECT doc_id, word,
+               greatest(len(regexp_extract_all(word, '[aeiouy]+')), 1) AS syl
+        FROM w
+    ),
+    d AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS words,
+               CAST(sum(syl) AS BIGINT) AS syllables,
+               CAST(sum(CASE WHEN syl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS mono_words,
+               CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS poly_words
+        FROM ws GROUP BY 1
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS sentences
+        FROM documents
+    )
+    SELECT d.doc_id, words, sentences, syllables, mono_words, poly_words,
+           0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+             + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+             - 15.59 AS fk_grade
+    FROM d JOIN s ON d.doc_id = s.doc_id
+    """,
+)
+def q_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH-KINCAID readability profile (Kincaid et al. 1975 — the
+    curriculum/education-level gate a training-data mixer applies when
+    building difficulty-stratified mixes; complements q_gopher_rules'
+    structural gates and q_token_entropy's information gates with a
+    SYLLABLE-complexity signal): per document the word count, sentence
+    count, vowel-group syllable estimate (min 1 per word — the standard
+    heuristic), mono-/poly-syllable word counts (the SMOG/FOG
+    ingredients), and the FK grade 0.39·(words/sentences) +
+    11.8·(syllables/words) − 15.59 as ONE fixed IEEE expression over
+    exact-integer-valued doubles (the q_anova_f conversion rule, so the
+    double hashes identically cross-engine).
+
+    The synthetic corpus has no sentence punctuation, so sentences
+    degenerates to the greatest(…, 1) floor — documented; the regex
+    still runs on both engines, and the word/syllable terms carry the
+    signal.  Regex classes ([a-z0-9]+, [aeiouy]+, [.!?]+) are chosen to
+    have identical semantics in Java regex and DuckDB RE2.
+
+    Scale: one regexp_extract_all + explode + two map-side-combinable
+    aggregates — token-linear, no joins beyond the 1-row-per-doc
+    sentence table (co-partitioned on doc_id)."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("word"),
+    )
+    ws = w.select(
+        "doc_id",
+        F.greatest(
+            F.expr("size(regexp_extract_all(word, '[aeiouy]+', 0))"),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("syl"),
+    )
+    d = ws.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("words"),
+        F.sum("syl").cast("long").alias("syllables"),
+        F.sum(F.when(F.col("syl") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("mono_words"),
+        F.sum(F.when(F.col("syl") >= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("poly_words"),
+    )
+    s = docs.select(
+        "doc_id",
+        F.greatest(
+            F.expr("size(regexp_extract_all(text, '[.!?]+', 0))"), F.lit(1)
+        )
+        .cast("long")
+        .alias("sentences"),
+    )
+    j = d.join(s, "doc_id")
+    fk = (
+        F.lit(0.39)
+        * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        + F.lit(11.8)
+        * (
+            F.col("syllables").cast("double")
+            / F.col("words").cast("double")
+        )
+        - F.lit(15.59)
+    )
+    return j.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        "mono_words",
+        "poly_words",
+        fk.alias("fk_grade"),
+    )

@@ -3334,3 +3334,105 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(inter_mass * 1000000) div union_mass").cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-line synthesis + regex parse roundtrip (round 10)
+# ---------------------------------------------------------------------------
+
+_LOG_RE = (
+    r'^(\S+) - (\S+) \[(\d+)\] "GET /([a-z]+)/(\d+) HTTP/1\.1" '
+    r"(\d+) (\d+)$"
+)
+
+
+@query(
+    "q_log_parse",
+    oracle=r"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts) // 1000000 AS ts_s,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS bytes,
+               200 + (event_id % 3) * 100 AS status
+        FROM events
+    ),
+    lines AS (
+        SELECT event_id,
+               printf('10.%d.%d.%d - u%d [%d] "GET /%s/%d HTTP/1.1" %d %d',
+                      user_id % 256, (user_id // 256) % 256, user_id % 100,
+                      user_id, ts_s, event_type, event_id, status, bytes)
+                   AS line
+        FROM e
+    ),
+    p AS (
+        SELECT event_id,
+               regexp_extract(line, '^(\S+) - (\S+) \[(\d+)\] "GET /([a-z]+)/(\d+) HTTP/1\.1" (\d+) (\d+)$', 1) AS ip,
+               regexp_extract(line, '^(\S+) - (\S+) \[(\d+)\] "GET /([a-z]+)/(\d+) HTTP/1\.1" (\d+) (\d+)$', 4) AS path_type,
+               CAST(regexp_extract(line, '^(\S+) - (\S+) \[(\d+)\] "GET /([a-z]+)/(\d+) HTTP/1\.1" (\d+) (\d+)$', 6) AS BIGINT) AS status,
+               CAST(regexp_extract(line, '^(\S+) - (\S+) \[(\d+)\] "GET /([a-z]+)/(\d+) HTTP/1\.1" (\d+) (\d+)$', 7) AS BIGINT) AS bytes
+        FROM lines
+    )
+    SELECT path_type, status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+           CAST(count(DISTINCT ip) AS BIGINT) AS n_ips,
+           CAST(sum(CASE WHEN path_type = '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_parse_fail
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCESS-LOG synthesis + regex parse ROUNDTRIP — the log-ingestion
+    primitive (grok-style): each event is rendered as a combined-log-
+    format line with ``format_string`` (C-style %s/%d — Java
+    String.format vs DuckDB printf parity pinned by the hash), then
+    parsed BACK with one grouped regexp_extract (\\S+/\\d+/[a-z]+ capture
+    groups — identical Java-regex/RE2 semantics) and rolled up by the
+    EXTRACTED fields, never the originals: a quoting, %-escape, group-
+    index, or anchor bug on either side changes the rollup and breaks
+    the hash.  n_parse_fail pins the non-match channel (both engines
+    return '' for a failed group) at exactly 0.
+
+    Scale: two codegen string expressions per row + one
+    map-side-combinable rollup over <= |types|x3 keys; the count
+    DISTINCT ip shuffles (key, ip) pairs — bounded by the ip domain,
+    not the log volume."""
+    from ..tables import events as events_t
+
+    ev = events_t(spark, sf_dir)
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("ts_us") / F.lit(1000000)).cast("long").alias("ts_s"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("bytes"),
+        (F.lit(200) + (F.col("event_id") % 3) * 100).alias("status"),
+    )
+    lines = e.select(
+        F.format_string(
+            '10.%d.%d.%d - u%d [%d] "GET /%s/%d HTTP/1.1" %d %d',
+            F.col("user_id") % 256,
+            (F.col("user_id") / 256).cast("long") % 256,
+            F.col("user_id") % 100,
+            F.col("user_id"),
+            F.col("ts_s"),
+            F.col("event_type"),
+            F.col("event_id"),
+            F.col("status"),
+            F.col("bytes"),
+        ).alias("line")
+    )
+    p = lines.select(
+        F.regexp_extract("line", _LOG_RE, 1).alias("ip"),
+        F.regexp_extract("line", _LOG_RE, 4).alias("path_type"),
+        F.regexp_extract("line", _LOG_RE, 6).cast("long").alias("status"),
+        F.regexp_extract("line", _LOG_RE, 7).cast("long").alias("bytes"),
+    )
+    return p.groupBy("path_type", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bytes").cast("long").alias("sum_bytes"),
+        F.countDistinct("ip").cast("long").alias("n_ips"),
+        F.sum(F.when(F.col("path_type") == "", 1).otherwise(0))
+        .cast("long")
+        .alias("n_parse_fail"),
+    )

@@ -2,10 +2,12 @@
 (cell width g, density floor mp) — THREE independent implementations per
 seed (the fuzz_ttl pattern):
 
-1. the REAL Spark pipeline incl. the pointer-doubling component search
+1. the REAL Spark pipeline incl. the shortcutting component search
    (`plans.llm_ops._dbscan_replay`),
-2. the parameterized 16-round unrolled DuckDB oracle
-   (`_dbscan_oracle(g, mp)`),
+2. the parameterized 40-round unrolled DuckDB oracle
+   (`_dbscan_oracle(g, mp, rounds=40)` — fine grids / mp=1 build deeper
+   components than the registered query's 16-round regime; round 10
+   measured 19 at g=15, mp=1),
 3. a pure-Python referee: floor-div grid + UNION-FIND over core-cell
    8-adjacency (a different component algorithm entirely — label prop
    bugs and union-find bugs don't correlate).
@@ -113,11 +115,11 @@ def main() -> None:
         mp = rng.choice([1, 2, 3, 4, 5, 6, 8, 10, 14, rng.randint(1, 16)])
         spark_rows = {
             r["vec_id"]: (r["cluster"], r["is_core"])
-            for r in _dbscan_replay(spark, SF, g=g, mp=mp).collect()
+            for r in _dbscan_replay(spark, SF, g=g, mp=mp, max_rounds=40).collect()
         }
         duck_rows = {
             r[0]: (r[1], r[2])
-            for r in con.execute(_dbscan_oracle(g=g, mp=mp)).fetchall()
+            for r in con.execute(_dbscan_oracle(g=g, mp=mp, rounds=40)).fetchall()
         }
         ref_rows = py_referee(g, mp)
         ok = spark_rows == duck_rows == ref_rows

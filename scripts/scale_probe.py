@@ -226,6 +226,16 @@ PROBES = [
     "q_bloom_size_sweep",
     "q_hapax_bigrams",
     "q_stream_quality_gate",
+    # round-10 additions (q_cuped was the one un-probed round-9c slug;
+    # the rest are the new round-10 ops)
+    "q_cuped",
+    "q_image_dhash_pairs",
+    "q_audio_goertzel",
+    "q_kmeans_lloyd",
+    "q_readability_fk",
+    "q_log_parse",
+    "q_diff_in_diff",
+    "q_sprt_boundary",
 ]
 
 
