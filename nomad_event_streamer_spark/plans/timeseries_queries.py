@@ -2105,3 +2105,141 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(cents * dt) div sum(dt) AS BIGINT)"
         ).alias("twap_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded 2-state Viterbi decode (round 10)
+# ---------------------------------------------------------------------------
+
+_VIT_N = 16  # decoded prefix length per user
+_VIT_SWITCH = -7  # transition log-weight (state change)
+_VIT_MISS = -12  # emission log-weight (observation disagrees with state)
+
+
+def _viterbi_oracle(n: int = _VIT_N) -> str:
+    """Unrolled max-plus Viterbi rounds (the q_dtw_band device): per
+    round a LEFT join pulls observation rank t — NULL past a short
+    user's stream keeps (v0, v1) unchanged, so one unroll serves every
+    stream length ≤ n."""
+    parts = [
+        f"""WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN 1 ELSE 0 END AS x
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, x,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS rnk
+        FROM e
+    ),
+    o AS (SELECT user_id, x, rnk FROM r WHERE rnk <= {n}),
+    l0 AS (SELECT DISTINCT user_id, 0 AS v0, 0 AS v1, 0 AS es, 0 AS n
+           FROM e)"""
+    ]
+    for t in range(1, n + 1):
+        parts.append(
+            f"""w{t} AS (
+        SELECT l.user_id,
+               CASE WHEN o.x IS NULL THEN l.v0
+                    ELSE greatest(l.v0, l.v1 + {_VIT_SWITCH})
+                         + CASE WHEN o.x = 1 THEN {_VIT_MISS} ELSE 0 END
+                    END AS v0,
+               CASE WHEN o.x IS NULL THEN l.v1
+                    ELSE greatest(l.v1, l.v0 + {_VIT_SWITCH})
+                         + CASE WHEN o.x = 0 THEN {_VIT_MISS} ELSE 0 END
+                    END AS v1,
+               l.es AS es0,
+               l.n + CASE WHEN o.x IS NULL THEN 0 ELSE 1 END AS n,
+               o.x IS NOT NULL AS stepped
+        FROM l{t - 1} l LEFT JOIN o ON o.user_id = l.user_id
+                                   AND o.rnk = {t}
+    ),
+    l{t} AS (
+        SELECT user_id, v0, v1,
+               es0 + CASE WHEN stepped AND v1 > v0 THEN 1 ELSE 0 END AS es,
+               n
+        FROM w{t}
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT user_id, CAST(n AS BIGINT) AS n_steps,
+           CAST(v0 AS BIGINT) AS v_browse, CAST(v1 AS BIGINT) AS v_engage,
+           CAST(greatest(v0, v1) AS BIGINT) AS best_score,
+           CAST(CASE WHEN v1 > v0 THEN 1 ELSE 0 END AS BIGINT) AS best_state,
+           CAST(es AS BIGINT) AS engaged_steps
+    FROM l{n}"""
+    )
+
+
+@query("q_viterbi_2state", oracle=_viterbi_oracle())
+def q_viterbi_2state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED 2-STATE VITERBI DECODE (Viterbi 1967 — the max-plus
+    sequence-smoothing primitive; the session-quality / bot-vs-human
+    state decode an event pipeline runs over noisy per-step signals;
+    completes the DP family next to q_dtw_band's alignment DP): over
+    each user's FIRST 16 events (deterministic (ts, event_id) rank —
+    the boundedness that makes the oracle a fixed unroll), observations
+    x_t = [event_type ∈ {purchase, signup}], integer log-weights
+    (switch −7, emission miss −12), forward max-plus recurrence
+    v_s(t) = max(v_s, v_{1−s} − 7) + emit_s(x_t).  Emits per user the
+    final state values, best score/state, and the count of steps where
+    the engaged state dominated — forward-only observables, so no
+    backtrace materialization.
+
+    All-integer max-plus arithmetic → full hash gate: the oracle
+    unrolls 16 LEFT-join rounds (NULL past a short stream holds the
+    state — one unroll serves every stream length), the Spark side runs
+    the REAL per-user loop in Arrow-batched applyInPandas.
+
+    Scale: ONE user-keyed shuffle into applyInPandas; per-group state
+    is two ints over ≤16 rows (rank-pruned BEFORE the shuffle, so the
+    decode stage moves 16 rows/user regardless of history depth); user
+    cardinality is the parallelism unit — the q_dtw_band posture."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    obs = (
+        ev.select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            F.col("event_type")
+            .isin("purchase", "signup")
+            .cast("int")
+            .alias("x"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _VIT_N)
+        .select("user_id", "rnk", "x")
+    )
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rnk")
+        v0 = v1 = es = 0
+        for x in pdf["x"].astype(int):
+            v0, v1 = (
+                max(v0, v1 + _VIT_SWITCH) + (_VIT_MISS if x == 1 else 0),
+                max(v1, v0 + _VIT_SWITCH) + (_VIT_MISS if x == 0 else 0),
+            )
+            if v1 > v0:
+                es += 1
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_steps": [len(pdf)],
+                "v_browse": [v0],
+                "v_engage": [v1],
+                "best_score": [max(v0, v1)],
+                "best_state": [1 if v1 > v0 else 0],
+                "engaged_steps": [es],
+            }
+        )
+
+    return obs.groupBy("user_id").applyInPandas(
+        decode,
+        "user_id long, n_steps long, v_browse long, v_engage long,"
+        " best_score long, best_state long, engaged_steps long",
+    )

@@ -232,3 +232,47 @@ class TestSprtBoundary:
         # channels (rank and the 0 = never sentinel) are pinned
         assert all(r["first_cross_up"] > 0 for r in rows)
         assert all(r["first_cross_down"] == 0 for r in rows)
+
+
+class TestViterbi2State:
+    def test_matches_pure_python_viterbi(self, spark):
+        ev = _events_pd()
+        expected = {}
+        for uid, g in ev.groupby("user_id"):
+            g = g.sort_values(["ts_us", "event_id"]).head(16)
+            v0 = v1 = es = 0
+            for _, r in g.iterrows():
+                x = 1 if r["event_type"] in ("purchase", "signup") else 0
+                v0, v1 = (
+                    max(v0, v1 - 7) + (-12 if x == 1 else 0),
+                    max(v1, v0 - 7) + (-12 if x == 0 else 0),
+                )
+                if v1 > v0:
+                    es += 1
+            expected[int(uid)] = (
+                len(g),
+                v0,
+                v1,
+                max(v0, v1),
+                1 if v1 > v0 else 0,
+                es,
+            )
+        got = {
+            r["user_id"]: (
+                r["n_steps"],
+                r["v_browse"],
+                r["v_engage"],
+                r["best_score"],
+                r["best_state"],
+                r["engaged_steps"],
+            )
+            for r in QUERIES["q_viterbi_2state"](spark, SF).collect()
+        }
+        assert got == expected
+
+    def test_engaged_channel_exercised(self, spark):
+        rows = QUERIES["q_viterbi_2state"](spark, SF).collect()
+        # mid-walk engaged dominance occurs even when the final state is
+        # browsing — the es counter pins the interior of the recurrence
+        assert any(r["engaged_steps"] > 0 for r in rows)
+        assert all(0 <= r["engaged_steps"] <= r["n_steps"] for r in rows)
