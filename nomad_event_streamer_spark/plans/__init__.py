@@ -47,7 +47,7 @@ from . import pipeline_queries  # noqa: E402,F401
 # (q_image_dhash_pairs, q_audio_goertzel — hash-oracled on arrival,
 # DRIVER_SIM_r10) — a green r10 window makes the cumulative hard driver
 # hash-PASS ledger cover all 427 oracled slugs.
-# Registry at HEAD: 444 queries / 433 oracled.
+# Registry at HEAD: 447 queries / 436 oracled.
 # Round-10 additions past window capacity follow the same overflow ledger
 # discipline in R11_QUEUE below: ordered immediately AFTER the window in
 # all_queries(), each sim-hash-verified on arrival, first in line for the
@@ -124,6 +124,9 @@ R11_QUEUE: list[str] = [
     "q_diff_in_diff",
     "q_sprt_boundary",
     "q_viterbi_2state",
+    "q_isotonic_pav",
+    "q_mann_whitney_ks",
+    "q_wasserstein1",
 ]
 
 # Round-10 re-verification allowance: EMPTY — no previously driver-PASSed

@@ -2489,3 +2489,293 @@ def q_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_cross_down"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample nonparametric battery: Mann-Whitney U + KS D (round 10)
+# ---------------------------------------------------------------------------
+
+_NP_BUCKET = 1000  # cents per prefix-sum bucket
+
+
+@query(
+    "q_mann_whitney_ks",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 2 AS v,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    d AS (
+        SELECT c,
+               CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM e GROUP BY c
+    ),
+    p AS (
+        SELECT c, c0, c1, c0 + c1 AS cnt,
+               sum(c0 + c1) OVER (ORDER BY c) AS cum,
+               sum(c0) OVER (ORDER BY c) AS cum0,
+               sum(c1) OVER (ORDER BY c) AS cum1
+        FROM d
+    ),
+    tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1 FROM d),
+    mw AS (
+        SELECT CAST(sum(c0 * (2 * (cum - cnt + 1) + cnt - 1)) AS BIGINT)
+                   AS r2_0,
+               CAST(sum((cnt * cnt * cnt) - cnt) AS BIGINT) AS tie_sum
+        FROM p
+    ),
+    ks AS (
+        SELECT CAST(max(abs(cum0 * t.n1 - cum1 * t.n0)) AS BIGINT) AS d_num
+        FROM p, tot t
+    )
+    SELECT t.n0, t.n1,
+           CAST(mw.r2_0 - t.n0 * (t.n0 + 1) AS BIGINT) AS u2_0,
+           CAST(2 * t.n0 * t.n1 - (mw.r2_0 - t.n0 * (t.n0 + 1)) AS BIGINT)
+               AS u2_1,
+           mw.tie_sum,
+           ks.d_num,
+           CAST(ks.d_num AS DOUBLE)
+             / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE)) AS ks_d
+    FROM tot t, mw, ks
+    """,
+)
+def q_mann_whitney_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE NONPARAMETRIC BATTERY (Mann & Whitney 1947; Kolmogorov
+    1933 / Smirnov 1939 — the distribution-free significance reads an
+    experimentation pipeline runs when q_anova_f's normality posture is
+    suspect): variants = user parity over cents-quantized values.
+
+    Integer-exactness devices: Mann-Whitney midranks ride DOUBLED ranks
+    (2·midrank = 2·start + cnt − 1 per tie group — no halves), so
+    2·R₀, 2·U₀, 2·U₁ and the tie-correction Σ(t³−t) are exact BIGINTs
+    with the invariant u2_0 + u2_1 = 2·n0·n1; the KS statistic rides
+    the CROSS-MULTIPLIED numerator max|F₀−F₁|·n0·n1 (an integer max —
+    no fraction comparison), with ks_d emitted as one fixed IEEE
+    division of exact ints (the q_anova_f rule).
+
+    Scale: one map-side-combinable distinct-value aggregate (bounded by
+    the cents DOMAIN, not the corpus), then prefix sums via the
+    value-bucketed distributed device (within-bucket windows + a
+    bucket-offset table of ≤ cents/1000 rows — the q_sprt_boundary
+    posture; no partitionless window over the distinct-value table),
+    and three 1-row reductions."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("user_id") % 2).alias("v"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("c"),
+    )
+    d = e.groupBy("c").agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    db = d.withColumn("bk", F.expr(f"c div {_NP_BUCKET}"))
+    win = Window.partitionBy("bk").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = db.select(
+        "c",
+        "c0",
+        "c1",
+        "bk",
+        (F.col("c0") + F.col("c1")).alias("cnt"),
+        F.sum(F.col("c0") + F.col("c1")).over(win).alias("w_cum"),
+        F.sum("c0").over(win).alias("w_cum0"),
+        F.sum("c1").over(win).alias("w_cum1"),
+    )
+    btot = db.groupBy("bk").agg(
+        F.sum(F.col("c0") + F.col("c1")).alias("bt"),
+        F.sum("c0").alias("bt0"),
+        F.sum("c1").alias("bt1"),
+    )
+    woff = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "bk",
+        F.coalesce(F.sum("bt").over(woff), F.lit(0)).alias("off"),
+        F.coalesce(F.sum("bt0").over(woff), F.lit(0)).alias("off0"),
+        F.coalesce(F.sum("bt1").over(woff), F.lit(0)).alias("off1"),
+    )
+    p = within.join(offs, "bk").select(
+        "c",
+        "c0",
+        "c1",
+        "cnt",
+        (F.col("off") + F.col("w_cum")).alias("cum"),
+        (F.col("off0") + F.col("w_cum0")).alias("cum0"),
+        (F.col("off1") + F.col("w_cum1")).alias("cum1"),
+    )
+    tot = d.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    mw = p.agg(
+        F.sum(
+            F.col("c0")
+            * (2 * (F.col("cum") - F.col("cnt") + 1) + F.col("cnt") - 1)
+        )
+        .cast("long")
+        .alias("r2_0"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    ks = (
+        p.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    u2_0 = F.col("r2_0") - F.col("n0") * (F.col("n0") + 1)
+    return (
+        tot.crossJoin(F.broadcast(mw))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "n0",
+            "n1",
+            u2_0.cast("long").alias("u2_0"),
+            (2 * F.col("n0") * F.col("n1") - u2_0).cast("long").alias("u2_1"),
+            "tie_sum",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n0").cast("double") * F.col("n1").cast("double"))
+            ).alias("ks_d"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein distance between variant value distributions (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_wasserstein1",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 2 AS v,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    d AS (
+        SELECT c,
+               CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM e GROUP BY c
+    ),
+    p AS (
+        SELECT c, sum(c0) OVER (ORDER BY c) AS cum0,
+                  sum(c1) OVER (ORDER BY c) AS cum1,
+               lead(c) OVER (ORDER BY c) AS c_next
+        FROM d
+    ),
+    tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1 FROM d)
+    SELECT t.n0, t.n1,
+           CAST(sum(abs(cum0 * t.n1 - cum1 * t.n0) * (c_next - c))
+                AS BIGINT) AS w1_num,
+           CAST(sum(abs(cum0 * t.n1 - cum1 * t.n0) * (c_next - c))
+                AS DOUBLE)
+             / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE)) AS w1_cents
+    FROM p, tot t WHERE c_next IS NOT NULL GROUP BY t.n0, t.n1
+    """,
+)
+def q_wasserstein1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D WASSERSTEIN (earth-mover) DISTANCE between the two variants'
+    value distributions (Monge 1781 / Kantorovich 1942; Ramdas et al.
+    2017 for the CDF identity — the optimal-transport drift measure
+    that, unlike q_mann_whitney_ks's KS max, weighs HOW FAR mass
+    moved): W₁ = ∫|F₀ − F₁| dx over the cents domain, computed exactly
+    as Σ |cum0·n1 − cum1·n0|·gap — a cross-multiplied integer numerator
+    (the q_mann_whitney_ks device plus the inter-value GAP weight), with
+    w1_cents emitted as ONE fixed IEEE division of exact ints.
+
+    Scale: the same domain-bounded distinct-value scaffold as the
+    nonparametric battery — prefix sums AND the next-distinct-value
+    lead both ride the value-bucketed distributed device (within-bucket
+    windows + a bucket-cardinality offset/lead table; the bucket-seam
+    next value comes from the next bucket's min), so no partitionless
+    window over the distinct-value table."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("user_id") % 2).alias("v"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("c"),
+    )
+    d = e.groupBy("c").agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    db = d.withColumn("bk", F.expr(f"c div {_NP_BUCKET}"))
+    cum_w = Window.partitionBy("bk").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lead_w = Window.partitionBy("bk").orderBy("c")
+    within = db.select(
+        "c",
+        "bk",
+        F.sum("c0").over(cum_w).alias("w_cum0"),
+        F.sum("c1").over(cum_w).alias("w_cum1"),
+        F.lead("c").over(lead_w).alias("w_next"),
+    )
+    btot = db.groupBy("bk").agg(
+        F.sum("c0").alias("bt0"),
+        F.sum("c1").alias("bt1"),
+        F.min("c").alias("bmin"),
+    )
+    woff = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    wlead = Window.orderBy("bk")
+    offs = btot.select(
+        "bk",
+        F.coalesce(F.sum("bt0").over(woff), F.lit(0)).alias("off0"),
+        F.coalesce(F.sum("bt1").over(woff), F.lit(0)).alias("off1"),
+        F.lead("bmin").over(wlead).alias("next_bmin"),
+    )
+    p = within.join(offs, "bk").select(
+        "c",
+        (F.col("off0") + F.col("w_cum0")).alias("cum0"),
+        (F.col("off1") + F.col("w_cum1")).alias("cum1"),
+        F.coalesce(F.col("w_next"), F.col("next_bmin")).alias("c_next"),
+    )
+    tot = d.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    num = (
+        p.where(F.col("c_next").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")
+                )
+                * (F.col("c_next") - F.col("c"))
+            )
+            .cast("long")
+            .alias("w1_num")
+        )
+    )
+    return tot.crossJoin(F.broadcast(num)).select(
+        "n0",
+        "n1",
+        "w1_num",
+        (
+            F.col("w1_num").cast("double")
+            / (F.col("n0").cast("double") * F.col("n1").cast("double"))
+        ).alias("w1_cents"),
+    )

@@ -4560,3 +4560,119 @@ def q_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "poly_words",
         fk.alias("fk_grade"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration via the PAV minimax identity (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_isotonic_pav",
+    oracle="""
+    WITH e AS (
+        SELECT least(CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 1000,
+                     19) AS b,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    g AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS c
+        FROM e GROUP BY b
+    ),
+    p AS (
+        SELECT b, n, c,
+               sum(n) OVER (ORDER BY b) AS pn,
+               sum(c) OVER (ORDER BY b) AS pc
+        FROM g
+    ),
+    jk AS (
+        SELECT j.b AS j, k.b AS k,
+               CAST(k.pc - j.pc + j.c AS DOUBLE)
+                 / CAST(k.pn - j.pn + j.n AS DOUBLE) AS avg_jk
+        FROM p j JOIN p k ON k.b >= j.b
+    ),
+    mn AS (
+        SELECT i.b AS i, jk.j, min(jk.avg_jk) AS m
+        FROM p i JOIN jk ON jk.j <= i.b
+        GROUP BY 1, 2
+    ),
+    iso AS (SELECT i, max(m) AS iso FROM mn GROUP BY i)
+    SELECT g.b AS bucket, g.n, g.c AS conv, iso.iso AS iso_rate
+    FROM g JOIN iso ON iso.i = g.b
+    """,
+)
+def q_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC CALIBRATION (pool-adjacent-violators; Ayer et al. 1955,
+    Barlow & Brunk 1972 — the monotone probability-calibration fit every
+    CTR / quality-classifier serving stack applies on top of raw model
+    scores; extends q_calibration's reliability diagram from diagnosis
+    to the FIT itself): conversion rate per value-derived score bucket,
+    fitted to the best monotone non-decreasing step function.
+
+    PAV is a sequential pooling algorithm — hostile to both SQL and
+    hash gates — so this uses the CLOSED-FORM MINIMAX IDENTITY instead:
+    iso(i) = max_{j<=i} min_{k>=j} avg(conv over buckets j..k), exactly
+    the L2 isotonic solution (property-tested against a textbook PAV
+    stack referee in tests/test_round10b_ops.py).  Averages are exact-
+    integer-valued doubles via bucket prefix sums (S(j,k) = P(k) −
+    P(j−1)), so both engines compute IDENTICAL doubles and the min/max
+    lattice hashes bit-equal (the q_anova_f conversion rule, lifted
+    over a minimax).
+
+    Scale: ONE map-side-combinable fact-scale aggregate to ≤20 bucket
+    rows; everything after (prefix window, (j,k) expansion — ≤8000
+    rows, minimax aggs) is model-sized, never corpus-sized; the only
+    partitionless window runs over the 20-row bucket table."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr(
+            "least(CAST(floor(value * 100.0 + 0.5) AS BIGINT) div 1000,"
+            " 19)"
+        ).alias("b"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    g = e.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("c"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    p = g.select(
+        "b",
+        "n",
+        "c",
+        F.sum("n").over(w).alias("pn"),
+        F.sum("c").over(w).alias("pc"),
+    )
+    j = p.select(
+        F.col("b").alias("j"),
+        F.col("n").alias("jn"),
+        F.col("c").alias("jc"),
+        F.col("pn").alias("jpn"),
+        F.col("pc").alias("jpc"),
+    )
+    k = p.select(
+        F.col("b").alias("k"),
+        F.col("pn").alias("kpn"),
+        F.col("pc").alias("kpc"),
+    )
+    jk = j.join(k, F.col("k") >= F.col("j")).select(
+        "j",
+        (
+            (F.col("kpc") - F.col("jpc") + F.col("jc")).cast("double")
+            / (F.col("kpn") - F.col("jpn") + F.col("jn")).cast("double")
+        ).alias("avg_jk"),
+    )
+    mn = (
+        p.select(F.col("b").alias("i"))
+        .join(jk, F.col("j") <= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    iso = mn.groupBy("i").agg(F.max("m").alias("iso"))
+    return g.join(iso, g["b"] == iso["i"]).select(
+        F.col("b").alias("bucket"),
+        "n",
+        F.col("c").alias("conv"),
+        F.col("iso").alias("iso_rate"),
+    )

@@ -276,3 +276,140 @@ class TestViterbi2State:
         # browsing — the es counter pins the interior of the recurrence
         assert any(r["engaged_steps"] > 0 for r in rows)
         assert all(0 <= r["engaged_steps"] <= r["n_steps"] for r in rows)
+
+
+class TestIsotonicPAV:
+    def test_matches_textbook_pav_stack(self, spark):
+        """The minimax identity max_{j<=i} min_{k>=j} avg(j..k) must
+        equal the sequential pool-adjacent-violators fit — the classic
+        L2 isotonic equivalence, checked against a stack-based PAV."""
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        b = ((ev["value"] * 100.0 + 0.5).astype(int) // 1000).clip(upper=19)
+        y = (ev["event_type"] == "purchase").astype(int)
+        g = (
+            pd.DataFrame({"b": b, "y": y})
+            .groupby("b")
+            .agg(n=("y", "size"), c=("y", "sum"))
+            .reset_index()
+            .sort_values("b")
+        )
+        stack: list[list[int]] = []
+        for r in g.itertuples():
+            stack.append([int(r.n), int(r.c), 1])
+            while (
+                len(stack) > 1
+                and stack[-2][1] * stack[-1][0]
+                >= stack[-1][1] * stack[-2][0]
+            ):
+                n2, c2, k2 = stack.pop()
+                stack[-1][0] += n2
+                stack[-1][1] += c2
+                stack[-1][2] += k2
+        fitted: list[float] = []
+        for n, c, k in stack:
+            fitted.extend([c / n] * k)
+        expected = {
+            int(r.b): (int(r.n), int(r.c), fitted[i])
+            for i, r in enumerate(g.itertuples())
+        }
+        got = {
+            r["bucket"]: (r["n"], r["conv"], r["iso_rate"])
+            for r in QUERIES["q_isotonic_pav"](spark, SF).collect()
+        }
+        assert got == expected
+
+    def test_fit_is_monotone_nondecreasing(self, spark):
+        rows = sorted(
+            QUERIES["q_isotonic_pav"](spark, SF).collect(),
+            key=lambda r: r["bucket"],
+        )
+        rates = [r["iso_rate"] for r in rows]
+        assert all(a <= b for a, b in zip(rates, rates[1:]))
+        # and the fit genuinely pools (at least one violation existed)
+        raw = [r["conv"] / r["n"] for r in rows]
+        assert raw != rates
+
+
+class TestMannWhitneyKS:
+    def test_matches_pure_python_referee(self, spark):
+        from itertools import groupby
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        c = (ev["value"] * 100.0 + 0.5).astype(int)
+        v = ev["user_id"] % 2
+        pooled = sorted(zip(c, v))
+        n0 = int((v == 0).sum())
+        n1 = int((v == 1).sum())
+        r2_0 = tie = 0
+        i = 1
+        for _, grp in groupby(pooled, key=lambda t: t[0]):
+            grp = list(grp)
+            k = len(grp)
+            r2_0 += (2 * i + k - 1) * sum(1 for _, vv in grp if vv == 0)
+            tie += k**3 - k
+            i += k
+        u2_0 = r2_0 - n0 * (n0 + 1)
+        cum0 = cum1 = dnum = 0
+        for _, grp in groupby(pooled, key=lambda t: t[0]):
+            for _, vv in grp:
+                if vv == 0:
+                    cum0 += 1
+                else:
+                    cum1 += 1
+            dnum = max(dnum, abs(cum0 * n1 - cum1 * n0))
+        [row] = QUERIES["q_mann_whitney_ks"](spark, SF).collect()
+        assert (
+            row["n0"],
+            row["n1"],
+            row["u2_0"],
+            row["u2_1"],
+            row["tie_sum"],
+            row["d_num"],
+        ) == (n0, n1, u2_0, 2 * n0 * n1 - u2_0, tie, dnum)
+        assert row["ks_d"] == dnum / (n0 * n1)
+
+    def test_u_statistic_invariant(self, spark):
+        [row] = QUERIES["q_mann_whitney_ks"](spark, SF).collect()
+        assert row["u2_0"] + row["u2_1"] == 2 * row["n0"] * row["n1"]
+        assert 0 <= row["d_num"] <= row["n0"] * row["n1"]
+
+
+class TestWasserstein1:
+    def test_matches_numpy_cdf_integral(self, spark):
+        import numpy as np
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        c = (ev["value"] * 100.0 + 0.5).astype(int).to_numpy()
+        v = (ev["user_id"] % 2).to_numpy()
+        a = np.sort(c[v == 0])
+        b = np.sort(c[v == 1])
+        xs = np.unique(c)
+        cum0 = np.searchsorted(a, xs, side="right")
+        cum1 = np.searchsorted(b, xs, side="right")
+        w1_num = int(
+            np.sum(
+                np.abs(
+                    cum0[:-1].astype(np.int64) * len(b)
+                    - cum1[:-1].astype(np.int64) * len(a)
+                )
+                * np.diff(xs)
+            )
+        )
+        [row] = QUERIES["q_wasserstein1"](spark, SF).collect()
+        assert (row["n0"], row["n1"], row["w1_num"]) == (
+            len(a),
+            len(b),
+            w1_num,
+        )
+        assert row["w1_cents"] == w1_num / (len(a) * len(b))
+
+    def test_w1_dominates_ks_times_range(self, spark):
+        """Sanity coupling with the KS battery: W1 <= D * range and
+        W1 >= 0 — both metrics ride the same CDF gap, max vs sum."""
+        [w] = QUERIES["q_wasserstein1"](spark, SF).collect()
+        [k] = QUERIES["q_mann_whitney_ks"](spark, SF).collect()
+        assert w["w1_num"] >= 0
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        c = (ev["value"] * 100.0 + 0.5).astype(int)
+        rng = int(c.max() - c.min())
+        assert w["w1_num"] <= k["d_num"] * rng
