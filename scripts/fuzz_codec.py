@@ -257,7 +257,7 @@ def build(fmt: str, rng: random.Random) -> bytes:
 HEADER_SPAN = {"bmp": 54, "pgm": 16, "wav": 44, "qoi": 14}
 
 
-def mutate(p: bytes, fmt: str, rng: random.Random) -> tuple[bytes, str]:
+def mutate_once(p: bytes, fmt: str, rng: random.Random) -> tuple[bytes, str]:
     kind = rng.choice(
         ["none", "flip_header", "flip_body", "truncate", "append", "zero_field", "magic"]
     )
@@ -290,6 +290,21 @@ def mutate(p: bytes, fmt: str, rng: random.Random) -> tuple[bytes, str]:
     else:  # magic
         b[rng.randrange(min(4, len(b)))] ^= 0xFF
     return bytes(b), kind
+
+
+def mutate(p: bytes, fmt: str, rng: random.Random) -> tuple[bytes, str]:
+    """1-3 stacked mutations (round-10 deepening): single-byte damage is
+    often caught by one check; STACKED damage (e.g. a dim zeroed AND a
+    truncation) probes whether a decoder's later checks still hold after
+    an earlier field changed the expected layout."""
+    depth = rng.choice([1, 1, 1, 2, 2, 3])
+    kinds = []
+    for _ in range(depth):
+        if not p:
+            break
+        p, kind = mutate_once(p, fmt, rng)
+        kinds.append(kind)
+    return p, "+".join(kinds) if kinds else "none"
 
 
 REPO = {"bmp": repo_bmp, "pgm": repo_pgm, "wav": repo_wav, "qoi": repo_qoi}
