@@ -3391,7 +3391,17 @@ def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXTRACTED fields, never the originals: a quoting, %-escape, group-
     index, or anchor bug on either side changes the rollup and breaks
     the hash.  n_parse_fail pins the non-match channel (both engines
-    return '' for a failed group) at exactly 0.
+    surface '' for a failed parse) at exactly 0.
+
+    Spark-side physical rewrite (round-10 ×10 probe follow-up): four
+    per-group regexp_extract calls are NOT common subexpressions (the
+    group index differs), so the matcher ran 4× per row — rewritten to
+    ONE regexp_replace packing the groups with a \\x01 delimiter + a
+    split (measured 1.3× at sf0.1, results bit-identical; a non-match
+    leaves the line unchanged, which is the fail signal since the
+    packed form is always shorter).  The ORACLE keeps the declarative
+    per-group form — it defines the semantics, the engine picks the
+    physical strategy.
 
     Scale: two codegen string expressions per row + one
     map-side-combinable rollup over <= |types|x3 keys; the count
@@ -3422,11 +3432,32 @@ def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bytes"),
         ).alias("line")
     )
-    p = lines.select(
-        F.regexp_extract("line", _LOG_RE, 1).alias("ip"),
-        F.regexp_extract("line", _LOG_RE, 4).alias("path_type"),
-        F.regexp_extract("line", _LOG_RE, 6).cast("long").alias("status"),
-        F.regexp_extract("line", _LOG_RE, 7).cast("long").alias("bytes"),
+    sep = "\x01"
+    packed = F.regexp_replace(
+        "line", _LOG_RE, sep.join(("$1", "$4", "$6", "$7"))
+    )
+    p = (
+        lines.select("line", packed.alias("packed"))
+        .select(
+            (F.col("packed") == F.col("line")).alias("fail"),
+            F.split("packed", sep).alias("f"),
+        )
+        .select(
+            F.when(F.col("fail"), F.lit(""))
+            .otherwise(F.element_at("f", 1))
+            .alias("ip"),
+            F.when(F.col("fail"), F.lit(""))
+            .otherwise(F.element_at("f", 2))
+            .alias("path_type"),
+            F.when(F.col("fail"), F.lit(None))
+            .otherwise(F.element_at("f", 3))
+            .cast("long")
+            .alias("status"),
+            F.when(F.col("fail"), F.lit(None))
+            .otherwise(F.element_at("f", 4))
+            .cast("long")
+            .alias("bytes"),
+        )
     )
     return p.groupBy("path_type", "status").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
