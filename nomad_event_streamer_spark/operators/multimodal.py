@@ -335,6 +335,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         pos += 8
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk shorter than PCM header")
             audio_fmt, nch, sample_rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", payload, pos
             )

@@ -552,7 +552,12 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     global ascending rank uses the bucketed prefix-sum
     (operators/ranking.py, bit_length(count) buckets), so no
     partitionless window touches the user table; totals broadcast.
-    Int64: Σi·xᵢ ≤ n·Σx — safe while n·total_events < ~9e18."""
+    The rank-product accumulator Σi·xᵢ ≤ n·Σx is n²-scale, so it rides
+    DECIMAL(38,0) (VERDICT r10 item #2 sweep — Spark's non-ANSI
+    sum(long) wraps silently where DuckDB promotes to HUGEINT);
+    headroom past n·total_events = 10^38, and past the BIGINT emission
+    bound (~9e18) the decimal→long cast yields NULL (loud), not a
+    wrapped value."""
     from ..operators import ranking
 
     ev = events(spark, sf_dir)
@@ -568,16 +573,20 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("sx"),
     )
     r = ranked.crossJoin(F.broadcast(tot))
+    dec = "decimal(38,0)"
     return r.agg(
         F.max("n").cast("long").alias("n_users"),
         F.max("sx").cast("long").alias("total_events"),
         (
-            2 * F.sum(F.col("i") * F.col("x"))
-            - (F.max("n") + 1) * F.max("sx")
+            F.lit(2).cast(dec)
+            * F.sum(F.col("i").cast(dec) * F.col("x").cast(dec))
+            - (F.max("n") + 1).cast(dec) * F.max("sx").cast(dec)
         )
         .cast("long")
         .alias("gini_num"),
-        (F.max("n") * F.max("sx")).cast("long").alias("gini_den"),
+        (F.max("n").cast(dec) * F.max("sx").cast(dec))
+        .cast("long")
+        .alias("gini_den"),
     )
 
 
@@ -737,26 +746,37 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·Σx² − (Σx)²) / ((n−1)·Σx) — zero float ops, engine-bit-exact.
 
     Scale: events collapse to the time-range-sized hourly series (one
-    combinable shuffle), then a single-row aggregate.  Int64 headroom:
-    n·Σx² — safe to ~3e9 events/hour across ~1e5 active hours."""
+    combinable shuffle), then a single-row aggregate.  The second-moment
+    accumulator Σx² and the cross products n·Σx², (Σx)² are n²-scale,
+    so they ride DECIMAL(38,0) (VERDICT r10 item #2 sweep — Spark's
+    non-ANSI sum(long)/multiply wraps silently where DuckDB promotes to
+    HUGEINT / raises); decimal headroom is ample past 10^12
+    events/hour, and past the BIGINT emission bound the decimal→long
+    cast yields NULL (loud), never a wrapped value."""
     ev = events(spark, sf_dir)
     h = (
         ev.select(F.expr("ts_us div 3600000000").alias("hr"))
         .groupBy("hr")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
     )
+    dec = "decimal(38,0)"
     a = h.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
     )
     return a.select(
         F.col("n").alias("n_hours"),
         F.col("sx").alias("total_events"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        (
+            F.col("n").cast(dec) * F.col("sxx")
+            - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+        )
         .cast("long")
         .alias("fano_num"),
-        ((F.col("n") - 1) * F.col("sx")).cast("long").alias("fano_den"),
+        ((F.col("n") - 1).cast(dec) * F.col("sx").cast(dec))
+        .cast("long")
+        .alias("fano_den"),
     )
 
 
@@ -1777,13 +1797,24 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: a single two-level aggregation — per-group raw moments
     (count/sum/sum-of-squares, map-side combinable partial agg) then a
-    k-row reduction; no row ever leaves its partition unaggregated."""
+    k-row reduction; no row ever leaves its partition unaggregated.
+    The second-moment and SSB/SSW accumulators ride DECIMAL(38,0)
+    (VERDICT r10 item #2 sweep — non-ANSI sum(long) wraps silently
+    where DuckDB promotes to HUGEINT); past the BIGINT emission bound
+    the decimal→long cast yields NULL (loud), never a wrap."""
     ev = events(spark, sf_dir)
     x = ev.select("event_type", cents(F.col("value")).alias("c"))
+    # n²-scale accumulators (Σc², ng·mg², mg·sg) ride DECIMAL(38,0)
+    # (VERDICT r10 item #2 sweep): Spark's non-ANSI sum(long) wraps
+    # silently where DuckDB promotes to HUGEINT.  Bounds: sqg ≤ N·c²
+    # (~3e21 at N=3e9, cents ≤ 1e6), ssw/ssb same order — decimal
+    # headroom to 10^38; past the BIGINT emission bound the
+    # decimal→long cast yields NULL (loud), never a wrapped value.
+    dec = "decimal(38,0)"
     g = x.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("ng"),
         F.sum("c").cast("long").alias("sg"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("sqg"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sqg"),
     )
     gm = g.withColumn("mg", F.expr("sg div ng"))
     tot = gm.agg(
@@ -1795,13 +1826,17 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = gm.crossJoin(F.broadcast(tot))
     agg = j.groupBy("k", "n").agg(
-        F.sum(F.col("ng") * (F.col("mg") - F.col("m")) * (F.col("mg") - F.col("m")))
+        F.sum(
+            F.col("ng").cast(dec)
+            * (F.col("mg") - F.col("m")).cast(dec)
+            * (F.col("mg") - F.col("m")).cast(dec)
+        )
         .cast("long")
         .alias("ssb"),
         F.sum(
             F.col("sqg")
-            - 2 * F.col("mg") * F.col("sg")
-            + F.col("ng") * F.col("mg") * F.col("mg")
+            - F.lit(2).cast(dec) * F.col("mg").cast(dec) * F.col("sg").cast(dec)
+            + F.col("ng").cast(dec) * F.col("mg").cast(dec) * F.col("mg").cast(dec)
         )
         .cast("long")
         .alias("ssw"),
@@ -2550,11 +2585,17 @@ def q_mann_whitney_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer-exactness devices: Mann-Whitney midranks ride DOUBLED ranks
     (2·midrank = 2·start + cnt − 1 per tie group — no halves), so
-    2·R₀, 2·U₀, 2·U₁ and the tie-correction Σ(t³−t) are exact BIGINTs
+    2·R₀, 2·U₀, 2·U₁ and the tie-correction Σ(t³−t) are exact integers
     with the invariant u2_0 + u2_1 = 2·n0·n1; the KS statistic rides
     the CROSS-MULTIPLIED numerator max|F₀−F₁|·n0·n1 (an integer max —
     no fraction comparison), with ks_d emitted as one fixed IEEE
-    division of exact ints (the q_anova_f rule).
+    division of exact ints (the q_anova_f rule).  The n²/n³-scale
+    accumulators (r2_0 ≤ 2N², tie_sum ≤ N³, d_num ≤ N²/4) ride
+    DECIMAL(38,0) — the q_drift_tri convention — because Spark's
+    non-ANSI sum(long) wraps silently past 2^63 where DuckDB promotes
+    to HUGEINT; decimal headroom holds past N = 10^12 rows, and past
+    the BIGINT emission bound the decimal→long cast yields NULL (a
+    loud hash mismatch), never a wrapped value.
 
     Scale: one map-side-combinable distinct-value aggregate (bounded by
     the cents DOMAIN, not the corpus), then prefix sums via the
@@ -2614,14 +2655,32 @@ def q_mann_whitney_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c0").cast("long").alias("n0"),
         F.sum("c1").cast("long").alias("n1"),
     )
+    # n²/n³-scale accumulators ride DECIMAL(38,0) (VERDICT r10 item #2 —
+    # the q_drift_tri/q_cramers_v convention): Spark's non-ANSI
+    # sum(long) silently wraps past 2^63 while DuckDB promotes window/agg
+    # sums to HUGEINT, so the per-row products cast to decimal BEFORE the
+    # multiply.  Bounds with N total rows: r2_0 ≤ 2N², tie_sum ≤ N³,
+    # d_num ≤ N²/4 — decimal headroom 10^38 holds past N = 10^12.  The
+    # BIGINT emission at the end is exact for N ≤ ~2×10⁹ (where 2N² and
+    # N³... the dominant tie_sum ≤ N³ needs N ≤ 2×10⁶ in the degenerate
+    # all-one-value case, N ≤ 2×10⁹ under the ≥1000-distinct-cents
+    # domain this data model guarantees); past that Spark's decimal→long
+    # cast yields NULL (loud hash mismatch), never a wrapped value.
+    dec = "decimal(38,0)"
     mw = p.agg(
         F.sum(
-            F.col("c0")
-            * (2 * (F.col("cum") - F.col("cnt") + 1) + F.col("cnt") - 1)
+            F.col("c0").cast(dec)
+            * (2 * (F.col("cum") - F.col("cnt") + 1) + F.col("cnt") - 1).cast(
+                dec
+            )
         )
         .cast("long")
         .alias("r2_0"),
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        F.sum(
+            F.col("cnt").cast(dec) * F.col("cnt").cast(dec)
+            * F.col("cnt").cast(dec)
+            - F.col("cnt").cast(dec)
+        )
         .cast("long")
         .alias("tie_sum"),
     )
@@ -2630,14 +2689,17 @@ def q_mann_whitney_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(
                 F.abs(
-                    F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")
+                    F.col("cum0").cast(dec) * F.col("n1").cast(dec)
+                    - F.col("cum1").cast(dec) * F.col("n0").cast(dec)
                 )
             )
             .cast("long")
             .alias("d_num")
         )
     )
-    u2_0 = F.col("r2_0") - F.col("n0") * (F.col("n0") + 1)
+    u2_0 = F.col("r2_0").cast(dec) - F.col("n0").cast(dec) * (
+        F.col("n0") + 1
+    ).cast(dec)
     return (
         tot.crossJoin(F.broadcast(mw))
         .crossJoin(F.broadcast(ks))
@@ -2645,7 +2707,14 @@ def q_mann_whitney_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n0",
             "n1",
             u2_0.cast("long").alias("u2_0"),
-            (2 * F.col("n0") * F.col("n1") - u2_0).cast("long").alias("u2_1"),
+            (
+                F.lit(2).cast(dec)
+                * F.col("n0").cast(dec)
+                * F.col("n1").cast(dec)
+                - u2_0
+            )
+            .cast("long")
+            .alias("u2_1"),
             "tie_sum",
             "d_num",
             (
@@ -2704,10 +2773,14 @@ def q_wasserstein1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the same domain-bounded distinct-value scaffold as the
     nonparametric battery — prefix sums AND the next-distinct-value
-    lead both ride the value-bucketed distributed device (within-bucket
+    lead ride the value-bucketed distributed device (within-bucket
     windows + a bucket-cardinality offset/lead table; the bucket-seam
-    next value comes from the next bucket's min), so no partitionless
-    window over the distinct-value table."""
+    next value comes from the next bucket's min).  No partitionless
+    window over DATA; the bucket-offset table DOES use one
+    (``woff``/``wlead`` below) — deliberately, because that table is
+    bounded by domain/_NP_BUCKET (≤ cents-range/1000 rows, metadata
+    scale), the q_pack_sequences posture.  The w1_num accumulator is
+    DECIMAL(38,0) (n²·domain-scale terms — see the agg comment)."""
     ev = load(spark, sf_dir, "events")
     e = ev.select(
         (F.col("user_id") % 2).alias("v"),
@@ -2760,11 +2833,21 @@ def q_wasserstein1(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.where(F.col("c_next").isNotNull())
         .crossJoin(F.broadcast(tot))
         .agg(
+            # DECIMAL(38,0) accumulator (VERDICT r10 item #2): the term
+            # |cum0·n1 − cum1·n0|·gap is n²·domain-scale — Spark's
+            # non-ANSI sum(long) would wrap silently where DuckDB
+            # promotes to HUGEINT.  Bound: w1_num ≤ (N²/4)·range(c);
+            # decimal headroom holds past N = 10^9 even at a 10^18
+            # cents range, and past the BIGINT emission bound the
+            # decimal→long cast yields NULL (loud), never a wrap.
             F.sum(
                 F.abs(
-                    F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")
+                    F.col("cum0").cast("decimal(38,0)")
+                    * F.col("n1").cast("decimal(38,0)")
+                    - F.col("cum1").cast("decimal(38,0)")
+                    * F.col("n0").cast("decimal(38,0)")
                 )
-                * (F.col("c_next") - F.col("c"))
+                * (F.col("c_next") - F.col("c")).cast("decimal(38,0)")
             )
             .cast("long")
             .alias("w1_num")

@@ -362,10 +362,13 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bends away).  The regression is emitted as the EXACT integer
     numerator / denominator pair (slope = slope_num / slope_den), so the
     whole query is engine-bit-exact with no float policy carve-out; the
-    caller divides.  Int64 headroom: |num| <= n * sxy <= n² * 31² —
-    safe to a ~3e6-type vocabulary per int64 term at 31-bit ranks, and
-    vocabularies grow ~heaps-law-sublinearly, so 100 TB corpora stay
-    inside (documented bound, not enforced).
+    caller divides.  Headroom: the ACCUMULATORS are log-compressed
+    (x, y = bit lengths ≤ 64, so sxy ≤ 4096·n — int64-safe to ~2e15
+    vocab), but the final 1-row cross products n·sxy, sx·sy are
+    n²-scale, so they ride DECIMAL(38,0) (VERDICT r10 item #2 sweep —
+    Spark's non-ANSI multiply wraps silently where DuckDB raises);
+    past the BIGINT emission bound (n ≈ 1.5e9 vocab) the decimal→long
+    cast yields NULL (loud), never a wrapped value.
 
     Scale: the vocabulary count is one map-side-combinable groupBy; the
     global rank uses the bucketed prefix-sum (operators/ranking.py) with
@@ -394,14 +397,21 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
+    dec = "decimal(38,0)"
     return s.select(
         F.col("n").alias("n_vocab"),
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
-            "slope_num"
-        ),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
-            "slope_den"
-        ),
+        (
+            F.col("n").cast(dec) * F.col("sxy").cast(dec)
+            - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+        )
+        .cast("long")
+        .alias("slope_num"),
+        (
+            F.col("n").cast(dec) * F.col("sxx").cast(dec)
+            - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+        )
+        .cast("long")
+        .alias("slope_den"),
     )
 
 
@@ -559,10 +569,15 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in EXACT integers: per-category diff is scaled by
     ntot·n_group (``c·ntot − gc·n``), cumulated per group, and emitted as
     the numerator/denominator pair with the t=0.2 flag evaluated as
-    ``5·num > den`` — zero float ops, full hash oracle.  Int64 headroom:
-    den = n·ntot·(m−1), safe while n·ntot < ~9e17 (document-level
-    releases at 100 TB stay inside by bucketing the audit per shard or
-    re-scaling to milli-probabilities; documented, not enforced).
+    ``5·num > den`` — zero float ops, full hash oracle.  The
+    cross-multiplied terms (``c·ntot``, ``gc·n``, the cumulated diffs,
+    and den = n·ntot·(m−1)) are n²-scale, so they ride DECIMAL(38,0)
+    (VERDICT r10 item #2 sweep — Spark's non-ANSI arithmetic wraps
+    silently where DuckDB promotes to HUGEINT); decimal headroom holds
+    past ntot = 10^18, and past the BIGINT emission bound the
+    decimal→long cast yields NULL (loud), never a wrapped value.  The
+    ``above_t`` comparison runs on the decimals directly, so the FLAG
+    stays exact even where the emitted pair would saturate.
 
     Scale: three partial-agg shuffles (global counts, group counts,
     group×category counts) sized by quasi-identifier and category
@@ -589,11 +604,14 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gcnt, ["lang", "source", "cat"], "left")
         .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
     )
+    dec = "decimal(38,0)"
     j = (
         grid.join(F.broadcast(gtab), "cat")
         .crossJoin(F.broadcast(tot))
         .withColumn(
-            "diff", F.col("c") * F.col("ntot") - F.col("gc") * F.col("n")
+            "diff",
+            F.col("c").cast(dec) * F.col("ntot").cast(dec)
+            - F.col("gc").cast(dec) * F.col("n").cast(dec),
         )
     )
     w = (
@@ -602,15 +620,17 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = j.withColumn("cum", F.sum("diff").over(w))
+    den = (
+        F.col("n").cast(dec)
+        * F.col("ntot").cast(dec)
+        * (F.col("m") - 1).cast(dec)
+    )
     return cum.groupBy("lang", "source", "n", "ntot", "m").agg(
         F.sum(F.abs("cum")).cast("long").alias("emd_num"),
-        (F.col("n") * F.col("ntot") * (F.col("m") - 1))
-        .cast("long")
-        .alias("emd_den"),
-        (
-            F.sum(F.abs("cum")) * 5
-            > F.col("n") * F.col("ntot") * (F.col("m") - 1)
-        ).alias("above_t"),
+        F.max(den).cast("long").alias("emd_den"),
+        (F.sum(F.abs("cum")) * F.lit(5).cast(dec) > F.max(den)).alias(
+            "above_t"
+        ),
     ).drop("ntot", "m")
 
 

@@ -764,3 +764,155 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("latency_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Capped link prediction: the 100 TB hub-mitigation path, hash-gated
+# (round 11, VERDICT r10 item #4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_link_predict_capped",
+    oracle=f"""
+    WITH cell AS (
+        SELECT DISTINCT user_id, event_type,
+               epoch_us(ts) // 3600000000 AS h
+        FROM events
+    ),
+    cs AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+           FROM cell GROUP BY 1, 2),
+    capc AS (
+        SELECT n AS cap FROM (
+            SELECT n, row_number() OVER (ORDER BY n, event_type, h) AS rn,
+                   count(*) OVER () AS m
+            FROM cs
+        ) WHERE rn = greatest((m * 9) // 10, 1)
+    ),
+    kept AS (
+        SELECT c.user_id, c.event_type, c.h
+        FROM cell c JOIN cs USING (event_type, h) CROSS JOIN capc
+        WHERE cs.n <= capc.cap
+    ),
+    pair AS (
+        SELECT ca.user_id AS u, cb.user_id AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM kept ca
+        JOIN kept cb ON ca.event_type = cb.event_type AND ca.h = cb.h
+                    AND ca.user_id < cb.user_id
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT u AS a, v AS b FROM pair WHERE c >= {_LP_MIN_CELLS}),
+    nb AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY x),
+    capd AS (
+        SELECT d AS cap FROM (
+            SELECT d, row_number() OVER (ORDER BY d, x) AS rn,
+                   count(*) OVER () AS k
+            FROM deg
+        ) WHERE rn = greatest((k * 9) // 10, 1)
+    ),
+    mid AS (SELECT nb.x, nb.y FROM nb JOIN deg USING (x) CROSS JOIN capd
+            WHERE deg.d <= capd.cap),
+    wedge AS (
+        SELECT j1.y AS a, j2.y AS b, CAST(count(*) AS BIGINT) AS n_common
+        FROM mid j1 JOIN mid j2 ON j1.x = j2.x AND j1.y < j2.y
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT w.a, w.b, w.n_common
+        FROM wedge w LEFT JOIN e ON e.a = w.a AND e.b = w.b
+        WHERE e.a IS NULL
+    ),
+    scored AS (
+        SELECT c.a, c.b, c.n_common,
+               CAST(c.n_common * 1000 // (da.d + db.d - c.n_common)
+                    AS BIGINT) AS jacc_milli
+        FROM cand c JOIN deg da ON da.x = c.a JOIN deg db ON db.x = c.b
+    )
+    SELECT a, b, n_common, jacc_milli,
+           CAST(row_number() OVER (ORDER BY n_common DESC, jacc_milli DESC,
+                                   a, b) AS BIGINT) AS rnk
+    FROM (
+        SELECT * FROM scored
+        ORDER BY n_common DESC, jacc_milli DESC, a, b LIMIT {_LP_TOPK}
+    )
+    """,
+)
+def q_link_predict_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_link_predict with BOTH skew guards ON — the plan you actually
+    run on a skewed production graph at 100 TB, now hash-gated (VERDICT
+    r10 item #4: the guarded path was tested but never oracle-gated).
+
+    The caps are SELF-CALIBRATING rather than constants, because a
+    fixed cap cannot prune at every scale (sf0.01 cell sizes max out at
+    10 while sf0.1's median is 27): cap = the exact-rank p90 of the
+    cell-size / degree distribution (value at 1-based rank
+    greatest(9m div 10, 1) under a total order), computed with the
+    bucketed global-rank device (operators/ranking.py — no
+    partitionless window over the user-scale degree table) and
+    collected as a 1-ROW SCALAR (the documented bounded-collect class)
+    that parameterizes the REAL guarded builders:
+    ``coactivity_edges(max_cell=cap)`` drops hot cells before the pair
+    join; ``common_neighbor_candidates(max_degree=cap)`` excludes hub
+    middles from wedge enumeration while Jaccard degrees stay exact.
+    The oracle CTE replicates both caps exactly (the q_containment
+    max_bucket device).
+
+    Scale: identical shapes to q_link_predict plus two rank-select
+    jobs; the caps bound the pair join at max_cell·Σ|cell| and the
+    wedge join at Σ_{{d≤cap}} d² — the two quadratic blowups hubs cause."""
+    from ..operators import ranking
+    from ..operators.graph import coactivity_edges, common_neighbor_candidates
+    from ..tables import events
+
+    cell = (
+        events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts_us div 3600000000").alias("h"),
+        )
+        .distinct()
+    )
+
+    def _p90(df: DataFrame, val: str, tiebreak: list) -> int:
+        ranked = ranking.global_row_number(
+            df,
+            [F.col(val).asc()] + [c.asc() for c in tiebreak],
+            bucket=F.length(F.bin(val)),
+            out_col="rn",
+        )
+        k = df.count()
+        pos = max((k * 9) // 10, 1)
+        row = ranked.where(F.col("rn") == pos).select(val).collect()
+        return int(row[0][0]) if row else 0
+
+    cs = cell.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cap_cell = _p90(cs, "n", [F.col("event_type"), F.col("h")])
+    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS, max_cell=cap_cell)
+    e = e.localCheckpoint(eager=True)  # reused by deg, wedge, anti join
+    nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    cap_deg = _p90(deg, "d", [F.col("x")])
+    scored = common_neighbor_candidates(e, max_degree=cap_deg).select(
+        "a",
+        "b",
+        "n_common",
+        F.expr("(n_common * 1000) div (da + db - n_common)")
+        .cast("long")
+        .alias("jacc_milli"),
+    )
+    order = [
+        F.col("n_common").desc(),
+        F.col("jacc_milli").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+    ]
+    top = scored.orderBy(*order).limit(_LP_TOPK)
+    w = Window.orderBy(*order)
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

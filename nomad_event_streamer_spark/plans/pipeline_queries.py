@@ -3414,7 +3414,11 @@ def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        (F.col("ts_us") / F.lit(1000000)).cast("long").alias("ts_s"),
+        # Integer quotient by construction (ADVICE r10 #2): `/` is
+        # double division + truncation, exact only while ts_s < 2^53-ish
+        # half-ULP bounds hold; `div` matches the oracle's `//` exactly
+        # at every magnitude.
+        F.expr("ts_us div 1000000").alias("ts_s"),
         F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("bytes"),
         (F.lit(200) + (F.col("event_id") % 3) * 100).alias("status"),
     )

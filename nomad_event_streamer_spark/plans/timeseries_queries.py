@@ -2206,9 +2206,12 @@ def q_viterbi_2state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts_us",
             "event_id",
-            F.col("event_type")
-            .isin("purchase", "signup")
-            .cast("int")
+            # NULL event_type must observe as 0, matching the oracle's
+            # CASE ... ELSE 0 — isin().cast('int') propagates NULL and
+            # pandas astype(int) would raise inside applyInPandas
+            # (ADVICE r10 #1: divergent failure modes on NULL input).
+            F.when(F.col("event_type").isin("purchase", "signup"), 1)
+            .otherwise(0)
             .alias("x"),
         )
         .withColumn("rnk", F.row_number().over(w))

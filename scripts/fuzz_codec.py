@@ -115,7 +115,10 @@ def ref_decode_wav(p: bytes) -> tuple[list[int], int]:
         size = int.from_bytes(p[pos + 4 : pos + 8], "little")
         pos += 8
         if cid == b"fmt ":
-            if pos + 16 > len(p):
+            # Validate against the chunk's DECLARED size, not just the
+            # payload length (ADVICE r10 #3): a size-mutated fmt chunk
+            # must be rejected, not silently read past its boundary.
+            if size < 16 or pos + 16 > len(p):
                 raise ValueError("short fmt")
             fmt_tag = int.from_bytes(p[pos : pos + 2], "little")
             nch = int.from_bytes(p[pos + 2 : pos + 4], "little")
