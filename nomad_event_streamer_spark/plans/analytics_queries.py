@@ -2537,9 +2537,13 @@ _NP_BUCKET = 1000  # cents per prefix-sum bucket
     "q_mann_whitney_ks",
     oracle="""
     WITH e AS (
+        -- NULL values carry no rank/CDF mass: without the filter the
+        -- NULL-cents GROUP enters the prefix sums where the engines
+        -- order it differently (Spark NULLS FIRST vs DuckDB NULLS
+        -- LAST) -- found by scripts/fuzz_rankcdf.py's nulls family
         SELECT user_id % 2 AS v,
                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     d AS (
         SELECT c,
@@ -2572,8 +2576,10 @@ _NP_BUCKET = 1000  # cents per prefix-sum bucket
                AS u2_1,
            mw.tie_sum,
            ks.d_num,
-           CAST(ks.d_num AS DOUBLE)
-             / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE)) AS ks_d
+           CASE WHEN t.n0 > 0 AND t.n1 > 0 THEN
+               CAST(ks.d_num AS DOUBLE)
+                 / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE))
+           ELSE NULL END AS ks_d
     FROM tot t, mw, ks
     """,
 )
@@ -2604,7 +2610,7 @@ def q_mann_whitney_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture; no partitionless window over the distinct-value table),
     and three 1-row reductions."""
     ev = load(spark, sf_dir, "events")
-    e = ev.select(
+    e = ev.where(F.col("value").isNotNull()).select(
         (F.col("user_id") % 2).alias("v"),
         F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("c"),
     )
@@ -2717,9 +2723,14 @@ def q_mann_whitney_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("u2_1"),
             "tie_sum",
             "d_num",
-            (
+            # one-variant guard (found by scripts/fuzz_rankcdf.py on its
+            # first run): with n0·n1 = 0, ANSI Spark raises DIVIDE_BY_ZERO
+            # where DuckDB emits a value — both engines emit NULL instead
+            # (the q_anova_f k>1 convention)
+            F.when(
+                (F.col("n0") > 0) & (F.col("n1") > 0),
                 F.col("d_num").cast("double")
-                / (F.col("n0").cast("double") * F.col("n1").cast("double"))
+                / (F.col("n0").cast("double") * F.col("n1").cast("double")),
             ).alias("ks_d"),
         )
     )
@@ -2734,9 +2745,13 @@ def q_mann_whitney_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_wasserstein1",
     oracle="""
     WITH e AS (
+        -- NULL values carry no rank/CDF mass: without the filter the
+        -- NULL-cents GROUP enters the prefix sums where the engines
+        -- order it differently (Spark NULLS FIRST vs DuckDB NULLS
+        -- LAST) -- found by scripts/fuzz_rankcdf.py's nulls family
         SELECT user_id % 2 AS v,
                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     d AS (
         SELECT c,
@@ -2751,14 +2766,24 @@ def q_mann_whitney_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
     ),
     tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
-                   CAST(sum(c1) AS BIGINT) AS n1 FROM d)
-    SELECT t.n0, t.n1,
-           CAST(sum(abs(cum0 * t.n1 - cum1 * t.n0) * (c_next - c))
-                AS BIGINT) AS w1_num,
-           CAST(sum(abs(cum0 * t.n1 - cum1 * t.n0) * (c_next - c))
-                AS DOUBLE)
-             / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE)) AS w1_cents
-    FROM p, tot t WHERE c_next IS NOT NULL GROUP BY t.n0, t.n1
+                   CAST(sum(c1) AS BIGINT) AS n1 FROM d),
+    num AS (
+        -- aggregate CTE, not GROUP BY: exactly ONE row even when the
+        -- domain has < 2 distinct values (every c_next NULL) or the
+        -- input is empty — matching the Spark side's grouping-less
+        -- agg + crossJoin shape (found by the r11 rank/CDF fuzzer
+        -- design pass; a GROUP BY here emits ZERO rows on those
+        -- degenerate inputs while Spark emits one NULL row)
+        SELECT CAST(sum(abs(cum0 * t.n1 - cum1 * t.n0) * (c_next - c))
+                    AS BIGINT) AS w1_num
+        FROM p, tot t WHERE c_next IS NOT NULL
+    )
+    SELECT t.n0, t.n1, num.w1_num,
+           CASE WHEN t.n0 > 0 AND t.n1 > 0 THEN
+               CAST(num.w1_num AS DOUBLE)
+                 / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE))
+           ELSE NULL END AS w1_cents
+    FROM tot t, num
     """,
 )
 def q_wasserstein1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2782,7 +2807,7 @@ def q_wasserstein1(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale), the q_pack_sequences posture.  The w1_num accumulator is
     DECIMAL(38,0) (n²·domain-scale terms — see the agg comment)."""
     ev = load(spark, sf_dir, "events")
-    e = ev.select(
+    e = ev.where(F.col("value").isNotNull()).select(
         (F.col("user_id") % 2).alias("v"),
         F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("c"),
     )
@@ -2857,8 +2882,11 @@ def q_wasserstein1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n0",
         "n1",
         "w1_num",
-        (
+        # one-variant guard (scripts/fuzz_rankcdf.py): n0·n1 = 0 raises
+        # under ANSI where DuckDB answers — both sides emit NULL
+        F.when(
+            (F.col("n0") > 0) & (F.col("n1") > 0),
             F.col("w1_num").cast("double")
-            / (F.col("n0").cast("double") * F.col("n1").cast("double"))
+            / (F.col("n0").cast("double") * F.col("n1").cast("double")),
         ).alias("w1_cents"),
     )

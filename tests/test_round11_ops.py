@@ -62,3 +62,86 @@ class TestLinkPredictCapped:
             .select("a", "b", "n_common").collect()
         }
         assert capped != uncapped
+
+
+class TestRankCdfDegenerateInputs:
+    """Regression pins for the two divergences scripts/fuzz_rankcdf.py
+    found on its first runs (round 11)."""
+
+    @staticmethod
+    def _sf(tmp_path, frame):
+        import os
+
+        import pandas as pd  # noqa: F401
+
+        d = tmp_path / "sf_degenerate"
+        d.mkdir()
+        for name in os.listdir(SF):
+            os.symlink(os.path.join(SF, name), d / name)
+        os.unlink(d / "events.parquet")
+        frame.to_parquet(d / "events.parquet", index=False)
+        return str(d)
+
+    def test_one_variant_emits_null_ratio_in_both_engines(
+        self, spark, tmp_path
+    ):
+        """n1 == 0 (every user even): ANSI Spark raised DIVIDE_BY_ZERO
+        on ks_d / w1_cents while DuckDB answered — both must emit NULL."""
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ev["user_id"] = ev["user_id"] * 2
+        sf_dir = self._sf(tmp_path, ev)
+
+        from tests.oracle_compare import compare, duckdb_connection
+
+        con = duckdb_connection(sf_dir)
+        for slug in ("q_mann_whitney_ks", "q_wasserstein1"):
+            df = QUERIES[slug](spark, sf_dir)
+            [row] = df.collect()
+            assert row["n1"] == 0
+            ratio = row["ks_d"] if slug == "q_mann_whitney_ks" else row["w1_cents"]
+            assert ratio is None
+            compare(df, con, ORACLES[slug])
+
+    def test_null_values_carry_no_rank_mass(self, spark, tmp_path):
+        """A NULL-cents group entered the prefix sums where the engines
+        order NULLs differently (Spark NULLS FIRST vs DuckDB NULLS
+        LAST); NULL values are excluded in both engines, and n0/n1
+        count only non-NULL rows."""
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ev.loc[ev.index[::3], "value"] = None
+        sf_dir = self._sf(tmp_path, ev)
+
+        from tests.oracle_compare import compare, duckdb_connection
+
+        con = duckdb_connection(sf_dir)
+        n_nonnull = int(ev["value"].notna().sum())
+        for slug in ("q_mann_whitney_ks", "q_wasserstein1"):
+            df = QUERIES[slug](spark, sf_dir)
+            [row] = df.collect()
+            assert row["n0"] + row["n1"] == n_nonnull
+            compare(df, con, ORACLES[slug])
+
+    def test_empty_input_one_null_row_in_both_engines(
+        self, spark, tmp_path
+    ):
+        """Empty events: both engines emit exactly ONE row of NULL
+        aggregates (the W1 oracle's aggregate-CTE shape — a GROUP BY
+        would emit zero rows on this input while Spark emits one)."""
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{SF}/events.parquet").iloc[:0]
+        sf_dir = self._sf(tmp_path, ev)
+
+        from tests.oracle_compare import compare, duckdb_connection
+
+        con = duckdb_connection(sf_dir)
+        for slug in ("q_mann_whitney_ks", "q_wasserstein1"):
+            df = QUERIES[slug](spark, sf_dir)
+            rows = df.collect()
+            assert len(rows) == 1
+            assert rows[0]["n0"] is None
+            compare(df, con, ORACLES[slug])
