@@ -2890,3 +2890,368 @@ def q_wasserstein1(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n0").cast("double") * F.col("n1").cast("double")),
         ).alias("w1_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 significance battery: ordered-trend, multi-rater agreement,
+# Mann-Kendall
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cochran_armitage",
+    oracle="""
+    WITH e AS (
+        SELECT CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS t,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    g AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS ni,
+               CAST(sum(y) AS BIGINT) AS ri
+        FROM e GROUP BY t
+    ),
+    a AS (
+        SELECT CAST(sum(ni) AS BIGINT) AS n,
+               CAST(sum(ri) AS BIGINT) AS r,
+               CAST(sum(t * ni) AS BIGINT) AS stn,
+               CAST(sum(t * ri) AS BIGINT) AS strr,
+               CAST(sum(t * t * ni) AS BIGINT) AS st2n
+        FROM g
+    )
+    SELECT n, r, stn, strr, st2n,
+           CASE WHEN r > 0 AND r < n
+                     AND n * st2n - stn * stn > 0 THEN
+               (CAST(n AS DOUBLE) * CAST(strr AS DOUBLE)
+                - CAST(stn AS DOUBLE) * CAST(r AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(strr AS DOUBLE)
+                  - CAST(stn AS DOUBLE) * CAST(r AS DOUBLE))
+               * CAST(n AS DOUBLE)
+               / (CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(st2n AS DOUBLE)
+                     - CAST(stn AS DOUBLE) * CAST(stn AS DOUBLE)))
+           ELSE NULL END AS z2
+    FROM a
+    """,
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-ARMITAGE TREND TEST (Cochran 1954; Armitage 1955): does
+    the purchase proportion trend MONOTONICALLY across the ordered
+    day-of-week scores t = 0..6?  The chi-square independence family
+    (q_cramers_v, q_drift_chi2) is blind to ordering; this is the
+    ordered-alternative test an experimentation pipeline reads for
+    dose-response-shaped questions.
+
+    Exactness: the five sufficient statistics (n, r, Σt·nᵢ, Σt·rᵢ,
+    Σt²·nᵢ) are SMALL-scale exact BIGINTs (each ≤ 36·N — no n²-scale
+    accumulator anywhere, so no decimal device needed), and
+    z² = (N·Σtr − Σtn·R)²·N / (R·(N−R)·(N·Σt²n − (Σtn)²)) is ONE fixed
+    IEEE expression tree over exact-integer-valued doubles (the
+    q_anova_f rule), NULL-guarded for the degenerate all/none-converted
+    and single-category inputs.
+
+    Scale: one 7-key map-side-combinable agg then a 1-row reduction —
+    nothing leaves its partition unaggregated."""
+    ev = events(spark, sf_dir)
+    e = ev.select(
+        F.expr("(ts_us div 86400000000) % 7").cast("long").alias("t"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = e.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum("y").cast("long").alias("ri"),
+    )
+    a = g.agg(
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("ri").cast("long").alias("r"),
+        F.sum(F.col("t") * F.col("ni")).cast("long").alias("stn"),
+        F.sum(F.col("t") * F.col("ri")).cast("long").alias("strr"),
+        F.sum(F.col("t") * F.col("t") * F.col("ni"))
+        .cast("long")
+        .alias("st2n"),
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    stnd = F.col("stn").cast("double")
+    strd = F.col("strr").cast("double")
+    st2nd = F.col("st2n").cast("double")
+    num = nd * strd - stnd * rd
+    return a.select(
+        "n",
+        "r",
+        "stn",
+        "strr",
+        "st2n",
+        F.when(
+            (F.col("r") > 0)
+            & (F.col("r") < F.col("n"))
+            & (F.col("n") * F.col("st2n") - F.col("stn") * F.col("stn") > 0),
+            num * num * nd / (rd * (nd - rd) * (nd * st2nd - stnd * stnd)),
+        ).alias("z2"),
+    )
+
+
+@query(
+    "q_mk_trend",
+    oracle="""
+    WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    r AS (SELECT hr, x, row_number() OVER (ORDER BY hr) AS rn FROM h),
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM r a JOIN r b ON a.rn < b.rn
+    ),
+    ties AS (
+        SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM h GROUP BY x)
+        WHERE t > 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM h)
+    SELECT n.n, s.s,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term
+                AS BIGINT) AS var18,
+           CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term > 0
+           THEN CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) * 18.0
+                / CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term
+                       AS DOUBLE)
+           ELSE NULL END AS z2
+    FROM n, s, ties
+    """,
+)
+def q_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST (Mann 1945; Kendall 1975) on the hourly
+    event-count series — the rank-based monotone-trend read that pairs
+    with q_theil_sen's slope magnitude (same robustness posture: signs
+    of pairwise differences, immune to outliers and any monotone
+    transform).  S = Σ_{i<j} sign(xⱼ − xᵢ), the tie-corrected variance
+    numerator var18 = n(n−1)(2n+5) − Σt(t−1)(2t+5) (the /18 kept
+    symbolic so everything stays integer), and z² = 18·S²/var18 as ONE
+    fixed IEEE expression over exact ints.
+
+    Scale: the pair join is quadratic IN THE HOURLY TABLE — which is
+    time-range-bounded, not corpus-scale (the q_theil_sen group-bounded
+    argument applied to the global series); events collapse to it with
+    one combinable shuffle first.  Tie groups ride a second ≤n-row agg."""
+    from ..operators import ranking
+
+    ev = events(spark, sf_dir)
+    h = (
+        ev.select(F.expr("ts_us div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    h = h.localCheckpoint(eager=True)  # reused: rank join + ties + count
+    r = ranking.global_row_number(
+        h,
+        [F.col("hr").asc()],
+        bucket=F.expr("hr div 64"),
+        out_col="rn",
+    ).localCheckpoint(eager=True)
+    a, b = r.alias("a"), r.alias("b")
+    s = a.join(b, F.col("a.rn") < F.col("b.rn")).agg(
+        F.sum(
+            F.when(F.col("b.x") > F.col("a.x"), 1)
+            .when(F.col("b.x") < F.col("a.x"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s")
+    )
+    ties = (
+        h.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n = h.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    )
+    return (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "s",
+            var18.cast("long").alias("var18"),
+            F.when(
+                var18 > 0,
+                F.col("s").cast("double")
+                * F.col("s").cast("double")
+                * F.lit(18.0)
+                / var18.cast("double"),
+            ).alias("z2"),
+        )
+    )
+
+
+@query(
+    "q_fleiss_kappa",
+    oracle="""
+    WITH types AS (
+        SELECT event_type,
+               row_number() OVER (ORDER BY event_type) - 1 AS idx,
+               count(*) OVER () AS k
+        FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    base AS (
+        SELECT e.event_id, t.idx AS true_idx, t.k
+        FROM events e JOIN types t USING (event_type)
+    ),
+    lab AS (
+        SELECT b.event_id, r.r,
+               CASE WHEN CAST(concat('0x', substring(md5(
+                         concat(CAST(b.event_id AS VARCHAR), ':',
+                                CAST(r.r AS VARCHAR))), 1, 15)) AS BIGINT)
+                         % 4 = 0
+                    THEN CAST(concat('0x', substring(md5(
+                         concat(CAST(b.event_id AS VARCHAR), ':',
+                                CAST(r.r AS VARCHAR), ':p')), 1, 15))
+                         AS BIGINT) % b.k
+                    ELSE b.true_idx END AS lbl
+        FROM base b CROSS JOIN (SELECT * FROM (VALUES (1), (2), (3)) v(r)) r
+    ),
+    cell AS (
+        SELECT event_id, lbl, CAST(count(*) AS BIGINT) AS nij
+        FROM lab GROUP BY 1, 2
+    ),
+    po AS (
+        SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_items,
+               CAST(sum(nij * (nij - 1)) AS BIGINT) AS sum_pairs
+        FROM cell
+    ),
+    mass AS (
+        SELECT CAST(sum(m * m) AS BIGINT) AS sum_m2
+        FROM (SELECT CAST(count(*) AS BIGINT) AS m FROM lab GROUP BY lbl)
+    )
+    SELECT p.n_items, p.sum_pairs, m.sum_m2,
+           CAST(p.sum_pairs AS DOUBLE)
+             / (6.0 * CAST(p.n_items AS DOUBLE)) AS po,
+           CAST(m.sum_m2 AS DOUBLE)
+             / (9.0 * CAST(p.n_items AS DOUBLE)
+                    * CAST(p.n_items AS DOUBLE)) AS pe,
+           CASE WHEN m.sum_m2 * 1.0
+                     < 9.0 * CAST(p.n_items AS DOUBLE)
+                          * CAST(p.n_items AS DOUBLE) THEN
+               (CAST(p.sum_pairs AS DOUBLE)
+                  / (6.0 * CAST(p.n_items AS DOUBLE))
+                - CAST(m.sum_m2 AS DOUBLE)
+                  / (9.0 * CAST(p.n_items AS DOUBLE)
+                         * CAST(p.n_items AS DOUBLE)))
+               / (1.0 - CAST(m.sum_m2 AS DOUBLE)
+                  / (9.0 * CAST(p.n_items AS DOUBLE)
+                         * CAST(p.n_items AS DOUBLE)))
+           ELSE NULL END AS kappa
+    FROM po p, mass m
+    """,
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLEISS' KAPPA (Fleiss 1971) — chance-corrected agreement among
+    THREE raters per item, the multi-rater generalization of
+    q_eval_kappa's Cohen (which is 2-rater only): the labeling-quality
+    read a data-annotation pipeline runs before trusting majority
+    votes.  Raters are md5-SYNTHESIZED deterministic views of
+    event_type (each rater flips to an md5-chosen category on the 25%
+    of (item, rater) cells the md5 device selects — the q_hash_split
+    content-free-hash posture, so both engines derive identical
+    panels from the same bytes).
+
+    Exactness: per-item pair counts Σnᵢⱼ(nᵢⱼ−1) ≤ 6 per item (3
+    raters) and category masses are exact BIGINTs; po = Σpairs/(6N),
+    pe = Σm²/(9N²), κ = (po−pe)/(1−pe) are ONE fixed IEEE tree each
+    over exact-integer-valued doubles (inputs exceed 2^53 only past
+    ~5·10⁷ items for Σm² — document bound, q_anova_f rule), with the
+    pe = 1 degenerate (all raters one category) NULL-guarded.
+
+    Scale: the 3-rater expansion is a 3-row broadcast cross; per-item
+    cells are one (event, label)-keyed combinable agg; masses a ≤k-row
+    agg; everything reduces to one row."""
+    ev = load(spark, sf_dir, "events")
+    wt = Window.orderBy("event_type")
+    types = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.row_number().over(wt) - 1).alias("idx"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("k"),
+        )
+    )
+    base = ev.select("event_id", "event_type").join(
+        F.broadcast(types), "event_type"
+    )
+    raters = spark.createDataFrame([(1,), (2,), (3,)], "r long")
+
+    def md5_int(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    sid = F.col("event_id").cast("string")
+    rid = F.col("r").cast("string")
+    lab = (
+        base.crossJoin(F.broadcast(raters))
+        .select(
+            "event_id",
+            F.when(
+                md5_int(F.concat(sid, F.lit(":"), rid)) % 4 == 0,
+                md5_int(F.concat(sid, F.lit(":"), rid, F.lit(":p")))
+                % F.col("k"),
+            )
+            .otherwise(F.col("idx"))
+            .alias("lbl"),
+        )
+    )
+    lab = lab.localCheckpoint(eager=True)  # reused: cells + masses
+    cell = lab.groupBy("event_id", "lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("nij")
+    )
+    po = cell.agg(
+        F.countDistinct("event_id").cast("long").alias("n_items"),
+        F.sum(F.col("nij") * (F.col("nij") - 1))
+        .cast("long")
+        .alias("sum_pairs"),
+    )
+    mass = (
+        lab.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .agg(
+            F.sum(
+                F.col("m").cast("decimal(38,0)")
+                * F.col("m").cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("sum_m2")
+        )
+    )
+    j = po.crossJoin(F.broadcast(mass))
+    nd = F.col("n_items").cast("double")
+    pod = F.col("sum_pairs").cast("double") / (F.lit(6.0) * nd)
+    ped = F.col("sum_m2").cast("double") / (F.lit(9.0) * nd * nd)
+    return j.select(
+        "n_items",
+        "sum_pairs",
+        "sum_m2",
+        pod.alias("po"),
+        ped.alias("pe"),
+        F.when(
+            F.col("sum_m2") * F.lit(1.0) < F.lit(9.0) * nd * nd,
+            (pod - ped) / (F.lit(1.0) - ped),
+        ).alias("kappa"),
+    )

@@ -916,3 +916,113 @@ def q_link_predict_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(*order).limit(_LP_TOPK)
     w = Window.orderBy(*order)
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "q_clustering_coeff",
+    oracle=f"""
+    WITH cell AS (
+        SELECT DISTINCT user_id, event_type,
+               epoch_us(ts) // 3600000000 AS h
+        FROM events
+    ),
+    pair AS (
+        SELECT ca.user_id AS u, cb.user_id AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM cell ca
+        JOIN cell cb ON ca.event_type = cb.event_type AND ca.h = cb.h
+                    AND ca.user_id < cb.user_id
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT u AS a, v AS b FROM pair WHERE c >= {_LP_MIN_CELLS}),
+    nb AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY x),
+    wedge AS (
+        SELECT j1.x AS v, j1.y AS p, j2.y AS q
+        FROM nb j1 JOIN nb j2 ON j1.x = j2.x AND j1.y < j2.y
+    ),
+    tri AS (
+        SELECT w.v, CAST(count(*) AS BIGINT) AS t
+        FROM wedge w JOIN e ON e.a = w.p AND e.b = w.q
+        GROUP BY w.v
+    ),
+    cc AS (
+        SELECT deg.x AS v, deg.d, coalesce(tri.t, 0) AS t,
+               CAST(2000000 * coalesce(tri.t, 0)
+                    // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+        FROM deg LEFT JOIN tri ON tri.v = deg.x
+        WHERE deg.d >= 2
+    )
+    SELECT v, d, t, cc_ppm,
+           CAST(row_number() OVER (ORDER BY cc_ppm DESC, d DESC, v)
+                AS BIGINT) AS rnk
+    FROM (
+        SELECT * FROM cc ORDER BY cc_ppm DESC, d DESC, v LIMIT 20
+    )
+    """,
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998) per vertex
+    of the user co-activity graph — how interlinked each user's
+    neighborhood is (cc = closed wedges / possible wedges), the
+    community-tightness read that complements q_triangles' global
+    count and q_link_predict's open-wedge candidates: top-20 vertices
+    by cc among degree ≥ 2, in exact integer PPM.
+
+    Plan shape: the same cell equi-join edge builder (shared
+    coactivity_edges), wedges enumerated at the MIDDLE vertex
+    (q_triangles posture) and closed by ONE equi-join against the edge
+    list (each triangle counts once per middle — exactly what the
+    local coefficient wants, no /3 correction), degrees vertex-keyed,
+    top-k the heap operator.
+
+    Scale: wedge volume is Σd(x)² — the hub-guarded builders'
+    max_cell/max_degree caps apply verbatim when a production graph
+    needs them (q_link_predict_capped's p90 device); here they stay
+    OFF so the oracle is exact."""
+    from ..operators.graph import coactivity_edges
+    from ..tables import events
+
+    cell = (
+        events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts_us div 3600000000").alias("h"),
+        )
+        .distinct()
+    )
+    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS).localCheckpoint(
+        eager=True
+    )
+    nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    j1 = nb.select(F.col("x").alias("v"), F.col("y").alias("p"))
+    j2 = nb.select(F.col("x").alias("v"), F.col("y").alias("q"))
+    wedge = j1.join(j2, "v").where(F.col("p") < F.col("q"))
+    tri = (
+        wedge.join(
+            e,
+            (F.col("p") == F.col("a")) & (F.col("q") == F.col("b")),
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    cc = (
+        deg.where(F.col("d") >= 2)
+        .join(tri, deg.x == tri.v, "left")
+        .select(
+            F.col("x").alias("v"),
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+            F.expr(
+                "CAST(2000000 * coalesce(t, 0) div (d * (d - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+    )
+    order = [F.col("cc_ppm").desc(), F.col("d").desc(), F.col("v").asc()]
+    top = cc.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

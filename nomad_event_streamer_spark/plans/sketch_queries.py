@@ -1154,3 +1154,107 @@ def q_fm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r_lowest_zero"),
     )
+
+
+@query(
+    "q_ams_f2",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    exact AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS f2_exact
+        FROM f
+    ),
+    est AS (
+        SELECT j.j,
+               CAST(sum(CASE WHEN CAST(concat('0x', substring(md5(
+                          concat(CAST(f.user_id AS VARCHAR), ':',
+                                 CAST(j.j AS VARCHAR))), 1, 15)) AS BIGINT)
+                          % 2 = 0
+                         THEN f.c ELSE -f.c END) AS BIGINT) AS z
+        FROM f CROSS JOIN (
+            SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8),
+                                  (9), (10), (11), (12), (13), (14), (15),
+                                  (16)) v(j)
+        ) j
+        GROUP BY j.j
+    ),
+    m AS (
+        SELECT CAST(sum(CAST(z AS HUGEINT) * z) AS BIGINT) AS sum_z2
+        FROM est
+    )
+    SELECT e.n_events, e.n_users, e.f2_exact,
+           CAST(m.sum_z2 // 16 AS BIGINT) AS f2_est,
+           CASE WHEN e.f2_exact > 0 THEN
+               CAST((m.sum_z2 // 16) * 1000000 // e.f2_exact AS BIGINT)
+           ELSE NULL END AS ratio_ppm
+    FROM exact e, m
+    """,
+)
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS SECOND-MOMENT SKETCH (Alon, Matias & Szegedy 1996) for the
+    self-join size F₂ = Σf_u² of the user-activity stream — the
+    classic ±1-sign estimator (16 independent estimators Z_j = Σf_u·s_j(u),
+    F̂₂ = mean Z²), judged against the EXACT F₂ in the same plan so the
+    ratio_ppm column IS the sketch-quality audit.  Signs come from the
+    md5-int device (the q_hash_split posture), so both engines derive
+    identical sign matrices from the same bytes — fully deterministic,
+    full hash gate.
+
+    Exactness: per-user counts and the signed sums Z_j are exact
+    BIGINTs; the squares f_u²/Z² accumulate in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — the r10-item-#2 convention for n²-scale terms —
+    with BIGINT emission bounds in the ~10⁹-row class documented by
+    that sweep.
+
+    Scale: ONE user-keyed combinable agg builds the frequency vector;
+    the 16-estimator expansion is a 16-row broadcast cross rolled up
+    map-side (16 keys); both reductions are 1-row."""
+    from pyspark.sql import Window as _W  # noqa: F401
+
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    f = f.localCheckpoint(eager=True)  # reused: exact F2 + 16 estimators
+    dec = "decimal(38,0)"
+    exact = f.agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec))
+        .cast("long")
+        .alias("f2_exact"),
+    )
+    js = spark.createDataFrame([(j,) for j in range(1, 17)], "j long")
+    sign_src = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.col("j").cast("string")
+    )
+    sgn = F.when(
+        F.conv(F.substring(F.md5(sign_src), 1, 15), 16, 10).cast("long") % 2
+        == 0,
+        F.col("c"),
+    ).otherwise(-F.col("c"))
+    est = (
+        f.crossJoin(F.broadcast(js))
+        .groupBy("j")
+        .agg(F.sum(sgn).cast("long").alias("z"))
+    )
+    m = est.agg(
+        F.sum(F.col("z").cast(dec) * F.col("z").cast(dec)).alias("sum_z2")
+    )
+    return exact.crossJoin(F.broadcast(m)).select(
+        "n_events",
+        "n_users",
+        "f2_exact",
+        F.expr("CAST(sum_z2 div 16 AS BIGINT)").alias("f2_est"),
+        F.when(
+            F.col("f2_exact") > 0,
+            F.expr(
+                "CAST((sum_z2 div 16) * 1000000 div f2_exact AS BIGINT)"
+            ),
+        ).alias("ratio_ppm"),
+    )

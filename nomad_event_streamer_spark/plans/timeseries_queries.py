@@ -2246,3 +2246,384 @@ def q_viterbi_2state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_steps long, v_browse long, v_engage long,"
         " best_score long, best_state long, engaged_steps long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 time-series statistics: runs test, peak detection, integer
+# rescaled-range, inter-event gap histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_runs_test",
+    oracle="""
+    WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    med AS (
+        SELECT x AS m FROM (
+            SELECT x, row_number() OVER (ORDER BY x, hr) AS rn,
+                   count(*) OVER () AS n
+            FROM h
+        ) WHERE rn = (n + 1) // 2
+    ),
+    s AS (
+        SELECT hr, CASE WHEN x > m THEN 1 ELSE 0 END AS sgn
+        FROM h CROSS JOIN med WHERE x <> m
+    ),
+    r AS (SELECT sgn, row_number() OVER (ORDER BY hr) AS rn FROM s),
+    tr AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_trans
+        FROM r a JOIN r b ON b.rn = a.rn + 1 AND a.sgn <> b.sgn
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(sgn) AS BIGINT) AS n_above,
+               CAST(count(*) - sum(sgn) AS BIGINT) AS n_below
+        FROM s
+    )
+    SELECT a.n_obs, a.n_above, a.n_below,
+           CASE WHEN a.n_obs > 0 THEN t.n_trans + 1 ELSE 0 END AS n_runs,
+           CASE WHEN a.n_obs > 0 THEN
+               (a.n_obs + 2 * a.n_above * a.n_below) * 1000 // a.n_obs
+           ELSE NULL END AS expected_runs_milli
+    FROM agg a, tr t
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST (Wald & Wolfowitz 1940) on the hourly
+    event-count series: is the sequence of above/below-median hours
+    random, or does load clump (the randomness read that complements
+    q_burstiness's Fano magnitude)?  Ties with the median are dropped
+    (the standard treatment), the observed run count R = transitions+1,
+    and the null expectation E[R] = 1 + 2·n₁·n₂/n is emitted as exact
+    integer MILLI units — fully integer, full hash gate.
+
+    Devices: the median is the exact lower median (value at 1-based
+    rank (n+1) div 2) selected with the bucketed global-rank device
+    (operators/ranking.py, bit_length(x) buckets — no partitionless
+    window over the series); run transitions are counted with a rank
+    EQUI-JOIN on rn+1 (join-free of windows entirely), the
+    q_link_predict_capped rank-select posture.
+
+    Scale: events collapse to the time-range-bounded hourly series
+    (one combinable shuffle); everything after runs on that bounded
+    table — two rank jobs, one self-join, two 1-row reductions."""
+    from ..operators import ranking
+
+    ev = events(spark, sf_dir)
+    h = (
+        ev.select(F.expr("ts_us div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    h = h.localCheckpoint(eager=True)  # reused: median rank + sign series
+    n_h = h.count()
+    ranked = ranking.global_row_number(
+        h,
+        [F.col("x").asc(), F.col("hr").asc()],
+        bucket=F.length(F.bin("x")),
+        out_col="rn",
+    )
+    med = ranked.where(F.col("rn") == max((n_h + 1) // 2, 1)).select(
+        F.col("x").alias("m")
+    )
+    s = (
+        h.crossJoin(F.broadcast(med))
+        .where(F.col("x") != F.col("m"))
+        .select(
+            "hr",
+            F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("sgn"),
+        )
+    )
+    r = ranking.global_row_number(
+        s,
+        [F.col("hr").asc()],
+        bucket=F.expr("hr div 64"),
+        out_col="rn",
+    ).localCheckpoint(eager=True)
+    tr = (
+        r.alias("a")
+        .join(
+            r.alias("b"),
+            (F.col("b.rn") == F.col("a.rn") + 1)
+            & (F.col("a.sgn") != F.col("b.sgn")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.coalesce(F.sum("sgn"), F.lit(0)).cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.coalesce(F.sum("sgn"), F.lit(0)))
+        .cast("long")
+        .alias("n_below"),
+    )
+    return agg.crossJoin(F.broadcast(tr)).select(
+        "n_obs",
+        "n_above",
+        "n_below",
+        F.when(F.col("n_obs") > 0, F.col("n_trans") + 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("n_runs"),
+        F.when(
+            F.col("n_obs") > 0,
+            F.expr("(n_obs + 2 * n_above * n_below) * 1000 div n_obs"),
+        )
+        .cast("long")
+        .alias("expected_runs_milli"),
+    )
+
+
+@query(
+    "q_peak_hours",
+    oracle="""
+    WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    r AS (SELECT hr, x, row_number() OVER (ORDER BY hr) AS rn FROM h),
+    pk AS (
+        SELECT c.hr, c.x,
+               c.x - greatest(p.x, n.x) AS prominence
+        FROM r c JOIN r p ON p.rn = c.rn - 1
+                 JOIN r n ON n.rn = c.rn + 1
+        WHERE c.x > p.x AND c.x >= n.x
+    )
+    SELECT hr, x, prominence,
+           CAST(row_number() OVER (ORDER BY prominence DESC, x DESC, hr)
+                AS BIGINT) AS rnk
+    FROM (
+        SELECT * FROM pk
+        ORDER BY prominence DESC, x DESC, hr LIMIT 10
+    )
+    """,
+)
+def q_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-MAXIMA PEAK DETECTION over the hourly event-count series —
+    the top-10 load spikes by prominence (height above the taller
+    neighbor), the capacity-planning companion to q_changepoint_binseg
+    (which finds level SHIFTS, not spikes).  A peak is an interior hour
+    with x > previous AND x ≥ next (strict left / weak right breaks
+    plateau ties exactly once per plateau edge); all integer, full
+    hash gate.
+
+    Devices: time order rides the bucketed global-rank device (hr div
+    64 buckets — monotone, bounded bucket count), neighbors come from
+    TWO rank equi-joins on rn±1 (no window over the series at all),
+    top-10 is the heap operator.
+
+    Scale: one combinable shuffle to the time-range-bounded hourly
+    table; the rank joins are equi-joins on a dense integer key."""
+    from ..operators import ranking
+
+    ev = events(spark, sf_dir)
+    h = (
+        ev.select(F.expr("ts_us div 3600000000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    r = ranking.global_row_number(
+        h,
+        [F.col("hr").asc()],
+        bucket=F.expr("hr div 64"),
+        out_col="rn",
+    ).localCheckpoint(eager=True)
+    c, p, n = r.alias("c"), r.alias("p"), r.alias("n")
+    pk = (
+        c.join(p, F.col("p.rn") == F.col("c.rn") - 1)
+        .join(n, F.col("n.rn") == F.col("c.rn") + 1)
+        .where(
+            (F.col("c.x") > F.col("p.x")) & (F.col("c.x") >= F.col("n.x"))
+        )
+        .select(
+            F.col("c.hr").alias("hr"),
+            F.col("c.x").alias("x"),
+            (F.col("c.x") - F.greatest(F.col("p.x"), F.col("n.x"))).alias(
+                "prominence"
+            ),
+        )
+    )
+    order = [
+        F.col("prominence").desc(),
+        F.col("x").desc(),
+        F.col("hr").asc(),
+    ]
+    top = pk.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "q_hurst_rs",
+    oracle="""
+    WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                      CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                           AS BIGINT) AS y
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    r AS (SELECT hr, y, row_number() OVER (ORDER BY hr) AS rn FROM h),
+    sc AS (SELECT * FROM (VALUES (8), (16), (32), (64)) AS t(w)),
+    blk AS (
+        SELECT sc.w, (r.rn - 1) // sc.w AS b, r.rn, r.y
+        FROM r CROSS JOIN sc
+    ),
+    bs AS (
+        SELECT w, b, CAST(sum(y) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM blk GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT blk.w, blk.b, blk.rn,
+               blk.y * blk.w - bs.s AS dev
+        FROM blk JOIN bs ON bs.w = blk.w AND bs.b = blk.b
+        WHERE bs.cnt = blk.w
+    ),
+    c AS (
+        SELECT w, b, dev,
+               sum(dev) OVER (PARTITION BY w, b ORDER BY rn
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d
+    ),
+    per_block AS (
+        SELECT w, b,
+               CAST(max(cum) - min(cum) AS BIGINT) AS rng,
+               CAST(sum(abs(dev)) AS BIGINT) AS absdev
+        FROM c GROUP BY 1, 2
+    )
+    SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(rng) AS BIGINT) AS sum_range,
+           CAST(sum(absdev) AS BIGINT) AS sum_absdev,
+           CASE WHEN sum(absdev) > 0 THEN
+               CAST(sum(rng) * 1000000 // sum(absdev) AS BIGINT)
+           ELSE NULL END AS rs_ppm
+    FROM per_block GROUP BY w ORDER BY w
+    """,
+)
+def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER RESCALED-RANGE profile at dyadic scales (Hurst 1951;
+    Mandelbrot & Wallis 1969) over the hourly revenue series — does the
+    range of cumulative deviations grow faster than a memoryless series
+    would (long-range dependence), read as R/S ratio per window size
+    w ∈ {8,16,32,64} hours.  Exact-integer variant: deviations are
+    scaled by w (dᵢ = w·yᵢ − S_block, so no fractional mean), the
+    dispersion denominator is Σ|dᵢ| (mean-abs-deviation in place of the
+    classical std — no sqrt, engine-bit-exact), and the per-scale
+    statistic is Σrange·10⁶ div Σabsdev ppm.  Only FULL blocks count.
+
+    Scale: one combinable shuffle to the time-range-bounded hourly
+    table; the 4-scale expansion is a 4-row broadcast cross; cumulative
+    sums run in windows PARTITIONED BY (w, block) — partition-parallel,
+    never a partitionless window over the series; per-scale rollup is a
+    4-row reduction."""
+    from ..operators import ranking
+
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    h = (
+        ev.select(
+            F.expr("ts_us div 3600000000").alias("hr"),
+            cents_of(F.col("value")).alias("c"),
+        )
+        .groupBy("hr")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    r = ranking.global_row_number(
+        h,
+        [F.col("hr").asc()],
+        bucket=F.expr("hr div 64"),
+        out_col="rn",
+    )
+    sc = spark.createDataFrame([(8,), (16,), (32,), (64,)], "w long")
+    blk = r.crossJoin(F.broadcast(sc)).withColumn(
+        "b", F.expr("(rn - 1) div w")
+    )
+    bs = blk.groupBy("w", "b").agg(
+        F.sum("y").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    d = (
+        blk.join(bs, ["w", "b"])
+        .where(F.col("cnt") == F.col("w"))
+        .select(
+            "w",
+            "b",
+            "rn",
+            (F.col("y") * F.col("w") - F.col("s")).alias("dev"),
+        )
+    )
+    wnd = Window.partitionBy("w", "b").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = d.withColumn("cum", F.sum("dev").over(wnd))
+    per_block = c.groupBy("w", "b").agg(
+        (F.max("cum") - F.min("cum")).cast("long").alias("rng"),
+        F.sum(F.abs("dev")).cast("long").alias("absdev"),
+    )
+    return (
+        per_block.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("rng").cast("long").alias("sum_range"),
+            F.sum("absdev").cast("long").alias("sum_absdev"),
+            F.when(
+                F.sum("absdev") > 0,
+                F.expr("sum(rng) * 1000000 div sum(absdev)"),
+            )
+            .cast("long")
+            .alias("rs_ppm"),
+        )
+        .orderBy("w")
+    )
+
+
+@query(
+    "q_gap_bitlen_hist",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts_us, event_id) AS gap_us
+        FROM e
+    )
+    SELECT event_type,
+           CAST(length(bin(gap_us // 1000 + 1)) AS BIGINT) AS gap_ms_bitlen,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(gap_us // 1000) AS BIGINT) AS min_gap_ms,
+           CAST(max(gap_us // 1000) AS BIGINT) AS max_gap_ms
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_gap_bitlen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-EVENT GAP HISTOGRAM at log2 resolution per event type —
+    the arrival-process fingerprint (heartbeats pile into one bit-
+    length bucket, human activity spreads across many; the per-pair
+    diagnostic q_burstiness's single Fano number cannot localize).
+    Buckets are bit_length(gap_ms + 1) — the size_bitlen house device,
+    integer-exact, ~40 buckets max; min/max gap per bucket anchor the
+    bucket edges in the output.
+
+    Scale: ONE lag in a window PARTITIONED BY (user, type) — the same
+    partition-parallel shuffle every per-user op shares, no
+    partitionless window anywhere — then a map-side-combinable rollup
+    to ≤ |types|·64 rows."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    g = ev.select(
+        "event_type",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return g.groupBy(
+        "event_type",
+        F.length(F.bin(F.expr("gap_us div 1000 + 1")))
+        .cast("long")
+        .alias("gap_ms_bitlen"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("min(gap_us div 1000)").cast("long").alias("min_gap_ms"),
+        F.expr("max(gap_us div 1000)").cast("long").alias("max_gap_ms"),
+    )

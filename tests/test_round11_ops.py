@@ -145,3 +145,53 @@ class TestRankCdfDegenerateInputs:
             assert len(rows) == 1
             assert rows[0]["n0"] is None
             compare(df, con, ORACLES[slug])
+
+
+class TestRound11StatsBattery:
+    """Oracle parity at sf0.001 for the round-11 additions (the driver
+    covers sf0.01; this pins a second scale) plus device-level pins."""
+
+    SLUGS = [
+        "q_runs_test",
+        "q_peak_hours",
+        "q_hurst_rs",
+        "q_gap_bitlen_hist",
+        "q_cochran_armitage",
+        "q_mk_trend",
+        "q_fleiss_kappa",
+        "q_clustering_coeff",
+        "q_ams_f2",
+    ]
+
+    def test_oracle_parity_sf0001(self, spark):
+        from tests.oracle_compare import compare, duckdb_connection
+
+        con = duckdb_connection(SF)
+        for slug in self.SLUGS:
+            compare(QUERIES[slug](spark, SF), con, ORACLES[slug])
+
+    def test_runs_test_invariants(self, spark):
+        [row] = QUERIES["q_runs_test"](spark, SF).collect()
+        assert row["n_obs"] == row["n_above"] + row["n_below"]
+        assert 0 < row["n_runs"] <= row["n_obs"]
+
+    def test_hurst_full_blocks_only(self, spark):
+        rows = QUERIES["q_hurst_rs"](spark, SF).collect()
+        assert [r["w"] for r in rows] == sorted(r["w"] for r in rows)
+        for r in rows:
+            # range of cumulative deviations is bounded by total abs dev
+            assert r["sum_range"] <= r["sum_absdev"]
+            assert r["rs_ppm"] <= 1_000_000
+
+    def test_ams_estimator_is_unbiased_shape(self, spark):
+        [row] = QUERIES["q_ams_f2"](spark, SF).collect()
+        assert row["f2_exact"] > 0 and row["f2_est"] > 0
+        # 16 averaged estimators land within a loose constant factor
+        assert 0.2 * row["f2_exact"] < row["f2_est"] < 5 * row["f2_exact"]
+
+    def test_clustering_coeff_bounds(self, spark):
+        rows = QUERIES["q_clustering_coeff"](spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["cc_ppm"] <= 1_000_000
+            assert r["d"] >= 2
