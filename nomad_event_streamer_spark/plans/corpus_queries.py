@@ -4696,3 +4696,90 @@ def q_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("conv"),
         F.col("iso").alias("iso_rate"),
     )
+
+
+@query(
+    "q_audio_vad_frames",
+    oracle="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+    x AS (SELECT doc_id, n, t.t, t.t // 16 AS frame,
+                 abs(((doc_id*7919 + t.t*104729 + 1234) % 65536) - 32768)
+                     AS av
+          FROM d CROSS JOIN range(0, 160) t(t)
+          WHERE t.t < 16 * (n // 16)),
+    fr AS (
+        SELECT doc_id, frame, CAST(sum(av) AS BIGINT) AS sum_abs
+        FROM x GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN sum_abs > 131072 THEN 1 ELSE 0 END)
+                AS BIGINT) AS active_frames,
+           CAST(max(sum_abs) AS BIGINT) AS max_frame_sumabs,
+           CAST(coalesce(min(CASE WHEN sum_abs > 131072
+                                  THEN frame + 1 END), 0)
+                AS BIGINT) AS first_active_frame
+    FROM fr GROUP BY doc_id
+    """,
+)
+def q_audio_vad_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAMEWISE ENERGY CONTOUR / voice-activity gate over the real WAV
+    chunk walk — the FRAMING primitive (fixed 16-sample frames, energy
+    Σ|v| per frame, active iff the frame's absolute mass exceeds
+    16·8192 = quarter full-scale) that every downstream audio feature
+    (MFCC windows, VAD trimming, silence-split chunking) builds on;
+    completes the time/frequency pair q_audio_pcm_stats /
+    q_audio_goertzel with the TIME-SEGMENTATION leg.  Tail samples
+    short of a full frame are dropped (documented, mirrored in the
+    oracle's t < 16·(n div 16) filter).  All integer, full hash gate.
+
+    Spark side decodes REAL RIFF bytes (decode_wav inside mapInPandas —
+    Arrow-batched, zero shuffles, the codec-family posture); the
+    oracle replays the closed-form sample stream relationally (frame =
+    t div 16 GROUP BY).
+
+    Scale: per-row O(n) numpy reshape+reduce; frame census is
+    embarrassingly parallel."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_wav, synthetic_audio
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    payloads = synthetic_audio(docs)
+
+    def frames(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s, _sr = decode_wav(bytes(payload))
+                s64 = np.abs(s.astype(np.int64))
+                nf = len(s64) // 16
+                f = s64[: nf * 16].reshape(nf, 16).sum(axis=1)
+                active = f > 131072
+                first = int(np.argmax(active)) + 1 if active.any() else 0
+                rows.append(
+                    (
+                        int(doc_id),
+                        nf,
+                        int(active.sum()),
+                        int(f.max()) if nf else 0,
+                        first,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "active_frames",
+                    "max_frame_sumabs",
+                    "first_active_frame",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        frames,
+        "doc_id long, n_frames long, active_frames long,"
+        " max_frame_sumabs long, first_active_frame long",
+    )

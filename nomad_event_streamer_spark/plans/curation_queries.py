@@ -906,3 +906,184 @@ def q_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rnk long, source string, gain long, covered_total long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring sharding + rebalance audit (round 11)
+# ---------------------------------------------------------------------------
+
+_RING_VNODES = 16
+
+
+def _ring_intervals_sql(n_shards: int, alias: str) -> str:
+    """Ring-interval CTE body for an ``n_shards``-shard layout: 16
+    vnodes per shard hashed onto [0, 2^60), each ring point owning the
+    interval (prev_point, point]; keys below the smallest point or
+    above the largest wrap to the smallest point's shard."""
+    return f"""
+    {alias}_pts AS (
+        SELECT s.s AS shard, v.v AS vn,
+               CAST(concat('0x', substring(md5(
+                   concat('shard:', CAST(s.s AS VARCHAR), ':',
+                          CAST(v.v AS VARCHAR))), 1, 15)) AS BIGINT) AS pos
+        FROM range(1, {n_shards + 1}) s(s)
+        CROSS JOIN range(0, {_RING_VNODES}) v(v)
+    ),
+    {alias}_iv AS (
+        SELECT shard, pos,
+               coalesce(lag(pos) OVER (ORDER BY pos, shard, vn) + 1, 0)
+                   AS lo,
+               pos AS hi
+        FROM {alias}_pts
+    ),
+    {alias}_wrap AS (
+        -- order BEFORE projecting: an ORDER BY after a SELECT list that
+        -- re-binds `pos` to a constant alias would sort by the constant
+        -- (found against the python referee during round-11 bring-up)
+        SELECT shard,
+               (SELECT max(pos) FROM {alias}_pts) + 1 AS lo,
+               1152921504606846976 AS hi
+        FROM (SELECT shard, pos, vn FROM {alias}_pts
+              ORDER BY pos, shard, vn LIMIT 1)
+    ),
+    {alias} AS (
+        SELECT shard, lo, hi FROM {alias}_iv
+        UNION ALL SELECT shard, lo, hi FROM {alias}_wrap
+    )"""
+
+
+@query(
+    "q_consistent_hash_ring",
+    oracle=f"""
+    WITH k AS (
+        SELECT DISTINCT user_id,
+               CAST(concat('0x', substring(md5(
+                   concat('key:', CAST(user_id AS VARCHAR))), 1, 15))
+                   AS BIGINT) AS h
+        FROM events
+    ),
+    {_ring_intervals_sql(8, "r8")},
+    {_ring_intervals_sql(9, "r9")},
+    a AS (
+        SELECT k.user_id,
+               (SELECT r8.shard FROM r8
+                WHERE k.h BETWEEN r8.lo AND r8.hi) AS s8,
+               (SELECT r9.shard FROM r9
+                WHERE k.h BETWEEN r9.lo AND r9.hi) AS s9
+        FROM k
+    )
+    SELECT s.s AS shard,
+           CAST(coalesce(sum(CASE WHEN a.s8 = s.s THEN 1 END), 0)
+                AS BIGINT) AS n_users_8,
+           CAST(coalesce(sum(CASE WHEN a.s9 = s.s THEN 1 END), 0)
+                AS BIGINT) AS n_users_9,
+           CAST(coalesce(sum(CASE WHEN a.s9 = s.s AND a.s8 <> a.s9
+                                  THEN 1 END), 0)
+                AS BIGINT) AS moved_in
+    FROM range(1, 10) s(s) LEFT JOIN a ON TRUE
+    GROUP BY s.s
+    """,
+)
+def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSISTENT-HASH RING sharding with virtual nodes (Karger et al.
+    1997; the Dynamo/Cassandra placement scheme) plus the REBALANCE
+    AUDIT that is its whole point: assign every user to one of 8 shards
+    via a 128-vnode md5 ring, re-assign under a 9-shard ring, and
+    report per-shard populations and moved-in counts — consistent
+    hashing's promise is that ~1/9 of keys move, vs ~8/9 under mod-N
+    (q_shard_plan's range device answers a different question: byte-
+    balanced WRITE planning; this is KEY-STABLE placement).
+
+    Plan shape (the part that matters at 100 TB): the ring is a
+    129-interval BROADCAST table built from the vnode points with one
+    bounded lag (ring-size window, metadata scale); each key resolves
+    with ONE broadcast range join — no 128× row expansion, no shuffle
+    of the key table at all.  md5-int positions make both engines
+    derive the identical ring from the same bytes; collided ring
+    points degrade to empty intervals deterministically (lo > hi).
+
+    Scale: one distinct-user agg + two broadcast range joins + a 9-key
+    rollup."""
+    ev = load(spark, sf_dir, "events")
+
+    def md5_int(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    keys = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            md5_int(
+                F.concat(F.lit("key:"), F.col("user_id").cast("string"))
+            ).alias("h"),
+        )
+    )
+    keys = keys.localCheckpoint(eager=True)  # probed by both layouts
+
+    def intervals(n_shards: int) -> DataFrame:
+        pts = spark.createDataFrame(
+            [(s, v) for s in range(1, n_shards + 1)
+             for v in range(_RING_VNODES)],
+            "shard int, vn int",
+        ).select(
+            "shard",
+            "vn",
+            md5_int(
+                F.concat(
+                    F.lit("shard:"),
+                    F.col("shard").cast("string"),
+                    F.lit(":"),
+                    F.col("vn").cast("string"),
+                )
+            ).alias("pos"),
+        )
+        w = Window.orderBy("pos", "shard", "vn")  # ring-size window only
+        iv = pts.select(
+            "shard",
+            F.coalesce(F.lag("pos").over(w) + 1, F.lit(0)).alias("lo"),
+            F.col("pos").alias("hi"),
+        )
+        wrap = (
+            pts.orderBy("pos", "shard", "vn")
+            .limit(1)
+            .crossJoin(pts.agg(F.max("pos").alias("mx")))
+            .select(
+                "shard",
+                (F.col("mx") + 1).alias("lo"),
+                F.lit(1152921504606846976).alias("hi"),
+            )
+        )
+        return iv.unionByName(wrap)
+
+    def assign(layout: DataFrame, out: str) -> DataFrame:
+        return keys.join(
+            F.broadcast(layout),
+            (F.col("h") >= F.col("lo")) & (F.col("h") <= F.col("hi")),
+        ).select("user_id", F.col("shard").alias(out))
+
+    a = assign(intervals(8), "s8").join(
+        assign(intervals(9), "s9"), "user_id"
+    )
+    shards = spark.createDataFrame(
+        [(s,) for s in range(1, 10)], "shard int"
+    )
+    agg = a.groupBy("s9").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_9"),
+        F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0))
+        .cast("long")
+        .alias("moved_in"),
+    )
+    agg8 = a.groupBy("s8").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_8")
+    )
+    return (
+        shards.join(agg8, shards.shard == agg8.s8, "left")
+        .join(agg, shards.shard == agg.s9, "left")
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.coalesce("n_users_8", F.lit(0)).cast("long").alias("n_users_8"),
+            F.coalesce("n_users_9", F.lit(0)).cast("long").alias("n_users_9"),
+            F.coalesce("moved_in", F.lit(0)).cast("long").alias("moved_in"),
+        )
+    )

@@ -7487,3 +7487,347 @@ def q_image_histeq(spark: SparkSession, sf_dir: str) -> DataFrame:
         " sum_before long, sum_after long, ndv_before long,"
         " ndv_after long",
     )
+
+
+@query(
+    "q_image_quadtree",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 9 + doc_id % 8 AS w, 6 + doc_id % 5 AS h
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    pxl AS (
+        SELECT doc_id, w, h, t.q // w AS r, t.q % w AS c,
+               (doc_id * 73 + t.q * 151 + 11) % 256 AS v
+        FROM d CROSS JOIN range(0, 160) t(q)
+        WHERE t.q < w * h
+    ),
+    sub AS (
+        SELECT doc_id, w, h,
+               (4 * r) // h AS r2, (4 * c) // w AS c2,
+               CAST(max(v) - min(v) AS BIGINT) AS spread2
+        FROM pxl GROUP BY 1, 2, 3, 4, 5
+    ),
+    q1 AS (
+        SELECT doc_id, w, h,
+               (2 * r) // h AS br, (2 * c) // w AS bc,
+               CAST(max(v) - min(v) AS BIGINT) AS spread1
+        FROM pxl GROUP BY 1, 2, 3, 4, 5
+    ),
+    l2 AS (
+        SELECT s.doc_id,
+               CAST(sum(CASE WHEN q1.spread1 > 64 AND s.spread2 <= 64
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_leaf2_flat,
+               CAST(sum(CASE WHEN q1.spread1 > 64 AND s.spread2 > 64
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_leaf2_dense
+        FROM sub s JOIN q1 ON q1.doc_id = s.doc_id
+                          AND q1.br = s.r2 // 2 AND q1.bc = s.c2 // 2
+        GROUP BY 1
+    ),
+    l1 AS (
+        SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+               CAST(max(h) AS BIGINT) AS height,
+               CAST(sum(CASE WHEN spread1 > 64 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_split1,
+               CAST(sum(CASE WHEN spread1 <= 64 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_leaf1,
+               CAST(sum(spread1) AS BIGINT) AS sum_spread1
+        FROM q1 GROUP BY 1
+    )
+    SELECT l1.doc_id, l1.width, l1.height, l1.n_split1, l1.n_leaf1,
+           l2.n_leaf2_flat, l2.n_leaf2_dense, l1.sum_spread1,
+           CAST(l1.n_leaf1 + l2.n_leaf2_flat + l2.n_leaf2_dense
+                AS BIGINT) AS total_leaves
+    FROM l1 JOIN l2 USING (doc_id)
+    """,
+)
+def q_image_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPTH-2 QUADTREE DECOMPOSITION (Finkel & Bentley 1974; the
+    spatial-variance analysis behind adaptive image coding) over the
+    real PGM codec path: split each image into 2×2 quadrants, split any
+    quadrant whose pixel spread (max−min) exceeds 64 into its 2×2
+    sub-quadrants, and report the leaf census — the flat/dense block
+    profile a perceptual codec or tile-pruning scan reads.  Exact
+    nesting on ODD dimensions uses the floor identity
+    (4r div h) div 2 = (2r div h), so the level-2 grid tiles the
+    level-1 quadrants EXACTLY in both engines — all integer, full hash
+    gate.
+
+    Spark side decodes REAL P5 bytes (decode_pgm inside mapInPandas —
+    the q_image_histeq posture: Arrow-batched per-row work, zero
+    shuffles); the oracle replays the closed-form pixel stream
+    relationally (two grid GROUP BYs + one parent equi-join).
+
+    Scale: per-row codec work, embarrassingly parallel; block census
+    is O(pixels) per image with numpy reductions."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_pgm, synthetic_media
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 1)
+    media = synthetic_media(docs)
+
+    def quadtree(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_pgm(bytes(payload)).astype(np.int64)
+                h, w = px.shape
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                br, bc = (2 * r) // h, (2 * c) // w
+                r2, c2 = (4 * r) // h, (4 * c) // w
+                n_split1 = n_leaf1 = 0
+                sum_spread1 = 0
+                n_l2f = n_l2d = 0
+                for qr in range(2):
+                    for qc in range(2):
+                        m1 = np.broadcast_to(
+                            (br == qr) & (bc == qc), px.shape
+                        )
+                        s1 = int(px[m1].max() - px[m1].min())
+                        sum_spread1 += s1
+                        if s1 > 64:
+                            n_split1 += 1
+                            for sr in (2 * qr, 2 * qr + 1):
+                                for scc in (2 * qc, 2 * qc + 1):
+                                    m2 = (r2 == sr) & (c2 == scc)
+                                    blk = px[np.broadcast_to(m2, px.shape)]
+                                    s2 = int(blk.max() - blk.min())
+                                    if s2 <= 64:
+                                        n_l2f += 1
+                                    else:
+                                        n_l2d += 1
+                        else:
+                            n_leaf1 += 1
+                rows.append(
+                    (
+                        int(doc_id), w, h, n_split1, n_leaf1,
+                        n_l2f, n_l2d, sum_spread1,
+                        n_leaf1 + n_l2f + n_l2d,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_split1", "n_leaf1",
+                    "n_leaf2_flat", "n_leaf2_dense", "sum_spread1",
+                    "total_leaves",
+                ],
+            )
+
+    return media.mapInPandas(
+        quadtree,
+        "doc_id long, width long, height long, n_split1 long,"
+        " n_leaf1 long, n_leaf2_flat long, n_leaf2_dense long,"
+        " sum_spread1 long, total_leaves long",
+    )
+
+
+_PERC_ORACLE = """
+    WITH
+    f AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+               1 AS x0,
+               least(len(string_split(text, ' ')) // 10, 20) AS x1,
+               least(n_chars // greatest(len(string_split(text, ' ')), 1),
+                     20) AS x2,
+               least((length(text) - length(replace(text, ' the ', '')))
+                     // 5, 10) AS x3,
+               least(n_chars // 200, 20) AS x4
+        FROM documents
+    ),
+    w0 AS (SELECT 0 AS r, CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4),
+    w1 AS (
+        SELECT 1 AS r,
+               CAST(sum(CASE WHEN mis THEN y * x0 ELSE 0 END) + max(pw0)
+                    AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN mis THEN y * x1 ELSE 0 END) + max(pw1)
+                    AS BIGINT) AS w1,
+               CAST(sum(CASE WHEN mis THEN y * x2 ELSE 0 END) + max(pw2)
+                    AS BIGINT) AS w2,
+               CAST(sum(CASE WHEN mis THEN y * x3 ELSE 0 END) + max(pw3)
+                    AS BIGINT) AS w3,
+               CAST(sum(CASE WHEN mis THEN y * x4 ELSE 0 END) + max(pw4)
+                    AS BIGINT) AS w4,
+               CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT)
+                   AS mistakes
+        FROM (
+            SELECT f.*, p.w0 AS pw0, p.w1 AS pw1, p.w2 AS pw2,
+                   p.w3 AS pw3, p.w4 AS pw4,
+                   y * (p.w0*x0 + p.w1*x1 + p.w2*x2 + p.w3*x3 + p.w4*x4)
+                       <= 0 AS mis
+            FROM f CROSS JOIN w0 p
+        )
+    ),
+    w2 AS (
+        SELECT 2 AS r,
+               CAST(sum(CASE WHEN mis THEN y * x0 ELSE 0 END) + max(pw0)
+                    AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN mis THEN y * x1 ELSE 0 END) + max(pw1)
+                    AS BIGINT) AS w1,
+               CAST(sum(CASE WHEN mis THEN y * x2 ELSE 0 END) + max(pw2)
+                    AS BIGINT) AS w2,
+               CAST(sum(CASE WHEN mis THEN y * x3 ELSE 0 END) + max(pw3)
+                    AS BIGINT) AS w3,
+               CAST(sum(CASE WHEN mis THEN y * x4 ELSE 0 END) + max(pw4)
+                    AS BIGINT) AS w4,
+               CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT)
+                   AS mistakes
+        FROM (
+            SELECT f.*, p.w0 AS pw0, p.w1 AS pw1, p.w2 AS pw2,
+                   p.w3 AS pw3, p.w4 AS pw4,
+                   y * (p.w0*x0 + p.w1*x1 + p.w2*x2 + p.w3*x3 + p.w4*x4)
+                       <= 0 AS mis
+            FROM f CROSS JOIN w1 p
+        )
+    ),
+    w3 AS (
+        SELECT 3 AS r,
+               CAST(sum(CASE WHEN mis THEN y * x0 ELSE 0 END) + max(pw0)
+                    AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN mis THEN y * x1 ELSE 0 END) + max(pw1)
+                    AS BIGINT) AS w1,
+               CAST(sum(CASE WHEN mis THEN y * x2 ELSE 0 END) + max(pw2)
+                    AS BIGINT) AS w2,
+               CAST(sum(CASE WHEN mis THEN y * x3 ELSE 0 END) + max(pw3)
+                    AS BIGINT) AS w3,
+               CAST(sum(CASE WHEN mis THEN y * x4 ELSE 0 END) + max(pw4)
+                    AS BIGINT) AS w4,
+               CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT)
+                   AS mistakes
+        FROM (
+            SELECT f.*, p.w0 AS pw0, p.w1 AS pw1, p.w2 AS pw2,
+                   p.w3 AS pw3, p.w4 AS pw4,
+                   y * (p.w0*x0 + p.w1*x1 + p.w2*x2 + p.w3*x3 + p.w4*x4)
+                       <= 0 AS mis
+            FROM f CROSS JOIN w2 p
+        )
+    ),
+    w4 AS (
+        SELECT 4 AS r,
+               CAST(sum(CASE WHEN mis THEN y * x0 ELSE 0 END) + max(pw0)
+                    AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN mis THEN y * x1 ELSE 0 END) + max(pw1)
+                    AS BIGINT) AS w1,
+               CAST(sum(CASE WHEN mis THEN y * x2 ELSE 0 END) + max(pw2)
+                    AS BIGINT) AS w2,
+               CAST(sum(CASE WHEN mis THEN y * x3 ELSE 0 END) + max(pw3)
+                    AS BIGINT) AS w3,
+               CAST(sum(CASE WHEN mis THEN y * x4 ELSE 0 END) + max(pw4)
+                    AS BIGINT) AS w4,
+               CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT)
+                   AS mistakes
+        FROM (
+            SELECT f.*, p.w0 AS pw0, p.w1 AS pw1, p.w2 AS pw2,
+                   p.w3 AS pw3, p.w4 AS pw4,
+                   y * (p.w0*x0 + p.w1*x1 + p.w2*x2 + p.w3*x3 + p.w4*x4)
+                       <= 0 AS mis
+            FROM f CROSS JOIN w3 p
+        )
+    ),
+    w5 AS (
+        SELECT 5 AS r,
+               CAST(sum(CASE WHEN mis THEN y * x0 ELSE 0 END) + max(pw0)
+                    AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN mis THEN y * x1 ELSE 0 END) + max(pw1)
+                    AS BIGINT) AS w1,
+               CAST(sum(CASE WHEN mis THEN y * x2 ELSE 0 END) + max(pw2)
+                    AS BIGINT) AS w2,
+               CAST(sum(CASE WHEN mis THEN y * x3 ELSE 0 END) + max(pw3)
+                    AS BIGINT) AS w3,
+               CAST(sum(CASE WHEN mis THEN y * x4 ELSE 0 END) + max(pw4)
+                    AS BIGINT) AS w4,
+               CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT)
+                   AS mistakes
+        FROM (
+            SELECT f.*, p.w0 AS pw0, p.w1 AS pw1, p.w2 AS pw2,
+                   p.w3 AS pw3, p.w4 AS pw4,
+                   y * (p.w0*x0 + p.w1*x1 + p.w2*x2 + p.w3*x3 + p.w4*x4)
+                       <= 0 AS mis
+            FROM f CROSS JOIN w4 p
+        )
+    )
+    SELECT r, mistakes, w0, w1, w2, w3, w4 FROM w1
+    UNION ALL
+    SELECT r, mistakes, w0, w1, w2, w3, w4 FROM w2
+    UNION ALL
+    SELECT r, mistakes, w0, w1, w2, w3, w4 FROM w3
+    UNION ALL
+    SELECT r, mistakes, w0, w1, w2, w3, w4 FROM w4
+    UNION ALL
+    SELECT r, mistakes, w0, w1, w2, w3, w4 FROM w5
+"""
+
+
+@query("q_perceptron_rounds", oracle=_PERC_ORACLE)
+def q_perceptron_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH PERCEPTRON, 5 unrolled rounds (Rosenblatt 1958; the batch
+    variant sums the update over ALL currently-misclassified rows per
+    round, so the result is ORDER-FREE — the property that makes an
+    online-sequential algorithm exactly reproducible on a distributed
+    engine): predict lang='en' (+1/-1) from five capped integer text
+    features (bias, token count, mean token length, ' the ' hits,
+    char-length bucket).  Integer weights forever — no learning rate,
+    no floats — so every round's weight vector and mistake count is
+    hash-gated; the oracle unrolls the 5 rounds as scalar CTEs (the
+    q_dtw_band device).
+
+    Scale: each round is ONE map-side-combinable aggregate over the
+    feature table (broadcast 1-row weights in, 1-row weights out — the
+    q_kmeans_lloyd k-round-collect class, documented bounded collect);
+    rounds are inherently sequential, wall-clock = rounds x job
+    latency at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    f = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        F.lit(1).alias("x0"),
+        F.least(F.expr("size(split(text, ' ')) div 10"), F.lit(20))
+        .cast("long")
+        .alias("x1"),
+        F.least(
+            F.expr(
+                "n_chars div greatest(size(split(text, ' ')), 1)"
+            ),
+            F.lit(20),
+        )
+        .cast("long")
+        .alias("x2"),
+        F.least(
+            F.expr(
+                "(length(text) - length(replace(text, ' the ', ''))) div 5"
+            ),
+            F.lit(10),
+        )
+        .cast("long")
+        .alias("x3"),
+        F.least(F.expr("n_chars div 200"), F.lit(20))
+        .cast("long")
+        .alias("x4"),
+    )
+    f = f.localCheckpoint(eager=True)  # 5 rounds re-scan the features
+    w = [0, 0, 0, 0, 0]
+    out_rows = []
+    for rnd in range(1, 6):
+        margin = F.col("y") * sum(
+            F.lit(int(w[i])) * F.col(f"x{i}") for i in range(5)
+        )
+        mis = margin <= 0
+        agg = f.agg(
+            *[
+                F.sum(F.when(mis, F.col("y") * F.col(f"x{i}"))
+                      .otherwise(0)).cast("long").alias(f"d{i}")
+                for i in range(5)
+            ],
+            F.sum(F.when(mis, 1).otherwise(0)).cast("long").alias("m"),
+        )
+        [row] = agg.collect()  # 1-row scalar collect (k-round class)
+        w = [w[i] + int(row[f"d{i}"]) for i in range(5)]
+        out_rows.append((rnd, int(row["m"]), *w))
+    return spark.createDataFrame(
+        out_rows,
+        "r int, mistakes long, w0 long, w1 long, w2 long, w3 long, w4 long",
+    )

@@ -195,3 +195,46 @@ class TestRound11StatsBattery:
         for r in rows:
             assert 0 <= r["cc_ppm"] <= 1_000_000
             assert r["d"] >= 2
+
+
+class TestRound11MachineryOps:
+    SLUGS = [
+        "q_image_quadtree",
+        "q_audio_vad_frames",
+        "q_perceptron_rounds",
+        "q_consistent_hash_ring",
+    ]
+
+    def test_oracle_parity_sf0001(self, spark):
+        from tests.oracle_compare import compare, duckdb_connection
+
+        con = duckdb_connection(SF)
+        for slug in self.SLUGS:
+            compare(QUERIES[slug](spark, SF), con, ORACLES[slug])
+
+    def test_quadtree_leaf_algebra(self, spark):
+        for r in QUERIES["q_image_quadtree"](spark, SF).collect():
+            assert r["n_split1"] + r["n_leaf1"] == 4
+            assert (
+                r["n_leaf2_flat"] + r["n_leaf2_dense"] == 4 * r["n_split1"]
+            )
+            assert r["total_leaves"] == (
+                r["n_leaf1"] + r["n_leaf2_flat"] + r["n_leaf2_dense"]
+            )
+
+    def test_perceptron_learns(self, spark):
+        rows = QUERIES["q_perceptron_rounds"](spark, SF).collect()
+        assert [r["r"] for r in rows] == [1, 2, 3, 4, 5]
+        # round-1 update fires on every row (zero weights misclassify all)
+        assert rows[0]["mistakes"] == 500
+
+    def test_ring_rebalance_is_minimal(self, spark):
+        rows = QUERIES["q_consistent_hash_ring"](spark, SF).collect()
+        n = sum(r["n_users_8"] for r in rows)
+        assert n == sum(r["n_users_9"] for r in rows)
+        moved = sum(r["moved_in"] for r in rows)
+        # consistent hashing moves ~1/9 of keys; allow a wide band but
+        # far below the ~8/9 a mod-N reshard would move
+        assert moved < n // 3
+        [s9] = [r for r in rows if r["shard"] == 9]
+        assert s9["n_users_8"] == 0 and s9["n_users_9"] == s9["moved_in"]
