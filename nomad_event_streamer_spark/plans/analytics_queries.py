@@ -3255,3 +3255,381 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pod - ped) / (F.lit(1.0) - ped),
         ).alias("kappa"),
     )
+
+
+@query(
+    "q_decile_lift",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_ev,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT user_id, n_ev, n_pos,
+               row_number() OVER (ORDER BY n_ev DESC, user_id) AS rn,
+               count(*) OVER () AS n
+        FROM u
+    ),
+    d AS (
+        SELECT ((rn - 1) * 10) // n AS decile, n_ev, n_pos,
+               CASE WHEN n_pos > 0 THEN 1 ELSE 0 END AS conv
+        FROM r
+    ),
+    g AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_conv
+        FROM d GROUP BY decile
+    ),
+    tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS nu,
+                   CAST(sum(n_conv) AS BIGINT) AS nc FROM g)
+    SELECT g.decile, g.n_users, g.n_conv,
+           CAST(g.n_conv * 1000000 // g.n_users AS BIGINT) AS conv_ppm,
+           CAST(sum(g.n_conv) OVER (ORDER BY g.decile) AS BIGINT)
+               AS cum_conv,
+           CASE WHEN t.nc > 0 THEN
+               CAST(sum(g.n_conv) OVER (ORDER BY g.decile) * t.nu * 1000
+                    // (t.nc * sum(g.n_users) OVER (ORDER BY g.decile))
+                    AS BIGINT)
+           ELSE NULL END AS cum_lift_milli
+    FROM g CROSS JOIN tot t
+    """,
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE LIFT / GAINS TABLE — the model-targeting read every
+    propensity deployment starts with (does the top decile by score
+    convert k× the base rate?): users scored by activity volume,
+    ranked into exact deciles by the bucketed global-rank device, with
+    per-decile conversion ppm and CUMULATIVE lift in exact milli units
+    (cum_conv·N_total·1000 div (C_total·cum_users) — all integer, full
+    hash gate; complements q_pr_curve's threshold sweep and
+    q_eval_auc's ranking integral with the bucketed BUSINESS view).
+
+    Scale: one user-keyed combinable agg, the bucketed rank (no
+    partitionless window over users), a 10-key rollup; the cumulative
+    window runs over the 10-row decile table."""
+    from ..operators import ranking
+
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    u = u.localCheckpoint(eager=True)
+    n = u.count()
+    r = ranking.global_row_number(
+        u,
+        [F.col("n_ev").desc(), F.col("user_id").asc()],
+        bucket=F.length(F.bin("n_ev")),
+        out_col="rn",
+        bucket_desc=True,
+    )
+    d = r.select(
+        F.expr(f"((rn - 1) * 10) div {n}").alias("decile"),
+        "n_pos",
+        F.when(F.col("n_pos") > 0, 1).otherwise(0).alias("conv"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    tot = g.agg(
+        F.sum("n_users").cast("long").alias("nu"),
+        F.sum("n_conv").cast("long").alias("nc"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # 10-row decile table only
+    j = g.crossJoin(F.broadcast(tot))
+    cum_conv = F.sum("n_conv").over(wc)
+    return j.select(
+        "decile",
+        "n_users",
+        "n_conv",
+        F.expr("n_conv * 1000000 div n_users").cast("long").alias("conv_ppm"),
+        cum_conv.cast("long").alias("cum_conv"),
+        F.when(
+            F.col("nc") > 0,
+            F.expr(
+                "(sum(n_conv) OVER (ORDER BY decile"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " * nu * 1000)"
+                " div (nc * sum(n_users) OVER (ORDER BY decile"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+            ),
+        )
+        .cast("long")
+        .alias("cum_lift_milli"),
+    )
+
+
+@query(
+    "q_l_moments",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+               event_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (SELECT x, row_number() OVER (ORDER BY x, event_id) AS i,
+                 count(*) OVER () AS n
+          FROM c),
+    b AS (
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS b0_num,
+               CAST(sum(CAST(i - 1 AS HUGEINT) * x) AS BIGINT) AS b1_num,
+               CAST(sum(CAST(i - 1 AS HUGEINT) * (i - 2) * x) AS BIGINT)
+                   AS b2_num
+        FROM r
+    )
+    SELECT n, b0_num, b1_num, b2_num,
+           CAST(b0_num AS DOUBLE) / CAST(n AS DOUBLE) AS l1,
+           CASE WHEN n >= 2 THEN
+               2.0 * CAST(b1_num AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+               - CAST(b0_num AS DOUBLE) / CAST(n AS DOUBLE)
+           ELSE NULL END AS l2,
+           CASE WHEN n >= 3 THEN
+               6.0 * CAST(b2_num AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                      * (CAST(n AS DOUBLE) - 2.0))
+               - 6.0 * CAST(b1_num AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+               + CAST(b0_num AS DOUBLE) / CAST(n AS DOUBLE)
+           ELSE NULL END AS l3
+    FROM b
+    """,
+)
+def q_l_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE L-MOMENTS (Hosking 1990) of the cents-quantized value —
+    the order-statistics moments (location l1, scale l2, the l3 whose
+    ratio t3 = l3/l2 is L-skewness) that stay FINITE and robust where
+    q_stats_moments' raw power moments explode under heavy tails; the
+    estimator every hydrology/risk pipeline fits distributions with.
+    Probability-weighted moment numerators b0 = Σx, b1 = Σ(i−1)x,
+    b2 = Σ(i−1)(i−2)x over GLOBALLY SORTED values are exact integers
+    (i from the bucketed global-rank device — the distributed exact
+    order statistic, no partitionless window over the fact table);
+    b1/b2 are n²/n³-scale so they accumulate in DECIMAL(38,0)/HUGEINT
+    (the r10 item #2 convention), and l1/l2/l3 are ONE fixed IEEE
+    tree each with n<2/n<3 NULL guards.
+
+    Scale: rank + three accumulators in one pass over the ranked scan;
+    the only shuffles are the rank device's bucket exchange."""
+    from ..operators import ranking
+
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    c = ev.select(
+        cents(F.col("value")).alias("x"),
+        "event_id",
+    )
+    # cents can be negative: bit_length buckets are not monotone there,
+    # so bucket by x div 2^20 (truncation toward zero IS monotone).
+    r = ranking.global_row_number(
+        c,
+        [F.col("x").asc(), F.col("event_id").asc()],
+        bucket=F.expr("x div 1048576"),
+        out_col="i",
+    )
+    dec = "decimal(38,0)"
+    b = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("b0_num"),
+        F.sum((F.col("i") - 1).cast(dec) * F.col("x").cast(dec))
+        .cast("long")
+        .alias("b1_num"),
+        F.sum(
+            (F.col("i") - 1).cast(dec)
+            * (F.col("i") - 2).cast(dec)
+            * F.col("x").cast(dec)
+        )
+        .cast("long")
+        .alias("b2_num"),
+    )
+    nd = F.col("n").cast("double")
+    b0 = F.col("b0_num").cast("double")
+    b1 = F.col("b1_num").cast("double")
+    b2 = F.col("b2_num").cast("double")
+    return b.select(
+        "n",
+        "b0_num",
+        "b1_num",
+        "b2_num",
+        (b0 / nd).alias("l1"),
+        F.when(
+            F.col("n") >= 2,
+            F.lit(2.0) * b1 / (nd * (nd - F.lit(1.0))) - b0 / nd,
+        ).alias("l2"),
+        F.when(
+            F.col("n") >= 3,
+            F.lit(6.0) * b2 / (nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0)))
+            - F.lit(6.0) * b1 / (nd * (nd - F.lit(1.0)))
+            + b0 / nd,
+        ).alias("l3"),
+    )
+
+
+@query(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH fs AS (
+        SELECT user_id,
+               min(epoch_us(ts) // 86400000000) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    days AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    nd AS (
+        SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+        FROM fs GROUP BY first_day
+    )
+    SELECT d.day,
+           CAST(coalesce(nd.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(nd.new_users, 0)) OVER (ORDER BY d.day)
+                AS BIGINT) AS cum_users
+    FROM days d LEFT JOIN nd ON nd.day = d.day
+    """,
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE-DISTINCT USER CURVE (the DAU table's missing
+    companion: "how many users have we EVER seen by day d?") via the
+    first-seen identity — cumulative COUNT DISTINCT over an append
+    stream equals the running sum of per-day FIRST APPEARANCES, which
+    turns an unbounded distinct-state problem into one user-keyed min
+    + a day-cardinality prefix sum.  The device is what makes the
+    query scale: no growing distinct set is ever materialized per day
+    (contrast q_bitmap_dau's per-day exact bitmaps).
+
+    Scale: one user-keyed combinable min, one ≤days-row rollup; the
+    cumulative window runs over the time-range-bounded day table
+    (documented bounded-table window, the q_wasserstein1 posture)."""
+    ev = events(spark, sf_dir)
+    fs = ev.groupBy("user_id").agg(
+        F.expr("min(ts_us div 86400000000)").alias("first_day")
+    )
+    days = ev.select(
+        F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    nd = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(nd, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            "day",
+            F.col("new_users").cast("long").alias("new_users"),
+            F.sum("new_users").over(w).cast("long").alias("cum_users"),
+        )
+    )
+
+
+@query(
+    "q_negative_sampling",
+    oracle="""
+    WITH pos AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    users AS (SELECT DISTINCT user_id FROM events),
+    cand AS (
+        SELECT u.user_id, t.event_type,
+               CAST(concat('0x', substring(md5(
+                   concat('neg:', CAST(u.user_id AS VARCHAR), ':',
+                          t.event_type)), 1, 15)) AS BIGINT) AS h
+        FROM users u CROSS JOIN types t
+        LEFT JOIN pos p ON p.user_id = u.user_id
+                       AND p.event_type = t.event_type
+        WHERE p.user_id IS NULL
+    ),
+    ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY h, event_type) AS rn
+        FROM cand
+    ),
+    neg AS (SELECT user_id, event_type FROM ranked WHERE rn <= 2)
+    SELECT t.event_type,
+           CAST(coalesce(p.n_pos, 0) AS BIGINT) AS n_pos_users,
+           CAST(coalesce(n.n_neg, 0) AS BIGINT) AS n_neg_samples
+    FROM types t
+    LEFT JOIN (SELECT event_type, count(*) AS n_pos FROM pos
+               GROUP BY 1) p USING (event_type)
+    LEFT JOIN (SELECT event_type, count(*) AS n_neg FROM neg
+               GROUP BY 1) n USING (event_type)
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING for implicit-feedback training
+    (the recsys/contrastive-learning data-prep step: every observed
+    (user, type) positive needs unobserved negatives, and rand() would
+    make the training set irreproducible): per user, the 2 unobserved
+    event types ranked first by the md5-int device — stable across
+    runs, engines, and partitionings (the q_hash_split posture) — with
+    the per-type positive/negative census as the audit.
+
+    Plan shape: the candidate grid is users × |types| — a BROADCAST
+    cross with a bounded multiplier (~20), not user × user — pruned by
+    one LEFT ANTI join against the positives; per-user top-2 rides a
+    user-PARTITIONED row_number (partition-parallel, never global).
+
+    Scale: two distinct aggs + one broadcast cross + one anti join +
+    one partitioned rank; output is |types| rows."""
+    ev = load(spark, sf_dir, "events")
+    pos = ev.select("user_id", "event_type").distinct()
+    pos = pos.localCheckpoint(eager=True)  # reused: grid prune + census
+    types = pos.select("event_type").distinct()
+    users = pos.select("user_id").distinct()
+    cand = (
+        users.crossJoin(F.broadcast(types))
+        .join(pos, ["user_id", "event_type"], "left_anti")
+        .select(
+            "user_id",
+            "event_type",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg:"),
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.col("event_type"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("h", "event_type")
+    neg = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("user_id", "event_type")
+    )
+    p = pos.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos")
+    )
+    n = neg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neg")
+    )
+    return (
+        types.join(p, "event_type", "left")
+        .join(n, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos_users"),
+            F.coalesce("n_neg", F.lit(0)).cast("long").alias("n_neg_samples"),
+        )
+    )

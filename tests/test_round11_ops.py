@@ -238,3 +238,60 @@ class TestRound11MachineryOps:
         assert moved < n // 3
         [s9] = [r for r in rows if r["shard"] == 9]
         assert s9["n_users_8"] == 0 and s9["n_users_9"] == s9["moved_in"]
+
+
+class TestRound11DataPrepOps:
+    SLUGS = [
+        "q_decile_lift",
+        "q_l_moments",
+        "q_cumulative_distinct",
+        "q_negative_sampling",
+    ]
+
+    def test_oracle_parity_sf0001(self, spark):
+        from tests.oracle_compare import compare, duckdb_connection
+
+        con = duckdb_connection(SF)
+        for slug in self.SLUGS:
+            compare(QUERIES[slug](spark, SF), con, ORACLES[slug])
+
+    def test_decile_lift_monotone_cumulative(self, spark):
+        rows = QUERIES["q_decile_lift"](spark, SF).orderBy("decile").collect()
+        assert [r["decile"] for r in rows] == list(range(len(rows)))
+        cums = [r["cum_conv"] for r in rows]
+        assert cums == sorted(cums)
+        # the final cumulative bucket IS the base rate: lift == 1000 milli
+        assert rows[-1]["cum_lift_milli"] == 1000
+
+    def test_l_moments_scale_positive(self, spark):
+        [row] = QUERIES["q_l_moments"](spark, SF).collect()
+        assert row["l2"] is not None and row["l2"] > 0  # dispersion > 0
+        # L-skewness bounded: |t3| < 1 for any sample
+        assert abs(row["l3"] / row["l2"]) < 1
+
+    def test_cumulative_distinct_ends_at_user_count(self, spark):
+        from nomad_event_streamer_spark.tables import load
+
+        rows = (
+            QUERIES["q_cumulative_distinct"](spark, SF)
+            .orderBy("day")
+            .collect()
+        )
+        n_users = (
+            load(spark, SF, "events").select("user_id").distinct().count()
+        )
+        assert rows[-1]["cum_users"] == n_users
+        assert sum(r["new_users"] for r in rows) == n_users
+
+    def test_negative_sampling_two_per_user(self, spark):
+        rows = QUERIES["q_negative_sampling"](spark, SF).collect()
+        from nomad_event_streamer_spark.tables import load
+
+        ev = load(spark, SF, "events")
+        n_users = ev.select("user_id").distinct().count()
+        n_types = ev.select("event_type").distinct().count()
+        total_neg = sum(r["n_neg_samples"] for r in rows)
+        # every user has >= 2 unobserved types at this fixture iff their
+        # positive count <= n_types - 2; the census must never exceed 2/user
+        assert total_neg <= 2 * n_users
+        assert len(rows) == n_types
