@@ -29,95 +29,67 @@ from . import pipeline_queries  # noqa: E402,F401
 
 # The verification driver records hard CORRECTNESS rows for only the FIRST
 # 50 queries in the order ``all_queries()`` yields them.  Rounds 1-2 covered
-# the early relational/LLM slugs; round 3 covered TPC-H / graph / analytics /
-# time-series / sketches / hard LLM ops; round 4 covered storage/CDC, set
-# ops, scalar-function and agg/window families; round 5 covered the round-4
-# corpus/analytics families plus the promoted IVF/PQ/BPE oracles; round 6
-# covered the round-5 retrieval/eval/sketch + streaming families; round 7
-# covered the 37 previously never-driver-seen slugs + the 6 new round-7 ops
-# + a 7-slug plan-change re-verify; round 8 completed the r07 ledger (the 31
-# r07 additions + 8 new curation ops + the 11 rows-only-by-design slugs) —
-# eight consecutive 50/50-green windows, cumulative driver-seen after r08:
-# 339 slugs (328 hash-PASS + 11 rows-only).
-# Round 9's window went 50/50 hash-green (CORRECTNESS_r09.json), taking
-# cumulative hard driver hash-PASS to 377.  Round 10 (VERDICT r09 item
-# #3) rotates the window onto the 48 round-9/9b/9c slugs whose only hash
-# evidence so far is the judge's r09 oracle session (the R10 overflow
-# queue, below renamed into the window) plus the TWO new round-10 ops
-# (q_image_dhash_pairs, q_audio_goertzel — hash-oracled on arrival,
-# DRIVER_SIM_r10) — a green r10 window makes the cumulative hard driver
-# hash-PASS ledger cover all 427 oracled slugs.
-# Registry at HEAD: 447 queries / 436 oracled.
-# Round-10 additions past window capacity follow the same overflow ledger
-# discipline in R11_QUEUE below: ordered immediately AFTER the window in
-# all_queries(), each sim-hash-verified on arrival, first in line for the
-# r11 window rotation.
+# the early relational/LLM slugs; rounds 3-8 swept the registry family by
+# family (eight consecutive 50/50-green windows; cumulative driver-seen
+# after r08: 339 slugs); round 9 took cumulative hard hash-PASS to 377;
+# round 10 rotated onto the 48 round-9 judge-only slugs + 2 new r10 ops —
+# 50/50 green (CORRECTNESS_r10.json), cumulative hard driver hash-PASS 427.
+# Round 11 (VERDICT r10 item #1) rotates onto:
+#   1. the R11 overflow queue — the 9 round-10 slugs whose only hash
+#      evidence was the judge's r10 oracle session (head below);
+#   2. the 18 NEW round-11 ops, each sim-hash-verified on arrival;
+#   3. RE_VERIFY_R11 — the 5 previously-PASSed slugs whose optimized
+#      plans changed this round (the VERDICT r10 item #2 DECIMAL(38,0)
+#      sweep: q_gini / q_burstiness / q_anova_f / q_zipf_slope /
+#      q_t_closeness), re-verified per the plan-change rule;
+#   4. STALE_REFRESH_R11 — with unverified + re-verify at 32, the 18
+#      remaining slots refresh the slugs with the OLDEST driver
+#      evidence (their latest hash-PASS row is CORRECTNESS_r01/r02,
+#      nine rounds stale) — selection is deterministic: sort by
+#      (latest evidence round, registration order), take 18
+#      (test-recomputed in tests/test_driver_window.py).
+# A green r11 window takes cumulative hard driver hash-PASS to 454/454
+# oracled slugs with no evidence older than r03.
+# Registry at HEAD: 465 queries / 454 oracled.
+# No additions past window capacity this round: R12_QUEUE is EMPTY.
 # tests/test_driver_window.py pins: the counts in this comment, the
-# 50-slug shape, the rows-only allowance (exactly ROWS_ONLY_R10 — empty,
-# every window slug is hash-oracled), the no-re-verify rule (exception:
-# RE_VERIFY_R10 — empty this round), and the rotation-completeness rule
-# (every slug without cumulative driver evidence must sit in the window
-# head or the overflow queue).
-DRIVER_WINDOW: list[str] = [
-    # round-9/9b/9c overflow queue, sim- and judge-verified r09,
-    # never driver-seen - 48
-    "q_image_qoi",
-    "q_louvain_l0",
-    "q_stream_dedup_watermark",
-    "q_dedup_oph",
-    "q_unicode_nfc",
-    "q_fm_sketch",
-    "q_kcenter_seed",
-    "q_path_prefix_rollup",
-    "q_schema_evolution",
-    "q_assoc_rules",
-    "q_gini_stump",
-    "q_holt_winters",
-    "q_content_address",
-    "q_partition_overwrite_dynamic",
-    "q_csv_permissive",
-    "q_delta_varint",
-    "q_rle_runs",
-    "q_jl_project",
-    "q_stream_update_mode",
-    "q_bitmap_dau",
-    "q_window_funnel",
-    "q_token_bucket",
-    "q_ip_lpm_join",
-    "q_lttb_downsample",
-    "q_mutual_best_match",
-    "q_dtw_band",
-    "q_perm_entropy",
-    "q_anova_f",
-    "q_weighted_jaccard",
-    "q_lcp_adjacent",
-    "q_adamic_adar",
-    "q_hilbert_cluster",
-    "q_video_shot_detect",
-    "q_stream_outer_join",
-    "q_path_3gram",
-    "q_naive_bayes_bits",
-    "q_dbscan_grid",
-    "q_stream_dedup_then_window",
-    "q_greedy_set_cover",
-    "q_cluster_by",
-    "q_ffd_binpack",
-    "q_survival_km",
-    "q_slope_one",
-    "q_twap",
-    "q_spatial_nn_join",
-    "q_bellman_ford",
-    "q_image_histeq",
-    "q_cuped",
-    # new round-10 ops, sim-hash-verified on arrival (DRIVER_SIM_r10) - 2
-    "q_image_dhash_pairs",
-    "q_audio_goertzel",
+# 50-slug shape, the rows-only allowance (exactly ROWS_ONLY_R11 — empty,
+# every window slug is hash-oracled), the overlap rule (already-PASS
+# slugs only via RE_VERIFY_R11 or STALE_REFRESH_R11, and stale-refresh
+# only fills slots unverified work cannot), and the rotation-
+# completeness rule (every slug without cumulative driver evidence must
+# sit in the window head or the overflow queue).
+
+# The 5 plan-changed-after-PASS slugs (DECIMAL(38,0) sweep, r11).
+RE_VERIFY_R11: frozenset[str] = frozenset(
+    {"q_gini", "q_burstiness", "q_anova_f", "q_zipf_slope", "q_t_closeness"}
+)
+
+# Oldest-evidence refresh fill (latest hash-PASS row r01/r02; see rule
+# above).  Order matches (evidence round, registration order).
+STALE_REFRESH_R11: list[str] = [
+    "q_redact",
+    "q_scan_project",
+    "q_json_parse",
+    "q_filter_watermark",
+    "q_filter_eq",
+    "q_project_nested",
+    "q_filter_regex_anti",
+    "q_filter_not_in",
+    "q_filter_in",
+    "q_dedup_latest",
+    "q_concat_identifier",
+    "q_case_when_state",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_time_bucket",
+    "q_explode_tokens",
+    "q_agg_groupby",
 ]
 
-# Round-10 additions past window capacity: the documented overflow queue.
-# Every member must carry committed sim hash evidence (DRIVER_SIM) and is
-# rotated into the NEXT round's driver window ahead of newer work.
-R11_QUEUE: list[str] = [
+DRIVER_WINDOW: list[str] = [
+    # 1. the round-10 overflow queue (judge-oracle evidence only) - 9
     "q_kmeans_lloyd",
     "q_readability_fk",
     "q_log_parse",
@@ -127,19 +99,40 @@ R11_QUEUE: list[str] = [
     "q_isotonic_pav",
     "q_mann_whitney_ks",
     "q_wasserstein1",
+    # 2. new round-11 ops, sim-hash-verified on arrival - 18
+    "q_link_predict_capped",
+    "q_runs_test",
+    "q_peak_hours",
+    "q_hurst_rs",
+    "q_gap_bitlen_hist",
+    "q_cochran_armitage",
+    "q_mk_trend",
+    "q_fleiss_kappa",
+    "q_clustering_coeff",
+    "q_ams_f2",
+    "q_image_quadtree",
+    "q_audio_vad_frames",
+    "q_perceptron_rounds",
+    "q_consistent_hash_ring",
+    "q_decile_lift",
+    "q_l_moments",
+    "q_cumulative_distinct",
+    "q_negative_sampling",
+    # 3. plan-changed re-verify (RE_VERIFY_R11) - 5
+    "q_gini",
+    "q_burstiness",
+    "q_anova_f",
+    "q_zipf_slope",
+    "q_t_closeness",
+    # 4. oldest-evidence refresh (STALE_REFRESH_R11) - 18
+    *STALE_REFRESH_R11,
 ]
 
-# Round-10 re-verification allowance: EMPTY — no previously driver-PASSed
-# slug changed its optimized plan this round (the ADVICE r09 guard fixes
-# touch q_anova_f / q_hilbert_cluster / grid_components, all of which sit
-# IN this window for their first driver pass, so their refreshed oracles
-# get hard evidence directly).
-RE_VERIFY_R10: frozenset[str] = frozenset()
+# No round-11 additions past window capacity: every new op fits.
+R12_QUEUE: list[str] = []
 
-# Rows-only window allowance: EMPTY this round — every window slug is
-# hash-oracled (the 11 rows-only-by-design slugs keep their r08 driver
-# rows>0 evidence; the set stays closed).
-ROWS_ONLY_R10: frozenset[str] = frozenset()
+# Rows-only window allowance: EMPTY — every window slug is hash-oracled.
+ROWS_ONLY_R11: frozenset[str] = frozenset()
 
 
 def _rotated(mapping):
@@ -147,7 +140,7 @@ def _rotated(mapping):
     overflow (next round's window head), rest in registration order.
     Applied identically to queries and oracles so the driver's
     side-by-side compare sees one consistent ordering."""
-    head = {s: mapping[s] for s in DRIVER_WINDOW + R11_QUEUE if s in mapping}
+    head = {s: mapping[s] for s in DRIVER_WINDOW + R12_QUEUE if s in mapping}
     tail = {s: fn for s, fn in mapping.items() if s not in head}
     return {**head, **tail}
 

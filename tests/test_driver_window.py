@@ -1,16 +1,15 @@
 """Pins the driver correctness-window rotation (VERDICT r02 item #1,
-r03 item #3, r07 items #1/#6, r08 item #1, r09 item #3).
+r03 item #3, r07 items #1/#6, r08 item #1, r09 item #3, r10 item #1).
 
 The verification driver records hard CORRECTNESS rows for only the first
-50 queries in ``all_queries()`` order.  Round 10 rotates that window
-onto the 48 round-9/9b/9c slugs whose only hash evidence is the judge's
-r09 oracle session (never driver-seen) plus the two new round-10 ops —
-a green window takes cumulative hard driver hash-PASS to 427/427
-oracled slugs.  These assertions keep the rotation from
-silently regressing (a new module import reshuffling registration
-order, a window slot wasted re-verifying an already-PASS slug, or — the
-r07 item #6 rule — a never-driver-verified slug left outside the
-window).
+50 queries in ``all_queries()`` order.  Round 11's window = the 9
+round-10 overflow slugs (judge-oracle evidence only) + the 18 new
+round-11 ops + the 5 plan-changed re-verifies (the DECIMAL(38,0) sweep)
++ an 18-slug OLDEST-EVIDENCE refresh.  These assertions keep the
+rotation from silently regressing: a module import reshuffling
+registration order, a window slot wasted re-verifying a fresh slug, a
+never-driver-verified slug left outside the window, or a stale-refresh
+pick that isn't actually the oldest evidence.
 """
 
 from __future__ import annotations
@@ -22,14 +21,36 @@ from nomad_event_streamer_spark.plans import (
     DRIVER_WINDOW,
     ORACLES,
     QUERIES,
-    R11_QUEUE,
-    RE_VERIFY_R10,
-    ROWS_ONLY_R10,
+    R12_QUEUE,
+    RE_VERIFY_R11,
+    ROWS_ONLY_R11,
+    STALE_REFRESH_R11,
     all_oracles,
     all_queries,
 )
 
-_ROUNDS = ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09")
+_ROUNDS = (
+    "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10",
+)
+
+
+def _driver_rows_by_round() -> dict[str, str]:
+    """Latest round with a clean hash-PASS row per slug."""
+    root = pathlib.Path(__file__).resolve().parents[1]
+    latest: dict[str, str] = {}
+    for rnd in _ROUNDS:
+        path = root / f"CORRECTNESS_{rnd}.json"
+        if not path.exists():
+            continue
+        for k, v in json.loads(path.read_text()).items():
+            if (
+                v.get("hash_match")
+                and v.get("schema_match")
+                and v.get("rows_match", v.get("count_match", True))
+                and not v.get("err")
+            ):
+                latest[k] = rnd
+    return latest
 
 
 def _driver_rows() -> dict[str, dict]:
@@ -82,17 +103,12 @@ def test_window_is_50_unique_registered_slugs():
 def test_window_rows_only_slots_are_exactly_the_declared_allowance():
     """A rows-only query in the window wastes a hard-correctness slot;
     the round-8 window already collected the 11 rows-only-by-design
-    slugs' driver rows>0 evidence, so the round-10 allowance is EMPTY —
+    slugs' driver rows>0 evidence, so the round-11 allowance is EMPTY —
     every window slug must be hash-oracled.  Pin the set exactly."""
     unoracled = {s for s in DRIVER_WINDOW if s not in ORACLES}
-    assert unoracled == set(ROWS_ONLY_R10), (
-        f"window rows-only set drifted: extra={unoracled - ROWS_ONLY_R10}, "
-        f"missing={set(ROWS_ONLY_R10) - unoracled}"
-    )
-    oracled_allowance = [s for s in ROWS_ONLY_R10 if s in ORACLES]
-    assert not oracled_allowance, (
-        f"slugs gained an oracle but stayed in ROWS_ONLY_R10: "
-        f"{oracled_allowance}"
+    assert unoracled == set(ROWS_ONLY_R11), (
+        f"window rows-only set drifted: extra={unoracled - ROWS_ONLY_R11}, "
+        f"missing={set(ROWS_ONLY_R11) - unoracled}"
     )
 
 
@@ -100,46 +116,65 @@ def test_rotation_is_consistent_and_lossless():
     q = list(all_queries())
     o = list(all_oracles())
     assert q[:50] == DRIVER_WINDOW
-    # the overflow queue sits contiguously after the window: next
+    # any overflow queue sits contiguously after the window: next
     # round's rotation takes it as the new window head.
-    assert q[50 : 50 + len(R11_QUEUE)] == R11_QUEUE
-    # driver compares side-by-side: oracle ordering must agree on the
-    # oracled prefix (rows-only slugs have no oracle entry).
-    oracled_head = [s for s in DRIVER_WINDOW + R11_QUEUE if s in ORACLES]
+    assert q[50 : 50 + len(R12_QUEUE)] == R12_QUEUE
+    oracled_head = [s for s in DRIVER_WINDOW + R12_QUEUE if s in ORACLES]
     assert o[: len(oracled_head)] == oracled_head
     assert set(q) == set(QUERIES) and len(q) == len(QUERIES)
     assert set(o) == set(ORACLES) and len(o) == len(ORACLES)
 
 
-def test_window_targets_previously_unverified_queries():
-    # Slugs with a cumulative driver hash-PASS row already have hard
-    # evidence; re-spending window slots on them would be
-    # window-stuffing, not evidence-widening.  The only sanctioned
-    # exception is an explicit RE_VERIFY allowance for slugs whose
-    # optimized plans changed after their PASS (round 10: empty).
+def test_window_overlap_is_only_reverify_or_stale_refresh():
+    """Slugs with a cumulative driver hash-PASS row already have hard
+    evidence; re-spending window slots on them is sanctioned only via
+    (a) RE_VERIFY_R11 — their optimized plan changed after the PASS —
+    or (b) STALE_REFRESH_R11 — the oldest-evidence refresh that fills
+    slots unverified work cannot (round 11: 32 unverified+reverify,
+    18 refresh)."""
     already_pass = _hash_passed(_driver_rows())
+    allowance = set(RE_VERIFY_R11) | set(STALE_REFRESH_R11)
     overlap = [
-        s for s in DRIVER_WINDOW if s in already_pass and s not in RE_VERIFY_R10
+        s for s in DRIVER_WINDOW if s in already_pass and s not in allowance
     ]
     assert not overlap, f"window re-verifies already-PASS slugs: {overlap}"
+
+
+def test_stale_refresh_is_exactly_the_oldest_evidence():
+    """The refresh fill must be the deterministic oldest-evidence set:
+    sort already-PASS slugs by (latest evidence round, registration
+    order) and take as many as the window has free slots — no
+    cherry-picking."""
+    latest = _driver_rows_by_round()
+    reg_order = {s: i for i, s in enumerate(QUERIES)}
+    candidates = sorted(
+        (
+            (latest[s], reg_order[s], s)
+            for s in latest
+            if s in QUERIES and s not in RE_VERIFY_R11
+        ),
+    )
+    expect = [s for _, _, s in candidates[: len(STALE_REFRESH_R11)]]
+    assert STALE_REFRESH_R11 == expect, (
+        f"stale-refresh drifted from the oldest-evidence rule:\n"
+        f"  declared: {STALE_REFRESH_R11}\n  expected: {expect}"
+    )
+    # and refresh only fills what unverified work cannot: every slot
+    # not in the refresh set must be unverified or re-verify
+    non_refresh = [s for s in DRIVER_WINDOW if s not in STALE_REFRESH_R11]
+    passed = _hash_passed(_driver_rows())
+    for s in non_refresh:
+        assert s not in passed or s in RE_VERIFY_R11
 
 
 def test_every_unverified_slug_is_in_the_window():
     """VERDICT r07 item #6 — the rotation discipline as code: every slug
     with NO cumulative driver evidence (no hash-PASS row for oracled
     slugs; no clean rows>0 row for rows-only slugs) must sit in the
-    current window head, so no query can silently wait a round without
-    hard evidence.  If the unverified set ever exceeds 50, this test
-    fails — the correct response is to rotate a subset AND extend this
-    test with an explicit, documented overflow ledger, not to drop the
-    rule."""
+    current window head or the overflow queue, so no query can silently
+    wait a round without hard evidence."""
     rows = _driver_rows()
     hash_passed = _hash_passed(rows)
-    # A rows-only slug counts as driver-seen if it has ANY clean row —
-    # the driver's rows-only row shape is weaker than the hash rows
-    # (the r08 driver records the marker err="no_oracle" with the
-    # spark_rows count), so require err-free-or-no_oracle presence
-    # plus a non-zero row count when one is recorded.
     rows_only_seen = {
         k
         for k, v in rows.items()
@@ -155,18 +190,12 @@ def test_every_unverified_slug_is_in_the_window():
             or (s not in ORACLES and s in rows_only_seen)
         )
     ]
-    # The documented overflow ledger (the extension this docstring
-    # prescribes): round-10 additions past window capacity sit in
-    # R11_QUEUE, contiguously after the window in all_queries() order,
-    # each carrying committed sim hash evidence (pinned below by
-    # test_overflow_queue_has_sim_evidence), and are first in line for
-    # the next round's window rotation.
-    assert len(unverified) <= 50 + len(R11_QUEUE), (
+    assert len(unverified) <= 50 + len(R12_QUEUE), (
         f"{len(unverified)} unverified slugs exceed window + overflow — "
         "rotate a subset and extend the overflow ledger"
     )
     outside = [
-        s for s in unverified if s not in DRIVER_WINDOW and s not in R11_QUEUE
+        s for s in unverified if s not in DRIVER_WINDOW and s not in R12_QUEUE
     ]
     assert not outside, (
         f"never-driver-verified slugs left outside the window and the "
@@ -175,14 +204,17 @@ def test_every_unverified_slug_is_in_the_window():
 
 
 def test_overflow_queue_has_sim_evidence():
-    """Every R11_QUEUE member must be hash-oracled (no rows-only slugs
-    hide in the overflow) and must carry a hash MATCH row in the LATEST
-    committed DRIVER_SIM artifact — the arrival-evidence rule that makes
-    the overflow a ledger rather than a loophole."""
+    """Every overflow-queue member must be hash-oracled and carry a
+    hash MATCH row in the LATEST committed DRIVER_SIM artifact — the
+    arrival-evidence rule that makes the overflow a ledger rather than
+    a loophole.  (Round 11: the queue is empty; the rule stands for
+    the next overflow.)"""
     import re
 
-    for s in R11_QUEUE:
+    for s in R12_QUEUE:
         assert s in ORACLES, f"overflow slug {s} is not hash-oracled"
+    if not R12_QUEUE:
+        return
     root = pathlib.Path(__file__).resolve().parents[1]
     sims = sorted(
         root.glob("DRIVER_SIM_r*.json"),
@@ -190,7 +222,7 @@ def test_overflow_queue_has_sim_evidence():
     )
     rows = json.loads(sims[-1].read_text())
     per_query = rows.get("queries", rows)
-    for s in R11_QUEUE:
+    for s in R12_QUEUE:
         row = per_query.get(s)
         assert row is not None, f"overflow slug {s} missing from {sims[-1].name}"
         assert row.get("status") == "match", (
@@ -199,9 +231,9 @@ def test_overflow_queue_has_sim_evidence():
 
 
 def test_sim_artifact_covers_registry():
-    """VERDICT r06 item #2 / what's-wrong #1: the committed DRIVER_SIM
-    artifact must never trail the registry — a query added after the sim
-    refresh would carry no machine evidence.  Pins the LATEST committed
+    """VERDICT r06 item #2: the committed DRIVER_SIM artifact must never
+    trail the registry — a query added after the sim refresh would
+    carry no machine evidence.  Pins the LATEST committed
     DRIVER_SIM_r*.json to the exact registry size (regenerate the
     artifact after the last registry-touching commit)."""
     import re
@@ -214,11 +246,15 @@ def test_sim_artifact_covers_registry():
     assert sims, "no DRIVER_SIM artifact committed"
     latest = sims[-1]
     rows = json.loads(latest.read_text())
-    # artifact format: {"queries": {...}} (scripts/driver_sim.py output)
     per_query = rows.get("queries", rows)
     per_query = {k: v for k, v in per_query.items() if k.startswith("q_")}
     assert len(per_query) == len(QUERIES), (
         f"{latest.name} covers {len(per_query)} queries but the registry "
-        f"has {len(QUERIES)} — regenerate the sim artifact after the last "
-        "registry-touching commit"
+        f"has {len(QUERIES)} — regenerate the sim artifact"
     )
+    bad = {
+        k: v
+        for k, v in per_query.items()
+        if v.get("status") not in ("match", "rows_only")
+    }
+    assert not bad, f"sim artifact has non-match rows: {bad}"
