@@ -227,6 +227,17 @@ HEADLINE = [
     "q_log_parse",
     "q_readability_fk",
     "q_sprt_boundary",
+    # round-11 additions: the wedge-family capped path, a second wedge
+    # consumer, ring sharding, the bounded pair join, fact-scale global
+    # rank, codec, sketch-vs-exact, and the multi-round collect class
+    "q_link_predict_capped",
+    "q_clustering_coeff",
+    "q_consistent_hash_ring",
+    "q_mk_trend",
+    "q_l_moments",
+    "q_image_quadtree",
+    "q_ams_f2",
+    "q_perceptron_rounds",
 ]
 
 
