@@ -3379,25 +3379,28 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  count(*) OVER () AS n
           FROM c),
     b AS (
+        -- b1/b2 stay HUGEINT internals: their n^2/n^3-scale magnitudes
+        -- exceed BIGINT at modest corpus sizes (the x10 probe raised
+        -- CAST_OVERFLOW at 3e21), so only the BOUNDED statistics are
+        -- emitted; the raw sums never leave the engine
         SELECT CAST(max(n) AS BIGINT) AS n,
                CAST(sum(x) AS BIGINT) AS b0_num,
-               CAST(sum(CAST(i - 1 AS HUGEINT) * x) AS BIGINT) AS b1_num,
-               CAST(sum(CAST(i - 1 AS HUGEINT) * (i - 2) * x) AS BIGINT)
-                   AS b2_num
+               sum(CAST(i - 1 AS HUGEINT) * x) AS b1_raw,
+               sum(CAST(i - 1 AS HUGEINT) * (i - 2) * x) AS b2_raw
         FROM r
     )
-    SELECT n, b0_num, b1_num, b2_num,
+    SELECT n, b0_num,
            CAST(b0_num AS DOUBLE) / CAST(n AS DOUBLE) AS l1,
            CASE WHEN n >= 2 THEN
-               2.0 * CAST(b1_num AS DOUBLE)
+               2.0 * CAST(b1_raw AS DOUBLE)
                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
                - CAST(b0_num AS DOUBLE) / CAST(n AS DOUBLE)
            ELSE NULL END AS l2,
            CASE WHEN n >= 3 THEN
-               6.0 * CAST(b2_num AS DOUBLE)
+               6.0 * CAST(b2_raw AS DOUBLE)
                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
                       * (CAST(n AS DOUBLE) - 2.0))
-               - 6.0 * CAST(b1_num AS DOUBLE)
+               - 6.0 * CAST(b1_raw AS DOUBLE)
                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
                + CAST(b0_num AS DOUBLE) / CAST(n AS DOUBLE)
            ELSE NULL END AS l3
@@ -3415,8 +3418,12 @@ def q_l_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (i from the bucketed global-rank device — the distributed exact
     order statistic, no partitionless window over the fact table);
     b1/b2 are n²/n³-scale so they accumulate in DECIMAL(38,0)/HUGEINT
-    (the r10 item #2 convention), and l1/l2/l3 are ONE fixed IEEE
-    tree each with n<2/n<3 NULL guards.
+    (the r10 item #2 convention) and stay INTERNAL — the ×10 probe
+    showed a raw BIGINT emission of b2 overflows at 3·10²¹ already, so
+    only the bounded statistics (n, b0, and the L-moments, whose
+    magnitudes are cents-scale) leave the plan; l1/l2/l3 are ONE fixed
+    IEEE tree each with n<2/n<3 NULL guards (both engines convert the
+    exact decimal/HUGEINT internals to double by round-to-nearest).
 
     Scale: rank + three accumulators in one pass over the ranked scan;
     the only shuffles are the rank device's bucket exchange."""
@@ -3436,29 +3443,28 @@ def q_l_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="i",
     )
     dec = "decimal(38,0)"
+    # b1/b2 stay DECIMAL internals and are NOT emitted raw: they are
+    # n^2/n^3-scale (the x10 probe raised CAST_OVERFLOW at 3e21 on a
+    # BIGINT emission), so only the bounded statistics leave the plan.
     b = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("b0_num"),
-        F.sum((F.col("i") - 1).cast(dec) * F.col("x").cast(dec))
-        .cast("long")
-        .alias("b1_num"),
+        F.sum((F.col("i") - 1).cast(dec) * F.col("x").cast(dec)).alias(
+            "b1_raw"
+        ),
         F.sum(
             (F.col("i") - 1).cast(dec)
             * (F.col("i") - 2).cast(dec)
             * F.col("x").cast(dec)
-        )
-        .cast("long")
-        .alias("b2_num"),
+        ).alias("b2_raw"),
     )
     nd = F.col("n").cast("double")
     b0 = F.col("b0_num").cast("double")
-    b1 = F.col("b1_num").cast("double")
-    b2 = F.col("b2_num").cast("double")
+    b1 = F.col("b1_raw").cast("double")
+    b2 = F.col("b2_raw").cast("double")
     return b.select(
         "n",
         "b0_num",
-        "b1_num",
-        "b2_num",
         (b0 / nd).alias("l1"),
         F.when(
             F.col("n") >= 2,
