@@ -295,3 +295,27 @@ class TestRound11DataPrepOps:
         # positive count <= n_types - 2; the census must never exceed 2/user
         assert total_neg <= 2 * n_users
         assert len(rows) == n_types
+
+
+def test_global_rank_div_bucket_handles_negative_keys(spark):
+    """q_l_moments ranks possibly-NEGATIVE cents with bucket =
+    x div 2^20 — valid because truncation-toward-zero div is monotone
+    non-decreasing even across the sign boundary (bit_length is NOT:
+    every negative long has bin() length 64).  Pin the device on a
+    sign-straddling key set."""
+    import pyspark.sql.functions as F
+
+    from nomad_event_streamer_spark.operators import ranking
+
+    vals = [-(2**21), -3, -1, 0, 1, 5, 2**20, 2**22]
+    df = spark.createDataFrame([(v, i) for i, v in enumerate(vals)],
+                               "x long, tie long")
+    ranked = ranking.global_row_number(
+        df,
+        [F.col("x").asc(), F.col("tie").asc()],
+        bucket=F.expr("x div 1048576"),
+        out_col="rn",
+    )
+    got = {r["x"]: r["rn"] for r in ranked.collect()}
+    expect = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert got == expect
