@@ -2277,9 +2277,12 @@ def q_viterbi_2state(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r a JOIN r b ON b.rn = a.rn + 1 AND a.sgn <> b.sgn
     ),
     agg AS (
+        -- coalesce: on an empty/all-tie sign series (every hour equals
+        -- the median) sum(sgn) is NULL while the Spark side emits 0 --
+        -- both engines report the 0-observation row identically
         SELECT CAST(count(*) AS BIGINT) AS n_obs,
-               CAST(sum(sgn) AS BIGINT) AS n_above,
-               CAST(count(*) - sum(sgn) AS BIGINT) AS n_below
+               CAST(coalesce(sum(sgn), 0) AS BIGINT) AS n_above,
+               CAST(count(*) - coalesce(sum(sgn), 0) AS BIGINT) AS n_below
         FROM s
     )
     SELECT a.n_obs, a.n_above, a.n_below,

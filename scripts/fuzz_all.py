@@ -36,6 +36,7 @@ FAMILIES = [
     ("dbscan", "fuzz_dbscan.py", 150, 15),
     ("codec", "fuzz_codec.py", 400, 40),
     ("rankcdf", "fuzz_rankcdf.py", 150, 15),
+    ("trend", "fuzz_trend.py", 120, 12),
 ]
 
 BASE_SEEDS, BASE_QUICK = 3000, 100  # fuzz_diff, the differential base
