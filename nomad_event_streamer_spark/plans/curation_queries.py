@@ -1056,14 +1056,29 @@ def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return iv.unionByName(wrap)
 
-    def assign(layout: DataFrame, out: str) -> DataFrame:
-        return keys.join(
-            F.broadcast(layout),
-            (F.col("h") >= F.col("lo")) & (F.col("h") <= F.col("hi")),
-        ).select("user_id", F.col("shard").alias(out))
-
-    a = assign(intervals(8), "s8").join(
-        assign(intervals(9), "s9"), "user_id"
+    # BOTH layouts resolve on ONE pass of the key table (two chained
+    # broadcast range joins) — assigning separately and re-joining on
+    # user_id would add a user-scale SortMergeJoin for nothing.
+    iv8 = intervals(8).select(
+        F.col("shard").alias("s8"),
+        F.col("lo").alias("lo8"),
+        F.col("hi").alias("hi8"),
+    )
+    iv9 = intervals(9).select(
+        F.col("shard").alias("s9"),
+        F.col("lo").alias("lo9"),
+        F.col("hi").alias("hi9"),
+    )
+    a = (
+        keys.join(
+            F.broadcast(iv8),
+            (F.col("h") >= F.col("lo8")) & (F.col("h") <= F.col("hi8")),
+        )
+        .join(
+            F.broadcast(iv9),
+            (F.col("h") >= F.col("lo9")) & (F.col("h") <= F.col("hi9")),
+        )
+        .select("user_id", "s8", "s9")
     )
     shards = spark.createDataFrame(
         [(s,) for s in range(1, 10)], "shard int"
@@ -1078,8 +1093,8 @@ def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users_8")
     )
     return (
-        shards.join(agg8, shards.shard == agg8.s8, "left")
-        .join(agg, shards.shard == agg.s9, "left")
+        shards.join(F.broadcast(agg8), shards.shard == agg8.s8, "left")
+        .join(F.broadcast(agg), shards.shard == agg.s9, "left")
         .select(
             F.col("shard").cast("long").alias("shard"),
             F.coalesce("n_users_8", F.lit(0)).cast("long").alias("n_users_8"),
