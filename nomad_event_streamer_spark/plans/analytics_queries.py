@@ -2561,18 +2561,28 @@ _NP_BUCKET = 1000  # cents per prefix-sum bucket
     tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
                    CAST(sum(c1) AS BIGINT) AS n1 FROM d),
     mw AS (
-        SELECT CAST(sum(c0 * (2 * (cum - cnt + 1) + cnt - 1)) AS BIGINT)
+        -- per-row products ride HUGEINT explicitly (ADVICE r11 #3):
+        -- DuckDB promotes the SUM to HUGEINT but not the row-level
+        -- multiply, so cnt³ alone overflows BIGINT at a ~2.1M-row tie
+        -- group — mirror the Spark side's DECIMAL(38,0) device
+        SELECT CAST(sum(CAST(c0 AS HUGEINT)
+                        * (2 * (cum - cnt + 1) + cnt - 1)) AS BIGINT)
                    AS r2_0,
-               CAST(sum((cnt * cnt * cnt) - cnt) AS BIGINT) AS tie_sum
+               CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS BIGINT)
+                   AS tie_sum
         FROM p
     ),
     ks AS (
-        SELECT CAST(max(abs(cum0 * t.n1 - cum1 * t.n0)) AS BIGINT) AS d_num
+        SELECT CAST(max(abs(CAST(cum0 AS HUGEINT) * t.n1
+                            - CAST(cum1 AS HUGEINT) * t.n0)) AS BIGINT)
+                   AS d_num
         FROM p, tot t
     )
     SELECT t.n0, t.n1,
-           CAST(mw.r2_0 - t.n0 * (t.n0 + 1) AS BIGINT) AS u2_0,
-           CAST(2 * t.n0 * t.n1 - (mw.r2_0 - t.n0 * (t.n0 + 1)) AS BIGINT)
+           CAST(mw.r2_0 - CAST(t.n0 AS HUGEINT) * (t.n0 + 1) AS BIGINT)
+               AS u2_0,
+           CAST(2 * CAST(t.n0 AS HUGEINT) * t.n1
+                - (mw.r2_0 - CAST(t.n0 AS HUGEINT) * (t.n0 + 1)) AS BIGINT)
                AS u2_1,
            mw.tie_sum,
            ks.d_num,
@@ -2663,9 +2673,11 @@ def q_mann_whitney_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # n²/n³-scale accumulators ride DECIMAL(38,0) (VERDICT r10 item #2 —
     # the q_drift_tri/q_cramers_v convention): Spark's non-ANSI
-    # sum(long) silently wraps past 2^63 while DuckDB promotes window/agg
-    # sums to HUGEINT, so the per-row products cast to decimal BEFORE the
-    # multiply.  Bounds with N total rows: r2_0 ≤ 2N², tie_sum ≤ N³,
+    # sum(long) silently wraps past 2^63, and DuckDB's ROW-LEVEL
+    # multiplies stay BIGINT too (only the SUM promotes to HUGEINT) —
+    # so BOTH sides cast the per-row products up BEFORE the multiply
+    # (Spark: decimal(38,0); oracle: explicit CAST .. AS HUGEINT —
+    # ADVICE r11 #3).  Bounds with N total rows: r2_0 ≤ 2N², tie_sum ≤ N³,
     # d_num ≤ N²/4 — decimal headroom 10^38 holds past N = 10^12.  The
     # BIGINT emission at the end is exact for N ≤ ~2×10⁹ (where 2N² and
     # N³... the dominant tie_sum ≤ N³ needs N ≤ 2×10⁶ in the degenerate
@@ -2774,8 +2786,12 @@ def q_mann_whitney_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- agg + crossJoin shape (found by the r11 rank/CDF fuzzer
         -- design pass; a GROUP BY here emits ZERO rows on those
         -- degenerate inputs while Spark emits one NULL row)
-        SELECT CAST(sum(abs(cum0 * t.n1 - cum1 * t.n0) * (c_next - c))
-                    AS BIGINT) AS w1_num
+        -- the gap product rides HUGEINT explicitly (ADVICE r11 #3):
+        -- DuckDB's row-level multiply stays BIGINT and would raise
+        -- where Spark's DECIMAL(38,0) device answers
+        SELECT CAST(sum(abs(CAST(cum0 AS HUGEINT) * t.n1
+                            - CAST(cum1 AS HUGEINT) * t.n0)
+                        * (c_next - c)) AS BIGINT) AS w1_num
         FROM p, tot t WHERE c_next IS NOT NULL
     )
     SELECT t.n0, t.n1, num.w1_num,
@@ -2860,8 +2876,10 @@ def q_wasserstein1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # DECIMAL(38,0) accumulator (VERDICT r10 item #2): the term
             # |cum0·n1 − cum1·n0|·gap is n²·domain-scale — Spark's
-            # non-ANSI sum(long) would wrap silently where DuckDB
-            # promotes to HUGEINT.  Bound: w1_num ≤ (N²/4)·range(c);
+            # non-ANSI sum(long) would wrap silently, and DuckDB's
+            # row-level multiply stays BIGINT (would raise), so the
+            # oracle mirrors with explicit HUGEINT casts (ADVICE r11
+            # #3).  Bound: w1_num ≤ (N²/4)·range(c);
             # decimal headroom holds past N = 10^9 even at a 10^18
             # cents range, and past the BIGINT emission bound the
             # decimal→long cast yields NULL (loud), never a wrap.
@@ -2921,7 +2939,8 @@ def q_wasserstein1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n, r, stn, strr, st2n,
            CASE WHEN r > 0 AND r < n
-                     AND n * st2n - stn * stn > 0 THEN
+                     AND CAST(n AS HUGEINT) * st2n
+                         - CAST(stn AS HUGEINT) * stn > 0 THEN
                (CAST(n AS DOUBLE) * CAST(strr AS DOUBLE)
                 - CAST(stn AS DOUBLE) * CAST(r AS DOUBLE))
                * (CAST(n AS DOUBLE) * CAST(strr AS DOUBLE)
@@ -2943,12 +2962,15 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     dose-response-shaped questions.
 
     Exactness: the five sufficient statistics (n, r, Σt·nᵢ, Σt·rᵢ,
-    Σt²·nᵢ) are SMALL-scale exact BIGINTs (each ≤ 36·N — no n²-scale
-    accumulator anywhere, so no decimal device needed), and
-    z² = (N·Σtr − Σtn·R)²·N / (R·(N−R)·(N·Σt²n − (Σtn)²)) is ONE fixed
-    IEEE expression tree over exact-integer-valued doubles (the
-    q_anova_f rule), NULL-guarded for the degenerate all/none-converted
-    and single-category inputs.
+    Σt²·nᵢ) are SMALL-scale exact BIGINTs (each ≤ 36·N, int64-safe to
+    N ≈ 2.5e17 events), and z² = (N·Σtr − Σtn·R)²·N /
+    (R·(N−R)·(N·Σt²n − (Σtn)²)) is ONE fixed IEEE expression tree over
+    exact-integer-valued doubles (the q_anova_f rule), NULL-guarded for
+    the degenerate all/none-converted and single-category inputs.  The
+    positivity GUARD's cross products n·Σt²n and (Σtn)² are n²-scale
+    (36N²-class, past int64 at N ≈ 5e8), so they ride DECIMAL(38,0) on
+    the Spark side / HUGEINT in the oracle (ADVICE r11 #1, the
+    q_zipf_slope device) — the z² VALUE itself stays in IEEE doubles.
 
     Scale: one 7-key map-side-combinable agg then a 1-row reduction —
     nothing leaves its partition unaggregated."""
@@ -2976,6 +2998,13 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     strd = F.col("strr").cast("double")
     st2nd = F.col("st2n").cast("double")
     num = nd * strd - stnd * rd
+    # Guard cross products are 36N²-scale → DECIMAL(38,0) (ADVICE r11 #1;
+    # oracle mirrors with HUGEINT).  The z² value stays IEEE-double.
+    dec = "decimal(38,0)"
+    den_exact = (
+        F.col("n").cast(dec) * F.col("st2n").cast(dec)
+        - F.col("stn").cast(dec) * F.col("stn").cast(dec)
+    )
     return a.select(
         "n",
         "r",
@@ -2983,9 +3012,7 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strr",
         "st2n",
         F.when(
-            (F.col("r") > 0)
-            & (F.col("r") < F.col("n"))
-            & (F.col("n") * F.col("st2n") - F.col("stn") * F.col("stn") > 0),
+            (F.col("r") > 0) & (F.col("r") < F.col("n")) & (den_exact > 0),
             num * num * nd / (rd * (nd - rd) * (nd * st2nd - stnd * stnd)),
         ).alias("z2"),
     )

@@ -947,9 +947,14 @@ def q_link_predict_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY w.v
     ),
     cc AS (
+        -- the ppm numerator rides HUGEINT (ADVICE r11 #2): t <= d^2/2
+        -- makes 2000000*t ~ 10^6*d^2, past BIGINT at hub degree ~3e6;
+        -- HUGEINT here / DECIMAL(38,0) on the Spark side keep both
+        -- engines exact (and agreeing) to d ~ 10^16
         SELECT deg.x AS v, deg.d, coalesce(tri.t, 0) AS t,
-               CAST(2000000 * coalesce(tri.t, 0)
-                    // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+               CAST(2000000 * CAST(coalesce(tri.t, 0) AS HUGEINT)
+                    // (CAST(deg.d AS HUGEINT) * (deg.d - 1))
+                    AS BIGINT) AS cc_ppm
         FROM deg LEFT JOIN tri ON tri.v = deg.x
         WHERE deg.d >= 2
     )
@@ -1017,8 +1022,13 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").alias("v"),
             "d",
             F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+            # the ppm numerator rides DECIMAL(38,0) (ADVICE r11 #2):
+            # t <= d²/2 makes 2000000·t ~ 10⁶·d², past int64 at hub
+            # degree ~3e6 — Spark would wrap silently (non-ANSI) where
+            # the HUGEINT oracle answers; decimal keeps both exact
             F.expr(
-                "CAST(2000000 * coalesce(t, 0) div (d * (d - 1)) AS BIGINT)"
+                "CAST((CAST(2000000 AS DECIMAL(38,0)) * coalesce(t, 0))"
+                " div (CAST(d AS DECIMAL(38,0)) * (d - 1)) AS BIGINT)"
             ).alias("cc_ppm"),
         )
     )

@@ -1214,8 +1214,6 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE user-keyed combinable agg builds the frequency vector;
     the 16-estimator expansion is a 16-row broadcast cross rolled up
     map-side (16 keys); both reductions are 1-row."""
-    from pyspark.sql import Window as _W  # noqa: F401
-
     ev = load(spark, sf_dir, "events")
     f = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("c")

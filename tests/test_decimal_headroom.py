@@ -32,6 +32,10 @@ DECIMAL_SWEPT = [
     "q_anova_f",
     "q_zipf_slope",
     "q_t_closeness",
+    # ADVICE r11 #1/#2: guard cross-products and the cc ppm numerator
+    # are 36N²- / 10⁶·d²-scale — swept in round 12.
+    "q_cochran_armitage",
+    "q_clustering_coeff",
 ]
 
 
@@ -127,6 +131,36 @@ class TestOverflowDevices:
             F.sum(F.col("x").cast(DEC) * F.col("x").cast(DEC)),
         )
         assert got == expect > 2**63
+
+    def test_trend_guard_cross_product(self, spark):
+        # q_cochran_armitage guard: n*st2n - stn^2 with operands at
+        # 2^33-scale so both products are ~2^66 > int64 (ADVICE r11 #1).
+        rows = [{"n": 2**33, "st2n": 2**33 + 77, "stn": 2**33 - 5}]
+        expect = rows[0]["n"] * rows[0]["st2n"] - rows[0]["stn"] ** 2
+        df = spark.createDataFrame(rows)
+        [row] = df.select(
+            (
+                F.col("n").cast(DEC) * F.col("st2n").cast(DEC)
+                - F.col("stn").cast(DEC) * F.col("stn").cast(DEC)
+            ).alias("s")
+        ).collect()
+        assert int(row["s"]) == expect
+
+    def test_cc_ppm_decimal_div(self, spark):
+        # q_clustering_coeff cc_ppm: 2000000*t div (d*(d-1)) with hub
+        # degree d = 2^33 (t = d^2/2, the complete-neighborhood max) —
+        # the numerator is ~10^6 * 2^65, far past int64 (ADVICE r11 #2).
+        d = 2**33
+        t = 2**50  # <= d^2/2; numerator 2e6 * 2^50 ~ 2^71 > int64
+        expect = 2000000 * t // (d * (d - 1))
+        df = spark.createDataFrame([{"t": t, "d": d}])
+        [row] = df.select(
+            F.expr(
+                "CAST((CAST(2000000 AS DECIMAL(38,0)) * coalesce(t, 0))"
+                " div (CAST(d AS DECIMAL(38,0)) * (d - 1)) AS BIGINT)"
+            ).alias("s")
+        ).collect()
+        assert int(row["s"]) == expect > 0
 
     def test_long_path_fails_where_decimal_succeeds(self, spark):
         # The hazard this file guards: the SAME shape in plain long
