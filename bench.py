@@ -176,7 +176,10 @@ HEADLINE = [
     "q_contamination_matrix",
     "q_tokenizer_compare",
     "q_jaccard_threshold_sweep",
-    "q_link_predict",
+    # q_link_predict moved to DIAGNOSTIC in round 12 (VERDICT r11 item
+    # #1): the deliberately-unguarded Σd² wedge plan is the oracle-
+    # exactness reference, not a plan we'd run at scale — the capped
+    # variant below carries the wedge family's headline number.
     "q_pq_recall_sweep",
     "q_stream_dedup_ttl",
     # round-9 fact-scale additions: OPH rides the full shingle stream
@@ -238,6 +241,26 @@ HEADLINE = [
     "q_image_quadtree",
     "q_ams_f2",
     "q_perceptron_rounds",
+    # round-12 additions: the second capped wedge consumer (replaces the
+    # uncapped q_link_predict as the wedge family's tracked plan); the
+    # suffix-array family (7 prefix-doubling rank rounds over the token
+    # stream + the binary LCP walk — the corpus-scale members); and the
+    # unigram-LM EM round (the SentencePiece counterpart to q_bpe_train:
+    # one corpus pass + 24 unrolled vocab-scale DP rounds — tracked for
+    # the same round-count-bound reason as the BPE trainer)
+    "q_adamic_adar_capped",
+    "q_maximal_repeat",
+    "q_unigram_lm_em",
+]
+
+# Oracle-exactness diagnostics (VERDICT r11 item #1): deliberately
+# UNGUARDED plans kept registered as cap-free exact references for the
+# capped variants, but excluded from the headline set — their Σd² wedge
+# volume is the textbook scale-killer and their wall-clock tracks graph
+# skew, not plan quality.  Run with SPARK_GRAFT_BENCH_SET=diagnostic.
+DIAGNOSTIC = [
+    "q_link_predict",
+    "q_adamic_adar",
 ]
 
 
@@ -278,6 +301,8 @@ def main() -> None:
     bench_set = os.environ.get("SPARK_GRAFT_BENCH_SET", "headline")
     if bench_set == "core37":
         run_list = CORE37
+    elif bench_set == "diagnostic":
+        run_list = DIAGNOSTIC
     elif bench_set.startswith("list:"):
         run_list = [q.strip() for q in bench_set[5:].split(",") if q.strip()]
     else:
@@ -349,7 +374,7 @@ def main() -> None:
     # (BENCH_r05.json "parsed": null).  The LAST stdout line must stay the
     # compact r04-shaped object.
     missing_core = [q for q in CORE37 if q not in timings]
-    if bench_set.startswith("list:"):
+    if bench_set.startswith("list:") or bench_set == "diagnostic":
         core_total = None if missing_core else sum(timings[q] for q in CORE37)
     else:
         assert (

@@ -1,0 +1,148 @@
+"""Distributed suffix ranking by prefix doubling (Manber & Myers 1993;
+Flick & Aluru, SC'15 "Parallel distributed memory construction of
+suffix and LCP arrays" — the standard bulk-synchronous suffix-array
+algorithm, which maps 1:1 onto DataFrame ops).
+
+Upgrades the ExactSubstr family (Lee et al. 2022 §4) from fixed-k
+shingle spans to TRUE suffix order: after ``rounds`` doubling steps the
+rank of every document suffix is the dense rank of its
+``2^rounds``-token prefix, so equal ranks = equal tails and
+rank-adjacent suffixes maximize the longest-common-prefix — the exact
+machinery maximal-repeat / exact-substring dedup needs.
+
+Design for 100 TB:
+- One doubling round = one self equi-join on (doc_id, pos + 2^j)
+  (co-partitioned by doc) + one dense rank.  O(log maxlen) rounds
+  TOTAL — round count is bounded by document length, NOT corpus size.
+- Dense rank never runs a partitionless window: distinct pair classes
+  (vocabulary-scale after round 0, at most suffix-scale later) ride the
+  bucketed global-rank device (operators/ranking.py) and join back.
+- Rank vectors are integers ⇒ the DuckDB oracle unrolls the identical
+  rounds as chained CTEs with plain ``dense_rank()`` windows — full
+  hash gate despite the iterative algorithm.
+
+Reference parity: the reference pipeline (app.rb:1-278) has no text
+indexing at all; this is EXT surface for the LLM-dedup north star.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from . import ranking
+
+__all__ = [
+    "token_positions",
+    "dense_rank_classes",
+    "suffix_rank_levels",
+    "suffix_cte",
+]
+
+
+def token_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok) with 1-based positions (matches DuckDB's
+    ``generate_subscripts``)."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+
+
+def dense_rank_classes(
+    df: DataFrame,
+    key_cols: list[str],
+    order_exprs: list,
+    bucket,
+    out_col: str,
+) -> DataFrame:
+    """Dense rank of ``key_cols`` under ``order_exprs`` WITHOUT a
+    partitionless window: rank the DISTINCT class table with the
+    bucketed global-rank device, then hash-join the class ranks back.
+    Equal keys share a rank by construction — exactly DuckDB's
+    ``dense_rank()`` — and the window only ever runs inside buckets of
+    the (much smaller) class table."""
+    classes = df.select(*key_cols).distinct()
+    ranked = ranking.global_row_number(classes, order_exprs, bucket, out_col)
+    return df.join(ranked, key_cols)
+
+
+def suffix_rank_levels(toks: DataFrame, rounds: int) -> list[DataFrame]:
+    """All prefix-doubling levels ``lv[j]``: (doc_id, pos, r) where r is
+    the corpus-wide dense rank of the ``2^j``-token (zero-padded)
+    prefix of the suffix at (doc_id, pos).  ``lv[rounds]`` is the final
+    suffix rank, exact for documents up to ``2^rounds`` tokens.
+
+    Each level is localCheckpointed: level j feeds BOTH level j+1 and
+    the binary LCP walk (operators consume several levels), and the
+    checkpoint also cuts the O(log n)-deep lineage (the q_mk_trend
+    posture for iterative plans)."""
+    lv = (
+        dense_rank_classes(
+            toks,
+            ["tok"],
+            [F.col("tok").asc()],
+            F.substring("tok", 1, 1),
+            "r",
+        )
+        .select("doc_id", "pos", F.col("r").cast("long").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [lv]
+    for j in range(rounds):
+        h = 1 << j
+        a, b = lv.alias("a"), lv.alias("b")
+        paired = a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + h),
+            "left",
+        ).select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.pos").alias("pos"),
+            F.col("a.r").alias("r1"),
+            F.coalesce(F.col("b.r"), F.lit(0)).cast("long").alias("r2"),
+        )
+        lv = (
+            dense_rank_classes(
+                paired,
+                ["r1", "r2"],
+                [F.col("r1").asc(), F.col("r2").asc()],
+                F.length(F.bin("r1")),
+                "r",
+            )
+            .select("doc_id", "pos", F.col("r").cast("long").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(lv)
+    return levels
+
+
+def suffix_cte(rounds: int) -> str:
+    """DuckDB CTE chain mirroring ``suffix_rank_levels`` exactly:
+    ``t`` (token positions), ``lv0`` .. ``lv{rounds}``.  Callers append
+    their own consuming CTEs / SELECT."""
+    parts = [
+        """t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    )""",
+        """lv0 AS (
+        SELECT doc_id, pos,
+               CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r
+        FROM t
+    )""",
+    ]
+    for j in range(rounds):
+        h = 1 << j
+        parts.append(
+            f"""lv{j + 1} AS (
+        SELECT a.doc_id, a.pos,
+               CAST(dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0))
+                    AS BIGINT) AS r
+        FROM lv{j} a LEFT JOIN lv{j} b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + {h}
+    )"""
+        )
+    return "WITH " + ",\n    ".join(parts)

@@ -4783,3 +4783,334 @@ def q_audio_vad_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, active_frames long,"
         " max_frame_sumabs long, first_active_frame long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Suffix ranking by prefix doubling (round 12, VERDICT r11 item #6a):
+# the true-suffix-order upgrade of the ExactSubstr family
+# ---------------------------------------------------------------------------
+
+# 2^7 = 128 >= the 100-token document bound of this data model (TESTDATA
+# max 100; guarded loudly in the queries).  Round count is O(log maxlen)
+# — bounded by document LENGTH, not corpus size, so the same 7 rounds
+# hold at 100 TB of 100-token documents; longer documents raise it
+# log-scale.
+_SUFFIX_ROUNDS = 7
+
+from ..operators import suffix as _suffix  # noqa: E402
+
+_SUFFIX_CTE = _suffix.suffix_cte(_SUFFIX_ROUNDS)
+
+
+def _suffix_guard(toks) -> None:
+    """Loud failure, never a silent wrong answer: prefix doubling with
+    _SUFFIX_ROUNDS rounds is exact only for documents <= 2^rounds
+    tokens.  One vocabulary-free agg (cheap next to the 7 rank rounds)."""
+    cap = 1 << _SUFFIX_ROUNDS
+    [row] = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()
+    )
+    if row["mx"] is not None and row["mx"] > cap:
+        raise ValueError(
+            f"suffix ranking needs {row['mx']}-token docs <= 2^rounds="
+            f"{cap}: raise _SUFFIX_ROUNDS (log-scale)"
+        )
+
+
+@query(
+    "q_suffix_rank",
+    oracle=_SUFFIX_CTE
+    + f""",
+    cls AS (
+        SELECT r, CAST(count(*) AS BIGINT) AS n_suffixes,
+               CAST(min(doc_id * 1000 + pos) AS BIGINT) AS min_gid
+        FROM lv{_SUFFIX_ROUNDS} GROUP BY r
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(DISTINCT r) AS BIGINT) AS n_classes
+        FROM lv{_SUFFIX_ROUNDS}
+    ),
+    top AS (
+        SELECT r, n_suffixes, min_gid,
+               row_number() OVER (ORDER BY n_suffixes DESC, r) AS rnk
+        FROM (SELECT * FROM cls ORDER BY n_suffixes DESC, r LIMIT 10)
+    )
+    SELECT CAST(top.r AS BIGINT) AS r, top.n_suffixes, top.min_gid,
+           CAST(top.rnk AS BIGINT) AS rnk, tot.n_total, tot.n_classes
+    FROM top, tot
+    """,
+)
+def q_suffix_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUFFIX RANKING by prefix doubling (Manber & Myers 1993; Flick &
+    Aluru SC'15 — operators/suffix.py): the dense rank of every
+    document suffix in true corpus-wide suffix order, exact for the
+    data model's <=100-token documents after 7 doubling rounds (loud
+    guard).  Emitted surface: the top-10 DUPLICATE-TAIL classes (equal
+    final rank = byte-equal suffix tails, the ExactSubstr signal) with
+    class size and first occurrence, plus total/distinct suffix counts
+    — upgrade of the fixed-k shingle spans to unbounded-length exact
+    tails.
+
+    Engine exactness: ranks are dense ranks of integer pairs (round 0:
+    ASCII tokens, binary order in both engines), so every level is
+    hash-identical; the oracle unrolls the same 7 rounds as CTE
+    dense_rank windows.
+
+    Scale: each round is ONE per-doc equi-join (co-partitioned on
+    doc_id) + ONE dense rank of the distinct pair classes via the
+    bucketed global-rank device — no partitionless window touches a
+    corpus-scale table; O(log maxlen) = 7 rounds total regardless of
+    corpus size."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = _suffix.token_positions(docs)
+    _suffix_guard(toks)
+    fin = _suffix.suffix_rank_levels(toks, _SUFFIX_ROUNDS)[-1]
+    cls = fin.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suffixes"),
+        F.min(F.col("doc_id") * 1000 + F.col("pos"))
+        .cast("long")
+        .alias("min_gid"),
+    )
+    tot = fin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.countDistinct("r").cast("long").alias("n_classes"),
+    )
+    order = [F.col("n_suffixes").desc(), F.col("r").asc()]
+    top = cls.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)  # 10-row table only
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select("r", "n_suffixes", "min_gid", "rnk", "n_total", "n_classes")
+    )
+
+
+def _maximal_repeat_oracle() -> str:
+    rounds = _SUFFIX_ROUNDS
+    parts = [
+        _SUFFIX_CTE
+        + f""",
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+    rnks AS (
+        SELECT doc_id, pos, r,
+               row_number() OVER (ORDER BY r, doc_id, pos) AS rn
+        FROM lv{rounds}
+    ),
+    w{rounds} AS (
+        SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+               b.doc_id AS doc_b, b.pos AS pos_b,
+               CAST(0 AS BIGINT) AS lcp
+        FROM rnks a JOIN rnks b ON b.rn = a.rn + 1
+    )"""
+    ]
+    for j in range(rounds - 1, -1, -1):
+        parts.append(
+            f"""w{j} AS (
+        SELECT p.doc_a, p.pos_a, p.doc_b, p.pos_b,
+               p.lcp + CASE WHEN coalesce(ra.r, 0) = coalesce(rb.r, 0)
+                             AND coalesce(ra.r, 0) > 0
+                        THEN {1 << j} ELSE 0 END AS lcp
+        FROM w{j + 1} p
+        LEFT JOIN lv{j} ra
+          ON ra.doc_id = p.doc_a AND ra.pos = p.pos_a + p.lcp
+        LEFT JOIN lv{j} rb
+          ON rb.doc_id = p.doc_b AND rb.pos = p.pos_b + p.lcp
+    )"""
+        )
+    parts.append(
+        """fin AS (
+        SELECT w.doc_a, w.pos_a, w.doc_b, w.pos_b,
+               CAST(least(w.lcp, da.n - w.pos_a + 1, db.n - w.pos_b + 1)
+                    AS BIGINT) AS lcp
+        FROM w0 w
+        JOIN dl da ON da.doc_id = w.doc_a
+        JOIN dl db ON db.doc_id = w.doc_b
+    )
+    SELECT lcp, doc_a, pos_a, doc_b, pos_b,
+           CAST(row_number() OVER (ORDER BY lcp DESC, doc_a, pos_a,
+                                   doc_b, pos_b) AS BIGINT) AS rnk
+    FROM (
+        SELECT * FROM fin
+        ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b LIMIT 10
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+@query("q_maximal_repeat", oracle=_maximal_repeat_oracle())
+def q_maximal_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL REPEATS via the suffix array + binary LCP walk
+    (Kärkkäinen & Sanders 2003 §5 applied to the prefix-doubling rank
+    tables): the top-10 longest repeated token substrings in the corpus
+    — each reported as the LCP of a rank-ADJACENT suffix pair, which is
+    sufficient because in suffix order the longest repeat is always
+    realized by some adjacent pair.  This is Lee et al. 2022's actual
+    ExactSubstr machinery (their suffix-array clusters) with unbounded
+    match length, where q_exactsubstr_cut approximates via fixed-k
+    shingles.
+
+    LCP of each adjacent pair by DESCENDING binary walk over the
+    doubling levels: if the 2^j-prefix ranks at the current offsets
+    agree, advance both offsets by 2^j — O(log maxlen) = 7 rounds of
+    per-doc equi-joins, then cap at min(tail_a, tail_b) (padded
+    equality can overshoot on equal short tails — the cap makes it
+    exact, test-pinned).
+
+    Scale: the walk is 7 rounds x 2 co-partitioned equi-joins over the
+    suffix-count table; adjacency comes from the bucketed global rank
+    (no partitionless window); top-10 is TakeOrderedAndProject."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    toks = _suffix.token_positions(docs)
+    _suffix_guard(toks)
+    levels = _suffix.suffix_rank_levels(toks, _SUFFIX_ROUNDS)
+    fin = levels[-1]
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rn = ranking.global_row_number(
+        fin,
+        [F.col("r").asc(), F.col("doc_id").asc(), F.col("pos").asc()],
+        bucket=F.length(F.bin("r")),
+        out_col="rn",
+    )
+    a, b = rn.alias("a"), rn.alias("b")
+    pairs = a.join(b, F.col("b.rn") == F.col("a.rn") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("b.pos").alias("pos_b"),
+        F.lit(0).cast("long").alias("lcp"),
+    )
+    for j in range(_SUFFIX_ROUNDS - 1, -1, -1):
+        lvj = levels[j]
+        ra = lvj.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("pos").alias("ka"),
+            F.col("r").alias("ra"),
+        )
+        rb = lvj.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("pos").alias("kb"),
+            F.col("r").alias("rb"),
+        )
+        pairs = (
+            pairs.withColumn("ka", F.col("pos_a") + F.col("lcp"))
+            .withColumn("kb", F.col("pos_b") + F.col("lcp"))
+            .join(ra, ["doc_a", "ka"], "left")
+            .join(rb, ["doc_b", "kb"], "left")
+            .select(
+                "doc_a",
+                "pos_a",
+                "doc_b",
+                "pos_b",
+                (
+                    F.col("lcp")
+                    + F.when(
+                        (F.coalesce(F.col("ra"), F.lit(0))
+                         == F.coalesce(F.col("rb"), F.lit(0)))
+                        & (F.coalesce(F.col("ra"), F.lit(0)) > 0),
+                        F.lit(1 << j),
+                    ).otherwise(F.lit(0))
+                ).alias("lcp"),
+            )
+        )
+    da = dl.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    db = dl.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    fin_pairs = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least(
+                F.col("lcp"),
+                F.col("na") - F.col("pos_a") + 1,
+                F.col("nb") - F.col("pos_b") + 1,
+            )
+            .cast("long")
+            .alias("lcp"),
+            "doc_a",
+            "pos_a",
+            "doc_b",
+            "pos_b",
+        )
+    )
+    order = [
+        F.col("lcp").desc(),
+        F.col("doc_a").asc(),
+        F.col("pos_a").asc(),
+        F.col("doc_b").asc(),
+        F.col("pos_b").asc(),
+    ]
+    top = fin_pairs.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)  # 10-row table only
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece) tokenizer: seed fit + one EM round
+# (round 12, VERDICT r11 item #6b)
+# ---------------------------------------------------------------------------
+
+from ..operators import unigram as _unigram  # noqa: E402
+
+
+@query("q_unigram_lm_fit", oracle=_unigram.unigram_fit_oracle())
+def q_unigram_lm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM SEED VOCABULARY (Kudo ACL 2018 §3 — the SentencePiece
+    unigram model's initialization): all single characters plus the
+    top-64 length-2..4 substrings by corpus frequency, each with its
+    integer surprisal cost_milli = 1000·(bitlen(total) − bitlen(freq))
+    (the house bit_length log2 device — hash-exact where float logs
+    diverge).  Top-20 pieces emitted with (freq DESC, piece) rank.
+
+    Scale: ONE corpus-sized word-frequency aggregation (the BPE
+    posture, operators/bpe.py); substring extraction and ranking run on
+    the distinct-word table — vocabulary-scale, corpus-size-free."""
+    docs = load(spark, sf_dir, "documents")
+    words = _unigram.word_freq(docs)
+    vocab = _unigram.seed_vocab(words)
+    order = [F.col("freq").desc(), F.col("piece").asc()]
+    top = vocab.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)  # 20-row table only
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@query("q_unigram_lm_em", oracle=_unigram.unigram_em_oracle())
+def q_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE UNIGRAM-LM EM ROUND (Kudo ACL 2018 §3.2, Viterbi-approximated
+    E-step as SentencePiece implements it): segment every distinct word
+    by min-total-cost Viterbi under the seed costs (ties → LONGEST
+    piece, the deterministic policy), then re-count pieces from the
+    chosen segmentations weighted by word frequency — the M-step table
+    that the next EM round would renormalize.  Top-20 pieces by
+    (new_cnt DESC, piece) with seed_freq beside new_cnt, so the emitted
+    surface IS the E→M evidence (pieces the segmenter actually uses
+    pull ahead of raw-frequency artifacts).
+
+    Engine exactness: integer costs + exact-equality backtrace let the
+    DuckDB oracle replay the identical DP — 12 unrolled forward rounds
+    and 12 backtrace rounds as chained CTEs (operators/unigram.py) —
+    a FULL hash gate over an EM algorithm.
+
+    Scale: the corpus is touched once (word counts); the DP unroll is
+    bounded by WORD LENGTH (12), not corpus size, and every DP join is
+    distinct-word × broadcast-vocab."""
+    docs = load(spark, sf_dir, "documents")
+    words = _unigram.word_freq(docs).localCheckpoint(eager=True)
+    vocab = _unigram.seed_vocab(words).localCheckpoint(eager=True)
+    emits = _unigram.viterbi_emissions(words, vocab)
+    newcnt = (
+        emits.join(words, "w")
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("new_cnt"))
+    )
+    scored = vocab.join(newcnt, "piece", "left").select(
+        "piece",
+        F.col("freq").alias("seed_freq"),
+        F.coalesce(F.col("new_cnt"), F.lit(0)).cast("long").alias("new_cnt"),
+    )
+    order = [F.col("new_cnt").desc(), F.col("piece").asc()]
+    top = scored.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)  # 20-row table only
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

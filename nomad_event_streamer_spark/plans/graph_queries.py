@@ -772,6 +772,26 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _p90(df: DataFrame, val: str, tiebreak: list) -> int:
+    """Exact-rank p90 of a distribution column — the self-calibrating
+    skew cap shared by the guarded wedge queries (q_link_predict_capped,
+    q_adamic_adar_capped).  Uses the bucketed global-rank device (no
+    partitionless window over the data-scale table) and collects ONE
+    scalar (the documented bounded-collect class)."""
+    from ..operators import ranking
+
+    ranked = ranking.global_row_number(
+        df,
+        [F.col(val).asc()] + [c.asc() for c in tiebreak],
+        bucket=F.length(F.bin(val)),
+        out_col="rn",
+    )
+    k = df.count()
+    pos = max((k * 9) // 10, 1)
+    row = ranked.where(F.col("rn") == pos).select(val).collect()
+    return int(row[0][0]) if row else 0
+
+
 @query(
     "q_link_predict_capped",
     oracle=f"""
@@ -862,7 +882,6 @@ def q_link_predict_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical shapes to q_link_predict plus two rank-select
     jobs; the caps bound the pair join at max_cell·Σ|cell| and the
     wedge join at Σ_{{d≤cap}} d² — the two quadratic blowups hubs cause."""
-    from ..operators import ranking
     from ..operators.graph import coactivity_edges, common_neighbor_candidates
     from ..tables import events
 
@@ -875,19 +894,6 @@ def q_link_predict_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-
-    def _p90(df: DataFrame, val: str, tiebreak: list) -> int:
-        ranked = ranking.global_row_number(
-            df,
-            [F.col(val).asc()] + [c.asc() for c in tiebreak],
-            bucket=F.length(F.bin(val)),
-            out_col="rn",
-        )
-        k = df.count()
-        pos = max((k * 9) // 10, 1)
-        row = ranked.where(F.col("rn") == pos).select(val).collect()
-        return int(row[0][0]) if row else 0
-
     cs = cell.groupBy("event_type", "h").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
@@ -916,6 +922,148 @@ def q_link_predict_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(*order).limit(_LP_TOPK)
     w = Window.orderBy(*order)
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "q_adamic_adar_capped",
+    oracle=f"""
+    WITH cell AS (
+        SELECT DISTINCT user_id, event_type,
+               epoch_us(ts) // 3600000000 AS h
+        FROM events
+    ),
+    cs AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+           FROM cell GROUP BY 1, 2),
+    capc AS (
+        SELECT n AS cap FROM (
+            SELECT n, row_number() OVER (ORDER BY n, event_type, h) AS rn,
+                   count(*) OVER () AS m
+            FROM cs
+        ) WHERE rn = greatest((m * 9) // 10, 1)
+    ),
+    kept AS (
+        SELECT c.user_id, c.event_type, c.h
+        FROM cell c JOIN cs USING (event_type, h) CROSS JOIN capc
+        WHERE cs.n <= capc.cap
+    ),
+    pair AS (
+        SELECT ca.user_id AS u, cb.user_id AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM kept ca
+        JOIN kept cb ON ca.event_type = cb.event_type AND ca.h = cb.h
+                    AND ca.user_id < cb.user_id
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT u AS a, v AS b FROM pair WHERE c >= {_LP_MIN_CELLS}),
+    nb AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY x),
+    capd AS (
+        SELECT d AS cap FROM (
+            SELECT d, row_number() OVER (ORDER BY d, x) AS rn,
+                   count(*) OVER () AS k
+            FROM deg
+        ) WHERE rn = greatest((k * 9) // 10, 1)
+    ),
+    mid AS (SELECT nb.x, nb.y FROM nb JOIN deg USING (x) CROSS JOIN capd
+            WHERE deg.d <= capd.cap),
+    wedge AS (
+        SELECT j1.y AS a, j2.y AS b,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(1000 // length(bin(dm.d))) AS BIGINT) AS aa_milli
+        FROM mid j1
+        JOIN mid j2 ON j1.x = j2.x AND j1.y < j2.y
+        JOIN deg dm ON dm.x = j1.x
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT w.a, w.b, w.n_common, w.aa_milli
+        FROM wedge w LEFT JOIN e ON e.a = w.a AND e.b = w.b
+        WHERE e.a IS NULL
+    )
+    SELECT a, b, n_common, aa_milli,
+           CAST(row_number() OVER (ORDER BY aa_milli DESC, n_common DESC,
+                                   a, b) AS BIGINT) AS rnk
+    FROM (
+        SELECT * FROM cand
+        ORDER BY aa_milli DESC, n_common DESC, a, b LIMIT {_LP_TOPK}
+    )
+    """,
+)
+def q_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_adamic_adar with BOTH skew guards ON (VERDICT r11 item #1 —
+    closing the registry's last unguarded quadratic-in-degree plan):
+    the Adamic-Adar scoring you actually run on a hub-skewed production
+    graph at 100 TB.  Same self-calibrating exact-rank p90 caps as
+    q_link_predict_capped (the shared ``_p90`` device): hot cells are
+    dropped before the pair join (``coactivity_edges(max_cell=cap)``)
+    and hub middles are excluded from wedge enumeration, while the
+    1/log2-degree weights stay EXACT per surviving middle (the deg
+    table is built from the capped edge set BEFORE the degree cap, so
+    weights are graph degrees, not post-filter artifacts).  The oracle
+    CTE replicates both caps exactly.
+
+    Scale: the pair join is bounded at max_cell·Σ|cell| and the wedge
+    join at Σ_{{d≤cap}} d² — linear-ish in edges with a p90 constant —
+    vs the uncapped baseline's unbounded Σd².  One extra vertex-keyed
+    join attaches the middle's degree before aggregation; the uncapped
+    q_adamic_adar stays registered as the oracle-exactness diagnostic."""
+    from ..operators.graph import coactivity_edges
+    from ..tables import events
+
+    cell = (
+        events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts_us div 3600000000").alias("h"),
+        )
+        .distinct()
+    )
+    cs = cell.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cap_cell = _p90(cs, "n", [F.col("event_type"), F.col("h")])
+    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS, max_cell=cap_cell)
+    e = e.localCheckpoint(eager=True)  # reused: deg, mid, weight, anti join
+    nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = deg.localCheckpoint(eager=True)  # reused: cap rank, filter, weight
+    cap_deg = _p90(deg, "d", [F.col("x")])
+    mid = nb.join(
+        deg.where(F.col("d") <= cap_deg).select("x"), "x", "left_semi"
+    )
+    j1 = mid.select(F.col("x").alias("m"), F.col("y").alias("a"))
+    j2 = mid.select(F.col("x").alias("m"), F.col("y").alias("b"))
+    wedge = (
+        j1.join(j2, "m")
+        .where(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("x").alias("m"), "d"), "m")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr("1000 div length(bin(d))"))
+            .cast("long")
+            .alias("aa_milli"),
+        )
+    )
+    cand = wedge.join(e, ["a", "b"], "left_anti")
+    order = [
+        F.col("aa_milli").desc(),
+        F.col("n_common").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+    ]
+    top = cand.orderBy(*order).limit(_LP_TOPK)
+    w = Window.orderBy(*order)
+    return top.select(
+        "a",
+        "b",
+        "n_common",
+        "aa_milli",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
 
 
 @query(

@@ -1,15 +1,16 @@
 """Pins the driver correctness-window rotation (VERDICT r02 item #1,
-r03 item #3, r07 items #1/#6, r08 item #1, r09 item #3, r10 item #1).
+r03 item #3, r07 items #1/#6, r08 item #1, r09 item #3, r10 item #1,
+r11 item #2).
 
 The verification driver records hard CORRECTNESS rows for only the first
-50 queries in ``all_queries()`` order.  Round 11's window = the 9
-round-10 overflow slugs (judge-oracle evidence only) + the 18 new
-round-11 ops + the 5 plan-changed re-verifies (the DECIMAL(38,0) sweep)
-+ an 18-slug OLDEST-EVIDENCE refresh.  These assertions keep the
-rotation from silently regressing: a module import reshuffling
-registration order, a window slot wasted re-verifying a fresh slug, a
-never-driver-verified slug left outside the window, or a stale-refresh
-pick that isn't actually the oldest evidence.
+50 queries in ``all_queries()`` order.  Round 12's window = the 5 new
+round-12 ops + 8 plan/oracle-changed re-verifies (the ADVICE r11
+overflow-guard sweep, the KM risk-table reformulation, and the three
+late-r11 plan changes) + a 37-slug OLDEST-EVIDENCE refresh.  These
+assertions keep the rotation from silently regressing: a module import
+reshuffling registration order, a window slot wasted re-verifying a
+fresh slug, a never-driver-verified slug left outside the window, or a
+stale-refresh pick that isn't actually the oldest evidence.
 """
 
 from __future__ import annotations
@@ -21,16 +22,17 @@ from nomad_event_streamer_spark.plans import (
     DRIVER_WINDOW,
     ORACLES,
     QUERIES,
-    R12_QUEUE,
-    RE_VERIFY_R11,
-    ROWS_ONLY_R11,
-    STALE_REFRESH_R11,
+    R13_QUEUE,
+    RE_VERIFY_R12,
+    ROWS_ONLY_R12,
+    STALE_REFRESH_R12,
     all_oracles,
     all_queries,
 )
 
 _ROUNDS = (
     "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10",
+    "r11",
 )
 
 
@@ -84,7 +86,7 @@ def test_ledger_comment_matches_registry():
     import nomad_event_streamer_spark.plans as plans_pkg
 
     src = inspect.getsource(plans_pkg)
-    comment = src.split("DRIVER_WINDOW: list[str] = [")[0]
+    comment = src.split("RE_VERIFY_R12: frozenset[str]")[0]
     assert f"{len(QUERIES)} queries" in comment, (
         f"ledger comment stale: registry has {len(QUERIES)} queries"
     )
@@ -103,12 +105,12 @@ def test_window_is_50_unique_registered_slugs():
 def test_window_rows_only_slots_are_exactly_the_declared_allowance():
     """A rows-only query in the window wastes a hard-correctness slot;
     the round-8 window already collected the 11 rows-only-by-design
-    slugs' driver rows>0 evidence, so the round-11 allowance is EMPTY —
+    slugs' driver rows>0 evidence, so the round-12 allowance is EMPTY —
     every window slug must be hash-oracled.  Pin the set exactly."""
     unoracled = {s for s in DRIVER_WINDOW if s not in ORACLES}
-    assert unoracled == set(ROWS_ONLY_R11), (
-        f"window rows-only set drifted: extra={unoracled - ROWS_ONLY_R11}, "
-        f"missing={set(ROWS_ONLY_R11) - unoracled}"
+    assert unoracled == set(ROWS_ONLY_R12), (
+        f"window rows-only set drifted: extra={unoracled - ROWS_ONLY_R12}, "
+        f"missing={set(ROWS_ONLY_R12) - unoracled}"
     )
 
 
@@ -118,8 +120,8 @@ def test_rotation_is_consistent_and_lossless():
     assert q[:50] == DRIVER_WINDOW
     # any overflow queue sits contiguously after the window: next
     # round's rotation takes it as the new window head.
-    assert q[50 : 50 + len(R12_QUEUE)] == R12_QUEUE
-    oracled_head = [s for s in DRIVER_WINDOW + R12_QUEUE if s in ORACLES]
+    assert q[50 : 50 + len(R13_QUEUE)] == R13_QUEUE
+    oracled_head = [s for s in DRIVER_WINDOW + R13_QUEUE if s in ORACLES]
     assert o[: len(oracled_head)] == oracled_head
     assert set(q) == set(QUERIES) and len(q) == len(QUERIES)
     assert set(o) == set(ORACLES) and len(o) == len(ORACLES)
@@ -128,12 +130,12 @@ def test_rotation_is_consistent_and_lossless():
 def test_window_overlap_is_only_reverify_or_stale_refresh():
     """Slugs with a cumulative driver hash-PASS row already have hard
     evidence; re-spending window slots on them is sanctioned only via
-    (a) RE_VERIFY_R11 — their optimized plan changed after the PASS —
-    or (b) STALE_REFRESH_R11 — the oldest-evidence refresh that fills
-    slots unverified work cannot (round 11: 32 unverified+reverify,
-    18 refresh)."""
+    (a) RE_VERIFY_R12 — their plan or oracle changed after the PASS —
+    or (b) STALE_REFRESH_R12 — the oldest-evidence refresh that fills
+    slots unverified work cannot (round 12: 13 unverified+reverify,
+    37 refresh)."""
     already_pass = _hash_passed(_driver_rows())
-    allowance = set(RE_VERIFY_R11) | set(STALE_REFRESH_R11)
+    allowance = set(RE_VERIFY_R12) | set(STALE_REFRESH_R12)
     overlap = [
         s for s in DRIVER_WINDOW if s in already_pass and s not in allowance
     ]
@@ -151,20 +153,20 @@ def test_stale_refresh_is_exactly_the_oldest_evidence():
         (
             (latest[s], reg_order[s], s)
             for s in latest
-            if s in QUERIES and s not in RE_VERIFY_R11
+            if s in QUERIES and s not in RE_VERIFY_R12
         ),
     )
-    expect = [s for _, _, s in candidates[: len(STALE_REFRESH_R11)]]
-    assert STALE_REFRESH_R11 == expect, (
+    expect = [s for _, _, s in candidates[: len(STALE_REFRESH_R12)]]
+    assert STALE_REFRESH_R12 == expect, (
         f"stale-refresh drifted from the oldest-evidence rule:\n"
-        f"  declared: {STALE_REFRESH_R11}\n  expected: {expect}"
+        f"  declared: {STALE_REFRESH_R12}\n  expected: {expect}"
     )
     # and refresh only fills what unverified work cannot: every slot
     # not in the refresh set must be unverified or re-verify
-    non_refresh = [s for s in DRIVER_WINDOW if s not in STALE_REFRESH_R11]
+    non_refresh = [s for s in DRIVER_WINDOW if s not in STALE_REFRESH_R12]
     passed = _hash_passed(_driver_rows())
     for s in non_refresh:
-        assert s not in passed or s in RE_VERIFY_R11
+        assert s not in passed or s in RE_VERIFY_R12
 
 
 def test_every_unverified_slug_is_in_the_window():
@@ -190,12 +192,12 @@ def test_every_unverified_slug_is_in_the_window():
             or (s not in ORACLES and s in rows_only_seen)
         )
     ]
-    assert len(unverified) <= 50 + len(R12_QUEUE), (
+    assert len(unverified) <= 50 + len(R13_QUEUE), (
         f"{len(unverified)} unverified slugs exceed window + overflow — "
         "rotate a subset and extend the overflow ledger"
     )
     outside = [
-        s for s in unverified if s not in DRIVER_WINDOW and s not in R12_QUEUE
+        s for s in unverified if s not in DRIVER_WINDOW and s not in R13_QUEUE
     ]
     assert not outside, (
         f"never-driver-verified slugs left outside the window and the "
@@ -207,13 +209,13 @@ def test_overflow_queue_has_sim_evidence():
     """Every overflow-queue member must be hash-oracled and carry a
     hash MATCH row in the LATEST committed DRIVER_SIM artifact — the
     arrival-evidence rule that makes the overflow a ledger rather than
-    a loophole.  (Round 11: the queue is empty; the rule stands for
+    a loophole.  (Round 12: the queue is empty; the rule stands for
     the next overflow.)"""
     import re
 
-    for s in R12_QUEUE:
+    for s in R13_QUEUE:
         assert s in ORACLES, f"overflow slug {s} is not hash-oracled"
-    if not R12_QUEUE:
+    if not R13_QUEUE:
         return
     root = pathlib.Path(__file__).resolve().parents[1]
     sims = sorted(
@@ -222,7 +224,7 @@ def test_overflow_queue_has_sim_evidence():
     )
     rows = json.loads(sims[-1].read_text())
     per_query = rows.get("queries", rows)
-    for s in R12_QUEUE:
+    for s in R13_QUEUE:
         row = per_query.get(s)
         assert row is not None, f"overflow slug {s} missing from {sims[-1].name}"
         assert row.get("status") == "match", (
