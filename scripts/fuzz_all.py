@@ -37,6 +37,7 @@ FAMILIES = [
     ("codec", "fuzz_codec.py", 400, 40),
     ("rankcdf", "fuzz_rankcdf.py", 150, 15),
     ("trend", "fuzz_trend.py", 120, 12),
+    ("graph", "fuzz_graph.py", 150, 12),
 ]
 
 BASE_SEEDS, BASE_QUICK = 3000, 100  # fuzz_diff, the differential base

@@ -236,6 +236,13 @@ PROBES = [
     "q_log_parse",
     "q_diff_in_diff",
     "q_sprt_boundary",
+    # round-12 additions (the 18 round-11 ops were probed via --only;
+    # their rows live in SCALE.md's r11 campaign table)
+    "q_adamic_adar_capped",
+    "q_suffix_rank",
+    "q_maximal_repeat",
+    "q_unigram_lm_fit",
+    "q_unigram_lm_em",
 ]
 
 
