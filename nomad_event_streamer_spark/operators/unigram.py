@@ -255,9 +255,11 @@ def unigram_fit_oracle(top_out: int = 20) -> str:
     )
 
 
-def unigram_em_oracle(
-    max_piece: int = MAX_PIECE, maxw: int = MAXW, top_out: int = 20
-) -> str:
+def _em_parts(max_piece: int = MAX_PIECE, maxw: int = MAXW) -> list[str]:
+    """Shared CTE chain: words → vocab costs → unrolled DP forward →
+    unrolled backtrace steps (``step_1`` .. ``step_{maxw}``).  Both EM
+    consumers (the M-step table and the per-doc token counts) append
+    their own finishers."""
     parts = [
         "WITH "
         + _words_cte()
@@ -312,14 +314,24 @@ def unigram_em_oracle(
         SELECT w, j - k AS j FROM step_{r} WHERE j - k > 0
     )"""
         )
-    emit_union = " UNION ALL ".join(
+    return parts
+
+
+def _emit_union(maxw: int = MAXW) -> str:
+    return " UNION ALL ".join(
         f"SELECT w, substr(w, j - k + 1, k) AS piece FROM step_{r}"
         for r in range(1, maxw + 1)
     )
+
+
+def unigram_em_oracle(
+    max_piece: int = MAX_PIECE, maxw: int = MAXW, top_out: int = 20
+) -> str:
+    parts = _em_parts(max_piece, maxw)
     parts.append(
         f"""newcnt AS (
         SELECT e.piece, CAST(sum(words.cnt) AS BIGINT) AS new_cnt
-        FROM ({emit_union}) e JOIN words ON words.w = e.w
+        FROM ({_emit_union(maxw)}) e JOIN words ON words.w = e.w
         GROUP BY e.piece
     )"""
     )
@@ -335,5 +347,34 @@ def unigram_em_oracle(
     ) sel
     JOIN vc ON vc.piece = sel.piece
     LEFT JOIN newcnt n ON n.piece = sel.piece
+    """
+    return sql
+
+
+def unigram_token_count_oracle(
+    max_piece: int = MAX_PIECE, maxw: int = MAXW
+) -> str:
+    """Per-document token counts under the Viterbi segmentation: each
+    word's piece count is its backtrace emission count; documents roll
+    up by word (the _bpe_token_count_oracle factoring)."""
+    parts = _em_parts(max_piece, maxw)
+    parts.append(
+        f"""wn AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM ({_emit_union(maxw)}) GROUP BY w
+    )"""
+    )
+    sql = ",\n    ".join(parts)
+    sql += """
+    SELECT d.doc_id,
+           CAST(coalesce(t.n_tok, 0) AS BIGINT) AS n_unigram_tokens
+    FROM documents d LEFT JOIN (
+        SELECT doc_id, sum(wn.n) AS n_tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents) wpd
+        JOIN wn ON wpd.w = wn.w
+        WHERE wpd.w <> ''
+        GROUP BY doc_id
+    ) t ON d.doc_id = t.doc_id
     """
     return sql

@@ -4889,7 +4889,10 @@ def q_suffix_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _maximal_repeat_oracle() -> str:
+def _lcp_walk_parts() -> list[str]:
+    """Shared CTE chain: suffix levels → adjacency (rnks) → the binary
+    LCP walk → ``fin`` (capped adjacent-pair LCPs).  Consumers append
+    their own finisher (top-k repeats; per-doc repeat profile)."""
     rounds = _SUFFIX_ROUNDS
     parts = [
         _SUFFIX_CTE
@@ -4929,8 +4932,15 @@ def _maximal_repeat_oracle() -> str:
         FROM w0 w
         JOIN dl da ON da.doc_id = w.doc_a
         JOIN dl db ON db.doc_id = w.doc_b
+    )"""
     )
-    SELECT lcp, doc_a, pos_a, doc_b, pos_b,
+    return parts
+
+
+def _maximal_repeat_oracle() -> str:
+    parts = _lcp_walk_parts()
+    parts.append(
+        """SELECT lcp, doc_a, pos_a, doc_b, pos_b,
            CAST(row_number() OVER (ORDER BY lcp DESC, doc_a, pos_a,
                                    doc_b, pos_b) AS BIGINT) AS rnk
     FROM (
@@ -4938,31 +4948,15 @@ def _maximal_repeat_oracle() -> str:
         ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b LIMIT 10
     )"""
     )
-    return ",\n    ".join(parts)
+    # the last part is the final SELECT, not a CTE
+    return ",\n    ".join(parts[:-1]) + "\n    " + parts[-1]
 
 
-@query("q_maximal_repeat", oracle=_maximal_repeat_oracle())
-def q_maximal_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MAXIMAL REPEATS via the suffix array + binary LCP walk
-    (Kärkkäinen & Sanders 2003 §5 applied to the prefix-doubling rank
-    tables): the top-10 longest repeated token substrings in the corpus
-    — each reported as the LCP of a rank-ADJACENT suffix pair, which is
-    sufficient because in suffix order the longest repeat is always
-    realized by some adjacent pair.  This is Lee et al. 2022's actual
-    ExactSubstr machinery (their suffix-array clusters) with unbounded
-    match length, where q_exactsubstr_cut approximates via fixed-k
-    shingles.
-
-    LCP of each adjacent pair by DESCENDING binary walk over the
-    doubling levels: if the 2^j-prefix ranks at the current offsets
-    agree, advance both offsets by 2^j — O(log maxlen) = 7 rounds of
-    per-doc equi-joins, then cap at min(tail_a, tail_b) (padded
-    equality can overshoot on equal short tails — the cap makes it
-    exact, test-pinned).
-
-    Scale: the walk is 7 rounds x 2 co-partitioned equi-joins over the
-    suffix-count table; adjacency comes from the bucketed global rank
-    (no partitionless window); top-10 is TakeOrderedAndProject."""
+def _suffix_lcp_pairs(spark: SparkSession, sf_dir: str):
+    """(toks, fin_pairs): token positions plus the capped LCPs of every
+    rank-adjacent suffix pair — the shared scaffold of the maximal-
+    repeat and repeat-profile consumers (mirrors the oracle's
+    ``_lcp_walk_parts`` chain exactly)."""
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
     toks = _suffix.token_positions(docs)
     _suffix_guard(toks)
@@ -5035,6 +5029,32 @@ def q_maximal_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_b",
         )
     )
+    return toks, fin_pairs
+
+
+@query("q_maximal_repeat", oracle=_maximal_repeat_oracle())
+def q_maximal_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL REPEATS via the suffix array + binary LCP walk
+    (Kärkkäinen & Sanders 2003 §5 applied to the prefix-doubling rank
+    tables): the top-10 longest repeated token substrings in the corpus
+    — each reported as the LCP of a rank-ADJACENT suffix pair, which is
+    sufficient because in suffix order the longest repeat is always
+    realized by some adjacent pair.  This is Lee et al. 2022's actual
+    ExactSubstr machinery (their suffix-array clusters) with unbounded
+    match length, where q_exactsubstr_cut approximates via fixed-k
+    shingles.
+
+    LCP of each adjacent pair by DESCENDING binary walk over the
+    doubling levels: if the 2^j-prefix ranks at the current offsets
+    agree, advance both offsets by 2^j — O(log maxlen) = 7 rounds of
+    per-doc equi-joins, then cap at min(tail_a, tail_b) (padded
+    equality can overshoot on equal short tails — the cap makes it
+    exact, test-pinned).
+
+    Scale: the walk is 7 rounds x 2 co-partitioned equi-joins over the
+    suffix-count table; adjacency comes from the bucketed global rank
+    (no partitionless window); top-10 is TakeOrderedAndProject."""
+    _, fin_pairs = _suffix_lcp_pairs(spark, sf_dir)
     order = [
         F.col("lcp").desc(),
         F.col("doc_a").asc(),
@@ -5114,3 +5134,132 @@ def q_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(*order).limit(20)
     w = Window.orderBy(*order)  # 20-row table only
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "q_unigram_token_count",
+    oracle=_unigram.unigram_token_count_oracle(),
+)
+def q_unigram_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the UNIGRAM-LM Viterbi
+    segmentation — the SentencePiece-encode counterpart of
+    q_bpe_token_count, and the budget number that decides between the
+    two tokenizer families (fertility = tokens/word falls out of this
+    against q_token_count).  Each distinct word's token count is its
+    backtrace emission count; documents roll up by word (the
+    q_bpe_token_count per-word memo factoring — the corpus-scale side
+    never runs the DP, it joins the vocabulary-scale result).
+
+    Scale: word counts are the ONE corpus pass; the DP is word-length-
+    bound on the distinct-word table; the rollup is a words-keyed join
+    + doc-keyed combinable sum."""
+    docs = load(spark, sf_dir, "documents")
+    words = _unigram.word_freq(docs).localCheckpoint(eager=True)
+    vocab = _unigram.seed_vocab(words).localCheckpoint(eager=True)
+    emits = _unigram.viterbi_emissions(words, vocab)
+    wn = emits.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .join(wn, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_tok"))
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tok"), F.lit(0))
+        .cast("long")
+        .alias("n_unigram_tokens"),
+    )
+
+
+_REPEAT_L = 8  # duplicated-position threshold, tokens
+
+
+def _repeat_profile_oracle() -> str:
+    parts = _lcp_walk_parts()
+    parts.append(
+        """nl AS (
+        SELECT doc_id, pos, CAST(max(lcp) AS BIGINT) AS nlcp
+        FROM (
+            SELECT doc_a AS doc_id, pos_a AS pos, lcp FROM fin
+            UNION ALL
+            SELECT doc_b, pos_b, lcp FROM fin
+        ) GROUP BY doc_id, pos
+    )"""
+    )
+    parts.append(
+        f"""prof AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN nlcp >= {_REPEAT_L} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_pos,
+               CAST(max(nlcp) AS BIGINT) AS max_lcp,
+               CAST(sum(nlcp) AS BIGINT) AS lcp_mass
+        FROM nl GROUP BY doc_id
+    )"""
+    )
+    sql = ",\n    ".join(parts)
+    sql += """
+    SELECT d.doc_id, dl.n AS n_pos,
+           coalesce(p.n_dup_pos, 0) AS n_dup_pos,
+           coalesce(p.max_lcp, 0) AS max_lcp,
+           coalesce(p.lcp_mass, 0) AS lcp_mass
+    FROM documents d
+    JOIN dl ON dl.doc_id = d.doc_id
+    LEFT JOIN prof p ON p.doc_id = d.doc_id
+    """
+    return sql
+
+
+@query("q_repeat_profile", oracle=_repeat_profile_oracle())
+def q_repeat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT REPEAT-MASS PROFILE from the true suffix order: for
+    every suffix position, its neighbor LCP (the longest prefix it
+    shares with ANY other corpus suffix — a standard suffix-array fact:
+    the best match is always a rank neighbor), rolled up per document
+    as n_dup_pos (positions whose best match >= 8 tokens — the
+    ExactSubstr cut-eligibility count), max_lcp, and lcp_mass (the
+    Σ-neighbor-LCP duplication budget).  This is the signal fixed-k
+    shingles cannot give: q_dup_spans knows a position shares SOME
+    k-gram; this knows HOW LONG the real shared span is, per position,
+    with unbounded length.
+
+    Scale: the LCP scaffold shared with q_maximal_repeat (7 doubling
+    rounds + the 7-level walk, all per-doc/pair equi-joins), then ONE
+    position-keyed max and ONE doc-keyed combinable rollup."""
+    toks, fin_pairs = _suffix_lcp_pairs(spark, sf_dir)
+    nl = (
+        fin_pairs.select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("pos_a").alias("pos"),
+            "lcp",
+        )
+        .unionAll(
+            fin_pairs.select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("pos_b").alias("pos"),
+                "lcp",
+            )
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.max("lcp").cast("long").alias("nlcp"))
+    )
+    prof = nl.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("nlcp") >= _REPEAT_L, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_pos"),
+        F.max("nlcp").cast("long").alias("max_lcp"),
+        F.sum("nlcp").cast("long").alias("lcp_mass"),
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos")
+    )
+    return dl.join(prof, "doc_id", "left").select(
+        "doc_id",
+        "n_pos",
+        F.coalesce(F.col("n_dup_pos"), F.lit(0)).cast("long").alias("n_dup_pos"),
+        F.coalesce(F.col("max_lcp"), F.lit(0)).cast("long").alias("max_lcp"),
+        F.coalesce(F.col("lcp_mass"), F.lit(0)).cast("long").alias("lcp_mass"),
+    )

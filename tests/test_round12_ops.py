@@ -306,3 +306,77 @@ class TestUnigramReferee:
                 vocab[p],
                 n,
             )
+
+
+class TestSuffixConsumersReferee:
+    """Referees for the two late round-12 consumers (R13_QUEUE)."""
+
+    def test_repeat_profile(self, spark):
+        toks = _corpus_tokens(spark)
+        sufs = TestSuffixReferee._sorted_suffixes(toks)
+        from collections import defaultdict
+
+        nlcp = defaultdict(int)
+        for (ta, da, pa), (tb, db, pb) in zip(sufs, sufs[1:]):
+            lcp = 0
+            for x, y in zip(ta, tb):
+                if x != y:
+                    break
+                lcp += 1
+            nlcp[(da, pa)] = max(nlcp[(da, pa)], lcp)
+            nlcp[(db, pb)] = max(nlcp[(db, pb)], lcp)
+        want = {}
+        for d, ts in toks.items():
+            vals = [nlcp[(d, p)] for p in range(1, len(ts) + 1)]
+            want[d] = (
+                len(ts),
+                sum(1 for v in vals if v >= 8),
+                max(vals) if vals else 0,
+                sum(vals),
+            )
+        got = {
+            r["doc_id"]: (
+                r["n_pos"],
+                r["n_dup_pos"],
+                r["max_lcp"],
+                r["lcp_mass"],
+            )
+            for r in QUERIES["q_repeat_profile"](spark, SF).collect()
+        }
+        assert got == want
+
+    def test_unigram_token_count(self, spark):
+        toks = _corpus_tokens(spark)
+        words, vocab, cost = TestUnigramReferee._model(toks)
+        # per-word Viterbi piece count (same DP as the EM referee)
+        wn = {}
+        for w in words:
+            n = len(w)
+            dp = [0] + [None] * n
+            for j in range(1, n + 1):
+                best = None
+                for k in range(1, min(4, j) + 1):
+                    piece = w[j - k:j]
+                    if piece in cost and dp[j - k] is not None:
+                        cand = dp[j - k] + cost[piece]
+                        if best is None or cand < best:
+                            best = cand
+                dp[j] = best
+            cnt, j = 0, n
+            while j > 0:
+                pick = None
+                for k in range(1, min(4, j) + 1):
+                    piece = w[j - k:j]
+                    if piece in cost and dp[j - k] + cost[piece] == dp[j]:
+                        pick = k
+                cnt += 1
+                j -= pick
+            wn[w] = cnt
+        want = {
+            d: sum(wn[w] for w in ts if w) for d, ts in toks.items()
+        }
+        got = {
+            r["doc_id"]: r["n_unigram_tokens"]
+            for r in QUERIES["q_unigram_token_count"](spark, SF).collect()
+        }
+        assert got == want
