@@ -5263,3 +5263,143 @@ def q_repeat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("max_lcp"), F.lit(0)).cast("long").alias("max_lcp"),
         F.coalesce(F.col("lcp_mass"), F.lit(0)).cast("long").alias("lcp_mass"),
     )
+
+
+# --- Round-12 late addition (R13_QUEUE): DSIR importance weights ---
+
+# DSIR hashed-feature space: unigrams hashed into 256 buckets via the
+# portable md5 device (identical literal in both engines).
+_DSIR_BUCKETS = 256
+
+
+def _dsir_oracle() -> str:
+    """DuckDB twin of q_dsir_weights: hashed-unigram bucket counts for
+    the target (lang='en') and raw (all docs) distributions, add-1
+    smoothed bit-length log importance ratio summed per document."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)
+                 % {_DSIR_BUCKETS} AS b
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        )
+    ),
+    raw_b AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS cr FROM toks GROUP BY b
+    ),
+    tgt_b AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS ct FROM toks
+        WHERE lang = 'en' GROUP BY b
+    ),
+    totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS tr,
+               CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tt
+        FROM toks
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               (CAST(length(bin(coalesce(g.ct, 0) + 1)) AS BIGINT)
+                - CAST(length(bin(r.cr + 1)) AS BIGINT))
+               - (CAST(length(bin(z.tt + {_DSIR_BUCKETS})) AS BIGINT)
+                  - CAST(length(bin(z.tr + {_DSIR_BUCKETS})) AS BIGINT))
+                 AS s_bits
+        FROM toks t
+        JOIN raw_b r ON r.b = t.b
+        LEFT JOIN tgt_b g ON g.b = t.b
+        CROSS JOIN totals z
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(count(s.s_bits), 0) AS BIGINT) AS n_toks,
+           CAST(coalesce(sum(s.s_bits), 0) AS BIGINT) AS w_bits
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    GROUP BY d.doc_id
+    """
+
+
+@query("q_dsir_weights", oracle=_dsir_oracle())
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 — public):
+    estimate target and raw distributions over a HASHED feature space
+    (unigrams → 256 md5 buckets, the portable md5-to-int device), then
+    score every document by the summed per-token log importance ratio
+    log p_target(b) − p_raw(b).  Documents whose hashed-feature profile
+    looks like the target domain (here lang='en') score high; DSIR then
+    resamples by these weights — the selection signal is THIS table.
+
+    Integer form: logs are floor-log2 via the house bit-length device
+    (length(bin(x)) — exact, engine-portable, within 1 bit), with add-1
+    smoothing on bucket counts and add-B on the totals, so
+    s = [bitlen(ct+1) − bitlen(Tt+B)] − [bitlen(cr+1) − bitlen(Tr+B)]
+    per position, summed per doc.  Every count is data-scale (< 2⁶³) so
+    BIGINT suffices throughout — no decimal device needed here (the
+    bit-length ratio replaces the cross products that would need it).
+
+    Scale: ONE token explode feeds both distribution estimates (256-row
+    tables) and the position stream; the 256-row bucket tables and the
+    1-row totals broadcast; the only data-scale shuffle is the per-doc
+    sum (combinable).  This is DSIR's own scalability argument — hashing
+    collapses the vocabulary to a constant-size model — expressed as
+    broadcast joins."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    tks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tks).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    raw_b = toks.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt_b = (
+        toks.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("tr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("tt"),
+    )
+    from ..operators.sketch import int_bit_length as nbits
+    scored = (
+        toks.join(F.broadcast(raw_b), "b")
+        .join(F.broadcast(tgt_b), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                (
+                    nbits(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    - nbits(F.col("cr") + 1)
+                )
+                - (
+                    nbits(F.col("tt") + F.lit(_DSIR_BUCKETS))
+                    - nbits(F.col("tr") + F.lit(_DSIR_BUCKETS))
+                )
+            )
+            .cast("long")
+            .alias("s_bits"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("s_bits").cast("long").alias("n_toks"),
+            F.coalesce(F.sum("s_bits"), F.lit(0))
+            .cast("long")
+            .alias("w_bits"),
+        )
+    )

@@ -3282,6 +3282,112 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pack_assign",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS n_tok
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, least(n_tok, 128) AS eff
+        FROM d WHERE n_tok > 0
+    ),
+    c AS (
+        SELECT doc_id, eff,
+               CASE WHEN eff = 1 THEN 1
+                    ELSE (CAST(1 AS BIGINT) << length(bin(eff - 1)))
+               END AS cls
+        FROM e
+    ),
+    r AS (
+        SELECT doc_id, eff, cls,
+               row_number() OVER (PARTITION BY cls ORDER BY doc_id) - 1
+                 AS idx
+        FROM c
+    ),
+    a AS (
+        SELECT cls, eff, idx // (128 // cls) AS window_id FROM r
+    )
+    SELECT CAST(cls AS BIGINT) AS cls,
+           CAST(window_id AS BIGINT) AS window_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(eff) AS BIGINT) AS sum_tok,
+           CAST(count(*) * cls - sum(eff) AS BIGINT) AS slot_pad,
+           CAST(128 - count(*) * cls AS BIGINT) AS tail_pad
+    FROM a
+    GROUP BY cls, window_id
+    """,
+)
+def q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-straddle sequence-packing ASSIGNMENT for a 128-token context:
+    round each document's (truncated) length up to a power of two — its
+    slot class — and pack 128/cls docs of class cls per training
+    window, slots allocated by within-class arrival rank (doc_id).
+    Unlike q_pack_sequences (GPT-style concat-and-split, documents may
+    straddle windows), this is the BERT/T5-style packing that never
+    crosses a document boundary, so attention masks stay per-document;
+    the power-of-two class discretization is what makes it assignable
+    with NO global sequential pass — the classic first-fit queue
+    collapses to per-class integer division.  Emits the per-window
+    audit: docs, token mass, intra-slot padding (cls − eff per doc) and
+    empty-slot tail padding — the two waste terms a packing dashboard
+    tracks separately (slot_pad is bounded by the class geometry,
+    tail_pad only ever hits each class's LAST window).
+
+    Scale: one narrow scan computes (eff, cls); the within-class rank
+    uses the bucketed distributed sort-rank (operators/ranking.py) with
+    the fixed monotone bucket cls·64 + bit_length(doc_id+1) — ~8
+    classes × ~60 log-buckets of parallel row_number, never a
+    single-task window, no sampling pass; window ids are pure
+    projection and the rollup is a combinable (cls, window) aggregate.
+    The only driver-scale state is the ≤8-row class-offset broadcast."""
+    from ..operators import ranking
+
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    nbits = int_bit_length
+    tks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    e = (
+        docs.select("doc_id", F.size(tks).cast("long").alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+        .select(
+            "doc_id", F.least(F.col("n_tok"), F.lit(128)).alias("eff")
+        )
+    )
+    c = e.select(
+        "doc_id",
+        "eff",
+        F.when(F.col("eff") == 1, F.lit(1))
+        .otherwise(F.expr("shiftleft(1L, length(conv(eff - 1, 10, 2)))"))
+        .cast("long")
+        .alias("cls"),
+    )
+    ranked = ranking.global_row_number(
+        c,
+        [F.col("cls").asc(), F.col("doc_id").asc()],
+        bucket=F.col("cls") * 64 + nbits(F.col("doc_id") + 1),
+        out_col="rn",
+    )
+    cls_off = ranked.groupBy("cls").agg(F.min("rn").alias("rn0"))
+    a = ranked.join(F.broadcast(cls_off), "cls").select(
+        "cls",
+        "eff",
+        F.expr("(rn - rn0) div (128 div cls)").alias("window_id"),
+    )
+    return a.groupBy("cls", "window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("eff").cast("long").alias("sum_tok"),
+        (F.count(F.lit(1)) * F.col("cls") - F.sum("eff"))
+        .cast("long")
+        .alias("slot_pad"),
+        (F.lit(128) - F.count(F.lit(1)) * F.col("cls"))
+        .cast("long")
+        .alias("tail_pad"),
+    )
+
+
+@query(
     "q_dup_spans",
     oracle="""
     WITH sp AS (

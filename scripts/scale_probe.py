@@ -243,6 +243,8 @@ PROBES = [
     "q_maximal_repeat",
     "q_unigram_lm_fit",
     "q_unigram_lm_em",
+    "q_dsir_weights",
+    "q_pack_assign",
 ]
 
 

@@ -380,3 +380,124 @@ class TestSuffixConsumersReferee:
             for r in QUERIES["q_unigram_token_count"](spark, SF).collect()
         }
         assert got == want
+
+
+class TestDsirReferee:
+    """q_dsir_weights (R13_QUEUE): oracle parity plus a pure-Python
+    referee that replays the hashed-bucket importance weights from the
+    raw parquet, independent of both engines."""
+
+    def test_oracle_parity_sf0001(self, spark):
+        from tests.oracle_compare import compare, duckdb_connection
+
+        con = duckdb_connection(SF)
+        compare(QUERIES["q_dsir_weights"](spark, SF), con,
+                ORACLES["q_dsir_weights"])
+
+    def test_python_referee(self, spark):
+        import hashlib
+        from collections import Counter
+
+        import duckdb
+
+        B = 256
+        docs = duckdb.connect().execute(
+            f"SELECT doc_id, text, lang FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+
+        def bucket(tok: str) -> int:
+            return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+        cr: Counter = Counter()
+        ct: Counter = Counter()
+        per_doc: dict = {}
+        for doc_id, text, lang in docs:
+            bs = [bucket(t) for t in text.split(" ") if t]
+            per_doc[doc_id] = bs
+            cr.update(bs)
+            if lang == "en":
+                ct.update(bs)
+        tr, tt = sum(cr.values()), sum(ct.values())
+        k = (tt + B).bit_length() - (tr + B).bit_length()
+        want = {
+            d: (
+                len(bs),
+                sum(
+                    (ct[b] + 1).bit_length() - (cr[b] + 1).bit_length() - k
+                    for b in bs
+                ),
+            )
+            for d, bs in per_doc.items()
+        }
+        got = {
+            r["doc_id"]: (r["n_toks"], r["w_bits"])
+            for r in QUERIES["q_dsir_weights"](spark, SF).collect()
+        }
+        assert got == want
+
+
+class TestPackAssignReferee:
+    """q_pack_assign (R13_QUEUE): oracle parity plus a pure-Python
+    first-fit-by-class referee and the packing invariants."""
+
+    def test_oracle_parity_sf0001(self, spark):
+        from tests.oracle_compare import compare, duckdb_connection
+
+        con = duckdb_connection(SF)
+        compare(QUERIES["q_pack_assign"](spark, SF), con,
+                ORACLES["q_pack_assign"])
+
+    def test_python_referee(self, spark):
+        import duckdb
+        from collections import defaultdict
+
+        docs = duckdb.connect().execute(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        by_cls = defaultdict(list)
+        for doc_id, text in docs:
+            n = len([t for t in text.split(" ") if t])
+            if n == 0:
+                continue
+            eff = min(n, 128)
+            cls = 1 if eff == 1 else 1 << (eff - 1).bit_length()
+            by_cls[cls].append(eff)
+        want = {}
+        for cls, effs in by_cls.items():
+            cap = 128 // cls
+            for i, eff in enumerate(effs):  # already doc_id-ordered
+                key = (cls, i // cap)
+                n_docs, sum_tok = want.get(key, (0, 0))
+                want[key] = (n_docs + 1, sum_tok + eff)
+        want = {
+            k: (nd, st, nd * k[0] - st, 128 - nd * k[0])
+            for k, (nd, st) in want.items()
+        }
+        got = {
+            (r["cls"], r["window_id"]): (
+                r["n_docs"], r["sum_tok"], r["slot_pad"], r["tail_pad"]
+            )
+            for r in QUERIES["q_pack_assign"](spark, SF).collect()
+        }
+        assert got == want
+
+    def test_window_invariants(self, spark):
+        """Every window respects the 128-token budget: docs*cls <= 128,
+        both pads nonnegative, and within a class only the LAST window
+        may be partially filled."""
+        rows = QUERIES["q_pack_assign"](spark, SF).collect()
+        from collections import defaultdict
+
+        per_cls = defaultdict(list)
+        for r in rows:
+            assert r["n_docs"] * r["cls"] <= 128
+            assert r["slot_pad"] >= 0 and r["tail_pad"] >= 0
+            per_cls[r["cls"]].append((r["window_id"], r["tail_pad"]))
+        for cls, ws in per_cls.items():
+            ws.sort()
+            ids = [w for w, _ in ws]
+            assert ids == list(range(len(ids)))  # dense window ids
+            for w, tail in ws[:-1]:
+                assert tail == 0, f"non-final window {w} of cls {cls} short"
