@@ -38,6 +38,7 @@ FAMILIES = [
     ("rankcdf", "fuzz_rankcdf.py", 150, 15),
     ("trend", "fuzz_trend.py", 120, 12),
     ("graph", "fuzz_graph.py", 150, 12),
+    ("suffix", "fuzz_suffix.py", 120, 7),
 ]
 
 BASE_SEEDS, BASE_QUICK = 3000, 100  # fuzz_diff, the differential base

@@ -245,6 +245,8 @@ PROBES = [
     "q_unigram_lm_em",
     "q_dsir_weights",
     "q_pack_assign",
+    "q_repeat_profile",
+    "q_unigram_token_count",
 ]
 
 
