@@ -1102,3 +1102,117 @@ def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("moved_in", F.lit(0)).cast("long").alias("moved_in"),
         )
     )
+
+
+@query(
+    "q_rendezvous_hash",
+    oracle="""
+    WITH k AS (SELECT DISTINCT user_id FROM events),
+    w AS (
+        SELECT k.user_id, s.s,
+               CAST(concat('0x', substring(md5(
+                   concat('hrw:', CAST(s.s AS VARCHAR), ':',
+                          CAST(k.user_id AS VARCHAR))), 1, 14))
+                   AS BIGINT) * 16 + s.s AS packed
+        FROM k CROSS JOIN range(1, 10) s(s)
+    ),
+    a AS (
+        SELECT user_id,
+               max(packed) FILTER (WHERE s <= 8) % 16 AS s8,
+               max(packed) % 16 AS s9
+        FROM w GROUP BY user_id
+    )
+    SELECT s.s AS shard,
+           CAST(coalesce(sum(CASE WHEN a.s8 = s.s THEN 1 END), 0)
+                AS BIGINT) AS n_users_8,
+           CAST(coalesce(sum(CASE WHEN a.s9 = s.s THEN 1 END), 0)
+                AS BIGINT) AS n_users_9,
+           CAST(coalesce(sum(CASE WHEN a.s9 = s.s AND a.s8 <> a.s9
+                                  THEN 1 END), 0)
+                AS BIGINT) AS moved_in
+    FROM range(1, 10) s(s) LEFT JOIN a ON TRUE
+    GROUP BY s.s
+    """,
+)
+def q_rendezvous_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (HIGHEST-RANDOM-WEIGHT) sharding (Thaler &
+    Ravishankar 1998 — the OTHER classic stable-placement scheme,
+    q_consistent_hash_ring's companion): every key goes to the shard with
+    the highest hash weight h(key, shard), no ring, no vnodes.  Same
+    audit as the ring query — assign every user under 8 shards, again
+    under 9, report per-shard populations and moved-in counts — but
+    HRW's guarantee is STRONGER than the ring's ~1/9: keys move ONLY
+    when the NEW shard wins their argmax, so moved_in is hash-pinned
+    to 0 for shards 1..8 and all movement lands on shard 9 (exactly
+    minimal migration, and the hash gate proves it on this corpus).
+
+    Integer argmax without max_by tie ambiguity: weight = 56-bit md5
+    int (14 hex chars) packed as w*16 + shard, one BIGINT max per
+    world (s<=8 filtered / all 9), shard = max % 16 — deterministic in
+    both engines even under (never-observed) weight collisions.
+
+    Scale: the per-key cost is 9 hash evaluations (one explode by a
+    9-element literal range — data-scale projection, NO join at all,
+    where the ring needs its broadcast range join), one combinable
+    per-key max, and a 9-row rollup.  HRW trades the ring's O(1)
+    per-key lookup for O(shards) hashes — the standard trade until
+    shard counts reach thousands; q_consistent_hash_ring covers that
+    regime."""
+    ev = load(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct()
+    w = keys.select(
+        "user_id", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("s")
+    ).select(
+        "user_id",
+        "s",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("hrw:"),
+                            F.col("s").cast("string"),
+                            F.lit(":"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * 16
+            + F.col("s")
+        ).alias("packed"),
+    )
+    a = w.groupBy("user_id").agg(
+        (F.max(F.when(F.col("s") <= 8, F.col("packed"))) % 16).alias("s8"),
+        (F.max("packed") % 16).alias("s9"),
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("shard"))
+    agg = (
+        a.groupBy("s9")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users_9"),
+            F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0))
+            .cast("long")
+            .alias("moved_in"),
+        )
+        .withColumnRenamed("s9", "shard")
+    )
+    agg8 = (
+        a.groupBy("s8")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users_8"))
+        .withColumnRenamed("s8", "shard")
+    )
+    return (
+        spine.join(F.broadcast(agg8), "shard", "left")
+        .join(F.broadcast(agg), "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_users_8", F.lit(0)).cast("long").alias("n_users_8"),
+            F.coalesce("n_users_9", F.lit(0)).cast("long").alias("n_users_9"),
+            F.coalesce("moved_in", F.lit(0)).cast("long").alias("moved_in"),
+        )
+    )

@@ -247,6 +247,7 @@ PROBES = [
     "q_pack_assign",
     "q_repeat_profile",
     "q_unigram_token_count",
+    "q_rendezvous_hash",
 ]
 
 

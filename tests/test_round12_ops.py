@@ -501,3 +501,56 @@ class TestPackAssignReferee:
             assert ids == list(range(len(ids)))  # dense window ids
             for w, tail in ws[:-1]:
                 assert tail == 0, f"non-final window {w} of cls {cls} short"
+
+
+class TestRendezvousReferee:
+    """q_rendezvous_hash (R13_QUEUE): oracle parity, a pure-Python HRW
+    referee, and the minimal-migration property the docstring pins."""
+
+    def test_oracle_parity_sf0001(self, spark):
+        from tests.oracle_compare import compare, duckdb_connection
+
+        con = duckdb_connection(SF)
+        compare(QUERIES["q_rendezvous_hash"](spark, SF), con,
+                ORACLES["q_rendezvous_hash"])
+
+    def test_python_referee_and_minimal_migration(self, spark):
+        import hashlib
+
+        import duckdb
+
+        users = [
+            r[0]
+            for r in duckdb.connect().execute(
+                f"SELECT DISTINCT user_id FROM "
+                f"read_parquet('{SF}/events.parquet')"
+            ).fetchall()
+        ]
+
+        def w(u, s):
+            h = hashlib.md5(f"hrw:{s}:{u}".encode()).hexdigest()
+            return int(h[:14], 16) * 16 + s
+
+        n8: dict = {}
+        n9: dict = {}
+        moved: dict = {}
+        for u in users:
+            packed = {s: w(u, s) for s in range(1, 10)}
+            s8 = max((packed[s] for s in range(1, 9)))
+            s9 = max(packed.values())
+            s8, s9 = s8 % 16, s9 % 16
+            n8[s8] = n8.get(s8, 0) + 1
+            n9[s9] = n9.get(s9, 0) + 1
+            if s8 != s9:
+                moved[s9] = moved.get(s9, 0) + 1
+        got = {
+            r["shard"]: (r["n_users_8"], r["n_users_9"], r["moved_in"])
+            for r in QUERIES["q_rendezvous_hash"](spark, SF).collect()
+        }
+        assert set(got) == set(range(1, 10))
+        for s in range(1, 10):
+            assert got[s] == (n8.get(s, 0), n9.get(s, 0), moved.get(s, 0))
+        # HRW's exactly-minimal migration: movement ONLY to the new shard
+        for s in range(1, 9):
+            assert got[s][2] == 0
+        assert got[9][1] == got[9][2]  # everything on shard 9 just moved
