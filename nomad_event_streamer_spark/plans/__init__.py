@@ -51,14 +51,14 @@ from . import pipeline_queries  # noqa: E402,F401
 #      selection is deterministic: sort by (latest evidence round,
 #      registration order), take 37 (test-recomputed in
 #      tests/test_driver_window.py).
-# A green r12 window retires every r02 row.  Five late round-12 ops
+# A green r12 window retires every r02 row.  Six late round-12 ops
 # landed after the window filled (the unigram encode rollup, the
 # suffix repeat profile, the DSIR importance weights, the no-straddle
-# packing assignment, and the rendezvous-hash sharding audit): they
-# queue in R13_QUEUE for the r13 window head, each with a hash MATCH
-# row in the committed DRIVER_SIM_r12 artifact (the overflow
-# arrival-evidence rule).
-# Registry at HEAD: 475 queries / 464 oracled.
+# packing assignment, the rendezvous-hash sharding audit, and the
+# PPJoin prefix-filtered similarity join): they queue in R13_QUEUE for
+# the r13 window head, each with a hash MATCH row in the committed
+# DRIVER_SIM_r12 artifact (the overflow arrival-evidence rule).
+# Registry at HEAD: 476 queries / 465 oracled.
 # tests/test_driver_window.py pins: the counts in this comment, the
 # 50-slug shape, the rows-only allowance (exactly ROWS_ONLY_R12 — empty,
 # every window slug is hash-oracled), the overlap rule (already-PASS
@@ -151,6 +151,7 @@ R13_QUEUE: list[str] = [
     "q_dsir_weights",
     "q_pack_assign",
     "q_rendezvous_hash",
+    "q_ppjoin",
 ]
 
 # Rows-only window allowance: EMPTY — every window slug is hash-oracled.

@@ -7937,3 +7937,123 @@ def q_perceptron_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "r int, mistakes long, w0 long, w1 long, w2 long, w3 long, w4 long",
     )
+
+
+@query(
+    "q_ppjoin",
+    oracle=_SHINGLE_CTE
+    + """,
+    tk AS (SELECT DISTINCT doc_id, shingle AS tok FROM sh),
+    sz AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tk GROUP BY 1
+    ),
+    df AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1
+    ),
+    rk AS (
+        SELECT t.doc_id, t.tok, s.sz,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df, t.tok) AS rn
+        FROM tk t JOIN df d ON d.tok = t.tok JOIN sz s ON s.doc_id = t.doc_id
+    ),
+    pre AS (
+        SELECT doc_id, tok FROM rk
+        WHERE rn <= sz - (4 * sz + 4) // 5 + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+        FROM cand c
+        JOIN tk ta ON ta.doc_id = c.doc_a
+        JOIN tk tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.inter,
+           sa.sz AS size_a, sb.sz AS size_b,
+           (1000 * i.inter) // (sa.sz + sb.sz - i.inter) AS jacc_milli
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE (1000 * i.inter) // (sa.sz + sb.sz - i.inter) >= 800
+    """,
+)
+def q_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED EXACT set-similarity join at Jaccard >= 4/5
+    over distinct 3-token shingle sets (Chaudhuri et al. ICDE 2006;
+    Xiao et al. WWW 2008 "PPJoin" — the deterministic counterpart to
+    minhash-LSH candidate generation): order each document's shingles
+    rarest-first (global df, then shingle), keep only the first
+    |d| - ceil(0.8|d|) + 1 as its PREFIX (ceil(0.8 s) = (4s+4) div 5,
+    exact rational), and generate candidates from shared PREFIX
+    shingles only — the prefix-filter theorem guarantees every pair
+    with J >= t shares at least one prefix shingle, so unlike LSH this
+    candidate set has RECALL EXACTLY 1 by construction, while the
+    rarest-first ordering keeps prefix buckets small (frequent
+    shingles never generate candidates).  Survivors verify with exact
+    intersection counts; emits (pair, intersection, sizes, floor-milli
+    Jaccard).  Shingle sets, not word sets, deliberately: this
+    corpus's templated vocabulary puts ~74% of all pairs over
+    word-set J = 1/2 (measured) — order-sensitive shingles restore the
+    discriminative signal dedup actually thresholds on, and 25 pairs
+    survive at 4/5 here.
+
+    Scale: token df and doc sizes are map-side-combined aggregations;
+    the prefix rank is a PER-DOC window (doc_id partitioning — never
+    global); candidate generation joins on RARE tokens by construction
+    (the filter's whole point — the frequent-token hot buckets that
+    force q_ngram_jaccard's max_bucket guard never enter the join);
+    verification touches candidate pairs only via two token-keyed
+    equi-joins.  The LSH family screens at lower cost with recall < 1;
+    this is the exact tool for contractual-recall dedup at the same
+    shuffle-key discipline."""
+    docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
+    tk = dedup.shingles(docs, n=3).select(
+        "doc_id", F.col("shingle").alias("tok")
+    )
+    sz = tk.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    dfreq = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    rk = (
+        tk.join(dfreq, "tok")
+        .join(sz, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    pre = rk.where(
+        F.expr("rn <= sz - (4 * sz + 4) div 5 + 1")
+    ).select("doc_id", "tok")
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = tk.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tk.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jacc_milli",
+            F.expr("(1000 * inter) div (size_a + size_b - inter)"),
+        )
+        .where(F.col("jacc_milli") >= 800)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jacc_milli")
+    )

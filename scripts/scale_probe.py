@@ -248,6 +248,7 @@ PROBES = [
     "q_repeat_profile",
     "q_unigram_token_count",
     "q_rendezvous_hash",
+    "q_ppjoin",
 ]
 
 

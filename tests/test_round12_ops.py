@@ -554,3 +554,54 @@ class TestRendezvousReferee:
         for s in range(1, 9):
             assert got[s][2] == 0
         assert got[9][1] == got[9][2]  # everything on shard 9 just moved
+
+
+class TestPpjoinReferee:
+    """q_ppjoin (R13_QUEUE): oracle parity, a pure-Python brute-force
+    referee, and the prefix-filter recall-1 property."""
+
+    def test_oracle_parity_sf0001(self, spark):
+        from tests.oracle_compare import compare, duckdb_connection
+
+        con = duckdb_connection(SF)
+        compare(QUERIES["q_ppjoin"](spark, SF), con, ORACLES["q_ppjoin"])
+
+    def test_python_bruteforce_referee(self, spark):
+        """Brute force: ALL pairs, exact shingle-set Jaccard, keep
+        >= 4/5 — no prefix filter at all.  The registered query must
+        emit exactly this set (recall 1 AND precision 1: the filter is
+        an optimization, never a semantic)."""
+        import duckdb
+
+        docs = duckdb.connect().execute(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        sh = {}
+        for d, text in docs:
+            toks = text.split(" ")
+            sh[d] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+        want = {}
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if not sh[a] or not sh[b]:
+                    continue
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a]) + len(sh[b]) - inter
+                if union and 1000 * inter // union >= 800:
+                    want[(a, b)] = (
+                        inter,
+                        len(sh[a]),
+                        len(sh[b]),
+                        1000 * inter // union,
+                    )
+        got = {
+            (r["doc_a"], r["doc_b"]): (
+                r["inter"], r["size_a"], r["size_b"], r["jacc_milli"]
+            )
+            for r in QUERIES["q_ppjoin"](spark, SF).collect()
+        }
+        assert got == want
