@@ -14,8 +14,9 @@ Scale shape — the part that matters at 100 TB:
 - Each round is: adjacent-pair explode → map-side-combined sum → a
   ``limit(1)`` collect of ONE row (the argmax pair) → an Arrow-batched
   rewrite of the symbol arrays.  Driver state is just the merge list.
-- Lineage is cut with ``localCheckpoint`` every few rounds so the plan
-  doesn't grow linearly with merge count.
+- Lineage is cut with a LAZY ``localCheckpoint`` every round, so each
+  argmax job rewrites symbols exactly once and the plan never grows
+  with merge count.
 - Ties on pair count break lexicographically — results are a pure
   function of the data, independent of partitioning.
 """
@@ -28,7 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 END = "</w>"
-_CHECKPOINT_EVERY = 5
 
 
 def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
@@ -96,9 +96,16 @@ def bpe_train(
         ).alias("syms"),
         "cnt",
     )
-    work = work.localCheckpoint(eager=True)
+    # LAZY lineage cut per round (optimization round 12): each round's
+    # argmax job materializes (and persists) its own work table, so the
+    # next round starts from the persisted RDD and runs exactly ONE
+    # merge rewrite — the previous eager-every-5 cadence re-ran up to 4
+    # chained rewrites inside each argmax job (≈2 redundant Arrow
+    # passes/round on average) and paid 1 extra blocking job per
+    # checkpoint.  Merge list unchanged — only execution moves.
+    work = work.localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
-    for i in range(num_merges):
+    for _ in range(num_merges):
         pairs = (
             work.select(
                 F.explode(
@@ -121,9 +128,7 @@ def bpe_train(
         merges.append((left, right))
         work = work.select(
             _merge_udf(left, right)(F.col("syms")).alias("syms"), "cnt"
-        )
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
-            work = work.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 

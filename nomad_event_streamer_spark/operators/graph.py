@@ -6,9 +6,11 @@ Spark-specific design points:
 
 * **Lineage must be cut per round.**  Ten rounds of join+agg stacked
   into one lazy plan re-executes the whole prefix on every action and
-  blows the optimizer up; we ``localCheckpoint(eager=True)`` the rank
-  vector each round (the Pregel/GraphX practice) so round i+1 reads a
-  materialized O(|V|) table, not a 10-deep plan.  The static
+  blows the optimizer up; we ``localCheckpoint`` the rank vector each
+  round (the Pregel/GraphX practice) so round i+1 reads a persisted
+  O(|V|) RDD, not a 10-deep plan.  The cuts are LAZY (round 12): loops
+  with no driver-side decisions materialize every round inside the
+  consumer's one action instead of one blocking job per round.  The static
   ``edges ⨝ out-weight`` table is checkpointed once and reused — at
   100 TB the edge table is the big thing and it never re-shuffles after
   the first hash-partition on ``src``.
@@ -56,14 +58,20 @@ def pagerank(
     base = ((100 - damp_pct) * TOTAL_UNITS) // (100 * n)
 
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    # LAZY lineage cuts (optimization round 12): the loop has no
+    # driver-side decisions (fixed iteration count), so nothing needs a
+    # blocking materialization — the consumer's single action computes
+    # all rounds back-to-back with each round's rank vector persisted at
+    # its RDD boundary.  Eager cost 1 blocking job per round + 2 upfront
+    # (guide §2.4/§5); values are exact integers, unchanged.
     e = (
         edges.join(outw, "src")
         .select("src", "dst", "w", "ow")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.select(
         "node", F.lit(init).cast("long").alias("units")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(iters):
         contrib = (
@@ -85,7 +93,7 @@ def pagerank(
                     )
                 ).cast("long").alias("units"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.select(
         "node",
@@ -202,11 +210,15 @@ def bfs_hops(
     all rounds — not rounds × that, as a full-dist-set join would be.
     Distances are integers, so the unrolled DuckDB oracle matches
     bit-for-bit."""
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    # LAZY lineage cuts (optimization round 12): fixed round count, no
+    # driver decisions — the consumer's one action materializes all
+    # rounds with each frontier persisted; eager cost 2 blocking jobs
+    # per round (guide §2.4/§5)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     dist = (
         nodes.where(F.col("node").isin(seeds))
         .select("node", F.lit(0).cast("long").alias("hops"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = dist.select("node")
     for i in range(1, rounds + 1):
@@ -217,8 +229,8 @@ def bfs_hops(
         )
         new = reached.join(dist, "node", "left_anti").select(
             "node", F.lit(i).cast("long").alias("hops")
-        ).localCheckpoint(eager=True)
-        dist = dist.unionAll(new).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        dist = dist.unionAll(new).localCheckpoint(eager=False)
         frontier = new.select("node")
     return dist
 
@@ -275,9 +287,11 @@ def kcore(
     truncates lineage per round.  Converges in O(peel depth) rounds —
     near-dup graphs are shallow (measured 2-4).  Raises past
     ``max_iter`` (a silent partial peel would be a wrong answer)."""
+    # lazy: the count below is the materializing action (one job, not
+    # two — optimization round 12)
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Carry the previous round's edge count forward — re-counting the
     # prior edge list each round doubled the count jobs (ADVICE r07).
@@ -361,6 +375,7 @@ def coactivity_edges(
     max_cell: int | None = None,
     user_col: str = "user_id",
     cell_cols: tuple[str, ...] = ("event_type", "h"),
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Co-activity edge builder (shared by q_link_predict /
     q_degree_hist): users sharing >= ``min_cells`` distinct activity
@@ -376,12 +391,19 @@ def coactivity_edges(
     is bounded by max_cell · Σ|cell| and the surviving edges keep their
     exact evidence count from the remaining cells.  Off by default —
     the registered queries and their oracles run uncapped.
+
+    ``sizes`` (optimization round 12): callers that already computed
+    the per-cell count table — the capped queries build it anyway for
+    the p90 cap — pass it here (columns ``cell_cols`` + ``_cell_n``) so
+    the guard join reuses that table instead of re-aggregating
+    ``cells``.  Pure execution reuse; the kept set is identical.
     """
     keyed = cells.select(F.col(user_col).alias("u"), *cell_cols)
     if max_cell is not None:
-        sizes = keyed.groupBy(*cell_cols).agg(
-            F.count(F.lit(1)).alias("_cell_n")
-        )
+        if sizes is None:
+            sizes = keyed.groupBy(*cell_cols).agg(
+                F.count(F.lit(1)).alias("_cell_n")
+            )
         keyed = (
             keyed.join(sizes, list(cell_cols))
             .where(F.col("_cell_n") <= max_cell)
@@ -491,7 +513,7 @@ def louvain_level0(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.select(F.col("a").alias("s"), F.col("b").alias("d")).union(
         e.select(F.col("b").alias("s"), F.col("a").alias("d"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: the m2 count materializes it
     deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("k"))
     m2 = und.count()  # sum of degrees == 2m (driver holds ONE integer)
     comm = deg.select(F.col("s").alias("node"), F.col("s").alias("comm"))
@@ -541,11 +563,13 @@ def louvain_level0(
             )
         )
         w = W.partitionBy("u").orderBy(F.col("score").desc(), F.col("comm").asc())
+        # lazy per-round cut (optimization round 12): fixed round count,
+        # so all rounds materialize inside the consumer's one action
         comm = (
             scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select(F.col("u").alias("node"), "comm")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return comm
 
@@ -659,7 +683,7 @@ def grid_components(
             " — labels would alias')) AS BIGINT)"
             " ELSE (cx + 32768) * 65536 + (cy + 32768) END"
         ).alias("lab"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: round 1's agg materializes it
     rounds = 0
     while True:
         via_nbr = (
@@ -673,10 +697,16 @@ def grid_components(
             .groupBy("cx", "cy")
             .agg(F.min("lab").alias("nl"))
         )
+        # via_ptr carries the cell's OWN label through (``ol``), so the
+        # convergence check below is a sum over the round output — the
+        # prior shape re-joined new vs old labels (an extra cell-keyed
+        # shuffle) and ran the eager checkpoint + count as two jobs
+        # (optimization round 12, guide §2.4)
         via_ptr = (
             lab.select(
                 "cx",
                 "cy",
+                F.col("lab").alias("ol"),
                 F.expr("lab div 65536 - 32768").alias("lx"),
                 F.expr("lab % 65536 - 32768").alias("ly"),
             )
@@ -688,7 +718,7 @@ def grid_components(
                 ),
                 ["lx", "ly"],
             )
-            .select("cx", "cy", "pl")
+            .select("cx", "cy", "ol", "pl")
         )
         new = (
             via_nbr.join(via_ptr, ["cx", "cy"])
@@ -696,17 +726,15 @@ def grid_components(
                 "cx",
                 "cy",
                 F.least(F.col("nl"), F.col("pl")).alias("lab"),
+                (F.least(F.col("nl"), F.col("pl")) < F.col("ol"))
+                .cast("long")
+                .alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rounds += 1
-        changed = (
-            new.alias("n")
-            .join(lab.alias("o"), ["cx", "cy"])
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        lab = new
+        changed = new.agg(F.sum("_chg")).collect()[0][0]
+        lab = new.drop("_chg")
         if changed == 0:
             return lab, rounds
         if rounds >= max_rounds:

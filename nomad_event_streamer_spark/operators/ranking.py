@@ -30,7 +30,46 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["range_bucket", "global_row_number", "quantile_boundaries"]
+__all__ = [
+    "range_bucket",
+    "bitlen_subbucket",
+    "global_row_number",
+    "global_dense_rank",
+    "quantile_boundaries",
+]
+
+
+def bitlen_subbucket(col: Column, sub_bits: int = 5) -> Column:
+    """Monotone bucket id for a POSITIVE integer key, finer than plain
+    ``length(bin(col))``.
+
+    Bit-length bucketing alone is monotone but top-heavy: the largest
+    bitlength bucket covers half the key space, so when keys are dense
+    ranks (uniform over [1, C]) ONE bucket holds ~half the rows and its
+    in-bucket window runs in a single task — the skew the bucketed-rank
+    device exists to avoid (guide §2.5).  Refining each bitlength class
+    by the key's top ``sub_bits + 1`` bits splits every class into
+    ``2^sub_bits`` sub-buckets while staying globally monotone:
+
+    - ``col < 2^(sub_bits+1)``: bucket = col (small dense values, one
+      value per bucket — at most ``2^(sub_bits+1)`` buckets);
+    - else bucket = bitlen * 2^(sub_bits+1) + (col >> (bitlen -
+      sub_bits - 1)), where the shifted prefix lies in
+      ``[2^sub_bits, 2^(sub_bits+1))``; within a bitlength class the
+      prefix is monotone, and the class base term dominates across
+      classes (max of class b = b*2^(s+1) + 2^(s+1) - 1 < (b+1)*2^(s+1)
+      + 2^s = min of class b+1).
+
+    Equal keys share a bucket (pure function of ``col``), so tie groups
+    never split.  Total buckets ~ 32 * 2^sub_bits — still a driver-size
+    offsets table."""
+    s1 = sub_bits + 1
+    b = F.length(F.bin(col))
+    small = col < F.lit(1 << s1)
+    # call_function: the python F.shiftright wrapper only takes an int
+    # shift amount, but the SQL function accepts a column-valued one
+    prefix = F.call_function("shiftright", col, (b - F.lit(s1)).cast("int"))
+    return F.when(small, col).otherwise(b * F.lit(1 << s1) + prefix)
 
 
 def range_bucket(
@@ -94,6 +133,48 @@ def global_row_number(
         ranked.join(F.broadcast(offsets), "__grp")
         .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__grp", "__rn", "__off")
+    )
+
+
+def global_dense_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket: Column,
+    out_col: str,
+) -> DataFrame:
+    """Append ``out_col`` = corpus-wide DENSE rank of ``key_cols``
+    (ascending, nulls absent) without materializing the distinct class
+    table and joining it back (the ``dense_rank_classes`` shape this
+    replaces — optimization round 12): dense_rank within monotone
+    buckets + per-bucket DISTINCT-class counts cumulated into offsets.
+
+    ``bucket`` must be a monotone function of the leading key and a
+    pure function of the keys (equal keys share a bucket), exactly the
+    ``global_row_number`` contract.  Global dense rank = (number of
+    distinct classes in lower buckets) + (dense rank within bucket) —
+    equal keys agree on both terms, and ranks are dense because every
+    class below contributes exactly 1.  One full-table window (bucket-
+    partitioned, parallel) + one map-side-combined distinct count
+    replaces distinct + window + token-scale join-back."""
+    tagged = df.withColumn("__grp", bucket)
+    order = [F.col(c).asc() for c in key_cols]
+    w_in = Window.partitionBy("__grp").orderBy(*order)
+    ranked = tagged.withColumn("__dr", F.dense_rank().over(w_in))
+    counts = tagged.groupBy("__grp").agg(
+        F.countDistinct(*key_cols).alias("__cnt")
+    )
+    # offsets window over <= num_buckets rows — driver-scale
+    w_off = Window.orderBy(F.col("__grp").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__grp",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__grp")
+        .withColumn(out_col, (F.col("__off") + F.col("__dr")).cast("long"))
+        .drop("__grp", "__dr", "__off")
     )
 
 

@@ -28,13 +28,12 @@ indexing at all; this is EXT surface for the LLM-dedup north star.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from . import ranking
 
 __all__ = [
     "token_positions",
-    "dense_rank_classes",
     "suffix_rank_levels",
     "suffix_cte",
 ]
@@ -49,70 +48,60 @@ def token_positions(docs: DataFrame) -> DataFrame:
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
 
 
-def dense_rank_classes(
-    df: DataFrame,
-    key_cols: list[str],
-    order_exprs: list,
-    bucket,
-    out_col: str,
-) -> DataFrame:
-    """Dense rank of ``key_cols`` under ``order_exprs`` WITHOUT a
-    partitionless window: rank the DISTINCT class table with the
-    bucketed global-rank device, then hash-join the class ranks back.
-    Equal keys share a rank by construction — exactly DuckDB's
-    ``dense_rank()`` — and the window only ever runs inside buckets of
-    the (much smaller) class table."""
-    classes = df.select(*key_cols).distinct()
-    ranked = ranking.global_row_number(classes, order_exprs, bucket, out_col)
-    return df.join(ranked, key_cols)
-
-
 def suffix_rank_levels(toks: DataFrame, rounds: int) -> list[DataFrame]:
     """All prefix-doubling levels ``lv[j]``: (doc_id, pos, r) where r is
     the corpus-wide dense rank of the ``2^j``-token (zero-padded)
     prefix of the suffix at (doc_id, pos).  ``lv[rounds]`` is the final
     suffix rank, exact for documents up to ``2^rounds`` tokens.
 
-    Each level is localCheckpointed: level j feeds BOTH level j+1 and
-    the binary LCP walk (operators consume several levels), and the
-    checkpoint also cuts the O(log n)-deep lineage (the q_mk_trend
-    posture for iterative plans)."""
+    Execution (optimization round 12; ranks are unchanged — the oracle
+    CTE chain in ``suffix_cte`` is the same):
+
+    - The per-round ``(doc_id, pos + 2^j)`` self-join became a
+      ``lead(r, 2^j)`` window over (doc_id, pos): positions are DENSE
+      1..n per document (posexplode), so lead-by-h IS the rank at
+      pos + h, with 0 beyond the end — two full-table shuffles per
+      round gone (guide §2.4).
+    - Dense ranks ride ``ranking.global_dense_rank`` (one bucketed
+      window + a distinct-count offset table) instead of distinct +
+      rank + token-scale join-back, bucketed by ``bitlen_subbucket`` so
+      the top bucket holds ~1/32 of the rank space, not half.
+    - Levels are localCheckpointed LAZILY (eager=False): lineage is
+      still cut (level j feeds level j+1 and the binary LCP walk,
+      which probes every level), but all levels materialize inside the
+      consumer's ONE job with stage-level parallelism instead of
+      ``rounds`` serialized driver-blocking jobs."""
     lv = (
-        dense_rank_classes(
+        ranking.global_dense_rank(
             toks,
             ["tok"],
-            [F.col("tok").asc()],
             F.substring("tok", 1, 1),
             "r",
         )
         .select("doc_id", "pos", F.col("r").cast("long").alias("r"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     levels = [lv]
     for j in range(rounds):
         h = 1 << j
-        a, b = lv.alias("a"), lv.alias("b")
-        paired = a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + h),
-            "left",
-        ).select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("a.pos").alias("pos"),
-            F.col("a.r").alias("r1"),
-            F.coalesce(F.col("b.r"), F.lit(0)).cast("long").alias("r2"),
+        w_doc = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+        paired = lv.select(
+            "doc_id",
+            "pos",
+            F.col("r").alias("r1"),
+            F.coalesce(F.lead("r", h).over(w_doc), F.lit(0))
+            .cast("long")
+            .alias("r2"),
         )
         lv = (
-            dense_rank_classes(
+            ranking.global_dense_rank(
                 paired,
                 ["r1", "r2"],
-                [F.col("r1").asc(), F.col("r2").asc()],
-                F.length(F.bin("r1")),
+                ranking.bitlen_subbucket(F.col("r1")),
                 "r",
             )
             .select("doc_id", "pos", F.col("r").cast("long").alias("r"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         levels.append(lv)
     return levels

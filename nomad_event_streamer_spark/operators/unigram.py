@@ -29,6 +29,7 @@ beside BPE per the LLM-pipeline mandate.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -122,79 +123,75 @@ def viterbi_emissions(
     costs and return the emitted pieces (w, piece) — one row per piece
     occurrence in the segmentation (a word may repeat a piece).
 
-    Forward: ``maxw`` unrolled rounds of the dp(w, j) recurrence over
-    the distinct-word table.  Backtrace: ``maxw`` rounds selecting, at
-    each boundary j, the LONGEST k whose candidate cost equals dp(w, j)
-    exactly.  All joins are broadcast-scale (the vocab) or word-keyed;
-    lineage is cut every few rounds."""
+    Execution (optimization round 12, guide §4.2): ONE Arrow-batched
+    ``mapInPandas`` pass over the distinct-word table, replaying the
+    exact integer DP the oracle unrolls as CTEs — forward
+    dp(j) = min over k <= max_piece of dp(j-k) + cost(w[j-k+1..j]),
+    backtrace choosing at every boundary the LONGEST k whose candidate
+    cost equals dp(j) exactly.  All arithmetic is integer, so the
+    per-word loop is bit-identical to the previous 12-round relational
+    unroll (the r11-r12 build-phase implementation), which cost 24
+    eager localCheckpoints and ~100 word-keyed joins; the vocabulary
+    (single chars + top-64 substrings, alphabet-bounded) ships in the
+    closure — the broadcast-dim pattern of ``operators/bpe.py``.
+    Equivalence is pinned by tests/test_unigram_viterbi.py and the
+    unchanged CTE oracle."""
     _guard_word_len(words, maxw)
-    vc = F.broadcast(vocab.select("piece", "cost_milli"))
-    wl = words.select("w", F.length("w").alias("len"))
-    dp_frames = [
-        wl.select(
-            "w", "len", F.lit(0).alias("j"), F.lit(0).cast("long").alias("c")
-        )
-    ]
-    for j in range(1, maxw + 1):
-        cands = None
-        for k in range(1, min(max_piece, j) + 1):
-            prev = dp_frames[j - k].where(F.col("len") >= j)
-            cand = (
-                prev.withColumn(
-                    "piece", F.expr(f"substr(w, {j - k + 1}, {k})")
-                )
-                .join(vc, "piece")
-                .select(
-                    "w",
-                    "len",
-                    F.lit(j).alias("j"),
-                    (F.col("c") + F.col("cost_milli")).alias("c"),
-                )
-            )
-            cands = cand if cands is None else cands.unionAll(cand)
-        new = (
-            cands.groupBy("w", "len", "j")
-            .agg(F.min("c").cast("long").alias("c"))
-            .localCheckpoint(eager=True)
-        )
-        dp_frames.append(new)
-    dp_all = dp_frames[0]
-    for fr in dp_frames[1:]:
-        dp_all = dp_all.unionAll(fr)
-    dp_all = dp_all.select("w", "j", "c").localCheckpoint(eager=True)
+    cost = {
+        r["piece"]: r["cost_milli"]
+        for r in vocab.select("piece", "cost_milli").collect()
+    }
 
-    cur = wl.where(F.col("len") > 0).select("w", F.col("len").alias("j"))
-    emits = None
-    d_prev = dp_all.select(
-        "w", F.col("j").alias("jp"), F.col("c").alias("cp")
-    )
-    d_cur = dp_all.select("w", "j", F.col("c").alias("cc"))
-    for _ in range(maxw):
-        cands = None
-        for k in range(1, MAX_PIECE + 1):
-            cand = (
-                cur.where(F.col("j") >= k)
-                .withColumn(
-                    "piece", F.expr(f"substr(w, j - {k} + 1, {k})")
-                )
-                .join(vc, "piece")
-                .join(d_cur, ["w", "j"])
-                .withColumn("jp", F.col("j") - k)
-                .join(d_prev, ["w", "jp"])
-                .where(F.col("cp") + F.col("cost_milli") == F.col("cc"))
-                .select("w", "j", F.lit(k).alias("k"))
-            )
-            cands = cand if cands is None else cands.unionAll(cand)
-        step = cands.groupBy("w", "j").agg(F.max("k").alias("k"))
-        step = step.localCheckpoint(eager=True)
-        emit = step.select(
-            "w", F.expr("substr(w, j - k + 1, k)").alias("piece")
-        )
-        emits = emit if emits is None else emits.unionAll(emit)
-        cur = step.select("w", (F.col("j") - F.col("k")).alias("j")).where(
-            F.col("j") > 0
-        )
-    return emits
+    def segment(batches):
+        for pdf in batches:
+            out_w: list[str] = []
+            out_p: list[str] = []
+            for w in pdf["w"]:
+                n = len(w)
+                if n == 0:
+                    continue
+                # forward DP over boundaries 0..n (dp[0] = 0); a None
+                # means "boundary unreachable" (never happens in
+                # practice — single chars of the corpus are always in
+                # the vocab — but mirrors the relational "no dp row")
+                dp: list = [None] * (n + 1)
+                dp[0] = 0
+                for j in range(1, n + 1):
+                    best = None
+                    for k in range(1, min(max_piece, j) + 1):
+                        prev = dp[j - k]
+                        if prev is None:
+                            continue
+                        c = cost.get(w[j - k:j])
+                        if c is None:
+                            continue
+                        t = prev + c
+                        if best is None or t < best:
+                            best = t
+                    dp[j] = best
+                # backtrace: LONGEST k with dp[j-k] + cost == dp[j]
+                # (ascending k loop keeps the last = max k, matching
+                # the relational groupBy(w, j).max(k))
+                j = n
+                while j > 0 and dp[j] is not None:
+                    kbest = None
+                    for k in range(1, min(max_piece, j) + 1):
+                        prev = dp[j - k]
+                        if prev is None:
+                            continue
+                        c = cost.get(w[j - k:j])
+                        if c is None:
+                            continue
+                        if prev + c == dp[j]:
+                            kbest = k
+                    if kbest is None:
+                        break
+                    out_w.append(w)
+                    out_p.append(w[j - kbest:j])
+                    j -= kbest
+            yield pd.DataFrame({"w": out_w, "piece": out_p})
+
+    return words.select("w").mapInPandas(segment, "w string, piece string")
 
 
 def _words_cte() -> str:

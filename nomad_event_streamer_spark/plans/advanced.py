@@ -799,7 +799,9 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized."""
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
     pairs = similarity.near_dup_pairs_int(vecs, num_planes=6).select("id_a", "id_b")
-    pairs = pairs.localCheckpoint(eager=True)
+    # lazy lineage cut: the final action materializes the pair list and
+    # every label-prop round in one job chain (optimization round 12)
+    pairs = pairs.localCheckpoint(eager=False)
     und = pairs.select(
         F.col("id_a").alias("s"), F.col("id_b").alias("d")
     ).union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
@@ -834,7 +836,7 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.coalesce("lab", "wlab"))
                 .alias("lab"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # lazy: fixed rounds, no actions
         )
     return lab.select(
         "vec_id",

@@ -3093,13 +3093,15 @@ def q_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hr")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
     )
-    h = h.localCheckpoint(eager=True)  # reused: rank join + ties + count
+    # reused: rank join + ties + count; lazy (round 12) — first
+    # consuming action materializes it
+    h = h.localCheckpoint(eager=False)
     r = ranking.global_row_number(
         h,
         [F.col("hr").asc()],
         bucket=F.expr("hr div 64"),
         out_col="rn",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: one action, both join sides
     a, b = r.alias("a"), r.alias("b")
     s = a.join(b, F.col("a.rn") < F.col("b.rn")).agg(
         F.sum(
@@ -3267,7 +3269,7 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lbl"),
         )
     )
-    lab = lab.localCheckpoint(eager=True)  # reused: cells + masses
+    lab = lab.localCheckpoint(eager=False)  # reused: cells + masses (lazy)
     cell = lab.groupBy("event_id", "lbl").agg(
         F.count(F.lit(1)).cast("long").alias("nij")
     )
@@ -3368,7 +3370,7 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pos"),
     )
-    u = u.localCheckpoint(eager=True)
+    u = u.localCheckpoint(eager=False)  # lazy: the count materializes it
     n = u.count()
     r = ranking.global_row_number(
         u,
@@ -3638,7 +3640,7 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partitioned rank; output is |types| rows."""
     ev = load(spark, sf_dir, "events")
     pos = ev.select("user_id", "event_type").distinct()
-    pos = pos.localCheckpoint(eager=True)  # reused: grid prune + census
+    pos = pos.localCheckpoint(eager=False)  # reused: grid prune + census
     types = pos.select("event_type").distinct()
     users = pos.select("user_id").distinct()
     cand = (

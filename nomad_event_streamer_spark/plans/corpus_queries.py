@@ -4088,7 +4088,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .where(F.col("df") >= _AR_MIN_ITEM_DF)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy: one action, both join sides
     )
     ft = t.join(F.broadcast(items.select("tok")), "tok")
     a = ft.select("doc_id", F.col("tok").alias("tok_a"))
@@ -5117,8 +5117,11 @@ def q_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by WORD LENGTH (12), not corpus size, and every DP join is
     distinct-word × broadcast-vocab."""
     docs = load(spark, sf_dir, "documents")
-    words = _unigram.word_freq(docs).localCheckpoint(eager=True)
-    vocab = _unigram.seed_vocab(words).localCheckpoint(eager=True)
+    # lazy (round 12): viterbi_emissions' vocab collect materializes
+    # vocab (and words underneath it) in one chained job; the final
+    # action then reuses both persisted RDDs
+    words = _unigram.word_freq(docs).localCheckpoint(eager=False)
+    vocab = _unigram.seed_vocab(words).localCheckpoint(eager=False)
     emits = _unigram.viterbi_emissions(words, vocab)
     newcnt = (
         emits.join(words, "w")
@@ -5154,8 +5157,11 @@ def q_unigram_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound on the distinct-word table; the rollup is a words-keyed join
     + doc-keyed combinable sum."""
     docs = load(spark, sf_dir, "documents")
-    words = _unigram.word_freq(docs).localCheckpoint(eager=True)
-    vocab = _unigram.seed_vocab(words).localCheckpoint(eager=True)
+    # lazy (round 12): viterbi_emissions' vocab collect materializes
+    # vocab (and words underneath it) in one chained job; the final
+    # action then reuses both persisted RDDs
+    words = _unigram.word_freq(docs).localCheckpoint(eager=False)
+    vocab = _unigram.seed_vocab(words).localCheckpoint(eager=False)
     emits = _unigram.viterbi_emissions(words, vocab)
     wn = emits.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
     per_doc = (

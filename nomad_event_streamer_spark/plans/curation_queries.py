@@ -875,7 +875,8 @@ def q_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: round 1's argmax collect materializes it (round 12)
+        .localCheckpoint(eager=False)
     )
     covered = None
     picked: list[str] = []
@@ -901,7 +902,7 @@ def q_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_toks
             if covered is None
             else covered.union(new_toks).distinct()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # lazy: the count materializes it
         rows.append((r, src, gain, covered.count()))
     return spark.createDataFrame(
         rows, "rnk long, source string, gain long, covered_total long"
@@ -1019,7 +1020,9 @@ def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    keys = keys.localCheckpoint(eager=True)  # probed by both layouts
+    # probed by both layouts; lazy (optimization round 12) — the
+    # lineage cut alone shares the distinct+md5 pass, no blocking job
+    keys = keys.localCheckpoint(eager=False)
 
     def intervals(n_shards: int) -> DataFrame:
         pts = spark.createDataFrame(

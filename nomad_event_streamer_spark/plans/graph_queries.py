@@ -262,7 +262,10 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") >= _SCC_THRESHOLD)
         .select("src", "dst")
     )
-    closure = edges.localCheckpoint(eager=True)
+    # lazy lineage cuts (optimization round 12): fixed 5 rounds, no
+    # driver decisions — the final action materializes every round with
+    # each closure level persisted, instead of 6 blocking jobs
+    closure = edges.localCheckpoint(eager=False)
     for _ in range(5):
         step = (
             closure.alias("a")
@@ -274,7 +277,7 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         closure = (
-            closure.unionByName(step).distinct().localCheckpoint(eager=True)
+            closure.unionByName(step).distinct().localCheckpoint(eager=False)
         )
     nodes = (
         edges.select(F.col("src").alias("v"))
@@ -394,7 +397,17 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS)
+    # one lazy localCheckpoint: the edge list is consumed by FIVE plan
+    # branches (wedge j1/j2, the anti join, both degree joins); without
+    # the lineage cut each branch replans the cell pair-join subtree
+    # into its own physical copy (8 parquet scans in the r11 plan —
+    # plans/r12/q_link_predict_before.txt), and only runtime exchange
+    # reuse sometimes dedups them.  The RDD boundary makes all branches
+    # share ONE edge build (guide §2.4); results are unchanged — the
+    # capped twin has used the same device since round 11.
+    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS).localCheckpoint(
+        eager=False
+    )
     scored = common_neighbor_candidates(e).select(
         "a",
         "b",
@@ -469,7 +482,10 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS)
+    # lazy lineage cut: nb references the edge list twice (guide §2.4)
+    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS).localCheckpoint(
+        eager=False
+    )
     nb = e.select(F.col("a").alias("x")).unionAll(
         e.select(F.col("b").alias("x"))
     )
@@ -564,7 +580,12 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS)
+    # one lazy localCheckpoint for the four consuming branches (wedge
+    # j1/j2 via nb, the degree join, the anti join) — same device and
+    # rationale as q_link_predict (guide §2.4)
+    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS).localCheckpoint(
+        eager=False
+    )
     nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
         e.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )
@@ -707,7 +728,8 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n") >= _SCC_THRESHOLD)
         .select("src", "dst", "w")
-        .localCheckpoint(eager=True)
+        # lazy: the s0 min-collect below materializes it (round 12)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("v"))
@@ -728,7 +750,7 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(inf))
         .cast("long")
         .alias("dist"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: round 1's count materializes it
     for _ in range(_BF_ROUNDS):
         relaxed = (
             dist.alias("p")
@@ -738,11 +760,14 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("p.dist") + F.col("e.w")).alias("dist"),
             )
         )
+        # lazy: the convergence count below is the action that
+        # materializes this round (one job, not two — optimization
+        # round 12)
         new = (
             dist.union(relaxed)
             .groupBy("v")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.alias("n")
@@ -885,6 +910,12 @@ def q_link_predict_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import coactivity_edges, common_neighbor_candidates
     from ..tables import events
 
+    # lazy lineage cuts (optimization round 12): `cell` feeds the cap
+    # distribution AND the edge build (was recomputed per job — the p90
+    # count job, the p90 rank job, and the edge materialization each
+    # replayed the events distinct); `cs` feeds both p90 jobs AND the
+    # hot-cell guard join inside coactivity_edges (passed via sizes=).
+    # Each now computes once and persists (guide §2.4).
     cell = (
         events(spark, sf_dir)
         .select(
@@ -893,13 +924,25 @@ def q_link_predict_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ts_us div 3600000000").alias("h"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    cs = cell.groupBy("event_type", "h").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    cs = (
+        cell.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
     )
     cap_cell = _p90(cs, "n", [F.col("event_type"), F.col("h")])
-    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS, max_cell=cap_cell)
-    e = e.localCheckpoint(eager=True)  # reused by deg, wedge, anti join
+    e = coactivity_edges(
+        cell,
+        min_cells=_LP_MIN_CELLS,
+        max_cell=cap_cell,
+        sizes=cs.select(
+            "event_type", "h", F.col("n").alias("_cell_n")
+        ),
+    )
+    # reused by deg, wedge, anti join; lazy — the RDD boundary alone
+    # makes every consumer branch share one edge build
+    e = e.localCheckpoint(eager=False)
     nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
         e.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )
@@ -1010,6 +1053,9 @@ def q_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import coactivity_edges
     from ..tables import events
 
+    # lazy lineage cuts, same rationale as q_link_predict_capped
+    # (optimization round 12): cell/cs each compute once across the p90
+    # jobs and the edge build; cs doubles as the hot-cell guard table
     cell = (
         events(spark, sf_dir)
         .select(
@@ -1018,18 +1064,28 @@ def q_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ts_us div 3600000000").alias("h"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    cs = cell.groupBy("event_type", "h").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    cs = (
+        cell.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
     )
     cap_cell = _p90(cs, "n", [F.col("event_type"), F.col("h")])
-    e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS, max_cell=cap_cell)
-    e = e.localCheckpoint(eager=True)  # reused: deg, mid, weight, anti join
+    e = coactivity_edges(
+        cell,
+        min_cells=_LP_MIN_CELLS,
+        max_cell=cap_cell,
+        sizes=cs.select(
+            "event_type", "h", F.col("n").alias("_cell_n")
+        ),
+    )
+    e = e.localCheckpoint(eager=False)  # reused: deg, mid, weight, anti join
     nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
         e.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )
     deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    deg = deg.localCheckpoint(eager=True)  # reused: cap rank, filter, weight
+    deg = deg.localCheckpoint(eager=False)  # reused: cap rank, filter, weight
     cap_deg = _p90(deg, "d", [F.col("x")])
     mid = nb.join(
         deg.where(F.col("d") <= cap_deg).select("x"), "x", "left_semi"
@@ -1145,8 +1201,11 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # lazy instead of eager (optimization round 12): the lineage cut
+    # still makes the wedge/degree/close branches share one edge build,
+    # without a separate blocking materialization job
     e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS).localCheckpoint(
-        eager=True
+        eager=False
     )
     nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
         e.select(F.col("b").alias("x"), F.col("a").alias("y"))

@@ -6388,7 +6388,9 @@ def q_louvain_l0(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.shingles(docs, n=3)
     sig = dedup.minhash_signatures(sh, num_hashes=16)
     bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
-    edges = dedup.lsh_candidate_pairs(bands).localCheckpoint(eager=True)
+    # lazy lineage cut (optimization round 12): louvain's m2 count is
+    # the materializing action; eager added a blocking job
+    edges = dedup.lsh_candidate_pairs(bands).localCheckpoint(eager=False)
     comm = louvain_level0(edges, rounds=3)
     und = edges.select(F.col("doc_a").alias("s")).unionAll(
         edges.select(F.col("doc_b").alias("s"))
@@ -6521,7 +6523,7 @@ def q_kcenter_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
             "* 1000.0 + 0.5) AS BIGINT))"
         ).alias("v"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: the c0 collect materializes it
 
     def dist_expr(center: list[int]) -> str:
         arr = ", ".join(f"{c}L" for c in center)
@@ -6544,7 +6546,9 @@ def q_kcenter_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "v",
             F.least(F.col("d"), F.expr(dist_expr(centers[-1][1]))).alias("d"),
-        ).localCheckpoint(eager=True)
+            # lazy: the next round's argmax collect materializes it
+            # (one job per round, not two — optimization round 12)
+        ).localCheckpoint(eager=False)
     cands = F.array(
         *[
             F.struct(
@@ -6685,7 +6689,8 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("i", "x"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: first consuming action materializes it (round 12)
+        .localCheckpoint(eager=False)
     )
     cent = u.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), "i", F.col("x").alias("y")
@@ -6720,7 +6725,9 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.expr("CAST(sum(x) div count(1) AS BIGINT)").alias("y")
             )
-            .localCheckpoint(eager=True)
+            # lazy: no driver decisions in the loop — the final shift
+            # action materializes every round (optimization round 12)
+            .localCheckpoint(eager=False)
         )
         last_old = prev_old
     shift = (
@@ -6873,7 +6880,7 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             *[F.expr(dot_expr(signs[j])) for j in range(_JL_OUT)]
         ).alias("y"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: one action consumes both branches
     qs = p.where(F.col("vec_id") < _JL_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -6975,7 +6982,8 @@ def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("b_id"),
             "cos_milli",
         )
-        .localCheckpoint(eager=True)
+        # lazy: both window branches ride one action (round 12)
+        .localCheckpoint(eager=False)
     )
     wa = Window.partitionBy("a_id").orderBy(
         F.col("cos_milli").desc(), F.col("b_id").asc()
@@ -7914,7 +7922,9 @@ def q_perceptron_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("x4"),
     )
-    f = f.localCheckpoint(eager=True)  # 5 rounds re-scan the features
+    # 5 rounds re-scan the features; lazy — round 1's agg collect
+    # materializes it (optimization round 12)
+    f = f.localCheckpoint(eager=False)
     w = [0, 0, 0, 0, 0]
     out_rows = []
     for rnd in range(1, 6):

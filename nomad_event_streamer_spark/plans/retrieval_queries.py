@@ -461,7 +461,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("qcos") * F.lit(1e6) + F.lit(0.5))
         .cast("long")
         .alias("rel_micro"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: one action spans all stages
     # prune the corpus to the <= queries*k candidate ids BEFORE
     # quantizing (broadcast semi-join against the checkpointed cand
     # table) — otherwise quantize_vec re-transforms every corpus row
@@ -508,7 +508,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sim_micro"),
         )
-        .localCheckpoint(eager=True)  # k^2 rows per query
+        .localCheckpoint(eager=False)  # k^2 rows per query; lazy
     )
 
     w_rel = Window.partitionBy("query_id").orderBy(

@@ -1923,13 +1923,21 @@ def _dtw_replay(
         "user_id",
         (F.expr("ts_us div 3600000000") % n + 1).cast("long").alias("i"),
     )
-    cnt = ev.groupBy("user_id", "i").agg(
-        F.count(F.lit(1)).cast("long").alias("a")
+    # ONE events-scale aggregation (optimization round 12): the user
+    # count and the per-hour totals both fall out of the (user, i)
+    # count table — sum(a) grouped by i IS the per-hour event count and
+    # countDistinct(user_id) over it IS the user count — so the event
+    # scan + shuffle runs once instead of three times (guide §2.3
+    # "aggregate before you shuffle"; values identical by construction)
+    cnt = (
+        ev.groupBy("user_id", "i")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .localCheckpoint(eager=False)
     )
-    nu = ev.select(F.countDistinct("user_id").alias("nu"))
+    nu = cnt.select(F.countDistinct("user_id").alias("nu"))
     bg = (
-        ev.groupBy("i")
-        .agg(F.count(F.lit(1)).alias("tot"))
+        cnt.groupBy("i")
+        .agg(F.sum("a").alias("tot"))
         .crossJoin(F.broadcast(nu))
         .select(F.col("i").alias("j"), F.expr("tot div nu").alias("b"))
     )
@@ -2320,7 +2328,8 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hr")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
     )
-    h = h.localCheckpoint(eager=True)  # reused: median rank + sign series
+    # reused: median rank + sign series; lazy — n_h count materializes
+    h = h.localCheckpoint(eager=False)
     n_h = h.count()
     ranked = ranking.global_row_number(
         h,
@@ -2344,7 +2353,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("hr").asc()],
         bucket=F.expr("hr div 64"),
         out_col="rn",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: one action, both join sides
     tr = (
         r.alias("a")
         .join(
@@ -2430,7 +2439,7 @@ def q_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("hr").asc()],
         bucket=F.expr("hr div 64"),
         out_col="rn",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: one action, all three sides
     c, p, n = r.alias("c"), r.alias("p"), r.alias("n")
     pk = (
         c.join(p, F.col("p.rn") == F.col("c.rn") - 1)

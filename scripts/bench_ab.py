@@ -16,7 +16,11 @@ Usage:
     git worktree add /tmp/nes_ab_prev <prev-close-out-commit>
     python scripts/bench_ab.py /root/repo /tmp/nes_ab_prev [rounds]
 
-Prints per-arm core37 medians and the A/B ratio; one JSON line last.
+Set ``SPARK_GRAFT_AB_LIST=q_a,q_b`` to A/B an ad-hoc query list instead
+of the frozen core37 (the optimization-round per-query protocol); the
+JSON line then carries per-query medians for both arms.
+
+Prints per-arm medians and the A/B ratio; one JSON line last.
 """
 
 from __future__ import annotations
@@ -62,8 +66,15 @@ def main() -> None:
 
     spark = get_spark(master=f"local[{cpus}]")
 
+    ab_list = [
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_AB_LIST", "").split(",")
+        if q.strip()
+    ]
+
     # Warm both arms once (codegen + Python worker pool) before timing.
     totals: dict[str, list[float]] = {root_a: [], root_b: []}
+    per_q: dict[str, dict[str, list[float]]] = {root_a: {}, root_b: {}}
     core_lists: dict[str, list] = {}
     for warm in (True, False):
         n = 1 if warm else rounds
@@ -71,29 +82,34 @@ def main() -> None:
             for root in (root_a, root_b):
                 entry, bench = _purge_and_import(root)
                 queries = entry.queries()
-                core = bench.CORE37
+                core = ab_list or bench.CORE37
                 core_lists[root] = core
                 t0 = time.perf_counter()
                 for name in core:
+                    tq = time.perf_counter()
                     queries[name](spark, sf_dir).write.format("noop").mode(
                         "overwrite"
                     ).save()
+                    if not warm:
+                        per_q[root].setdefault(name, []).append(
+                            round(time.perf_counter() - tq, 3)
+                        )
                 wall = time.perf_counter() - t0
                 if not warm:
                     totals[root].append(round(wall, 3))
                 print(
                     f"# {'warm' if warm else 'run'} {os.path.basename(root)}"
-                    f" core37={wall:.2f}s",
+                    f" total={wall:.2f}s",
                     file=sys.stderr,
                     flush=True,
                 )
-    assert core_lists[root_a] == core_lists[root_b], "CORE37 drifted"
+    assert core_lists[root_a] == core_lists[root_b], "query list drifted"
     med_a = statistics.median(totals[root_a])
     med_b = statistics.median(totals[root_b])
     print(
         json.dumps(
             {
-                "metric": "core37_ab_ratio",
+                "metric": "ab_list_ratio" if ab_list else "core37_ab_ratio",
                 "arm_a": root_a,
                 "arm_b": root_b,
                 "runs_a": totals[root_a],
@@ -101,6 +117,12 @@ def main() -> None:
                 "median_a_sec": med_a,
                 "median_b_sec": med_b,
                 "ratio_a_over_b": round(med_a / med_b, 4),
+                "per_query_median_a": {
+                    q: statistics.median(v) for q, v in per_q[root_a].items()
+                },
+                "per_query_median_b": {
+                    q: statistics.median(v) for q, v in per_q[root_b].items()
+                },
                 "rounds": rounds,
                 "sf_dir": sf_dir,
             }
