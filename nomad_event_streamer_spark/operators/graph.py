@@ -733,7 +733,9 @@ def grid_components(
             .localCheckpoint(eager=False)
         )
         rounds += 1
-        changed = new.agg(F.sum("_chg")).collect()[0][0]
+        # sum over an EMPTY table is NULL, not 0 — coalesce so an empty
+        # cell grid converges on round 1 instead of spinning to max_rounds
+        changed = new.agg(F.coalesce(F.sum("_chg"), F.lit(0))).collect()[0][0]
         lab = new.drop("_chg")
         if changed == 0:
             return lab, rounds

@@ -799,9 +799,10 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized."""
     vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
     pairs = similarity.near_dup_pairs_int(vecs, num_planes=6).select("id_a", "id_b")
-    # lazy lineage cut: the final action materializes the pair list and
-    # every label-prop round in one job chain (optimization round 12)
-    pairs = pairs.localCheckpoint(eager=False)
+    # EAGER lineage cut: und's two union branches consume pairs as
+    # concurrent stages — a lazy cut would rebuild the LSH pair join
+    # twice before the cache fills
+    pairs = pairs.localCheckpoint(eager=True)
     und = pairs.select(
         F.col("id_a").alias("s"), F.col("id_b").alias("d")
     ).union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))

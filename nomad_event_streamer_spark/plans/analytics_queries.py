@@ -3093,15 +3093,17 @@ def q_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hr")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
     )
-    # reused: rank join + ties + count; lazy (round 12) — first
-    # consuming action materializes it
-    h = h.localCheckpoint(eager=False)
+    # reused: rank join + ties + count — eager: the consumers are
+    # concurrent stages, so a lazy cut would re-shuffle events per branch
+    h = h.localCheckpoint(eager=True)
     r = ranking.global_row_number(
         h,
         [F.col("hr").asc()],
         bucket=F.expr("hr div 64"),
         out_col="rn",
-    ).localCheckpoint(eager=False)  # lazy: one action, both join sides
+        # eager: both self-join sides are concurrent map stages — a
+        # lazy cut lets them race and recompute the rank (r12 A/B)
+    ).localCheckpoint(eager=True)
     a, b = r.alias("a"), r.alias("b")
     s = a.join(b, F.col("a.rn") < F.col("b.rn")).agg(
         F.sum(
@@ -3269,7 +3271,8 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lbl"),
         )
     )
-    lab = lab.localCheckpoint(eager=False)  # reused: cells + masses (lazy)
+    # reused: cells + masses — eager (concurrent consumer stages)
+    lab = lab.localCheckpoint(eager=True)
     cell = lab.groupBy("event_id", "lbl").agg(
         F.count(F.lit(1)).cast("long").alias("nij")
     )
@@ -3640,7 +3643,9 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partitioned rank; output is |types| rows."""
     ev = load(spark, sf_dir, "events")
     pos = ev.select("user_id", "event_type").distinct()
-    pos = pos.localCheckpoint(eager=False)  # reused: grid prune + census
+    # reused: grid prune + census — eager (the anti-join and census
+    # branches are concurrent; lazy would re-shuffle events per branch)
+    pos = pos.localCheckpoint(eager=True)
     types = pos.select("event_type").distinct()
     users = pos.select("user_id").distinct()
     cand = (

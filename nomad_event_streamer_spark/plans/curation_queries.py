@@ -1020,9 +1020,10 @@ def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    # probed by both layouts; lazy (optimization round 12) — the
-    # lineage cut alone shares the distinct+md5 pass, no blocking job
-    keys = keys.localCheckpoint(eager=False)
+    # probed by both layouts — eager: the two layout probes are
+    # concurrent stages; a lazy cut lets them race and recompute the
+    # distinct+md5 pass
+    keys = keys.localCheckpoint(eager=True)
 
     def intervals(n_shards: int) -> DataFrame:
         pts = spark.createDataFrame(

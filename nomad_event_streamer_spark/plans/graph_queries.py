@@ -404,9 +404,13 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plans/r12/q_link_predict_before.txt), and only runtime exchange
     # reuse sometimes dedups them.  The RDD boundary makes all branches
     # share ONE edge build (guide §2.4); results are unchanged — the
-    # capped twin has used the same device since round 11.
+    # capped twin has used the same device since round 11.  EAGER: the
+    # five branches are CONCURRENT stages of one job — a lazy cut lets
+    # them race and recompute the edge build before the cache fills
+    # (measured +16% in the r12 interleaved A/B); eager guarantees one
+    # build for one extra scheduling barrier.
     e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS).localCheckpoint(
-        eager=False
+        eager=True
     )
     scored = common_neighbor_candidates(e).select(
         "a",
@@ -482,9 +486,11 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # lazy lineage cut: nb references the edge list twice (guide §2.4)
+    # eager lineage cut: nb's two union branches are concurrent stages
+    # of the same job, so a lazy cut can compute the edge build twice
+    # before the cache fills (guide §2.4; r12 A/B)
     e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS).localCheckpoint(
-        eager=False
+        eager=True
     )
     nb = e.select(F.col("a").alias("x")).unionAll(
         e.select(F.col("b").alias("x"))
@@ -580,11 +586,12 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # one lazy localCheckpoint for the four consuming branches (wedge
+    # one EAGER localCheckpoint for the four consuming branches (wedge
     # j1/j2 via nb, the degree join, the anti join) — same device and
-    # rationale as q_link_predict (guide §2.4)
+    # rationale as q_link_predict (guide §2.4): the branches are
+    # concurrent, a lazy cut lets them recompute the edge build
     e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS).localCheckpoint(
-        eager=False
+        eager=True
     )
     nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
         e.select(F.col("b").alias("x"), F.col("a").alias("y"))
@@ -940,9 +947,11 @@ def q_link_predict_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "h", F.col("n").alias("_cell_n")
         ),
     )
-    # reused by deg, wedge, anti join; lazy — the RDD boundary alone
-    # makes every consumer branch share one edge build
-    e = e.localCheckpoint(eager=False)
+    # reused by deg, wedge, anti join — EAGER: the consumers are
+    # concurrent stages (deg's p90 count is the first and would race
+    # nothing, but the wedge/anti branches race each other on a lazy
+    # cut); one blocking job buys a guaranteed single edge build
+    e = e.localCheckpoint(eager=True)
     nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
         e.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )
@@ -1080,7 +1089,9 @@ def q_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "h", F.col("n").alias("_cell_n")
         ),
     )
-    e = e.localCheckpoint(eager=False)  # reused: deg, mid, weight, anti join
+    # reused: deg, mid, weight, anti join — eager (concurrent stages
+    # would race a lazy cut and recompute the edge build)
+    e = e.localCheckpoint(eager=True)
     nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
         e.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )
@@ -1201,11 +1212,11 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # lazy instead of eager (optimization round 12): the lineage cut
-    # still makes the wedge/degree/close branches share one edge build,
-    # without a separate blocking materialization job
+    # EAGER lineage cut: the wedge/degree/close branches are concurrent
+    # stages of one job — lazy let them race and rebuild the edge list
+    # (r12 A/B); the blocking materialization is the cheaper trade
     e = coactivity_edges(cell, min_cells=_LP_MIN_CELLS).localCheckpoint(
-        eager=False
+        eager=True
     )
     nb = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
         e.select(F.col("b").alias("x"), F.col("a").alias("y"))

@@ -6388,9 +6388,10 @@ def q_louvain_l0(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.shingles(docs, n=3)
     sig = dedup.minhash_signatures(sh, num_hashes=16)
     bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
-    # lazy lineage cut (optimization round 12): louvain's m2 count is
-    # the materializing action; eager added a blocking job
-    edges = dedup.lsh_candidate_pairs(bands).localCheckpoint(eager=False)
+    # EAGER lineage cut: louvain's first action (the m2 count) consumes
+    # edges through und's two union branches — concurrent stages that
+    # race a lazy cut and rebuild the LSH candidate join twice (r12 A/B)
+    edges = dedup.lsh_candidate_pairs(bands).localCheckpoint(eager=True)
     comm = louvain_level0(edges, rounds=3)
     und = edges.select(F.col("doc_a").alias("s")).unionAll(
         edges.select(F.col("doc_b").alias("s"))
@@ -6982,8 +6983,9 @@ def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("b_id"),
             "cos_milli",
         )
-        # lazy: both window branches ride one action (round 12)
-        .localCheckpoint(eager=False)
+        # eager: the two window branches are concurrent sort stages of
+        # one job — lazy would let them recompute the candidate build
+        .localCheckpoint(eager=True)
     )
     wa = Window.partitionBy("a_id").orderBy(
         F.col("cos_milli").desc(), F.col("b_id").asc()

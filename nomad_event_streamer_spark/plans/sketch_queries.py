@@ -1218,7 +1218,8 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    f = f.localCheckpoint(eager=False)  # reused: exact F2 + 16 estimators
+    # reused: exact F2 + 16 estimators — eager (concurrent agg branches)
+    f = f.localCheckpoint(eager=True)
     dec = "decimal(38,0)"
     exact = f.agg(
         F.sum("c").cast("long").alias("n_events"),

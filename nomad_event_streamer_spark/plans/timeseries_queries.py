@@ -1932,7 +1932,9 @@ def _dtw_replay(
     cnt = (
         ev.groupBy("user_id", "i")
         .agg(F.count(F.lit(1)).cast("long").alias("a"))
-        .localCheckpoint(eager=False)
+        # eager: nu/bg/main are concurrent consumer stages — a lazy cut
+        # would re-run the events shuffle per branch (r12 A/B)
+        .localCheckpoint(eager=True)
     )
     nu = cnt.select(F.countDistinct("user_id").alias("nu"))
     bg = (
@@ -2353,7 +2355,8 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("hr").asc()],
         bucket=F.expr("hr div 64"),
         out_col="rn",
-    ).localCheckpoint(eager=False)  # lazy: one action, both join sides
+        # eager: both self-join sides are concurrent stages (r12 A/B)
+    ).localCheckpoint(eager=True)
     tr = (
         r.alias("a")
         .join(
@@ -2439,7 +2442,8 @@ def q_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("hr").asc()],
         bucket=F.expr("hr div 64"),
         out_col="rn",
-    ).localCheckpoint(eager=False)  # lazy: one action, all three sides
+        # eager: the three join sides are concurrent stages (r12 A/B)
+    ).localCheckpoint(eager=True)
     c, p, n = r.alias("c"), r.alias("p"), r.alias("n")
     pk = (
         c.join(p, F.col("p.rn") == F.col("c.rn") - 1)

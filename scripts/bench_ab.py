@@ -78,8 +78,15 @@ def main() -> None:
     core_lists: dict[str, list] = {}
     for warm in (True, False):
         n = 1 if warm else rounds
-        for _ in range(n):
-            for root in (root_a, root_b):
+        for rnd in range(n):
+            # Alternate arm ORDER per round: session throughput drifts
+            # monotonically upward for the first few rounds (JIT, page
+            # cache), so a fixed A-then-B order systematically favors
+            # the later arm — measured at up to +24% apparent ratio on
+            # IDENTICAL code in the r12 batch-3 A/B.  Flipping the
+            # order each round cancels the drift to first order.
+            order = (root_a, root_b) if rnd % 2 == 0 else (root_b, root_a)
+            for root in order:
                 entry, bench = _purge_and_import(root)
                 queries = entry.queries()
                 core = ab_list or bench.CORE37
