@@ -153,7 +153,18 @@ def triangles(und: DataFrame) -> DataFrame:
     join's fan-out on hub vertices — the difference between feasible and
     quadratic at 1e11 edges.  All joins are equi-joins on vertex ids
     (shuffle-partitioned by the join key); no floats anywhere, so the
-    triple set is engine-exact."""
+    triple set is engine-exact.
+
+    The edge list is cut EAGERLY before the degree/orientation plumbing:
+    ``und`` feeds the degree union (2x), the orientation join and the
+    closure side — five-plus concurrent consumers in one wedge job, the
+    exact shape where a lazy cut races and recomputes (optimization
+    round 12 classification), and without any cut the caller's upstream
+    build is replayed once per consumer (q_triangles' fact joins
+    appeared 15x / 180 parquet scans in the uncut plan).  ``oriented``
+    gets the same eager cut: it is edge-sized and feeds both wedge sides
+    plus the closing semi-join concurrently."""
+    und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
@@ -170,7 +181,7 @@ def triangles(und: DataFrame) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select(
         "s", F.col("t").alias("t1"), F.col("dt").alias("d1")
     )

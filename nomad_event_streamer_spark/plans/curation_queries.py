@@ -517,7 +517,17 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("toks", F.col("i")).alias("w1"),
         F.element_at("toks", F.col("i") + 1).alias("w2"),
     )
-    cb = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c_vw"))
+    # Eager base cut (optimization round 12): the bigram count table
+    # feeds the context marginals, the continuation counts, the type
+    # total AND the model join's probe side — four concurrent consumers
+    # in one action (the eager-not-lazy shape); uncut, the documents
+    # scan + bigram explode + count replayed per consumer (8 parquet
+    # scans in this plan).  Vocabulary-scale, so the cut is cheap.
+    cb = (
+        b.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_vw"))
+        .localCheckpoint(eager=True)
+    )
     ctx = cb.groupBy("w1").agg(
         F.sum("c_vw").cast("long").alias("c_v"),
         F.count(F.lit(1)).cast("long").alias("n1_fwd"),

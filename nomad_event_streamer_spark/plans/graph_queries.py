@@ -260,12 +260,20 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= _SCC_THRESHOLD)
+        # EAGER cut (optimization round 12): the contracted edge set
+        # (<= 625 rows) feeds the closure loop AND the node spine —
+        # concurrent consumers under the final action, and uncut the
+        # node branch replayed the five-join fact-scale edge build from
+        # parquet (18 scans in this plan).  The closure rounds below
+        # keep their LAZY per-round cuts (shuffle-chained loop, the
+        # lazy-correct class).
         .select("src", "dst")
+        .localCheckpoint(eager=True)
     )
     # lazy lineage cuts (optimization round 12): fixed 5 rounds, no
     # driver decisions — the final action materializes every round with
     # each closure level persisted, instead of 6 blocking jobs
-    closure = edges.localCheckpoint(eager=False)
+    closure = edges
     for _ in range(5):
         step = (
             closure.alias("a")

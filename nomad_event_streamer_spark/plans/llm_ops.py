@@ -5520,11 +5520,14 @@ def q_card_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signatures(sh, num_hashes=16)
     bands = dedup.lsh_bands(sig, num_hashes=16, rows_per_band=2)
     comp = dedup.connected_components(dedup.lsh_candidate_pairs(bands))
+    # Optimization round 12: `text` is projected away before the
+    # component join — no consumer below reads it, and carrying the
+    # document bytes through the join/shuffle was pure width (guide:
+    # shuffle fewer bytes).
     base = (
         docs.select(
             "doc_id",
             "source",
-            "text",
             F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
             .cast("long")
             .alias("n_toks"),
@@ -5533,7 +5536,6 @@ def q_card_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            "text",
             "n_toks",
             F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cid"),
         )

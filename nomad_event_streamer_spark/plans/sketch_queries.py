@@ -648,9 +648,19 @@ def q_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
-    st = docs.select(
-        "source", F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
+    # Shared-base eager cuts (optimization round 12): the distinct
+    # (source, token) projection feeds the hash/sketch pipeline AND both
+    # sides of the exact set-op self-join (3 concurrent fact-scale
+    # consumers), and the ranked-hash table feeds theta + the retained
+    # sample — all inside one action, the eager-not-lazy shape; uncut,
+    # the documents scan + token explode replayed per consumer (20
+    # parquet scans in the intersection twin's plan).  theta is
+    # per-source-tiny and re-joined 4x, so it gets the same cut.
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     h = st.select(
         "source",
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
@@ -664,7 +674,7 @@ def q_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hv",
         F.row_number().over(w_rank).alias("rk"),
         F.count(F.lit(1)).over(w_all).alias("n_seen"),
-    )
+    ).localCheckpoint(eager=True)
     theta = r.groupBy("source").agg(
         F.when(
             F.max("n_seen") >= _THETA_K,
@@ -673,7 +683,7 @@ def q_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(_THETA_ONE))
         .cast("long")
         .alias("theta")
-    )
+    ).localCheckpoint(eager=True)
     smp = (
         r.join(F.broadcast(theta), "source")
         .where(F.col("hv") < F.col("theta"))
@@ -813,9 +823,19 @@ def q_theta_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
-    st = docs.select(
-        "source", F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
+    # Shared-base eager cuts (optimization round 12): the distinct
+    # (source, token) projection feeds the hash/sketch pipeline AND both
+    # sides of the exact set-op self-join (3 concurrent fact-scale
+    # consumers), and the ranked-hash table feeds theta + the retained
+    # sample — all inside one action, the eager-not-lazy shape; uncut,
+    # the documents scan + token explode replayed per consumer (20
+    # parquet scans in the intersection twin's plan).  theta is
+    # per-source-tiny and re-joined 4x, so it gets the same cut.
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     h = st.select(
         "source",
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
@@ -829,7 +849,7 @@ def q_theta_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hv",
         F.row_number().over(w_rank).alias("rk"),
         F.count(F.lit(1)).over(w_all).alias("n_seen"),
-    )
+    ).localCheckpoint(eager=True)
     theta = r.groupBy("source").agg(
         F.when(
             F.max("n_seen") >= _THETA_K,
@@ -838,7 +858,7 @@ def q_theta_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(_THETA_ONE))
         .cast("long")
         .alias("theta")
-    )
+    ).localCheckpoint(eager=True)
     smp = (
         r.join(F.broadcast(theta), "source")
         .where(F.col("hv") < F.col("theta"))
