@@ -676,19 +676,10 @@ def q_pq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (queries are a key-range sample)."""
     from ..operators import pq, similarity
 
-    # Shared-base eager cuts (optimization round 12): `vecs` feeds the
-    # exact referee plus one PQ encode PER swept config, and `exact` is
-    # re-joined by every config's union branch — concurrent consumers in
-    # one action, so a lazy cut would race and replay the subtree; uncut,
-    # the embeddings scan + exact top-5 ran once per config (12 scans).
-    vecs = rebalance_for_cpu(
-        load(spark, sf_dir, "embeddings")
-    ).localCheckpoint(eager=True)
+    vecs = rebalance_for_cpu(load(spark, sf_dir, "embeddings"))
     queries_df = vecs.where(F.col("vec_id") < 20)
-    exact = (
-        similarity.cosine_topk_quantized(vecs, queries_df, k=5)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+    exact = similarity.cosine_topk_quantized(vecs, queries_df, k=5).select(
+        "query_id", "neighbor_id"
     )
     parts = []
     for ncodes in _PQ_SWEEP_NCODES:
