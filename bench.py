@@ -14,6 +14,7 @@ import hashlib
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -326,6 +327,33 @@ def main() -> None:
     for i in range(20_000_000):
         acc += i * i
     cpu_calib_sec = round(time.perf_counter() - t0, 3)
+    # Multi-core calibration (VERDICT r12 item #1a): round 12 proved
+    # the single-thread loop is blind to multi-core contention epochs —
+    # cpu_calib_sec read 1.20 (FASTER than r11's 1.234) while core37
+    # wall-clock doubled on plan-identical code.  The same integer loop
+    # run in min(8, cpus) concurrent SUBPROCESSES (threads would
+    # serialize on the GIL and measure nothing multi-core) demands that
+    # many real cores at once: on an idle box cpu_calib_mt_sec ~
+    # cpu_calib_sec + spawn overhead, while under host-level core
+    # contention it balloons exactly like the 32-thread query stages do
+    # while the 1-thread probe reads normal.  Comparable round over
+    # round like cpu_calib_sec.  Additions only — the existing calib,
+    # timing loop, and JSON contract are untouched.
+    mt_n = min(8, int(cpus) if str(cpus).isdigit() else 8)
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-c",
+                "acc = 0\nfor i in range(20_000_000):\n    acc += i * i\n",
+            ]
+        )
+        for _ in range(mt_n)
+    ]
+    for p in procs:
+        p.wait()
+    cpu_calib_mt_sec = round(time.perf_counter() - t0, 3)
     spark = get_spark(master=f"local[{cpus}]")
     queries = all_queries()
 
@@ -395,6 +423,7 @@ def main() -> None:
         "plan_fp": plan_fps,
         "core37_wall_sec": core_out,
         "cpu_calib_sec": cpu_calib_sec,
+                "cpu_calib_mt_sec": cpu_calib_mt_sec,
         "bench_set": bench_set,
         "sf": sf,
     }
@@ -418,6 +447,7 @@ def main() -> None:
                 # growing full set.
                 "core37_wall_sec": core_out,
                 "cpu_calib_sec": cpu_calib_sec,
+                "cpu_calib_mt_sec": cpu_calib_mt_sec,
                 "queries": timings,
                 "sf": sf,
             }
@@ -438,6 +468,7 @@ def main() -> None:
                 "unit": "sec",
                 "core37_wall_sec": core_out,
                 "cpu_calib_sec": cpu_calib_sec,
+                "cpu_calib_mt_sec": cpu_calib_mt_sec,
                 "n_queries": len(timings),
                 "bench_set": bench_set,
                 # frozen-core timings when the core ran (always fits);

@@ -103,6 +103,19 @@ def bpe_train(
     # chained rewrites inside each argmax job (≈2 redundant Arrow
     # passes/round on average) and paid 1 extra blocking job per
     # checkpoint.  Merge list unchanged — only execution moves.
+    #
+    # Storage footprint (ADVICE r12): every round checkpoints a full
+    # symbol table and there is no public API to unpersist a
+    # localCheckpoint RDD.  Two properties bound the footprint anyway:
+    # (a) rebinding ``work`` drops the only Python reference to the
+    # previous round's DataFrame — CPython refcounting detaches the
+    # py4j handle immediately, and Spark's ContextCleaner (weak-ref
+    # based) unpersists the now-unreferenced checkpoint RDD at the next
+    # JVM GC, so at most a couple of rounds are live at once modulo GC
+    # latency; (b) localCheckpoint persists MEMORY_AND_DISK, so under
+    # memory pressure blocks spill to disk rather than evict —
+    # "unrecoverable eviction" needs memory-only storage, which this
+    # never uses.
     work = work.localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):

@@ -155,14 +155,22 @@ def global_dense_rank(
     equal keys agree on both terms, and ranks are dense because every
     class below contributes exactly 1.  One full-table window (bucket-
     partitioned, parallel) + one map-side-combined distinct count
-    replaces distinct + window + token-scale join-back."""
+    replaces distinct + window + token-scale join-back.
+
+    Per-bucket class counts come from ``max(dense_rank)`` over the
+    ranked output, not a separate ``countDistinct(*key_cols)`` branch
+    (optimization round 13): the distinct-count branch re-shuffled the
+    FULL key columns a second time — ruinous for wide keys like the
+    suffix arrays — while max(__dr) aggregates one int per row and
+    shares the ranked side's exchange.  It also counts a NULL key class
+    exactly like dense_rank ranks it, closing the ADVICE r12 footgun
+    where countDistinct silently skipped null keys and shifted every
+    higher bucket's offsets."""
     tagged = df.withColumn("__grp", bucket)
     order = [F.col(c).asc() for c in key_cols]
     w_in = Window.partitionBy("__grp").orderBy(*order)
     ranked = tagged.withColumn("__dr", F.dense_rank().over(w_in))
-    counts = tagged.groupBy("__grp").agg(
-        F.countDistinct(*key_cols).alias("__cnt")
-    )
+    counts = ranked.groupBy("__grp").agg(F.max("__dr").alias("__cnt"))
     # offsets window over <= num_buckets rows — driver-scale
     w_off = Window.orderBy(F.col("__grp").asc()).rowsBetween(
         Window.unboundedPreceding, -1

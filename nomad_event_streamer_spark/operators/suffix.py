@@ -34,6 +34,8 @@ from . import ranking
 
 __all__ = [
     "token_positions",
+    "suffix_arrays",
+    "suffix_array_bucket",
     "suffix_rank_levels",
     "suffix_cte",
 ]
@@ -48,11 +50,76 @@ def token_positions(docs: DataFrame) -> DataFrame:
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
 
 
+def suffix_arrays(docs: DataFrame, rounds: int) -> DataFrame:
+    """(doc_id, pos, sarr): every suffix's token array, truncated at
+    ``2^rounds`` tokens — the DIRECT form of the prefix-doubling key
+    (optimization round 13).
+
+    Equivalence with ``suffix_rank_levels(toks, rounds)[-1]``:
+    lv[rounds] dense-ranks suffixes by their zero-PADDED ``2^rounds``-
+    token prefix under the chained pair order (r1, r2), which by
+    induction is the elementwise order of the padded token-rank
+    sequence with pad = 0 sorting below every real rank.  Spark's
+    array<string> ordering is exactly that order: elementwise by token
+    (rank order = token string order, dense_rank is order-preserving)
+    and a shorter array that is a prefix of a longer one sorts FIRST
+    (pad-0 semantics).  Equality classes also coincide (padded prefix
+    tuples are equal iff the truncated arrays are equal).  Therefore
+    ``global_dense_rank`` over ``sarr`` yields bit-identical ranks to
+    the doubling chain — pinned by tests/test_round13_suffix.py and the
+    unchanged ``suffix_cte`` oracle.
+
+    Why this form wins for this data model (docs <= 2^rounds tokens):
+    the doubling chain runs O(log maxlen) window+rank rounds, ~5
+    shuffles each, over the suffix table; this is ONE narrow pass over
+    ``documents`` (split + posexplode + slice — no shuffle) feeding a
+    single bucketed rank.  Bytes per shuffled row grow from one long to
+    a <= 2^rounds-token array (~L/2 tokens on average), but the shuffle
+    COUNT drops ~13x and every inter-round barrier disappears.  For
+    corpora of LONG documents (2^rounds << doc length) the doubling
+    chain below remains the right shape — N·log L bytes beats N·L."""
+    cap = 1 << rounds
+    return docs.select(
+        "doc_id", F.split("text", " ").alias("__arr")
+    ).select(
+        "doc_id",
+        F.posexplode("__arr").alias("p0", "__tok"),
+        "__arr",
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.slice("__arr", F.col("p0") + 1, cap).alias("sarr"),
+    )
+
+
+def suffix_array_bucket(col) -> "F.Column":
+    """Monotone, pure bucket for ``global_dense_rank``/``global_row_number``
+    over a suffix-array key: (first token, second token or "").  A
+    prefix of the leading sort key, so ordering is preserved; equal
+    arrays always share a bucket; <= vocab^2 classes (the offsets table
+    stays driver-scale).  The null second token of a length-1 suffix is
+    coalesced to "" — the minimum string — matching the shorter-prefix-
+    sorts-first array order, and never joining on a null struct field.
+    (``try_element_at``: ANSI mode makes plain ``element_at`` throw on
+    the out-of-bounds second token of a length-1 suffix.)"""
+    return F.struct(
+        F.try_element_at(col, F.lit(1)).alias("b1"),
+        F.coalesce(F.try_element_at(col, F.lit(2)), F.lit("")).alias("b2"),
+    )
+
+
 def suffix_rank_levels(toks: DataFrame, rounds: int) -> list[DataFrame]:
     """All prefix-doubling levels ``lv[j]``: (doc_id, pos, r) where r is
     the corpus-wide dense rank of the ``2^j``-token (zero-padded)
     prefix of the suffix at (doc_id, pos).  ``lv[rounds]`` is the final
     suffix rank, exact for documents up to ``2^rounds`` tokens.
+
+    NOTE (optimization round 13): the registered queries now use
+    ``suffix_arrays`` + one ``global_dense_rank`` (bit-identical ranks,
+    see its docstring) because this data model bounds documents at
+    2^rounds tokens.  This doubling chain stays as the LONG-document
+    form (N·log L shuffle bytes vs the array form's N·L) and as the
+    referee for the equivalence test.
 
     Execution (optimization round 12; ranks are unchanged — the oracle
     CTE chain in ``suffix_cte`` is the same):

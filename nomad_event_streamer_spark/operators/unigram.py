@@ -135,7 +135,14 @@ def viterbi_emissions(
     (single chars + top-64 substrings, alphabet-bounded) ships in the
     closure — the broadcast-dim pattern of ``operators/bpe.py``.
     Equivalence is pinned by tests/test_unigram_viterbi.py and the
-    unchanged CTE oracle."""
+    unchanged CTE oracle.
+
+    Contract (ADVICE r12): BOTH the forward DP and the backtrace honor
+    the ``max_piece`` ARGUMENT — piece length is bounded by
+    min(max_piece, j) in both loops.  The pre-r12 relational backtrace
+    used the module constant MAX_PIECE regardless of the argument; that
+    inconsistency was a bug, not a contract — do not reintroduce it as
+    a "fix".  (No caller passes max_piece != MAX_PIECE today.)"""
     _guard_word_len(words, maxw)
     cost = {
         r["piece"]: r["cost_milli"]

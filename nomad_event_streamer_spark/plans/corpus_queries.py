@@ -4802,17 +4802,16 @@ from ..operators import suffix as _suffix  # noqa: E402
 _SUFFIX_CTE = _suffix.suffix_cte(_SUFFIX_ROUNDS)
 
 
-def _suffix_guard(toks) -> None:
-    """Loud failure, never a silent wrong answer: prefix doubling with
+def _suffix_guard(docs) -> None:
+    """Loud failure, never a silent wrong answer: suffix ranking with
     _SUFFIX_ROUNDS rounds is exact only for documents <= 2^rounds
-    tokens.  One vocabulary-free agg (cheap next to the 7 rank rounds)."""
+    tokens.  One documents-scale agg (optimization round 13: the max
+    token count is size(split(text)) — same condition as the old
+    explode+groupBy form, without materializing the token table)."""
     cap = 1 << _SUFFIX_ROUNDS
-    [row] = (
-        toks.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("mx"))
-        .collect()
-    )
+    [row] = docs.agg(
+        F.max(F.size(F.split("text", " "))).alias("mx")
+    ).collect()
     if row["mx"] is not None and row["mx"] > cap:
         raise ValueError(
             f"suffix ranking needs {row['mx']}-token docs <= 2^rounds="
@@ -4860,24 +4859,42 @@ def q_suffix_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-identical; the oracle unrolls the same 7 rounds as CTE
     dense_rank windows.
 
-    Scale: each round is ONE per-doc equi-join (co-partitioned on
-    doc_id) + ONE dense rank of the distinct pair classes via the
-    bucketed global-rank device — no partitionless window touches a
-    corpus-scale table; O(log maxlen) = 7 rounds total regardless of
-    corpus size."""
+    Scale (optimization round 13): because this data model bounds
+    documents at 2^rounds tokens, the 7 doubling rounds collapse into
+    ONE narrow pass building each suffix's token array (split +
+    posexplode + slice — no shuffle, operators/suffix.py
+    suffix_arrays: the array prefix-first order is bit-identical to
+    the padded doubling-chain order, referee-pinned), ONE class
+    aggregation on the arrays (count + min gid per distinct tail —
+    the only array-keyed shuffle), and ONE bucketed global row number
+    over the DISTINCT-CLASS table, where each class's row number IS
+    its dense rank.  The per-position rank table is never built; ~40
+    chained level shuffles became 2.  The ranked class table is cut
+    EAGERLY (ints only): tot and top-10 consume it through concurrent
+    branches (r12 classification rule)."""
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
-    toks = _suffix.token_positions(docs)
-    _suffix_guard(toks)
-    fin = _suffix.suffix_rank_levels(toks, _SUFFIX_ROUNDS)[-1]
-    cls = fin.groupBy("r").agg(
-        F.count(F.lit(1)).cast("long").alias("n_suffixes"),
-        F.min(F.col("doc_id") * 1000 + F.col("pos"))
-        .cast("long")
-        .alias("min_gid"),
+    _suffix_guard(docs)
+    suf = _suffix.suffix_arrays(docs, _SUFFIX_ROUNDS)
+    cls = (
+        ranking.global_row_number(
+            suf.groupBy("sarr").agg(
+                F.count(F.lit(1)).cast("long").alias("n_suffixes"),
+                F.min(F.col("doc_id") * 1000 + F.col("pos"))
+                .cast("long")
+                .alias("min_gid"),
+            ),
+            [F.col("sarr").asc()],
+            bucket=_suffix.suffix_array_bucket(F.col("sarr")),
+            out_col="r",
+        )
+        .select(
+            F.col("r").cast("long").alias("r"), "n_suffixes", "min_gid"
+        )
+        .localCheckpoint(eager=True)
     )
-    tot = fin.agg(
-        F.count(F.lit(1)).cast("long").alias("n_total"),
-        F.countDistinct("r").cast("long").alias("n_classes"),
+    tot = cls.agg(
+        F.sum("n_suffixes").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
     )
     order = [F.col("n_suffixes").desc(), F.col("r").asc()]
     top = cls.orderBy(*order).limit(10)
@@ -4953,83 +4970,61 @@ def _maximal_repeat_oracle() -> str:
 
 
 def _suffix_lcp_pairs(spark: SparkSession, sf_dir: str):
-    """(toks, fin_pairs): token positions plus the capped LCPs of every
-    rank-adjacent suffix pair — the shared scaffold of the maximal-
-    repeat and repeat-profile consumers (mirrors the oracle's
-    ``_lcp_walk_parts`` chain exactly)."""
+    """(docs, fin_pairs): the (rebalanced) documents table plus the
+    capped LCPs of every rank-adjacent suffix pair — the shared
+    scaffold of the maximal-repeat and repeat-profile consumers.
+
+    Optimization round 13: with documents bounded at 2^rounds tokens,
+    the suffix ORDER comes from one global row number over the direct
+    suffix arrays (order-isomorphic to the oracle's lv{rounds} ranks,
+    so ``row_number OVER (ORDER BY r, doc_id, pos)`` = row_number over
+    (sarr, doc_id, pos)), and the LCP of each adjacent pair is the
+    plain longest-common-prefix of the two arrays — computed in one
+    codegen zip_with/array_position expression instead of the 7-level
+    binary walk (14 suffix-table joins gone).  The walk's padded-rank
+    equality is real token equality inside both tails and its final
+    ``least(lcp, tail_a, tail_b)`` cap clamps any padding overshoot,
+    so walk-LCP == array-LCP exactly (referee: tests/test_round12_ops
+    TestSuffixReferee.test_maximal_repeat_lcp, plus fuzz_suffix.py)."""
     docs = rebalance_for_cpu(load(spark, sf_dir, "documents"))
-    toks = _suffix.token_positions(docs)
-    _suffix_guard(toks)
-    levels = _suffix.suffix_rank_levels(toks, _SUFFIX_ROUNDS)
-    fin = levels[-1]
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    _suffix_guard(docs)
+    suf = _suffix.suffix_arrays(docs, _SUFFIX_ROUNDS)
     rn = ranking.global_row_number(
-        fin,
-        [F.col("r").asc(), F.col("doc_id").asc(), F.col("pos").asc()],
-        bucket=F.length(F.bin("r")),
+        suf,
+        [F.col("sarr").asc(), F.col("doc_id").asc(), F.col("pos").asc()],
+        bucket=_suffix.suffix_array_bucket(F.col("sarr")),
         out_col="rn",
     )
-    a, b = rn.alias("a"), rn.alias("b")
-    pairs = a.join(b, F.col("b.rn") == F.col("a.rn") + 1).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("a.pos").alias("pos_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("b.pos").alias("pos_b"),
-        F.lit(0).cast("long").alias("lcp"),
+    a = rn.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("sarr").alias("sa"),
+        "rn",
     )
-    for j in range(_SUFFIX_ROUNDS - 1, -1, -1):
-        lvj = levels[j]
-        ra = lvj.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("pos").alias("ka"),
-            F.col("r").alias("ra"),
-        )
-        rb = lvj.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("pos").alias("kb"),
-            F.col("r").alias("rb"),
-        )
-        pairs = (
-            pairs.withColumn("ka", F.col("pos_a") + F.col("lcp"))
-            .withColumn("kb", F.col("pos_b") + F.col("lcp"))
-            .join(ra, ["doc_a", "ka"], "left")
-            .join(rb, ["doc_b", "kb"], "left")
-            .select(
-                "doc_a",
-                "pos_a",
-                "doc_b",
-                "pos_b",
-                (
-                    F.col("lcp")
-                    + F.when(
-                        (F.coalesce(F.col("ra"), F.lit(0))
-                         == F.coalesce(F.col("rb"), F.lit(0)))
-                        & (F.coalesce(F.col("ra"), F.lit(0)) > 0),
-                        F.lit(1 << j),
-                    ).otherwise(F.lit(0))
-                ).alias("lcp"),
-            )
-        )
-    da = dl.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    db = dl.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    fin_pairs = (
-        pairs.join(da, "doc_a")
-        .join(db, "doc_b")
-        .select(
-            F.least(
-                F.col("lcp"),
-                F.col("na") - F.col("pos_a") + 1,
-                F.col("nb") - F.col("pos_b") + 1,
-            )
-            .cast("long")
-            .alias("lcp"),
-            "doc_a",
-            "pos_a",
-            "doc_b",
-            "pos_b",
-        )
+    b = rn.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("sarr").alias("sb"),
+        (F.col("rn") - F.lit(1)).alias("rn"),
     )
-    return toks, fin_pairs
+    pairs = a.join(b, "rn")
+    # LCP = index of the first elementwise mismatch (zip_with pads the
+    # shorter array with null; eqNullSafe makes pad != token); no
+    # mismatch => arrays identical => LCP = full length.  Never exceeds
+    # either tail because the arrays ARE the tails.
+    zipped = F.zip_with("sa", "sb", lambda x, y: x.eqNullSafe(y))
+    p = F.array_position(zipped, F.lit(False))
+    fin_pairs = pairs.select(
+        F.when(p == 0, F.size("sa"))
+        .otherwise(p - 1)
+        .cast("long")
+        .alias("lcp"),
+        "doc_a",
+        "pos_a",
+        "doc_b",
+        "pos_b",
+    )
+    return docs, fin_pairs
 
 
 @query("q_maximal_repeat", oracle=_maximal_repeat_oracle())
@@ -5044,16 +5039,16 @@ def q_maximal_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     match length, where q_exactsubstr_cut approximates via fixed-k
     shingles.
 
-    LCP of each adjacent pair by DESCENDING binary walk over the
-    doubling levels: if the 2^j-prefix ranks at the current offsets
-    agree, advance both offsets by 2^j — O(log maxlen) = 7 rounds of
-    per-doc equi-joins, then cap at min(tail_a, tail_b) (padded
-    equality can overshoot on equal short tails — the cap makes it
-    exact, test-pinned).
+    LCP of each adjacent pair (optimization round 13): documents are
+    bounded at 2^rounds tokens, so each suffix's token array is carried
+    whole and the LCP is ONE codegen zip_with/array_position expression
+    over the adjacent pair — replacing the 7-level descending binary
+    walk (14 suffix-scale joins) the long-document form needs; the
+    result is the identical capped LCP (referee- and oracle-pinned).
 
-    Scale: the walk is 7 rounds x 2 co-partitioned equi-joins over the
-    suffix-count table; adjacency comes from the bucketed global rank
-    (no partitionless window); top-10 is TakeOrderedAndProject."""
+    Scale: one narrow suffix-array pass + one bucketed global row
+    number + one rn-keyed adjacency join (no partitionless window);
+    top-10 is TakeOrderedAndProject."""
     _, fin_pairs = _suffix_lcp_pairs(spark, sf_dir)
     order = [
         F.col("lcp").desc(),
@@ -5232,10 +5227,11 @@ def q_repeat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-gram; this knows HOW LONG the real shared span is, per position,
     with unbounded length.
 
-    Scale: the LCP scaffold shared with q_maximal_repeat (7 doubling
-    rounds + the 7-level walk, all per-doc/pair equi-joins), then ONE
-    position-keyed max and ONE doc-keyed combinable rollup."""
-    toks, fin_pairs = _suffix_lcp_pairs(spark, sf_dir)
+    Scale: the LCP scaffold shared with q_maximal_repeat (one suffix-
+    array pass + one global row number + the adjacency join —
+    optimization round 13), then ONE position-keyed max and ONE
+    doc-keyed combinable rollup."""
+    docs, fin_pairs = _suffix_lcp_pairs(spark, sf_dir)
     nl = (
         fin_pairs.select(
             F.col("doc_a").alias("doc_id"),
@@ -5259,8 +5255,11 @@ def q_repeat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nlcp").cast("long").alias("max_lcp"),
         F.sum("nlcp").cast("long").alias("lcp_mass"),
     )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pos")
+    # n_pos = the document's token count = size(split(text)) — the same
+    # value the old token-table groupBy produced, without the explode
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_pos"),
     )
     return dl.join(prof, "doc_id", "left").select(
         "doc_id",

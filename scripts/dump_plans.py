@@ -1,8 +1,17 @@
 """Dump .explain("formatted") for a list of declared queries to files.
 
 Usage: python scripts/dump_plans.py <outdir> <suffix> q_a q_b ...
-Writes <outdir>/<query>_<suffix>.txt for each query.  Planning only —
-nothing is executed.
+Writes <outdir>/<query>_<suffix>.txt for each query.
+
+NOTE (ADVICE r12): "planning only" holds for the final action, but
+CONSTRUCTING a query runs real Spark jobs wherever its plan builder
+executes actions — eager localCheckpoint(eager=True) cuts (most r12/r13
+winners), plan-time collects (p90 caps, guards), approxQuantile.  The
+dumped plan then shows each checkpointed subtree as a single
+``Scan ExistingRDD`` leaf, so scan/Exchange counts in these dumps
+UNDERCOUNT work that still executes at runtime — read plan-node deltas
+across a checkpoint boundary as "moved behind a materialized cut", not
+"eliminated".
 """
 import io
 import os
