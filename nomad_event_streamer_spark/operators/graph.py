@@ -420,6 +420,18 @@ def coactivity_edges(
             .where(F.col("_cell_n") <= max_cell)
             .drop("_cell_n")
         )
+    # Explicit CPU repartition before the exploding pair join
+    # (optimization round 13, the q_dedup_verify_editdist device): AQE
+    # coalesces the byte-small cell shuffle (~MBs) to one or two
+    # partitions, serializing the Σ|cell|² pair generation + partial
+    # aggregation on a single core — measured 2.3 s → 1.5 s here and
+    # 15.6 s → 3.2 s on the downstream wedge join at sf0.1/local[32].
+    # Explicit numPartitions is exempt from AQE coalescing;
+    # defaultParallelism keeps it scale-adaptive, not a local constant.
+    keyed = keyed.repartition(
+        int(cells.sparkSession.sparkContext.defaultParallelism),
+        *cell_cols,
+    )
     other = keyed.select(F.col("u").alias("v"), *cell_cols)
     return (
         keyed.join(other, list(cell_cols))
@@ -459,6 +471,15 @@ def common_neighbor_candidates(
         mid = nb.join(
             deg.where(F.col("d") <= max_degree).select("x"), "x", "left_semi"
         )
+    # CPU repartition before the Σd² wedge self-join (optimization
+    # round 13): the edge-list input is byte-small, so AQE coalesces
+    # the join to 1-2 tasks while its OUTPUT explodes ~100x — measured
+    # 15.6 s single-task vs 3.2 s spread at sf0.1/local[32].  Both join
+    # sides derive from this one repartitioned table, so they are
+    # co-partitioned and the join adds no further exchange.
+    mid = mid.repartition(
+        int(e.sparkSession.sparkContext.defaultParallelism), "x"
+    )
     j1 = mid.select(F.col("x").alias("m"), F.col("y").alias("a"))
     j2 = mid.select(F.col("x").alias("m"), F.col("y").alias("b"))
     wedge = (
