@@ -3959,13 +3959,6 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("doc_a"))
             .alias("test_doc"),
         )
-        # WIDTH-PRUNED eager cut (optimization round 13, VERDICT r12
-        # item #6): two int columns x crossing-pair rows; its two
-        # consumers (the inter shingle-verify join and the ver count
-        # joins) otherwise each re-derive the full LSH candidate chain
-        # (batch 4's cut of the WIDE tables upstream regressed and was
-        # reverted — this is the narrow point).
-        .localCheckpoint(eager=True)
     )
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("train_doc"), "shingle")

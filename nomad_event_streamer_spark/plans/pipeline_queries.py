@@ -1266,14 +1266,6 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(coalesce(i, 0) * 1000) div (na + nb - coalesce(i, 0))"
             ).alias("jacc"),
         )
-        # WIDTH-PRUNED eager cut (optimization round 13, VERDICT r12
-        # item #6): batch 4's cut of the wide shingle/candidate tables
-        # regressed and was reverted; the verified-pair table is 3 int
-        # columns x candidate-pair rows — the narrow point.  Its two
-        # sweep consumers (pairs_t, docs_t) are concurrent agg branches
-        # that otherwise re-run the whole LSH + shingle-verify chain
-        # (eager per the r12 classification rule).
-        .localCheckpoint(eager=True)
     )
     th = spark.createDataFrame(
         [(t,) for t in _JT_THRESHOLDS], "thresh_milli INT"
