@@ -46,43 +46,57 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest stage-(N-1) completion — the sequencing semantics (not
     mere co-occurrence) that funnel products implement.
 
-    Plan: three min-aggregations + two joins, ALL keyed by user_id, so
-    one hash partitioning serves the whole chain; per-stage outputs are
-    1-row counts.  At 100 TB the event scan is pruned to the three
-    funnel types before anything shuffles."""
+    Plan: ONE events scan, ONE user_id exchange (optimization round 13
+    — the branch-per-stage form re-derived stage N-1 inside stage N and
+    scanned events 12x): per-user stage timestamps are three chained
+    conditional-min windows over the same user partition (t2 = min
+    click ts > t1 needs every click compared against t1, which the
+    window holds in place; a groupBy would need a join-back per stage),
+    then one per-user rollup and one 3-row count.  At 100 TB the event
+    scan is pruned to the three funnel types before the one shuffle."""
     ev = events(spark, sf_dir).select("user_id", "event_type", "ts_us")
     ev = ev.where(F.col("event_type").isin("view", "click", "purchase"))
-    s1 = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t1"))
+    w_u = Window.partitionBy("user_id")
+    t1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(
+            w_u
+        ),
     )
-    s2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .where(F.col("ts_us") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t2"))
+    t2 = t1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_us") > F.col("t1")),
+                F.col("ts_us"),
+            )
+        ).over(w_u),
     )
-    s3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .where(F.col("ts_us") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t3"))
+    t3 = t2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("t2")),
+                F.col("ts_us"),
+            )
+        ).over(w_u),
     )
-
-    def stage(n: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(n).alias("stage"),
-            F.lit(name).alias("event_type"),
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-        )
-
-    return (
-        stage(1, "view", s1)
-        .unionAll(stage(2, "click", s2))
-        .unionAll(stage(3, "purchase", s3))
+    per_user = t3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    counts = per_user.agg(
+        F.count("t1").cast("long").alias("n1"),
+        F.count("t2").cast("long").alias("n2"),
+        F.count("t3").cast("long").alias("n3"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 1, 'view', n1, 2, 'click', n2, 3, 'purchase', n3)"
+        ).alias("stage", "event_type", "n_users")
     )
 
 

@@ -1456,12 +1456,22 @@ def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = b.select("bucket", F.sum("c").over(w).cast("long").alias("cum_c"))
-    total = li.agg(F.count(F.lit(1)).alias("n"))
+    # n = count(*) of lineitem = sum of bucket counts (every row lands in
+    # exactly one bucket), computed on the SAME single-partition window
+    # pass as the running sum (optimization round 13) — the previous
+    # separate ``li.agg(count)`` branch was a second full lineitem scan
+    # for one scalar the bucket table already holds.
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = b.select(
+        "bucket",
+        F.sum("c").over(w).cast("long").alias("cum_c"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
     qdf = spark.createDataFrame([(25,), (50,), (75,), (90,), (99,)], "qpct long")
     return (
         F.broadcast(qdf)
-        .crossJoin(F.broadcast(total))
         .join(cum, F.col("cum_c") * 100 >= F.col("qpct") * F.col("n"))
         .groupBy("qpct")
         .agg((F.min("bucket") * 100).alias("approx_value"))

@@ -1534,11 +1534,19 @@ def q_shard_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("same_shard")
         )
     )
-    tot_p = tagged.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # n_total = sum of the two group counts — computed by a window over
+    # the <=2-row grouped table (optimization round 13).  The previous
+    # separate ``tagged.agg(count)`` branch duplicated the ENTIRE LSH
+    # candidate chain (shingles -> signatures -> bands -> pair join ->
+    # two shard joins) as a second plan subtree: 28 parquet scans / 94
+    # Exchanges for one scalar the grouped output already determines.
+    w_all = Window.orderBy("same_shard").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         tagged.groupBy("same_shard")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        .crossJoin(F.broadcast(tot_p))
+        .withColumn("n_total", F.sum("n_pairs").over(w_all))
         .select(
             "same_shard",
             "n_pairs",

@@ -527,6 +527,15 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mmr10_micro"),
             F.lit(1).cast("long").alias("pick_rank"),
         )
+        # lazy per-pick cut (optimization round 13): without it every
+        # later greedy stage re-derives every EARLIER pick's whole
+        # selection tree inside its own branch (seen_t is a union of t-1
+        # pick subtrees; sel4's tree contained sel1 four times) — 210
+        # Exchanges of ~50-row tables, pure stage-scheduling overhead.
+        # Sequential consumers (each pick's checkpoint materializes
+        # before the next pick's build references it; the final union
+        # reuses the persisted RDDs), so lazy per the registry rule.
+        .localCheckpoint(eager=False)
     )
     picks = [sel]
     seen = sel.select("query_id", "neighbor_id")
@@ -563,6 +572,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("mmr10_micro"),
                 F.lit(t).cast("long").alias("pick_rank"),
             )
+            # lazy per-pick cut — same rationale/sequencing as sel1
+            .localCheckpoint(eager=False)
         )
         picks.append(sel_t)
         seen = seen.unionByName(

@@ -76,7 +76,11 @@ EXPECTED = {
     "plans/llm_ops.py::q_louvain_l0": ["eager"],
     "plans/llm_ops.py::q_mutual_best_match": ["eager"],
     "plans/llm_ops.py::q_perceptron_rounds": ["lazy"],
-    "plans/retrieval_queries.py::q_mmr_rerank": ["lazy", "lazy"],
+    # r13: + per-pick cuts (sel1 + loop site) — sequential consumers
+    # (pick t materializes before pick t+1's build references it)
+    "plans/retrieval_queries.py::q_mmr_rerank": [
+        "lazy", "lazy", "lazy", "lazy",
+    ],
     "plans/sketch_queries.py::q_ams_f2": ["eager"],
     "plans/sketch_queries.py::q_theta_anotb": ["eager", "eager", "eager"],
     "plans/sketch_queries.py::q_theta_intersect": [

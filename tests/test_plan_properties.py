@@ -1124,11 +1124,29 @@ def test_er_blocking_never_materializes_pairs(spark, sf_dir):
 
 def test_shard_dedup_cross_offset_window_only(spark, sf_dir):
     """Shard assignment inherits q_shard_plan's bucketed prefix sum: the
-    only partitionless window is the 16-row bucket-offset accumulation."""
+    only partitionless windows are the 16-row bucket-offset accumulation
+    and (optimization round 13) the n_total sum over the <=2-row
+    same_shard GROUP table — both driver-scale inputs, never the fact
+    table.  The r13 window replaced a second full LSH-chain subtree
+    (28 scans / 94 Exchanges) that existed only to count total pairs."""
     df = QUERIES["q_shard_dedup_cross"](spark, sf_dir)
     offset_frame = "specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)"
-    bad = [w for w in _partitionless_window_specs(df) if offset_frame not in w]
+    total_frame = (
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(),"
+        " unboundedfollowing$())"
+    )
+    bad = [
+        w
+        for w in _partitionless_window_specs(df)
+        if offset_frame not in w and total_frame not in w
+    ]
     assert not bad, f"full-input partitionless window: {bad}"
+    # the fact-scale subtree (LSH chain) must appear ONCE: the total is
+    # derived from the grouped output, not a duplicated plan branch
+    phys = plan_of(spark, sf_dir, "q_shard_dedup_cross")
+    assert phys.count("Scan parquet") <= 14, (
+        "n_total branch re-grew a duplicated LSH subtree"
+    )
 
 
 def test_kanon_generalize_is_union_of_aggs(spark, sf_dir):
