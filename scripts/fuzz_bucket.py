@@ -2,8 +2,9 @@
 (`plans/analytics_queries.q_token_bucket`) across its knob space —
 THREE independent implementations per seed:
 
-1. the REAL Spark pipeline (`_tb_replay`: window rank + applyInPandas
-   recurrence) at randomized (capacity, refill divisor, rank cap),
+1. the REAL Spark pipeline (`_tb_replay`: window rank + JVM
+   higher-order aggregate recurrence) at randomized (capacity, refill
+   divisor, rank cap),
 2. the parameterized DuckDB bounded-rank unrolled oracle
    (`_token_bucket_oracle(cap, cost, div, maxk)`),
 3. a pure-python referee (no engine code: sort, scan, min/compare).
