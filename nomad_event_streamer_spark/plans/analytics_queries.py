@@ -1590,9 +1590,10 @@ def _tb_replay(
     refill's floor division is ``(d - d % div) / div`` — d is made an
     exact multiple of div before the double division, so the quotient
     is exact (never the float-rounding of a raw floor(a/b)).  Interleaved
-    A/B at sf0.1: 0.52 vs identical-code controls ~1.0; verdicts
-    pinned by scripts/fuzz_bucket.py (3-way differential across the
-    knob space) and the unchanged 100-round CTE oracle."""
+    A/B at sf0.1: 0.185 (0.64 s vs 3.43 s) with identical-code controls
+    at 0.99/0.95; verdicts pinned by scripts/fuzz_bucket.py (3-way
+    differential across the knob space) and the unchanged 100-round CTE
+    oracle."""
     from ..tables import events as events_tbl
 
     ev = events_tbl(spark, sf_dir).select("user_id", "ts_us", "event_id")

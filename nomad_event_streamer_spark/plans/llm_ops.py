@@ -2080,6 +2080,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = flt.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
     sh = dedup.shingles(s1, n=3)
     sig = dedup.minhash_signatures(sh, num_hashes=8)
+    # NOTE (optimization round 13): an eager cut on the narrow band
+    # table (doc_id, band, bucket) was tried for the two concurrent
+    # consumers below and REVERTED on interleaved A/B parity (0.98 vs
+    # controls 1.10/0.98) — runtime exchange reuse already dedups the
+    # shared shingle->signature chain here, so the cut only added its
+    # own materialization job.
     bands = dedup.lsh_bands(sig, num_hashes=8, rows_per_band=2)
     mins = bands.groupBy("band", "bucket").agg(
         F.min("doc_id").alias("mn")
